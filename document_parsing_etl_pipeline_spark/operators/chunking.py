@@ -1,0 +1,75 @@
+"""Chunking: split document text into bounded-size chunks.
+
+Reference parity: docling HybridChunker with ProcessingConfig
+(reference services/parser/src/engine/pdf_parser.py:22-30 — chunk
+overlap, min/max chunk size) and the chunk metadata token_count
+(pdf_parser.py:188-199, ``len(chunk.text.split())``).
+
+Spark-first: chunk indices come from ``sequence`` + ``explode`` and the
+chunk text from a dynamic ``substring`` — all JVM-side expressions
+inside whole-stage codegen. No Python, no shuffle; a 100 TB corpus
+chunks at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_CHUNK_SIZE = 120
+DEFAULT_OVERLAP = 0
+DEFAULT_MIN_CHUNK = 20
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    overlap: int = DEFAULT_OVERLAP,
+    min_chunk: int = DEFAULT_MIN_CHUNK,
+) -> DataFrame:
+    """Fixed-window chunking with overlap and a min-size floor.
+
+    Output: (doc_id, chunk_index, text_content, token_count).
+    A trailing chunk shorter than ``min_chunk`` is dropped unless it is
+    the document's only chunk (mirrors HybridChunker's min-size merge).
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    step = chunk_size - overlap
+    # greatest(len-1, 0) keeps the numerator non-negative so integer
+    # division matches floor division (and the DuckDB oracle) even for
+    # empty documents.
+    last_idx = (
+        F.greatest(F.length(F.col(text_col)) - F.lit(1), F.lit(0)) / F.lit(step)
+    ).cast("int")
+    chunk_text = F.expr(
+        f"substring({text_col}, chunk_index * {step} + 1, {chunk_size})"
+    )
+    token_count = F.when(F.trim(F.col("text_content")) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text_content")), r"\s+"))
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col),
+            F.explode(F.sequence(F.lit(0), last_idx)).alias("chunk_index"),
+        )
+        .withColumn("text_content", chunk_text)
+        .where(
+            (F.length("text_content") >= min_chunk) | (F.col("chunk_index") == 0)
+        )
+        .withColumn("token_count", token_count)
+        .drop(text_col)
+    )
+
+
+def chunk_stats(chunks: DataFrame) -> DataFrame:
+    """Per-document chunk rollup (Document.total_chunks parity,
+    reference src/database/schema.py:31)."""
+    return chunks.groupBy("doc_id").agg(
+        F.count("*").alias("total_chunks"),
+        F.sum("token_count").alias("total_tokens"),
+        F.max("token_count").alias("max_chunk_tokens"),
+    )

@@ -1,0 +1,250 @@
+"""Deduplication suite: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+LLM-data-pipeline operators over the `documents` table (not in the
+reference's surface — the reference stores each PDF once — but a core
+capability for the 100 TB training-data use case this engine targets).
+
+Design notes for scale:
+- Hashes are md5-based (JVM built-in, also available in the DuckDB
+  oracle). MinHash uses the *lexicographic min of md5 hex strings*
+  per seeded hash family — a uniform permutation proxy with no custom
+  UDF and engine-identical results.
+- The only shuffles are on (band, band_hash) buckets and candidate
+  doc_id joins. Degenerate buckets (boilerplate docs) are capped at
+  ``max_bucket`` — the standard LSH guard that keeps the candidate
+  join from going quadratic at scale; AQE skew-join picks up the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm_tokens(text: Column) -> Column:
+    """Distinct lowercase word tokens (set semantics for Jaccard)."""
+    return F.array_distinct(
+        F.split(F.trim(F.lower(text)), r"\s+")
+    )
+
+
+def normalized_text(text: Column) -> Column:
+    return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+
+
+# ---------------------------------------------------------------- exact
+
+def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by md5 of normalized text.
+
+    Returns one row per distinct content hash with the canonical
+    (min) doc_id and the duplicate count. Single shuffle on the hash;
+    map-side partial aggregation makes this scan-bound at 100 TB.
+    """
+    return (
+        docs.select(
+            "doc_id", F.md5(normalized_text(F.col(text_col))).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+# -------------------------------------------------------------- minhash
+
+def minhash_signature(
+    docs: DataFrame, text_col: str = "text", num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature: for seed k, h_k = min(md5(k || ':' || token)).
+
+    md5 hex strings are uniformly distributed, so the lexicographic min
+    under a seeded prefix is a valid min-wise permutation proxy —
+    and is bit-identical across Spark and the DuckDB oracle.
+    """
+    tokens = _norm_tokens(F.col(text_col))
+
+    def hasher(k: int):
+        # factory (NOT a default-arg lambda: a 2-arg lambda would make
+        # Spark bind the second parameter as the array index)
+        prefix = f"{k}:"
+        return lambda t: F.md5(F.concat(F.lit(prefix), t))
+
+    sig_cols = [
+        F.array_min(F.transform(tokens, hasher(k))).alias(f"mh{k}")
+        for k in range(num_hashes)
+    ]
+    return docs.select("doc_id", *sig_cols)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """LSH banding: band_hash = md5(concat of band's minhashes); docs
+    sharing any (band, band_hash) bucket become candidate pairs.
+
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+    """
+    sigs = minhash_signature(docs, text_col, num_hashes)
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * band_size + r}") for r in range(band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*cols)).alias("bh"))
+        )
+    buckets = sigs.select(
+        "doc_id", F.explode(F.array(*bands)).alias("e")
+    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    # Cap degenerate buckets before the self-join (anti-quadratic guard).
+    sized = buckets.groupBy("band", "bh").agg(
+        F.collect_list("doc_id").alias("ids"), F.count("*").alias("n")
+    ).where(F.col("n").between(2, max_bucket))
+    pairs = sized.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda a: F.transform(
+                            "ids",
+                            lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+                        ),
+                    )
+                ),
+                lambda p: p["doc_a"] < p["doc_b"],
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int = 50,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Verified near-dup pairs: LSH candidates → exact token-set
+    Jaccard ≥ threshold. Jaccard is computed with array_intersect /
+    array_union on the token arrays joined back per side."""
+    cands = minhash_lsh_candidates(
+        docs, text_col, num_hashes, band_size, max_bucket
+    )
+    toks = docs.select(
+        "doc_id", _norm_tokens(F.col(text_col)).alias("tokens")
+    )
+    joined = (
+        cands.join(toks.withColumnsRenamed({"doc_id": "doc_a", "tokens": "ta"}), "doc_a")
+        .join(toks.withColumnsRenamed({"doc_id": "doc_b", "tokens": "tb"}), "doc_b")
+    )
+    jac = F.round(
+        F.size(F.array_intersect("ta", "tb"))
+        / F.size(F.array_union("ta", "tb")),
+        4,
+    )
+    return (
+        joined.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# -------------------------------------------------------------- simhash
+
+def _hex16(c: Column) -> Column:
+    """First 16 bits of md5 as an int (via base-16 conv)."""
+    return F.conv(F.substring(F.md5(c), 1, 4), 16, 10).cast("int")
+
+
+def simhash_signature(docs: DataFrame, text_col: str = "text",
+                      bits: int = 16) -> DataFrame:
+    """16-bit SimHash: per-token md5-derived value votes per bit
+    position; signature bit b = majority vote (Charikar 2002).
+
+    Pure array expressions — per-row, no shuffle.
+    """
+    tokens = _norm_tokens(F.col(text_col))
+    vals = F.transform(tokens, _hex16)
+
+    def voter(b: int):
+        # factory to capture the bit index (a 3-arg lambda would change
+        # the lambda arity Spark infers)
+        return lambda acc, v: acc + (
+            F.shiftright(v, b).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+
+    sig = F.lit(0)
+    for b in range(bits):
+        vote = F.aggregate(vals, F.lit(0), voter(b))
+        sig = sig + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return docs.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, text_col: str = "text",
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Banding: a 16-bit signature split into 4 nibbles; distance ≤ 3
+    implies at least one identical nibble (pigeonhole), so candidates
+    join on (nibble_index, nibble_value) — never a full cross join.
+    """
+    sigs = simhash_signature(docs, text_col)
+    nibbles = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("nib"),
+                    F.shiftright("simhash", 4 * j).bitwiseAND(F.lit(15)).alias("nv"),
+                )
+                for j in range(4)
+            ])
+        ).alias("e"),
+    ).select("doc_id", "simhash", "e.nib", "e.nv")
+    a = nibbles.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"), "nib", "nv"
+    )
+    b = nibbles.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"), "nib", "nv"
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        a.join(b, ["nib", "nv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------- embedding near-dup
+
+def embedding_near_dup(
+    embeddings: DataFrame, threshold: float = 0.95, id_col: str = "vec_id"
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold).
+
+    Exact all-pairs at test SF; at 100 TB the IVF-bucketed variant in
+    similarity.py is the scale path (bucket-pruned candidate join).
+    """
+    from .similarity import cosine_sim
+
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col("embedding").alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col("embedding").alias("vb"))
+    cos = cosine_sim(F.col("va"), F.col("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

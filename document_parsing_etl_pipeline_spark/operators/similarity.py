@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline; an IVF-style
+sign-bucketed variant as the scale path (prunes the candidate join to
+matching buckets — on a 1000-executor cluster the buckets are the
+partition keys, so each query touches one partition's worth of
+vectors instead of all of them).
+
+Dot products are computed with ``zip_with`` + ``aggregate`` in doubles
+— JVM-side, deterministic left-to-right accumulation (matches the
+DuckDB oracle's list_inner_product to 4 decimals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_brute_cosine(
+    embeddings: DataFrame,
+    num_queries: int = 5,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``num_queries``
+    vectors (vec_id < num_queries) against the whole table.
+
+    The tiny query side is broadcast → no shuffle of the big side;
+    ranking is a per-query window (partition count = num_queries).
+    """
+    queries = embeddings.where(F.col(id_col) < num_queries).select(
+        F.col(id_col).alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cand = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col("embedding").alias("cv")
+    )
+    from pyspark.sql.window import Window
+
+    scored = (
+        cand.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_sim(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def sign_bucket(v: Column, dims: int = 4) -> Column:
+    """IVF-style coarse bucket: sign bits of the first ``dims``
+    components → int in [0, 2^dims)."""
+    b = F.lit(0)
+    for i in range(dims):
+        b = b + F.when(F.element_at(v, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return b
+
+
+def knn_ivf_bucketed(
+    embeddings: DataFrame,
+    num_queries: int = 5,
+    k: int = 5,
+    bucket_dims: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign
+    bucket. The bucket column is the partition/prune key at scale."""
+    with_bucket = embeddings.withColumn(
+        "bucket", sign_bucket(F.col("embedding"), bucket_dims)
+    )
+    queries = with_bucket.where(F.col(id_col) < num_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket"),
+    )
+    cand = with_bucket.select(
+        F.col(id_col).alias("vec_id"), F.col("embedding").alias("cv"), "bucket"
+    )
+    from pyspark.sql.window import Window
+
+    scored = (
+        cand.join(F.broadcast(queries), "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_sim(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

@@ -1,0 +1,131 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, fingerprinting.
+
+These extend the reference's per-chunk metadata (token_count,
+reference services/parser/src/engine/pdf_parser.py:197) into the full
+set a large-scale training-data pipeline needs. All JVM-side
+expressions — per-row, shuffle-free, codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword gazetteers for the n-gram/stopword-ratio
+# language heuristic (public-knowledge lists).
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to"),
+    "es": ("el", "la", "los", "de", "y"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+# BPE-ish tokenizer regex: letter runs, digit runs, single punctuation.
+RE_BPE_TOKEN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def _count_matches(c: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
+
+
+def _stopword_hits(c: Column, lang: str) -> Column:
+    pat = r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+    return _count_matches(c, pat)
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-ratio language ID: argmax over per-language hit counts.
+
+    Deterministic tie-break on language code order (en < es < de < fr
+    by score, then alphabetical).
+    """
+    c = F.lower(F.col(text_col))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[_stopword_hits(c, lang).alias(f"hits_{lang}") for lang in STOPWORDS],
+    )
+    langs = sorted(STOPWORDS)  # alphabetical tie-break
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties
+        pred = F.when(
+            (best > 0) & (F.col(f"hits_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return scored.withColumn("pred_lang", pred)
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / lexical-diversity signals.
+
+    All ratios rounded to 4 decimals so float formatting is stable
+    across engines.
+    """
+    c = F.col(text_col)
+    trimmed = F.trim(c)
+    words = F.split(trimmed, r"\s+")
+    word_count = F.when(trimmed == "", F.lit(0)).otherwise(F.size(words))
+    uniq = F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.array_distinct(words))
+    )
+    stop_hits = _stopword_hits(F.lower(c), "en")
+    punct = _count_matches(c, r"[^a-zA-Z0-9\s]")
+    return docs.select(
+        "doc_id",
+        F.length(c).alias("char_count"),
+        word_count.alias("word_count"),
+        F.round(uniq / F.greatest(word_count, F.lit(1)), 4).alias("unique_ratio"),
+        F.round(stop_hits / F.greatest(word_count, F.lit(1)), 4).alias(
+            "stopword_ratio"
+        ),
+        F.round(punct / F.greatest(F.length(c), F.lit(1)), 4).alias("punct_ratio"),
+        F.round(
+            F.length(F.regexp_replace(c, r"\s+", "")) /
+            F.greatest(word_count, F.lit(1)),
+            4,
+        ).alias("avg_word_len"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens per document."""
+    c = F.col(text_col)
+    trimmed = F.trim(c)
+    ws_tokens = F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    return docs.select(
+        "doc_id",
+        ws_tokens.alias("ws_tokens"),
+        _count_matches(c, RE_BPE_TOKEN).alias("bpe_tokens"),
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a text column (array<string>).
+
+    Built with sequence+transform over the split array — JVM-side.
+    """
+    words = F.split(F.trim(text), r"\s+")
+    k = F.size(words) - F.lit(n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - F.lit(1), F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + F.lit(j + 1)).cast("int")) for j in range(n)]
+        ),
+    )
+    # Short docs (fewer than n words): fall back to whole trimmed text.
+    return F.when(k >= 1, grams).otherwise(F.array(F.trim(text)))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", n: int = 4) -> DataFrame:
+    """Winnowing-style document fingerprint: min md5 over word n-gram
+    shingles (Schleimer et al. 2003 'winnowing' simplified to a global
+    min — a stable content fingerprint robust to word appends)."""
+    sh = shingles(F.lower(F.col(text_col)), n)
+    return docs.select(
+        "doc_id",
+        F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("fp"),
+    )

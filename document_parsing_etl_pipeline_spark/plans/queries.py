@@ -1,0 +1,898 @@
+"""Query registry: every operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame builder plus a DuckDB oracle SQL string.
+
+Engine-parity protocol (so the driver's order-insensitive value-hash
+matches):
+- integer outputs are BIGINT on both sides (Spark ints are cast);
+- sums of doubles go through exact DECIMAL(28,6) accumulation (per-row
+  IEEE double arithmetic is engine-identical; only the accumulation
+  order is not), then cast to DOUBLE and round;
+- timestamps are compared as epoch microseconds (BIGINT);
+- hashes are md5 hex strings (identical algorithm both engines);
+- regexes use only syntax with identical Java-regex/RE2 semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..operators import charts as charts_op
+from ..operators import chunking, dedup, entities, parse, similarity
+from ..operators import text_analysis as ta
+from ..sources import docstore
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _long(df: DataFrame, *cols: str) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("long"))
+    return df
+
+
+def _dec(c) -> F.Column:
+    return c.cast("decimal(28,6)")
+
+
+def _money(c, scale: int = 2) -> F.Column:
+    """Exact decimal sum → double → round (engine-identical)."""
+    return F.round(F.sum(_dec(c)).cast("double"), scale)
+
+
+# ===================================================================
+# §2.A — parse / chunk / NER / charts
+# ===================================================================
+
+CHUNK_SIZE, CHUNK_STEP, CHUNK_MIN = (
+    chunking.DEFAULT_CHUNK_SIZE,
+    chunking.DEFAULT_CHUNK_SIZE - chunking.DEFAULT_OVERLAP,
+    chunking.DEFAULT_MIN_CHUNK,
+)
+
+# Shared chunk CTE used by every chunk-derived oracle.
+CHUNK_CTE = f"""
+chunks_raw AS (
+    SELECT d.doc_id,
+           unnest(generate_series(0, greatest(length(d.text)-1, 0)//{CHUNK_STEP}))
+               AS chunk_index,
+           d.text
+    FROM documents d
+), chunk_text AS (
+    SELECT doc_id, chunk_index,
+           substring(text, chunk_index*{CHUNK_STEP}+1, {CHUNK_SIZE}) AS text_content
+    FROM chunks_raw
+), chunks_f AS (
+    SELECT doc_id, chunk_index, text_content,
+           CASE WHEN trim(text_content) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text_content), '\\s+'))
+           END AS token_count
+    FROM chunk_text
+    WHERE length(text_content) >= {CHUNK_MIN} OR chunk_index = 0
+)
+"""
+
+
+@register("doc_normalize", """
+SELECT doc_id,
+       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm_text,
+       length(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS norm_len
+FROM documents
+""")
+def q_doc_normalize(spark, sf_dir):
+    df = parse.normalize_documents(load_table(spark, sf_dir, "documents"))
+    return _long(
+        df.select("doc_id", "norm_text", F.length("norm_text").alias("norm_len")),
+        "norm_len",
+    )
+
+
+@register("doc_metadata", """
+SELECT doc_id, source, lang,
+       length(text) AS char_count,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS word_count,
+       len(regexp_split_to_array(text, '\\n')) AS line_count,
+       CASE WHEN length(text) < 200 THEN 'small'
+            WHEN length(text) < 400 THEN 'medium'
+            ELSE 'large' END AS size_bucket
+FROM documents
+""")
+def q_doc_metadata(spark, sf_dir):
+    df = parse.document_metadata(load_table(spark, sf_dir, "documents"))
+    return _long(df, "char_count", "word_count", "line_count")
+
+
+@register("doc_chunk", f"WITH {CHUNK_CTE} SELECT * FROM chunks_f")
+def q_doc_chunk(spark, sf_dir):
+    df = chunking.chunk_documents(load_table(spark, sf_dir, "documents"))
+    return _long(df, "chunk_index", "token_count")
+
+
+@register("doc_chunk_stats", f"""
+WITH {CHUNK_CTE}
+SELECT doc_id, count(*) AS total_chunks,
+       sum(token_count)::BIGINT AS total_tokens,
+       max(token_count)::BIGINT AS max_chunk_tokens
+FROM chunks_f GROUP BY doc_id
+""")
+def q_doc_chunk_stats(spark, sf_dir):
+    df = chunking.chunk_stats(
+        chunking.chunk_documents(load_table(spark, sf_dir, "documents"))
+    )
+    return _long(df, "total_chunks", "total_tokens", "max_chunk_tokens")
+
+
+_NER_ORACLE = f"""
+WITH {CHUNK_CTE}
+SELECT doc_id, chunk_index,
+       coalesce(array_to_string(regexp_extract_all(text_content,
+                                                   '{entities.RE_ORG}'), ','), '')
+           AS org_terms,
+       len(regexp_extract_all(text_content, '{entities.RE_PERSON}')) AS n_persons,
+       len(regexp_extract_all(text_content, '{entities.RE_ORG}')) AS n_organizations,
+       len(regexp_extract_all(text_content, '{entities.RE_DATE}')) AS n_dates,
+       len(regexp_extract_all(text_content, '{entities.RE_LOC}')) AS n_locations,
+       len(regexp_extract_all(text_content, '{entities.RE_NUMBER}')) AS n_misc
+FROM chunks_f
+"""
+
+
+@register("ner_entities", _NER_ORACLE)
+def q_ner_entities(spark, sf_dir):
+    ch = chunking.chunk_documents(load_table(spark, sf_dir, "documents"))
+    df = entities.entity_counts(ch.drop("token_count"), text_col="text_content")
+    return _long(
+        df, "chunk_index", "n_persons", "n_organizations", "n_dates",
+        "n_locations", "n_misc",
+    )
+
+
+@register("entity_rollup", f"""
+WITH {CHUNK_CTE}, ents AS (
+    SELECT 'organization' AS entity_type,
+           unnest(regexp_extract_all(text_content, '{entities.RE_ORG}')) AS term
+    FROM chunks_f
+    UNION ALL
+    SELECT 'location', unnest(regexp_extract_all(text_content, '{entities.RE_LOC}'))
+    FROM chunks_f
+    UNION ALL
+    SELECT 'date', unnest(regexp_extract_all(text_content, '{entities.RE_DATE}'))
+    FROM chunks_f
+)
+SELECT entity_type, term, count(*) AS occurrences FROM ents
+GROUP BY entity_type, term
+""")
+def q_entity_rollup(spark, sf_dir):
+    ch = chunking.chunk_documents(load_table(spark, sf_dir, "documents"))
+    return entities.entity_rollup(ch, text_col="text_content")
+
+
+_CHARTS_CTE = f"""
+counted AS (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{charts_op.TABLE_MARKER}')) AS n_tables,
+           len(regexp_extract_all(text, '{charts_op.FIGURE_MARKER}')) AS n_figures
+    FROM documents
+), chart_items AS (
+    SELECT doc_id, 'table' AS chart_type,
+           unnest(generate_series(1, n_tables)) AS chart_index
+    FROM counted WHERE n_tables > 0
+    UNION ALL
+    SELECT doc_id, 'figure', unnest(generate_series(1, n_figures))
+    FROM counted WHERE n_figures > 0
+), charts_f AS (
+    SELECT doc_id, chart_type, chart_index,
+           'documents/' || doc_id || '/charts/' ||
+           (CASE WHEN chart_type = 'table' THEN chart_index
+                 ELSE chart_index + 1000000 END) || '.png' AS image_path
+    FROM chart_items
+)
+"""
+
+
+@register("chart_inventory", f"WITH {_CHARTS_CTE} SELECT * FROM charts_f")
+def q_chart_inventory(spark, sf_dir):
+    df = charts_op.chart_inventory(load_table(spark, sf_dir, "documents"))
+    return _long(
+        df.select("doc_id", "chart_type", "chart_index", "image_path"),
+        "chart_index",
+    )
+
+
+# ===================================================================
+# §2.B — doc-store query surface (API/repository parity)
+# ===================================================================
+
+_DOCSTORE_CTE = f"""
+{CHUNK_CTE}, stats AS (
+    SELECT doc_id, count(*) AS total_chunks,
+           sum(token_count)::BIGINT AS total_tokens
+    FROM chunks_f GROUP BY doc_id
+), documents_t AS (
+    SELECT d.doc_id, 'doc_' || d.doc_id || '.txt' AS filename, d.lang, d.source,
+           d.n_chars, coalesce(s.total_chunks, 0) AS total_chunks,
+           coalesce(s.total_tokens, 0) AS total_tokens
+    FROM documents d LEFT JOIN stats s USING (doc_id)
+)
+"""
+
+
+def _docstore_tables(spark, sf_dir):
+    return docstore.build_docstore(load_table(spark, sf_dir, "documents"))
+
+
+@register("q_documents_list", f"""
+WITH {_DOCSTORE_CTE}
+SELECT * FROM documents_t WHERE doc_id >= 10 AND doc_id < 60
+""")
+def q_documents_list(spark, sf_dir):
+    t = _docstore_tables(spark, sf_dir)
+    df = t["documents"].where((F.col("doc_id") >= 10) & (F.col("doc_id") < 60))
+    return _long(
+        df.select("doc_id", "filename", "lang", "source", "n_chars",
+                  "total_chunks", "total_tokens"),
+        "total_chunks", "total_tokens",
+    )
+
+
+@register("q_document_detail", f"""
+WITH {_DOCSTORE_CTE}
+SELECT d.doc_id, d.filename, d.lang, d.total_chunks,
+       c.chunk_index, c.text_content, c.token_count
+FROM documents_t d JOIN chunks_f c USING (doc_id)
+WHERE d.doc_id < 20
+""")
+def q_document_detail(spark, sf_dir):
+    t = _docstore_tables(spark, sf_dir)
+    df = (
+        t["documents"].where(F.col("doc_id") < 20)
+        .select("doc_id", "filename", "lang", "total_chunks")
+        .join(t["chunks"], "doc_id")
+    )
+    return _long(df, "total_chunks", "chunk_index", "token_count")
+
+
+@register("q_chunk_range", f"""
+WITH {CHUNK_CTE}
+SELECT doc_id, chunk_index, text_content, token_count
+FROM chunks_f
+WHERE doc_id = 7 AND chunk_index BETWEEN 0 AND 1
+""")
+def q_chunk_range(spark, sf_dir):
+    ch = chunking.chunk_documents(load_table(spark, sf_dir, "documents"))
+    df = ch.where((F.col("doc_id") == 7) & F.col("chunk_index").between(0, 1))
+    return _long(df, "chunk_index", "token_count")
+
+
+@register("q_charts_by_doc", f"""
+WITH {_CHARTS_CTE}
+SELECT doc_id, chart_type, count(*) AS n_charts
+FROM charts_f WHERE doc_id < 50
+GROUP BY doc_id, chart_type
+""")
+def q_charts_by_doc(spark, sf_dir):
+    df = charts_op.charts_per_document(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    )
+    return _long(df, "n_charts")
+
+
+@register("q_doc_delete", f"""
+WITH {CHUNK_CTE}
+SELECT doc_id, chunk_index, token_count FROM chunks_f
+WHERE doc_id < 5 AND doc_id <> 3
+""")
+def q_doc_delete(spark, sf_dir):
+    t = _docstore_tables(spark, sf_dir)
+    deleted = docstore.delete_document(t, 3)
+    df = deleted["chunks"].where(F.col("doc_id") < 5).select(
+        "doc_id", "chunk_index", "token_count"
+    )
+    return _long(df, "chunk_index", "token_count")
+
+
+# ===================================================================
+# §2.C — analytics engine (headline queries)
+# ===================================================================
+
+@register("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity::DECIMAL(28,6))::DOUBLE, 2) AS sum_qty,
+       round(sum(l_extendedprice::DECIMAL(28,6))::DOUBLE, 2) AS sum_base_price,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,6))::DOUBLE, 2)
+           AS sum_disc_price,
+       round(sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(28,6))::DOUBLE, 2)
+           AS sum_charge,
+       round(sum(l_quantity::DECIMAL(28,6))::DOUBLE / count(*), 4) AS avg_qty,
+       round(sum(l_extendedprice::DECIMAL(28,6))::DOUBLE / count(*), 4) AS avg_price,
+       round(sum(l_discount::DECIMAL(28,6))::DOUBLE / count(*), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    cnt = F.count("*")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money(F.col("l_quantity")).alias("sum_qty"),
+            _money(F.col("l_extendedprice")).alias("sum_base_price"),
+            _money(disc_price).alias("sum_disc_price"),
+            _money(charge).alias("sum_charge"),
+            F.round(F.sum(_dec(F.col("l_quantity"))).cast("double") / cnt, 4)
+                .alias("avg_qty"),
+            F.round(F.sum(_dec(F.col("l_extendedprice"))).cast("double") / cnt, 4)
+                .alias("avg_price"),
+            F.round(F.sum(_dec(F.col("l_discount"))).cast("double") / cnt, 4)
+                .alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@register("q3_shipping_priority", """
+SELECT o.o_orderkey,
+       round(sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(28,6))::DOUBLE, 2)
+           AS revenue,
+       epoch_us(o.o_orderdate) AS orderdate_us,
+       o.o_orderpriority
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(28,6)) DESC,
+         o.o_orderkey
+LIMIT 10
+""")
+def q3(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue_exact = F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    df = (
+        li.where(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+        .join(
+            orders.where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue_exact.alias("rev_exact"))
+        .orderBy(F.col("rev_exact").desc(), "o_orderkey")
+        .limit(10)
+    )
+    return df.select(
+        "o_orderkey",
+        F.round(F.col("rev_exact").cast("double"), 2).alias("revenue"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"),
+        "o_orderpriority",
+    )
+
+
+@register("q5_local_supplier", """
+SELECT n.n_name,
+       round(sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(28,6))::DOUBLE, 2)
+           AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""")
+def q5(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dims = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region.where(F.col("r_name") == "ASIA")),
+              nation.n_regionkey == region.r_regionkey)
+    )
+    df = (
+        li.join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (F.col("o_custkey") == cust.c_custkey)
+            & (cust.c_nationkey == dims.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            _money(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("revenue")
+        )
+    )
+    return df
+
+
+@register("q_top_customers", """
+WITH totals AS (
+    SELECT c.c_mktsegment, c.c_custkey, c.c_name,
+           sum(o.o_totalprice::DECIMAL(28,6)) AS total_exact,
+           count(*) AS n_orders
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment, c.c_custkey, c.c_name
+), ranked AS (
+    SELECT c_mktsegment, c_custkey, c_name,
+           round(total_exact::DOUBLE, 2) AS total_spend, n_orders,
+           row_number() OVER (PARTITION BY c_mktsegment
+                              ORDER BY total_exact DESC, c_custkey) AS rnk
+    FROM totals
+)
+SELECT c_mktsegment, c_custkey, c_name, total_spend, n_orders, rnk
+FROM ranked WHERE rnk <= 3
+""")
+def q_top_customers(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    totals = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "c_custkey", "c_name")
+        .agg(
+            F.sum(_dec(F.col("o_totalprice"))).alias("total_exact"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("total_exact").desc(), F.col("c_custkey")
+    )
+    return (
+        totals.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "c_mktsegment", "c_custkey", "c_name",
+            F.round(F.col("total_exact").cast("double"), 2).alias("total_spend"),
+            "n_orders",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+_WINDOW_US = 5 * 60 * 1_000_000
+
+
+@register("q_events_windowed", f"""
+SELECT (epoch_us(ts) // {_WINDOW_US}) * {_WINDOW_US} AS window_start_us,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value::DECIMAL(28,6))::DOUBLE, 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""")
+def q_events_windowed(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts div 1000")  # nanos long → epoch micros
+    # integer mod-subtract (no double division) — engine-identical
+    bucket = (us - F.pmod(us, F.lit(_WINDOW_US))).cast("long")
+    return (
+        ev.groupBy(bucket.alias("window_start_us"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            _money(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@register("q_events_sessionize", f"""
+WITH ordered AS (
+    SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id)
+               AS prev_us
+    FROM events
+), flagged AS (
+    SELECT *, CASE WHEN prev_us IS NULL
+                     OR ts_us - prev_us > {_SESSION_GAP_US} THEN 1 ELSE 0 END
+               AS is_new
+    FROM ordered
+), sessions AS (
+    SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
+       min(ts_us) AS session_start_us,
+       round(sum(value::DECIMAL(28,6))::DOUBLE, 2) AS sum_value
+FROM sessions GROUP BY user_id, session_id
+""")
+def q_events_sessionize(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")  # nanos long → epoch micros
+    )
+    w_order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn("prev_us", F.lag("ts_us").over(w_order)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.col("ts_us") - F.col("prev_us") > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        _money(F.col("value")).alias("sum_value"),
+    )
+
+
+# ===================================================================
+# §2.D — deduplication
+# ===================================================================
+
+_NORM_TOKENS_SQL = (
+    "list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))"
+)
+
+_MH_K, _MH_BAND, _MH_MAXB = 8, 2, 50
+
+
+def _mh_sig_sql() -> str:
+    cols = ",\n           ".join(
+        "list_aggregate(list_transform(tokens, t -> md5('{k}:' || t)), 'min')"
+        " AS mh{k}".format(k=k)
+        for k in range(_MH_K)
+    )
+    return f"""
+toks AS (
+    SELECT doc_id, {_NORM_TOKENS_SQL} AS tokens FROM documents
+), sigs AS (
+    SELECT doc_id,
+           {cols}
+    FROM toks
+)"""
+
+
+def _mh_buckets_sql() -> str:
+    n_bands = _MH_K // _MH_BAND
+    cases = " ".join(
+        "WHEN {b} THEN md5({concat})".format(
+            b=b,
+            concat=" || ".join(f"mh{b * _MH_BAND + r}" for r in range(_MH_BAND)),
+        )
+        for b in range(n_bands)
+    )
+    bands_list = "[" + ",".join(str(b) for b in range(n_bands)) + "]"
+    return f"""
+bucketed AS (
+    SELECT doc_id, band, CASE band {cases} END AS bh
+    FROM sigs CROSS JOIN (SELECT unnest({bands_list}) AS band) b
+), sized AS (
+    SELECT band, bh, count(*) AS n FROM bucketed GROUP BY band, bh
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bucketed a
+    JOIN bucketed b ON a.band = b.band AND a.bh = b.bh
+    JOIN sized s ON s.band = a.band AND s.bh = a.bh
+    WHERE a.doc_id < b.doc_id AND s.n BETWEEN 2 AND {_MH_MAXB}
+)"""
+
+
+@register("dedup_exact", """
+SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1
+""")
+def q_dedup_exact(spark, sf_dir):
+    return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_minhash_lsh",
+          f"WITH {_mh_sig_sql()}, {_mh_buckets_sql()} SELECT * FROM cand")
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_candidates(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=_MH_K, band_size=_MH_BAND, max_bucket=_MH_MAXB,
+    )
+
+
+@register("dedup_ngram_jaccard", f"""
+WITH {_mh_sig_sql()}, {_mh_buckets_sql()}
+SELECT c.doc_a, c.doc_b,
+       round(len(list_filter(ta.tokens, t -> list_contains(tb.tokens, t)))
+             / (len(ta.tokens) + len(tb.tokens)
+                - len(list_filter(ta.tokens, t -> list_contains(tb.tokens, t)))),
+             4) AS jaccard
+FROM cand c
+JOIN toks ta ON ta.doc_id = c.doc_a
+JOIN toks tb ON tb.doc_id = c.doc_b
+WHERE round(len(list_filter(ta.tokens, t -> list_contains(tb.tokens, t)))
+            / (len(ta.tokens) + len(tb.tokens)
+               - len(list_filter(ta.tokens, t -> list_contains(tb.tokens, t)))),
+            4) >= 0.5
+""")
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=_MH_K, band_size=_MH_BAND, max_bucket=_MH_MAXB, threshold=0.5,
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    votes = []
+    for b in range(bits):
+        votes.append(
+            f"CASE WHEN list_sum(list_transform(vals, "
+            f"v -> CASE WHEN (v >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+            f"THEN {1 << b} ELSE 0 END"
+        )
+    sig = " + ".join(votes)
+    return f"""
+toks AS (
+    SELECT doc_id, {_NORM_TOKENS_SQL} AS tokens FROM documents
+), vals_t AS (
+    SELECT doc_id,
+           list_transform(tokens,
+               t -> ('0x' || substr(md5(t), 1, 4))::INT) AS vals
+    FROM toks
+), sigs AS (
+    SELECT doc_id, ({sig})::BIGINT AS simhash FROM vals_t
+)"""
+
+
+@register("dedup_simhash", f"""
+WITH {_simhash_sql()}, nibbles AS (
+    SELECT doc_id, simhash, nib,
+           (simhash >> (4 * nib)) & 15 AS nv
+    FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS nib) n
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM nibbles a JOIN nibbles b ON a.nib = b.nib AND a.nv = b.nv
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= 2
+""")
+def q_dedup_simhash(spark, sf_dir):
+    df = dedup.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=2
+    )
+    return _long(df, "hamming")
+
+
+@register("dedup_embedding", """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             4) AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+            / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+               * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+            4) >= 0.3
+""")
+def q_dedup_embedding(spark, sf_dir):
+    return dedup.embedding_near_dup(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+# ===================================================================
+# §2.E — similarity search
+# ===================================================================
+
+_COS_SQL = (
+    "list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])"
+    " / (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))"
+    " * sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))"
+)
+
+
+@register("knn_brute_cosine", f"""
+WITH scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+           round({_COS_SQL}, 4) AS cosine
+    FROM embeddings q, embeddings e
+    WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+""")
+def q_knn_brute(spark, sf_dir):
+    df = similarity.knn_brute_cosine(
+        load_table(spark, sf_dir, "embeddings"), num_queries=5, k=5
+    )
+    return _long(df, "rank")
+
+
+@register("knn_ivf_bucketed", f"""
+WITH bucketed AS (
+    SELECT vec_id, embedding,
+           (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+    FROM embeddings
+), scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+           round({_COS_SQL}, 4) AS cosine
+    FROM bucketed q JOIN bucketed e ON q.bucket = e.bucket
+    WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+""")
+def q_knn_ivf(spark, sf_dir):
+    df = similarity.knn_ivf_bucketed(
+        load_table(spark, sf_dir, "embeddings"), num_queries=5, k=5
+    )
+    return _long(df, "rank")
+
+
+# ===================================================================
+# §2.F — text analysis
+# ===================================================================
+
+def _stop_sql(lang: str) -> str:
+    return (
+        "len(regexp_extract_all(lower(text), '\\b("
+        + "|".join(ta.STOPWORDS[lang])
+        + ")\\b'))"
+    )
+
+
+@register("lang_id", f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+           {_stop_sql('de')} AS hits_de,
+           {_stop_sql('en')} AS hits_en,
+           {_stop_sql('es')} AS hits_es,
+           {_stop_sql('fr')} AS hits_fr
+    FROM documents
+)
+SELECT doc_id, lang, hits_en, hits_es, hits_de, hits_fr,
+       CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+            WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+            WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+            WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM scored
+""")
+def q_lang_id(spark, sf_dir):
+    df = ta.language_id(load_table(spark, sf_dir, "documents"))
+    return _long(df, "hits_en", "hits_es", "hits_de", "hits_fr")
+
+
+@register("quality_score", f"""
+SELECT doc_id,
+       length(text) AS char_count,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS word_count,
+       round(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+             END
+             / greatest(CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END,
+                        1), 4) AS unique_ratio,
+       round({_stop_sql('en')}
+             / greatest(CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END,
+                        1), 4) AS stopword_ratio,
+       round(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))
+             / greatest(length(text), 1), 4) AS punct_ratio,
+       round(length(regexp_replace(text, '\\s+', '', 'g'))
+             / greatest(CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END,
+                        1), 4) AS avg_word_len
+FROM documents
+""")
+def q_quality(spark, sf_dir):
+    df = ta.quality_score(load_table(spark, sf_dir, "documents"))
+    return _long(df, "char_count", "word_count")
+
+
+@register("token_count", f"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+       len(regexp_extract_all(text, '{ta.RE_BPE_TOKEN}')) AS bpe_tokens
+FROM documents
+""")
+def q_token_count(spark, sf_dir):
+    df = ta.token_counts(load_table(spark, sf_dir, "documents"))
+    return _long(df, "ws_tokens", "bpe_tokens")
+
+
+_FP_N = 4
+
+
+@register("fingerprint", f"""
+WITH words_t AS (
+    SELECT doc_id, text,
+           regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(words) >= {_FP_N}
+            THEN list_aggregate(
+                     list_transform(generate_series(1, len(words) - {_FP_N - 1}),
+                         i -> md5(array_to_string(words[i:i+{_FP_N - 1}], ' '))),
+                     'min')
+            ELSE md5(trim(lower(text)))
+       END AS fp
+FROM words_t
+""")
+def q_fingerprint(spark, sf_dir):
+    return ta.fingerprint(load_table(spark, sf_dir, "documents"), n=_FP_N)
+
+
+# ===================================================================
+# §2.G — multimodal (rows-only; no SQL oracle for binary decode)
+# ===================================================================
+
+@register("mm_image_pipeline")
+def q_mm_image_pipeline(spark, sf_dir):
+    """Binary image columns → mapInPandas decode (stubbed) → metadata.
+
+    Blobs are synthesized deterministically from the chart inventory
+    (content = md5 bytes of the path) — the Spark plumbing (binary
+    schema, Arrow batches, typed output) is the operator under test.
+    """
+    from ..operators.multimodal import decode_images
+
+    inv = charts_op.chart_inventory(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    )
+    blobs = inv.select(
+        "image_path",
+        F.unhex(F.md5("image_path")).alias("content"),
+        F.lit("image/png").alias("content_type"),
+    )
+    return decode_images(blobs).drop("feature")

@@ -1,0 +1,94 @@
+"""Local replica of the driver's correctness gate: run every
+queries() entry on Spark and its oracle_sql() on DuckDB over the same
+parquet, compare row count + order-insensitive value hash.
+
+Usage: python scripts/validate.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from document_parsing_etl_pipeline_spark.catalog import TABLES
+from document_parsing_etl_pipeline_spark.session import get_spark
+from __spark_entry__ import oracle_sql, queries
+
+
+def normalize(rows, columns):
+    """Sort columns by name, then rows, stringify values."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = f"{v:.6g}"
+            elif isinstance(v, bytes):
+                v = v.hex()
+            vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("validate")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    qs, oracles = queries(), oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {str(e)[:300]}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(srows)} rows, "
+                  f"{time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            failed.append(name)
+            continue
+        if sorted(scols) != sorted(ocols):
+            print(f"FAIL {name}: columns {sorted(scols)} != {sorted(ocols)}")
+            failed.append(name)
+            continue
+        sn, on = normalize(srows, scols), normalize(orows, ocols)
+        if len(sn) != len(on):
+            print(f"FAIL {name}: rowcount {len(sn)} != {len(on)}")
+            failed.append(name)
+        elif sn != on:
+            diff = [(a, b) for a, b in zip(sn, on) if a != b][:3]
+            print(f"FAIL {name}: value mismatch, first diffs: {diff}")
+            failed.append(name)
+        else:
+            print(f"ok   {name}: {len(sn)} rows match ({time.time()-t0:.1f}s)")
+    print(f"\n{len(qs) - len(failed)}/{len(qs)} queries pass")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
