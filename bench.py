@@ -1,0 +1,80 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query materializes fully via the noop sink (no driver collect),
+so timings measure the distributed plan, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from document_parsing_etl_pipeline_spark.plans.queries import QUERIES
+from document_parsing_etl_pipeline_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q_top_customers",
+    "q_events_windowed",
+    "q_events_sessionize",
+    "doc_chunk",
+    "ner_entities",
+    "doc_chunk_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding",
+    "knn_brute_cosine",
+    "knn_ivf_bucketed",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "fingerprint",
+    "chart_inventory",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    # steady-state measurement: warm JIT/codegen/parquet paths with a
+    # cheap pass at the smallest SF before timing the real SF
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in ("q1_pricing_summary", "dedup_minhash_lsh",
+                     "fingerprint", "dedup_embedding"):
+            QUERIES[name](spark, warm_dir).write.mode("overwrite").format(
+                "noop").save()
+    else:
+        spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

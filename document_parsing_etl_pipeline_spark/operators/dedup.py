@@ -65,19 +65,19 @@ def minhash_signature(
     under a seeded prefix is a valid min-wise permutation proxy —
     and is bit-identical across Spark and the DuckDB oracle.
     """
-    tokens = _norm_tokens(F.col(text_col))
-
-    def hasher(k: int):
-        # factory (NOT a default-arg lambda: a 2-arg lambda would make
-        # Spark bind the second parameter as the array index)
-        prefix = f"{k}:"
-        return lambda t: F.md5(F.concat(F.lit(prefix), t))
-
-    sig_cols = [
-        F.array_min(F.transform(tokens, hasher(k))).alias(f"mh{k}")
-        for k in range(num_hashes)
-    ]
-    return docs.select("doc_id", *sig_cols)
+    # explode + groupBy(min) instead of per-array higher-order
+    # transforms: HOFs are interpreted (no codegen); the exploded md5 +
+    # partial-aggregated min runs whole-stage-codegen'd and reduces to
+    # one row per doc per partition before the shuffle.
+    toks = docs.select(
+        "doc_id", F.explode(_norm_tokens(F.col(text_col))).alias("tok")
+    )
+    return toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("tok")))).alias(f"mh{k}")
+            for k in range(num_hashes)
+        ]
+    )
 
 
 def minhash_lsh_candidates(
@@ -172,21 +172,23 @@ def simhash_signature(docs: DataFrame, text_col: str = "text",
 
     Pure array expressions — per-row, no shuffle.
     """
-    tokens = _norm_tokens(F.col(text_col))
-    vals = F.transform(tokens, _hex16)
-
-    def voter(b: int):
-        # factory to capture the bit index (a 3-arg lambda would change
-        # the lambda arity Spark infers)
-        return lambda acc, v: acc + (
-            F.shiftright(v, b).bitwiseAND(F.lit(1)) * 2 - 1
-        )
-
+    # explode + groupBy(sum) (codegen'd, map-side partial) instead of
+    # 16 interpreted aggregate() passes over the token array.
+    toks = docs.select(
+        "doc_id", F.explode(_norm_tokens(F.col(text_col))).alias("tok")
+    ).withColumn("hv", _hex16(F.col("tok")))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright("hv", b).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
     sig = F.lit(0)
     for b in range(bits):
-        vote = F.aggregate(vals, F.lit(0), voter(b))
-        sig = sig + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return docs.select("doc_id", sig.alias("simhash"))
+        sig = sig + F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return votes.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, text_col: str = "text",
@@ -230,21 +232,76 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
 # ---------------------------------------------------- embedding near-dup
 
 def embedding_near_dup(
-    embeddings: DataFrame, threshold: float = 0.95, id_col: str = "vec_id"
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    block_size: int = 2048,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ threshold).
 
-    Exact all-pairs at test SF; at 100 TB the IVF-bucketed variant in
-    similarity.py is the scale path (bucket-pruned candidate join).
+    Exact all-pairs via *block-matrix* decomposition: vectors are
+    grouped into id-range blocks, block pairs (a ≤ b) are
+    cross-joined, and each block pair is one vectorized numpy matmul
+    inside mapInPandas. Each task touches two blocks (bounded memory:
+    2 × block_size × dim floats) — the pattern that carries exact
+    all-pairs verification at cluster scale; for sub-quadratic
+    scaling use LSH (minhash) or the IVF-bucketed path in
+    similarity.py.
     """
-    from .similarity import cosine_sim
+    import numpy as np
+    import pandas as pd
 
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col("embedding").alias("va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col("embedding").alias("vb"))
-    cos = cosine_sim(F.col("va"), F.col("vb"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
-        .where(F.col("cosine") >= threshold)
+    emb = embeddings.select(
+        F.col(id_col).alias("vid"),
+        "embedding",
+        F.floor(F.col(id_col) / F.lit(block_size)).cast("long").alias("block"),
     )
+    blocks = emb.groupBy("block").agg(
+        F.collect_list("vid").alias("ids"),
+        F.collect_list("embedding").alias("vecs"),
+    )
+    joined = (
+        blocks.select(
+            F.col("block").alias("block_a"),
+            F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a"),
+        )
+        .crossJoin(
+            blocks.select(
+                F.col("block").alias("block_b"),
+                F.col("ids").alias("ids_b"), F.col("vecs").alias("vecs_b"),
+            )
+        )
+        .where(F.col("block_a") <= F.col("block_b"))
+        .repartition(F.col("block_a"), F.col("block_b"))
+    )
+
+    def compute(batches):
+        empty = pd.DataFrame({
+            "id_a": np.array([], dtype=np.int64),
+            "id_b": np.array([], dtype=np.int64),
+            "cosine": np.array([], dtype=np.float64),
+        })
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                ida = np.asarray(row["ids_a"], dtype=np.int64)
+                idb = np.asarray(row["ids_b"], dtype=np.int64)
+                A = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in row["vecs_a"]])
+                B = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in row["vecs_b"]])
+                C = (A @ B.T) / np.outer(
+                    np.sqrt((A * A).sum(axis=1)),
+                    np.sqrt((B * B).sum(axis=1)),
+                )
+                C = np.round(C, 4)
+                ii, jj = np.where(C >= threshold)
+                mask = ida[ii] < idb[jj]
+                outs.append(pd.DataFrame({
+                    "id_a": ida[ii][mask],
+                    "id_b": idb[jj][mask],
+                    "cosine": C[ii, jj][mask],
+                }))
+            yield pd.concat(outs) if outs else empty
+
+    return joined.mapInPandas(compute, "id_a long, id_b long, cosine double")

@@ -123,9 +123,32 @@ def shingles(text: Column, n: int = 3) -> Column:
 def fingerprint(docs: DataFrame, text_col: str = "text", n: int = 4) -> DataFrame:
     """Winnowing-style document fingerprint: min md5 over word n-gram
     shingles (Schleimer et al. 2003 'winnowing' simplified to a global
-    min — a stable content fingerprint robust to word appends)."""
-    sh = shingles(F.lower(F.col(text_col)), n)
-    return docs.select(
-        "doc_id",
-        F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("fp"),
+    min — a stable content fingerprint robust to word appends).
+
+    Shingle construction stays a (cheap) array op, but the md5 + min
+    run after an explode so they execute codegen'd with map-side
+    partial aggregation instead of an interpreted array transform.
+    """
+    lt = docs.select(
+        "doc_id", F.trim(F.lower(F.col(text_col))).alias("lt")
+    ).select("doc_id", "lt", F.split("lt", r"\s+").alias("words"))
+    # explode shingle positions, then build each shingle with ONE
+    # slice+concat_ws — no higher-order functions anywhere, so md5 +
+    # min run codegen'd with map-side partial aggregation.
+    pos = lt.select(
+        "doc_id", "lt", "words",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("words") - F.lit(n - 1), F.lit(1))
+            )
+        ).alias("i"),
+    )
+    shingle = F.when(
+        F.size("words") >= n,
+        F.concat_ws(" ", F.slice("words", F.col("i"), n)),
+    ).otherwise(F.col("lt"))
+    return (
+        pos.select("doc_id", F.md5(shingle).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("fp"))
     )

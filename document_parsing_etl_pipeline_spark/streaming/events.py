@@ -1,0 +1,68 @@
+"""Event-stream analytics: watermarked windowed aggregation and
+stateful sessionization on a stream.
+
+Batch equivalents (same semantics, oracle-checked) live in
+plans/queries.py as q_events_windowed / q_events_sessionize; these
+streaming versions add watermark-driven late-data handling, which has
+no single-shot SQL equivalent (rows-only checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
+
+EVENT_SCHEMA = StructType([
+    StructField("event_id", LongType(), False),
+    StructField("ts", StringType(), True),   # ISO timestamp in JSON drops
+    StructField("user_id", LongType(), True),
+    StructField("event_type", StringType(), True),
+    StructField("value", DoubleType(), True),
+])
+
+
+def read_event_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
+    df = (
+        spark.readStream.format("json")
+        .schema(EVENT_SCHEMA)
+        .load(drop_dir)
+    )
+    return df.withColumn("event_time", F.to_timestamp("ts"))
+
+
+def windowed_counts(events: DataFrame, window: str = "5 minutes",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling event-time windows with a watermark: late events
+    inside the watermark update their window; older ones are dropped
+    — the streaming upgrade of q_events_windowed."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes",
+               watermark: str = "10 minutes") -> DataFrame:
+    """Gap-based session windows via the built-in session_window —
+    state is managed by Spark (no custom applyInPandasWithState
+    needed for gap sessions)."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id", "n_events", "sum_value",
+        )
+    )

@@ -1,0 +1,60 @@
+from pyspark.sql import Row
+
+from document_parsing_etl_pipeline_spark.operators import dedup, similarity
+
+
+def _docs(spark, *texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+def test_exact_dedup_groups_identical_content(spark):
+    df = _docs(spark, "Hello  World", "hello world", "different text")
+    rows = dedup.dedup_exact(df).collect()
+    groups = {r.content_hash: r for r in rows}
+    assert len(groups) == 2  # normalization folds the first two
+    dup = [g for g in groups.values() if g.n_docs == 2][0]
+    assert dup.canonical_doc_id == 0
+
+
+def test_minhash_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = _docs(spark, base, base + " extra", "zz yy xx ww vv uu tt ss")
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert {(p.doc_a, p.doc_b) for p in pairs} == {(0, 1)}
+    assert pairs[0].jaccard > 0.8
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    df = _docs(spark, "alpha beta gamma delta", "alpha beta gamma delta",
+               "completely unrelated words here")
+    pairs = dedup.simhash_pairs(df, max_hamming=0).collect()
+    assert {(p.doc_a, p.doc_b) for p in pairs} == {(0, 1)}
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v], label=0)
+         for i, v in enumerate(vecs)]
+    )
+
+
+def test_embedding_near_dup(spark):
+    df = _emb(spark, [[1, 0, 0], [0.99, 0.01, 0], [0, 1, 0]])
+    pairs = dedup.embedding_near_dup(df, threshold=0.95).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(0, 1)}
+
+
+def test_knn_brute_ranks_by_cosine(spark):
+    df = _emb(spark, [[1, 0], [0.9, 0.1], [0, 1], [-1, 0]])
+    rows = similarity.knn_brute_cosine(df, num_queries=1, k=3).collect()
+    assert [r.vec_id for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3]
+
+
+def test_ivf_bucket_restricts_candidates(spark):
+    # query [1,0,...] shares a sign bucket with [0.9,...] but not [-1,...]
+    df = _emb(spark, [[1, 0.1, 0.1, 0.1], [0.9, 0.2, 0.1, 0.1],
+                      [-1, 0.1, 0.1, 0.1]])
+    rows = similarity.knn_ivf_bucketed(df, num_queries=1, k=5).collect()
+    assert {r.vec_id for r in rows} == {1}

@@ -1,0 +1,74 @@
+"""API/repository-surface parity tests over the doc store
+(reference api.py endpoints + repository.py CRUD, on sf0.001)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_parsing_etl_pipeline_spark.catalog import load_table
+from document_parsing_etl_pipeline_spark.sources import docstore, objectstore
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return docstore.build_docstore(load_table(spark, SF_DIR, "documents"))
+
+
+def test_documents_list_pagination(tables):
+    page = tables["documents"].where(
+        (F.col("doc_id") >= 10) & (F.col("doc_id") < 20)
+    ).collect()
+    assert len(page) == 10
+    assert all(r.total_chunks >= 1 for r in page)
+
+
+def test_document_detail_join(tables):
+    detail = tables["documents"].join(tables["chunks"], "doc_id").where(
+        F.col("doc_id") == 7
+    ).collect()
+    assert len(detail) == detail[0].total_chunks
+
+
+def test_chunk_range_scan(tables):
+    rows = tables["chunks"].where(
+        (F.col("doc_id") == 7) & F.col("chunk_index").between(0, 1)
+    ).collect()
+    assert [r.chunk_index for r in rows] == [0, 1]
+
+
+def test_update_metadata(tables):
+    updated = docstore.update_document_meta(
+        tables["documents"], 3, {"lang": "xx"}
+    )
+    langs = {r.doc_id: r.lang for r in updated.where(F.col("doc_id") < 5).collect()}
+    assert langs[3] == "xx"
+    assert langs[2] != "xx"
+
+
+def test_cascade_delete(tables):
+    after = docstore.delete_document(tables, 3)
+    for name in ("documents", "chunks", "charts"):
+        assert after[name].where(F.col("doc_id") == 3).count() == 0
+    assert after["documents"].where(F.col("doc_id") == 4).count() == 1
+
+
+def test_docstore_roundtrip(tmp_path, spark, tables):
+    root = str(tmp_path / "store")
+    docstore.write_docstore(
+        {k: v.where(F.col("doc_id") < 20) for k, v in tables.items()}, root
+    )
+    back = docstore.read_docstore(spark, root)
+    assert back["documents"].count() == 20
+    assert "bucket" in back["chunks"].columns  # bucketed layout survives
+
+
+def test_objectstore_roundtrip(tmp_path, spark):
+    root = str(tmp_path / "blobs")
+    blobs = objectstore.put_images(
+        spark, [(objectstore.object_path(1, 1), b"\x89PNGdata", "image/png")]
+    )
+    objectstore.write_blobs(blobs, root)
+    got = objectstore.read_blob(spark, root, 1, 1).collect()
+    assert len(got) == 1 and bytes(got[0].content).startswith(b"\x89PNG")
+    assert objectstore.delete_blob(blobs, 1, 1).count() == 0

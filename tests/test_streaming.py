@@ -1,0 +1,76 @@
+"""Streaming pipeline tests: file-source watcher (reference watchdog/
+Airflow parity) and watermarked event aggregation, via availableNow
+micro-batches."""
+
+import json
+
+from document_parsing_etl_pipeline_spark.streaming import events as ev
+from document_parsing_etl_pipeline_spark.streaming import watcher
+
+
+def test_watcher_ingests_dropped_files(tmp_path, spark):
+    watch, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    (tmp_path / "in").mkdir()
+    doc = {"doc_id": 1, "text": "w " * 100, "lang": "en",
+           "source": "drop", "n_chars": 200}
+    (tmp_path / "in" / "a.json").write_text(json.dumps(doc))
+
+    q = watcher.start_pipeline(spark, watch, out, ckpt)
+    q.awaitTermination(120)
+    chunks = spark.read.parquet(out)
+    assert chunks.where(chunks.doc_id == 1).count() >= 1
+    assert "ingest_time" in chunks.columns
+
+    # second drop: only the new file is processed (exactly-once)
+    doc2 = dict(doc, doc_id=2)
+    (tmp_path / "in" / "b.json").write_text(json.dumps(doc2))
+    q2 = watcher.start_pipeline(spark, watch, out, ckpt)
+    q2.awaitTermination(120)
+    chunks = spark.read.parquet(out)
+    assert chunks.where(chunks.doc_id == 1).count() >= 1
+    assert chunks.where(chunks.doc_id == 2).count() >= 1
+
+
+def test_windowed_counts_with_watermark(tmp_path, spark):
+    drop = tmp_path / "ev"
+    drop.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:01:00", "user_id": 1,
+         "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T00:02:00", "user_id": 1,
+         "event_type": "click", "value": 2.0},
+        {"event_id": 3, "ts": "2024-01-01T00:07:00", "user_id": 1,
+         "event_type": "view", "value": 3.0},
+    ]
+    (drop / "e.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = ev.read_event_stream(spark, str(drop))
+    agg = ev.windowed_counts(stream)
+    q = (agg.writeStream.format("memory").queryName("win")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.window_start.minute, r.event_type): r.n_events
+           for r in spark.sql("SELECT * FROM win").collect()}
+    assert got[(0, "click")] == 2
+    assert got[(5, "view")] == 1
+
+
+def test_sessionize_gap_windows(tmp_path, spark):
+    drop = tmp_path / "sess"
+    drop.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1,
+         "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T00:10:00", "user_id": 1,
+         "event_type": "click", "value": 1.0},
+        # 2h gap → new session
+        {"event_id": 3, "ts": "2024-01-01T02:30:00", "user_id": 1,
+         "event_type": "click", "value": 1.0},
+    ]
+    (drop / "e.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = ev.read_event_stream(spark, str(drop))
+    q = (ev.sessionize(stream).writeStream.format("memory")
+         .queryName("sess").outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sess ORDER BY session_start").collect()
+    assert [r.n_events for r in got] == [2, 1]
