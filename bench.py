@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "token_count",
     "fingerprint",
     "chart_inventory",
+    "tfidf_top_terms",
+    "corpus_stats",
+    "cluster_assign",
 ]
 
 

@@ -1,0 +1,95 @@
+"""Corpus-level operators: TF-IDF term ranking, nearest-centroid
+assignment, corpus statistics.
+
+Extensions a large-scale training-data pipeline needs on top of the
+reference's per-document surface. All pure DataFrame ops: term
+explode → two aggregations (both with map-side partial combine) for
+TF-IDF; a broadcast centroid join for assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import _norm_tokens
+from .similarity import cosine_sim
+
+
+def term_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, term, tf) — term counts per document (all tokens,
+    not the distinct set)."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+
+def tfidf_top_terms(
+    docs: DataFrame, text_col: str = "text", top_k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    idf = ln((N+1)/(df+1)) (smoothed); ties broken by term. The df
+    table is tiny (vocab-sized) → broadcast back onto the tf table.
+    """
+    tf = term_frequencies(docs, text_col)
+    n_docs = docs.count()  # scalar, computed once
+    df_t = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    idf = df_t.withColumn(
+        "idf", F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1))
+    )
+    scored = tf.join(F.broadcast(idf), "term").withColumn(
+        "tfidf", F.round(F.col("tf") * F.col("idf"), 4)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_k)
+        .select("doc_id", "term", "tf", "tfidf", "rnk")
+    )
+
+
+def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-(lang, source) corpus rollup: doc counts + length stats."""
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def assign_nearest_centroid(
+    embeddings: DataFrame, num_centroids: int = 8, id_col: str = "vec_id"
+) -> DataFrame:
+    """Nearest-centroid labeling: centroids are the first
+    ``num_centroids`` vectors (deterministic seed set); every vector
+    joins against the broadcast centroid set and takes the argmax
+    cosine. This is one assignment step of Lloyd's k-means — the
+    building block for iterative clustering — expressed as a
+    broadcast join + window argmax."""
+    cents = embeddings.where(F.col(id_col) < num_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    scored = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col("embedding").alias("ev")
+    ).join(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(cosine_sim(F.col("ev"), F.col("cv")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("vec_id", "centroid_id", "cosine")
+    )

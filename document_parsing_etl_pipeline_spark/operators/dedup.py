@@ -103,27 +103,25 @@ def minhash_lsh_candidates(
     buckets = sigs.select(
         "doc_id", F.explode(F.array(*bands)).alias("e")
     ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
-    # Cap degenerate buckets before the self-join (anti-quadratic guard).
-    sized = buckets.groupBy("band", "bh").agg(
-        F.collect_list("doc_id").alias("ids"), F.count("*").alias("n")
-    ).where(F.col("n").between(2, max_bucket))
-    pairs = sized.select(
-        F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        "ids",
-                        lambda a: F.transform(
-                            "ids",
-                            lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
-                        ),
-                    )
-                ),
-                lambda p: p["doc_a"] < p["doc_b"],
-            )
-        ).alias("p")
+    # Cap degenerate buckets BEFORE pairing, via a count + join — never
+    # collect a bucket into one row (a hot bucket at 100 TB would be an
+    # OOM row under collect_list). The count aggregates map-side; the
+    # self-join only sees buckets sized [2, max_bucket], so pair fanout
+    # per bucket is bounded by max_bucket².
+    counts = (
+        buckets.groupBy("band", "bh")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n").between(2, max_bucket))
     )
-    return pairs.select("p.doc_a", "p.doc_b").distinct()
+    capped = buckets.join(counts.drop("n"), ["band", "bh"])
+    a = capped.select("band", "bh", F.col("doc_id").alias("doc_a"))
+    b = capped.select("band", "bh", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "bh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(

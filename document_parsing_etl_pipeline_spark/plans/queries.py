@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..operators import charts as charts_op
-from ..operators import chunking, dedup, entities, parse, similarity
+from ..operators import chunking, corpus, dedup, entities, parse, similarity
 from ..operators import text_analysis as ta
 from ..sources import docstore
 
@@ -871,6 +871,71 @@ FROM words_t
 """)
 def q_fingerprint(spark, sf_dir):
     return ta.fingerprint(load_table(spark, sf_dir, "documents"), n=_FP_N)
+
+
+# ===================================================================
+# §2.F+ — corpus-level operators
+# ===================================================================
+
+@register("corpus_stats", """
+SELECT lang, source, count(*) AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY lang, source
+""")
+def q_corpus_stats(spark, sf_dir):
+    return corpus.corpus_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register("tfidf_top_terms", """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+), tfc AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfc AS (
+    SELECT term, count(DISTINCT doc_id) AS df FROM tfc GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT t.doc_id, t.term, t.tf,
+           round(t.tf * ln((n.n_docs + 1) / (d.df + 1)), 4) AS tfidf
+    FROM tfc t JOIN dfc d USING (term) CROSS JOIN n
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term) AS rnk
+    FROM scored
+)
+SELECT doc_id, term, tf, tfidf, rnk FROM ranked WHERE rnk <= 3
+""")
+def q_tfidf_top_terms(spark, sf_dir):
+    df = corpus.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+    return _long(df, "tf", "rnk")
+
+
+@register("cluster_assign", f"""
+WITH cents AS (
+    SELECT vec_id AS centroid_id, embedding AS cv
+    FROM embeddings WHERE vec_id < 8
+), scored AS (
+    SELECT e.vec_id, c.centroid_id,
+           round(list_inner_product(e.embedding::DOUBLE[], c.cv::DOUBLE[])
+                 / (sqrt(list_inner_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]))
+                    * sqrt(list_inner_product(c.cv::DOUBLE[], c.cv::DOUBLE[]))),
+                 4) AS cosine
+    FROM embeddings e CROSS JOIN cents c
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cosine DESC, centroid_id) AS rnk
+    FROM scored
+)
+SELECT vec_id, centroid_id, cosine FROM ranked WHERE rnk = 1
+""")
+def q_cluster_assign(spark, sf_dir):
+    return corpus.assign_nearest_centroid(
+        load_table(spark, sf_dir, "embeddings"), num_centroids=8
+    )
 
 
 # ===================================================================

@@ -1,0 +1,61 @@
+from pyspark.sql import Row
+
+from document_parsing_etl_pipeline_spark.operators import corpus
+from document_parsing_etl_pipeline_spark.sources import files
+
+
+def _docs(spark, *texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source=f"s{i}", n_chars=len(t))
+         for i, t in enumerate(texts)]
+    )
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    df = _docs(spark, "common rare1 common", "common rare2", "common rare2 x")
+    rows = corpus.tfidf_top_terms(df, top_k=1).collect()
+    top = {r.doc_id: r.term for r in rows}
+    # 'common' appears everywhere → idf ~0; rare terms win
+    assert top[0] == "rare1"
+    assert top[1] == "rare2"
+
+
+def test_corpus_stats(spark):
+    rows = corpus.corpus_stats(_docs(spark, "aaa", "bbbbb")).collect()
+    assert {(r.lang, r.source): r.n_docs for r in rows} == {
+        ("en", "s0"): 1, ("en", "s1"): 1
+    }
+
+
+def test_centroid_assignment_is_self_for_centroids(spark):
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v, label=0) for i, v in enumerate(
+            [[1.0, 0.0], [0.0, 1.0], [0.9, 0.1], [-0.1, 0.8]]
+        )]
+    )
+    rows = {r.vec_id: r.centroid_id
+            for r in corpus.assign_nearest_centroid(emb, num_centroids=2).collect()}
+    assert rows[0] == 0 and rows[1] == 1  # centroids map to themselves
+    assert rows[2] == 0 and rows[3] == 1  # others to the nearest
+
+
+def test_binary_ingest_to_documents(tmp_path, spark):
+    (tmp_path / "a.pdf").write_bytes(b"%PDF-1.4 fake content " * 50)
+    (tmp_path / "b.pdf").write_bytes(b"%PDF-1.4 other " * 20)
+    (tmp_path / "skip.txt").write_text("not a pdf")
+    bins = files.read_binary_documents(spark, str(tmp_path))
+    assert bins.count() == 2  # glob filters the .txt
+    docs = files.to_documents(files.extract_text(bins))
+    rows = docs.collect()
+    assert len(rows) == 2
+    assert all(r.n_chars > 0 and r.doc_id is not None for r in rows)
+    assert {r.source for r in rows} == {"a.pdf", "b.pdf"}
+
+
+def test_binary_ingest_deterministic(tmp_path, spark):
+    (tmp_path / "x.pdf").write_bytes(b"same bytes every time")
+    one = files.extract_text(
+        files.read_binary_documents(spark, str(tmp_path))).collect()[0]
+    two = files.extract_text(
+        files.read_binary_documents(spark, str(tmp_path))).collect()[0]
+    assert one.text == two.text and one.n_pages == two.n_pages
