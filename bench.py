@@ -21,10 +21,15 @@ from document_parsing_etl_pipeline_spark.session import get_spark
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_priority_check",
     "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q18_large_orders",
     "q_top_customers",
     "q_events_windowed",
     "q_events_sessionize",
+    "q_events_attribution",
     "doc_chunk",
     "ner_entities",
     "doc_chunk_stats",

@@ -487,6 +487,130 @@ def q_top_customers(spark, sf_dir):
     )
 
 
+@register("q4_priority_check", """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o.o_orderpriority
+""")
+def q4(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register("q6_forecast_revenue", """
+SELECT round(sum((l_extendedprice * l_discount)::DECIMAL(28,6))::DOUBLE, 2)
+           AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""")
+def q6(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _money(F.col("l_extendedprice") * F.col("l_discount"))
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register("q14_promo_revenue", """
+SELECT round(
+         100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                          THEN (l.l_extendedprice * (1 - l.l_discount))::DECIMAL(28,6)
+                          ELSE 0 END)::DOUBLE
+         / sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(28,6))::DOUBLE,
+         4) AS promo_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l.l_shipdate < TIMESTAMP '1996-10-01'
+""")
+def q14(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc_price = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+        F.lit(0).cast("decimal(28,6)")
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(disc_price).cast("double"),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register("q18_large_orders", """
+WITH big AS (
+    SELECT l_orderkey, round(sum(l_quantity::DECIMAL(28,6))::DOUBLE, 2) AS sum_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum(l_quantity::DECIMAL(28,6)) > 250
+)
+SELECT c.c_name, o.o_orderkey, epoch_us(o.o_orderdate) AS orderdate_us,
+       round(o.o_totalprice::DECIMAL(28,6)::DOUBLE, 2) AS total_price,
+       b.sum_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+""")
+def q18(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("qty_exact"))
+        .where(F.col("qty_exact") > 250)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_us"
+            ),
+            F.round(_dec(F.col("o_totalprice")).cast("double"), 2).alias(
+                "total_price"
+            ),
+            F.round(F.col("qty_exact").cast("double"), 2).alias("sum_qty"),
+        )
+    )
+
+
 _WINDOW_US = 5 * 60 * 1_000_000
 
 
@@ -561,6 +685,56 @@ def q_events_sessionize(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.min("ts_us").alias("session_start_us"),
         _money(F.col("value")).alias("sum_value"),
+    )
+
+
+@register("q_events_attribution", f"""
+WITH tagged AS (
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+    FROM events WHERE event_type IN ('click', 'purchase')
+), attributed AS (
+    SELECT *,
+           max(CASE WHEN event_type = 'click' THEN ts_us END)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_click_us
+    FROM tagged
+)
+SELECT event_id, user_id, ts_us,
+       coalesce(last_click_us, -1) AS last_click_us,
+       coalesce(ts_us - last_click_us, -1) AS gap_us
+FROM attributed WHERE event_type = 'purchase'
+""")
+def q_events_attribution(spark, sf_dir):
+    """As-of attribution: each purchase matched to the user's most
+    recent preceding (or simultaneous) click — the merge-scan as-of
+    pattern (see operators/asof.py). Window max of a monotone column
+    == latest, so this is oracle-expressible."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    tagged = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "user_id", "event_type", "ts_us", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attributed = tagged.withColumn(
+        "last_click_us",
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("ts_us"))
+        ).over(w),
+    )
+    return attributed.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.coalesce("last_click_us", F.lit(-1)).alias("last_click_us"),
+        F.coalesce(
+            F.col("ts_us") - F.col("last_click_us"), F.lit(-1)
+        ).alias("gap_us"),
     )
 
 
