@@ -26,6 +26,8 @@ BENCH_QUERIES = [
     "q6_forecast_revenue",
     "q14_promo_revenue",
     "q18_large_orders",
+    "q10_returned_revenue",
+    "q_events_percentiles",
     "q_top_customers",
     "q_events_windowed",
     "q_events_sessionize",

@@ -158,23 +158,26 @@ def ngram_jaccard_pairs(
 
 # -------------------------------------------------------------- simhash
 
-def _hex16(c: Column) -> Column:
-    """First 16 bits of md5 as an int (via base-16 conv)."""
-    return F.conv(F.substring(F.md5(c), 1, 4), 16, 10).cast("int")
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # byte-wide bands: 256 values/band keeps buckets small
+
+
+def _hexbits(c: Column, bits: int = SIMHASH_BITS) -> Column:
+    """First ``bits`` bits of md5 as a long (via base-16 conv)."""
+    return F.conv(F.substring(F.md5(c), 1, bits // 4), 16, 10).cast("long")
 
 
 def simhash_signature(docs: DataFrame, text_col: str = "text",
-                      bits: int = 16) -> DataFrame:
-    """16-bit SimHash: per-token md5-derived value votes per bit
-    position; signature bit b = majority vote (Charikar 2002).
+                      bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash: per-token md5-derived value votes per bit position;
+    signature bit b = majority vote (Charikar 2002).
 
-    Pure array expressions — per-row, no shuffle.
+    explode + groupBy(sum) (codegen'd, map-side partial aggregation)
+    instead of interpreted aggregate() passes over the token array.
     """
-    # explode + groupBy(sum) (codegen'd, map-side partial) instead of
-    # 16 interpreted aggregate() passes over the token array.
     toks = docs.select(
         "doc_id", F.explode(_norm_tokens(F.col(text_col))).alias("tok")
-    ).withColumn("hv", _hex16(F.col("tok")))
+    ).withColumn("hv", _hexbits(F.col("tok"), bits))
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -183,7 +186,7 @@ def simhash_signature(docs: DataFrame, text_col: str = "text",
             for b in range(bits)
         ]
     )
-    sig = F.lit(0)
+    sig = F.lit(0).cast("long")
     for b in range(bits):
         sig = sig + F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return votes.select("doc_id", sig.alias("simhash"))
@@ -193,33 +196,39 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
                   max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Banding: a 16-bit signature split into 4 nibbles; distance ≤ 3
-    implies at least one identical nibble (pigeonhole), so candidates
-    join on (nibble_index, nibble_value) — never a full cross join.
+    Banding: the 32-bit signature splits into 4 byte-wide bands;
+    hamming <= 3 can spoil at most 3 bands, so every qualifying pair
+    shares at least one identical band (pigeonhole) — candidates join
+    on (band_index, band_value), never a full cross join, and 256
+    values per band keeps bucket fan-out ~16x below nibble banding.
     """
+    assert max_hamming < SIMHASH_BANDS, "pigeonhole needs hamming < bands"
     sigs = simhash_signature(docs, text_col)
-    nibbles = sigs.select(
+    bands = sigs.select(
         "doc_id",
         "simhash",
         F.explode(
             F.array(*[
                 F.struct(
-                    F.lit(j).alias("nib"),
-                    F.shiftright("simhash", 4 * j).bitwiseAND(F.lit(15)).alias("nv"),
+                    F.lit(j).alias("band"),
+                    F.shiftright("simhash", 8 * j).bitwiseAND(F.lit(255))
+                        .alias("bv"),
                 )
-                for j in range(4)
+                for j in range(SIMHASH_BANDS)
             ])
         ).alias("e"),
-    ).select("doc_id", "simhash", "e.nib", "e.nv")
-    a = nibbles.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"), "nib", "nv"
+    ).select("doc_id", "simhash", "e.band", "e.bv")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"),
+        "band", "bv",
     )
-    b = nibbles.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"), "nib", "nv"
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"),
+        "band", "bv",
     )
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return (
-        a.join(b, ["nib", "nv"])
+        a.join(b, ["band", "bv"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)

@@ -4,7 +4,7 @@
 Engine-parity protocol (so the driver's order-insensitive value-hash
 matches):
 - integer outputs are BIGINT on both sides (Spark ints are cast);
-- sums of doubles go through exact DECIMAL(28,6) accumulation (per-row
+- sums of doubles go through exact DECIMAL(18,6) accumulation (per-row
   IEEE double arithmetic is engine-identical; only the accumulation
   order is not), then cast to DOUBLE and round;
 - timestamps are compared as epoch microseconds (BIGINT);
@@ -46,7 +46,11 @@ def _long(df: DataFrame, *cols: str) -> DataFrame:
 
 
 def _dec(c) -> F.Column:
-    return c.cast("decimal(28,6)")
+    # precision 18 stays long-backed in Spark's unsafe row (~2x faster
+    # aggregation than BigDecimal-backed 28,6); 12 integer digits is
+    # ample headroom for the sums in play, and DuckDB's DECIMAL(18,6)
+    # sums are exact the same way.
+    return c.cast("decimal(18,6)")
 
 
 def _money(c, scale: int = 2) -> F.Column:
@@ -312,15 +316,15 @@ def q_doc_delete(spark, sf_dir):
 
 @register("q1_pricing_summary", """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity::DECIMAL(28,6))::DOUBLE, 2) AS sum_qty,
-       round(sum(l_extendedprice::DECIMAL(28,6))::DOUBLE, 2) AS sum_base_price,
-       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,6))::DOUBLE, 2)
+       round(sum(l_quantity::DECIMAL(18,6))::DOUBLE, 2) AS sum_qty,
+       round(sum(l_extendedprice::DECIMAL(18,6))::DOUBLE, 2) AS sum_base_price,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE, 2)
            AS sum_disc_price,
-       round(sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(28,6))::DOUBLE, 2)
+       round(sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(18,6))::DOUBLE, 2)
            AS sum_charge,
-       round(sum(l_quantity::DECIMAL(28,6))::DOUBLE / count(*), 4) AS avg_qty,
-       round(sum(l_extendedprice::DECIMAL(28,6))::DOUBLE / count(*), 4) AS avg_price,
-       round(sum(l_discount::DECIMAL(28,6))::DOUBLE / count(*), 4) AS avg_disc,
+       round(sum(l_quantity::DECIMAL(18,6))::DOUBLE / count(*), 4) AS avg_qty,
+       round(sum(l_extendedprice::DECIMAL(18,6))::DOUBLE / count(*), 4) AS avg_price,
+       round(sum(l_discount::DECIMAL(18,6))::DOUBLE / count(*), 4) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -352,7 +356,7 @@ def q1(spark, sf_dir):
 
 @register("q3_shipping_priority", """
 SELECT o.o_orderkey,
-       round(sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(28,6))::DOUBLE, 2)
+       round(sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6))::DOUBLE, 2)
            AS revenue,
        epoch_us(o.o_orderdate) AS orderdate_us,
        o.o_orderpriority
@@ -362,7 +366,7 @@ WHERE c.c_mktsegment = 'BUILDING'
   AND o.o_orderdate < TIMESTAMP '1998-03-15'
   AND l.l_shipdate > TIMESTAMP '1998-03-15'
 GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
-ORDER BY sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(28,6)) DESC,
+ORDER BY sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6)) DESC,
          o.o_orderkey
 LIMIT 10
 """)
@@ -396,7 +400,7 @@ def q3(spark, sf_dir):
 
 @register("q5_local_supplier", """
 SELECT n.n_name,
-       round(sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(28,6))::DOUBLE, 2)
+       round(sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6))::DOUBLE, 2)
            AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -447,7 +451,7 @@ def q5(spark, sf_dir):
 @register("q_top_customers", """
 WITH totals AS (
     SELECT c.c_mktsegment, c.c_custkey, c.c_name,
-           sum(o.o_totalprice::DECIMAL(28,6)) AS total_exact,
+           sum(o.o_totalprice::DECIMAL(18,6)) AS total_exact,
            count(*) AS n_orders
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_mktsegment, c.c_custkey, c.c_name
@@ -512,7 +516,7 @@ def q4(spark, sf_dir):
 
 
 @register("q6_forecast_revenue", """
-SELECT round(sum((l_extendedprice * l_discount)::DECIMAL(28,6))::DOUBLE, 2)
+SELECT round(sum((l_extendedprice * l_discount)::DECIMAL(18,6))::DOUBLE, 2)
            AS revenue,
        count(*) AS n_items
 FROM lineitem
@@ -541,9 +545,9 @@ def q6(spark, sf_dir):
 @register("q14_promo_revenue", """
 SELECT round(
          100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                          THEN (l.l_extendedprice * (1 - l.l_discount))::DECIMAL(28,6)
+                          THEN (l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6)
                           ELSE 0 END)::DOUBLE
-         / sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(28,6))::DOUBLE,
+         / sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6))::DOUBLE,
          4) AS promo_pct
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
@@ -574,12 +578,12 @@ def q14(spark, sf_dir):
 
 @register("q18_large_orders", """
 WITH big AS (
-    SELECT l_orderkey, round(sum(l_quantity::DECIMAL(28,6))::DOUBLE, 2) AS sum_qty
+    SELECT l_orderkey, round(sum(l_quantity::DECIMAL(18,6))::DOUBLE, 2) AS sum_qty
     FROM lineitem GROUP BY l_orderkey
-    HAVING sum(l_quantity::DECIMAL(28,6)) > 250
+    HAVING sum(l_quantity::DECIMAL(18,6)) > 250
 )
 SELECT c.c_name, o.o_orderkey, epoch_us(o.o_orderdate) AS orderdate_us,
-       round(o.o_totalprice::DECIMAL(28,6)::DOUBLE, 2) AS total_price,
+       round(o.o_totalprice::DECIMAL(18,6)::DOUBLE, 2) AS total_price,
        b.sum_qty
 FROM big b
 JOIN orders o ON b.l_orderkey = o.o_orderkey
@@ -611,6 +615,73 @@ def q18(spark, sf_dir):
     )
 
 
+@register("q10_returned_revenue", """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6))::DOUBLE, 2)
+           AS revenue,
+       count(*) AS n_items
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6)) DESC,
+         c.c_custkey
+LIMIT 20
+""")
+def q10(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_exact = F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    df = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev_exact.alias("rev_exact"), F.count("*").alias("n_items"))
+        .orderBy(F.col("rev_exact").desc(), "c_custkey")
+        .limit(20)
+    )
+    return df.select(
+        "c_custkey", "c_name", "n_name",
+        F.round(F.col("rev_exact").cast("double"), 2).alias("revenue"),
+        "n_items",
+    )
+
+
+@register("q_events_percentiles", """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(quantile_cont(value, 0.99), 4) AS p99,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+""")
+def q_events_percentiles(spark, sf_dir):
+    """Exact linear-interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`); the 100 TB path swaps in
+    approx_percentile (t-digest sketch) with the same plan shape."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        F.count("*").alias("n_events"),
+    )
+
+
 _WINDOW_US = 5 * 60 * 1_000_000
 
 
@@ -618,7 +689,7 @@ _WINDOW_US = 5 * 60 * 1_000_000
 SELECT (epoch_us(ts) // {_WINDOW_US}) * {_WINDOW_US} AS window_start_us,
        event_type,
        count(*) AS n_events,
-       round(sum(value::DECIMAL(28,6))::DOUBLE, 2) AS sum_value
+       round(sum(value::DECIMAL(18,6))::DOUBLE, 2) AS sum_value
 FROM events
 GROUP BY 1, 2
 """)
@@ -659,7 +730,7 @@ WITH ordered AS (
 )
 SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
        min(ts_us) AS session_start_us,
-       round(sum(value::DECIMAL(28,6))::DOUBLE, 2) AS sum_value
+       round(sum(value::DECIMAL(18,6))::DOUBLE, 2) AS sum_value
 FROM sessions GROUP BY user_id, session_id
 """)
 def q_events_sessionize(spark, sf_dir):
@@ -832,7 +903,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-def _simhash_sql(bits: int = 16) -> str:
+def _simhash_sql(bits: int = dedup.SIMHASH_BITS) -> str:
     votes = []
     for b in range(bits):
         votes.append(
@@ -847,7 +918,7 @@ toks AS (
 ), vals_t AS (
     SELECT doc_id,
            list_transform(tokens,
-               t -> ('0x' || substr(md5(t), 1, 4))::INT) AS vals
+               t -> ('0x' || substr(md5(t), 1, {bits // 4}))::BIGINT) AS vals
     FROM toks
 ), sigs AS (
     SELECT doc_id, ({sig})::BIGINT AS simhash FROM vals_t
@@ -855,20 +926,20 @@ toks AS (
 
 
 @register("dedup_simhash", f"""
-WITH {_simhash_sql()}, nibbles AS (
-    SELECT doc_id, simhash, nib,
-           (simhash >> (4 * nib)) & 15 AS nv
-    FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS nib) n
+WITH {_simhash_sql()}, sbands AS (
+    SELECT doc_id, simhash, band,
+           (simhash >> (8 * band)) & 255 AS bv
+    FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) n
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-FROM nibbles a JOIN nibbles b ON a.nib = b.nib AND a.nv = b.nv
+FROM sbands a JOIN sbands b ON a.band = b.band AND a.bv = b.bv
 WHERE a.doc_id < b.doc_id
-  AND bit_count(xor(a.simhash, b.simhash)) <= 2
+  AND bit_count(xor(a.simhash, b.simhash)) <= 3
 """)
 def q_dedup_simhash(spark, sf_dir):
     df = dedup.simhash_pairs(
-        load_table(spark, sf_dir, "documents"), max_hamming=2
+        load_table(spark, sf_dir, "documents"), max_hamming=3
     )
     return _long(df, "hamming")
 
