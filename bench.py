@@ -49,7 +49,10 @@ BENCH_QUERIES = [
     "chart_inventory",
     "tfidf_top_terms",
     "corpus_stats",
+    "corpus_stats_cube",
     "cluster_assign",
+    "q_events_moving_avg",
+    "q_docs_without_charts",
 ]
 
 

@@ -1118,9 +1118,63 @@ def q_fingerprint(spark, sf_dir):
     return ta.fingerprint(load_table(spark, sf_dir, "documents"), n=_FP_N)
 
 
+@register("q_docs_without_charts", f"""
+WITH {_CHARTS_CTE}
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM charts_f c WHERE c.doc_id = d.doc_id)
+""")
+def q_docs_without_charts(spark, sf_dir):
+    """Anti-join: documents with no extracted charts."""
+    docs = load_table(spark, sf_dir, "documents")
+    inv = charts_op.chart_inventory(docs).select("doc_id").distinct()
+    return docs.join(inv, "doc_id", "left_anti").select("doc_id", "n_chars")
+
+
+@register("q_events_moving_avg", f"""
+WITH t AS (
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+)
+SELECT event_id, user_id, ts_us,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             4) AS mov_avg
+FROM t
+""")
+def q_events_moving_avg(spark, sf_dir):
+    """5-row moving average per user (window-frame coverage; frame
+    order identical both engines so the ≤5-term double sum is
+    bit-identical)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts_us",
+        F.round(F.avg("value").over(w), 4).alias("mov_avg"),
+    )
+
+
 # ===================================================================
 # §2.F+ — corpus-level operators
 # ===================================================================
+
+@register("corpus_stats_cube", """
+SELECT lang, source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+""")
+def q_corpus_stats_cube(spark, sf_dir):
+    """OLAP cube rollup (lang × source × totals) — grouping-set
+    aggregation, one shuffle, map-side partial per grouping set."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.cube("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
 
 @register("corpus_stats", """
 SELECT lang, source, count(*) AS n_docs,
