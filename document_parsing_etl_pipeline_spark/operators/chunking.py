@@ -47,8 +47,9 @@ def chunk_documents(
     chunk_text = F.expr(
         f"substring({text_col}, chunk_index * {step} + 1, {chunk_size})"
     )
-    token_count = F.when(F.trim(F.col("text_content")) == "", F.lit(0)).otherwise(
-        F.size(F.split(F.trim(F.col("text_content")), r"\s+"))
+    # token = \S+ run (== Python str.split(); robust to tab/newline edges)
+    token_count = F.size(
+        F.regexp_extract_all(F.col("text_content"), F.lit(r"\S+"), 0)
     )
     return (
         docs.select(

@@ -22,7 +22,9 @@ def term_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     not the distinct set)."""
     toks = docs.select(
         "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+        ).alias("term"),
     )
     return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
 

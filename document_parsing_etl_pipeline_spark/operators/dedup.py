@@ -23,14 +23,19 @@ from pyspark.sql import functions as F
 
 
 def _norm_tokens(text: Column) -> Column:
-    """Distinct lowercase word tokens (set semantics for Jaccard)."""
+    """Distinct lowercase word tokens (set semantics for Jaccard).
+    token = \S+ run (== Python str.split(); whitespace-only text has
+    zero tokens, not [''])."""
     return F.array_distinct(
-        F.split(F.trim(F.lower(text)), r"\s+")
+        F.regexp_extract_all(F.lower(text), F.lit(r"\S+"), 0)
     )
 
 
 def normalized_text(text: Column) -> Column:
-    return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    """== ``" ".join(text.lower().split())``."""
+    return F.array_join(
+        F.regexp_extract_all(F.lower(text), F.lit(r"\S+"), 0), " "
+    )
 
 
 # ---------------------------------------------------------------- exact

@@ -19,11 +19,18 @@ from pyspark.sql import functions as F
 WS = r"\s+"
 
 
+TOKEN = r"\S+"  # token = non-whitespace run (== Python str.split())
+
+
+def tokens(c) -> "F.Column":
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN), 0)
+
+
 def normalize_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Trim, collapse whitespace runs, lowercase → `norm_text`."""
+    """Whitespace-normalize + lowercase → `norm_text`
+    (== ``" ".join(text.lower().split())``)."""
     return docs.withColumn(
-        "norm_text",
-        F.lower(F.regexp_replace(F.trim(F.col(text_col)), WS, " ")),
+        "norm_text", F.array_join(tokens(F.col(text_col)), " ")
     )
 
 
@@ -33,9 +40,8 @@ def document_metadata(docs: DataFrame, text_col: str = "text") -> DataFrame:
     char_count/word_count/size_bucket mirror the reference watcher's
     metadata dict (page_count/file_size analogs for a text corpus).
     """
-    trimmed = F.trim(F.col(text_col))
-    word_count = F.when(trimmed == "", F.lit(0)).otherwise(
-        F.size(F.split(trimmed, WS))
+    word_count = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(TOKEN), 0)
     )
     return docs.select(
         "doc_id",

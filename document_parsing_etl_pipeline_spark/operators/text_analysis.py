@@ -63,12 +63,9 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     across engines.
     """
     c = F.col(text_col)
-    trimmed = F.trim(c)
-    words = F.split(trimmed, r"\s+")
-    word_count = F.when(trimmed == "", F.lit(0)).otherwise(F.size(words))
-    uniq = F.when(trimmed == "", F.lit(0)).otherwise(
-        F.size(F.array_distinct(words))
-    )
+    words = F.regexp_extract_all(c, F.lit(r"\S+"), 0)
+    word_count = F.size(words)
+    uniq = F.size(F.array_distinct(words))
     stop_hits = _stopword_hits(F.lower(c), "en")
     punct = _count_matches(c, r"[^a-zA-Z0-9\s]")
     return docs.select(
@@ -91,10 +88,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokens + BPE-ish regex tokens per document."""
     c = F.col(text_col)
-    trimmed = F.trim(c)
-    ws_tokens = F.when(trimmed == "", F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
-    )
+    ws_tokens = F.size(F.regexp_extract_all(c, F.lit(r"\S+"), 0))
     return docs.select(
         "doc_id",
         ws_tokens.alias("ws_tokens"),
@@ -107,7 +101,7 @@ def shingles(text: Column, n: int = 3) -> Column:
 
     Built with sequence+transform over the split array — JVM-side.
     """
-    words = F.split(F.trim(text), r"\s+")
+    words = F.regexp_extract_all(text, F.lit(r"\S+"), 0)
     k = F.size(words) - F.lit(n - 1)
     idx = F.sequence(F.lit(0), F.greatest(k - F.lit(1), F.lit(0)))
     grams = F.transform(
@@ -131,7 +125,10 @@ def fingerprint(docs: DataFrame, text_col: str = "text", n: int = 4) -> DataFram
     """
     lt = docs.select(
         "doc_id", F.trim(F.lower(F.col(text_col))).alias("lt")
-    ).select("doc_id", "lt", F.split("lt", r"\s+").alias("words"))
+    ).select(
+        "doc_id", "lt",
+        F.regexp_extract_all("lt", F.lit(r"\S+"), 0).alias("words"),
+    )
     # explode shingle positions, then build each shingle with ONE
     # slice+concat_ws — no higher-order functions anywhere, so md5 +
     # min run codegen'd with map-side partial aggregation.

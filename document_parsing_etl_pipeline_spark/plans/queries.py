@@ -82,9 +82,7 @@ chunks_raw AS (
     FROM chunks_raw
 ), chunks_f AS (
     SELECT doc_id, chunk_index, text_content,
-           CASE WHEN trim(text_content) = '' THEN 0
-                ELSE len(regexp_split_to_array(trim(text_content), '\\s+'))
-           END AS token_count
+           len(regexp_extract_all(text_content, '\\S+')) AS token_count
     FROM chunk_text
     WHERE length(text_content) >= {CHUNK_MIN} OR chunk_index = 0
 )
@@ -93,8 +91,9 @@ chunks_raw AS (
 
 @register("doc_normalize", """
 SELECT doc_id,
-       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm_text,
-       length(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS norm_len
+       array_to_string(regexp_extract_all(lower(text), '\\S+'), ' ') AS norm_text,
+       length(array_to_string(regexp_extract_all(lower(text), '\\S+'), ' '))
+           AS norm_len
 FROM documents
 """)
 def q_doc_normalize(spark, sf_dir):
@@ -108,8 +107,7 @@ def q_doc_normalize(spark, sf_dir):
 @register("doc_metadata", """
 SELECT doc_id, source, lang,
        length(text) AS char_count,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS word_count,
+       len(regexp_extract_all(text, '\\S+')) AS word_count,
        len(regexp_split_to_array(text, '\\n')) AS line_count,
        CASE WHEN length(text) < 200 THEN 'small'
             WHEN length(text) < 400 THEN 'medium'
@@ -266,7 +264,12 @@ def q_document_detail(spark, sf_dir):
     df = (
         t["documents"].where(F.col("doc_id") < 20)
         .select("doc_id", "filename", "lang", "total_chunks")
-        .join(t["chunks"], "doc_id")
+        .join(
+            t["chunks"].select(
+                "doc_id", "chunk_index", "text_content", "token_count"
+            ),
+            "doc_id",
+        )
     )
     return _long(df, "total_chunks", "chunk_index", "token_count")
 
@@ -814,7 +817,7 @@ def q_events_attribution(spark, sf_dir):
 # ===================================================================
 
 _NORM_TOKENS_SQL = (
-    "list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))"
+    "list_distinct(regexp_extract_all(lower(text), '\\S+'))"
 )
 
 _MH_K, _MH_BAND, _MH_MAXB = 8, 2, 50
@@ -862,7 +865,8 @@ bucketed AS (
 
 
 @register("dedup_exact", """
-SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash,
+SELECT md5(array_to_string(regexp_extract_all(lower(text), '\\S+'), ' '))
+           AS content_hash,
        min(doc_id) AS canonical_doc_id,
        count(*) AS n_docs
 FROM documents
@@ -1058,24 +1062,18 @@ def q_lang_id(spark, sf_dir):
 @register("quality_score", f"""
 SELECT doc_id,
        length(text) AS char_count,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS word_count,
-       round(CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
-             END
-             / greatest(CASE WHEN trim(text) = '' THEN 0
-                             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END,
-                        1), 4) AS unique_ratio,
+       len(regexp_extract_all(text, '\\S+')) AS word_count,
+       round(len(list_distinct(regexp_extract_all(text, '\\S+')))
+             / greatest(len(regexp_extract_all(text, '\\S+')), 1), 4)
+           AS unique_ratio,
        round({_stop_sql('en')}
-             / greatest(CASE WHEN trim(text) = '' THEN 0
-                             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END,
-                        1), 4) AS stopword_ratio,
+             / greatest(len(regexp_extract_all(text, '\\S+')), 1), 4)
+           AS stopword_ratio,
        round(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))
              / greatest(length(text), 1), 4) AS punct_ratio,
        round(length(regexp_replace(text, '\\s+', '', 'g'))
-             / greatest(CASE WHEN trim(text) = '' THEN 0
-                             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END,
-                        1), 4) AS avg_word_len
+             / greatest(len(regexp_extract_all(text, '\\S+')), 1), 4)
+           AS avg_word_len
 FROM documents
 """)
 def q_quality(spark, sf_dir):
@@ -1085,8 +1083,7 @@ def q_quality(spark, sf_dir):
 
 @register("token_count", f"""
 SELECT doc_id,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+       len(regexp_extract_all(text, '\\S+')) AS ws_tokens,
        len(regexp_extract_all(text, '{ta.RE_BPE_TOKEN}')) AS bpe_tokens
 FROM documents
 """)
@@ -1101,7 +1098,7 @@ _FP_N = 4
 @register("fingerprint", f"""
 WITH words_t AS (
     SELECT doc_id, text,
-           regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+           regexp_extract_all(lower(text), '\\S+') AS words
     FROM documents
 )
 SELECT doc_id,
@@ -1189,7 +1186,7 @@ def q_corpus_stats(spark, sf_dir):
 @register("tfidf_top_terms", """
 WITH toks AS (
     SELECT doc_id,
-           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+           unnest(regexp_extract_all(lower(text), '\\S+')) AS term
     FROM documents
 ), tfc AS (
     SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..operators.chunking import chunk_documents, chunk_stats
 from ..operators.charts import chart_inventory
+from ..operators.entities import extract_entities
 
 N_BUCKETS = 64
 
@@ -46,7 +47,17 @@ def build_docstore(docs: DataFrame) -> dict[str, DataFrame]:
         "source",
         "n_chars",
     )
-    chunks = chunk_documents(docs)
+    # chunk records carry their entity annotations, mirroring
+    # DocumentChunk.entities JSON (reference schema.py:17); arrays are
+    # dropped in favor of the flat count + joined-term columns.
+    chunks = extract_entities(
+        chunk_documents(docs), text_col="text_content"
+    )
+    chunks = chunks.select(
+        "doc_id", "chunk_index", "text_content", "token_count",
+        F.concat_ws(",", "organizations").alias("org_terms"),
+        "n_persons", "n_organizations", "n_dates", "n_locations", "n_misc",
+    )
     stats = chunk_stats(chunks)
     documents = documents.join(stats, "doc_id", "left").fillna(
         {"total_chunks": 0, "total_tokens": 0}
