@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "dedup_embedding",
     "knn_brute_cosine",
     "knn_ivf_bucketed",
+    "knn_all_topk",
     "lang_id",
     "quality_score",
     "token_count",
@@ -73,11 +74,16 @@ def main():
         spark.range(1).count()
 
     timings: dict[str, float] = {}
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(runs):  # best-of-N: steady state, not load noise
+            t0 = time.time()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

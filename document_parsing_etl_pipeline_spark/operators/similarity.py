@@ -71,6 +71,100 @@ def knn_brute_cosine(
     )
 
 
+def knn_all_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    block_size: int = 2048,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbors for EVERY vector via block matmul.
+
+    Vectors group into id-range blocks; every ordered block pair is
+    one numpy matmul task emitting that block pair's per-query top-k;
+    a global per-query window then reduces partial top-ks to the true
+    top-k (correct for any consistent total order: the global top-k is
+    a subset of the union of per-block top-ks). Task memory is two
+    blocks; rows shuffled to the final window = N × k × n_blocks —
+    linear in N per block column, never the N² score matrix.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    emb = embeddings.select(
+        F.col(id_col).alias("vid"),
+        "embedding",
+        F.floor(F.col(id_col) / F.lit(block_size)).cast("long").alias("block"),
+    )
+    blocks = emb.groupBy("block").agg(
+        F.collect_list("vid").alias("ids"),
+        F.collect_list("embedding").alias("vecs"),
+    )
+    joined = (
+        blocks.select(
+            F.col("block").alias("block_a"),
+            F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a"),
+        )
+        .crossJoin(
+            blocks.select(
+                F.col("block").alias("block_b"),
+                F.col("ids").alias("ids_b"), F.col("vecs").alias("vecs_b"),
+            )
+        )
+        .repartition(F.col("block_a"), F.col("block_b"))
+    )
+
+    def partial_topk(batches):
+        empty = pd.DataFrame({
+            "query_id": np.array([], dtype=np.int64),
+            "vec_id": np.array([], dtype=np.int64),
+            "cosine": np.array([], dtype=np.float64),
+        })
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                ida = np.asarray(row["ids_a"], dtype=np.int64)
+                idb = np.asarray(row["ids_b"], dtype=np.int64)
+                A = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in row["vecs_a"]])
+                B = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in row["vecs_b"]])
+                C = (A @ B.T) / np.outer(
+                    np.sqrt((A * A).sum(axis=1)),
+                    np.sqrt((B * B).sum(axis=1)),
+                )
+                C = np.round(C, 4)
+                # self-matches out of contention
+                self_mask = ida[:, None] == idb[None, :]
+                C[self_mask] = -np.inf
+                kk = min(k, C.shape[1])
+                # per-query top-k under (cosine desc, vec_id asc)
+                order = np.lexsort((idb[None, :].repeat(len(ida), 0), -C), axis=1)
+                top = order[:, :kk]
+                qi = np.repeat(ida, kk)
+                vi = idb[top].ravel()
+                ci = np.take_along_axis(C, top, axis=1).ravel()
+                keep = np.isfinite(ci)
+                outs.append(pd.DataFrame({
+                    "query_id": qi[keep], "vec_id": vi[keep],
+                    "cosine": ci[keep],
+                }))
+            yield pd.concat(outs) if outs else empty
+
+    partial = joined.mapInPandas(
+        partial_topk, "query_id long, vec_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def sign_bucket(v: Column, dims: int = 4) -> Column:
     """IVF-style coarse bucket: sign bits of the first ``dims``
     components → int in [0, 2^dims)."""

@@ -1025,6 +1025,28 @@ def q_knn_ivf(spark, sf_dir):
     return _long(df, "rank")
 
 
+@register("knn_all_topk", f"""
+WITH scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+           round({_COS_SQL}, 4) AS cosine
+    FROM embeddings q, embeddings e
+    WHERE e.vec_id <> q.vec_id
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 3
+""")
+def q_knn_all_topk(spark, sf_dir):
+    # block_size 512 → 16 block-pair tasks at sf0.1 (parallelism over
+    # one monolithic matmul); partial rows stay N·k·n_blocks.
+    df = similarity.knn_all_topk(
+        load_table(spark, sf_dir, "embeddings"), k=3, block_size=512
+    )
+    return _long(df, "rank")
+
+
 # ===================================================================
 # §2.F — text analysis
 # ===================================================================

@@ -58,3 +58,22 @@ def test_ivf_bucket_restricts_candidates(spark):
                       [-1, 0.1, 0.1, 0.1]])
     rows = similarity.knn_ivf_bucketed(df, num_queries=1, k=5).collect()
     assert {r.vec_id for r in rows} == {1}
+
+
+def test_knn_all_topk_multiblock_matches_single_block(spark):
+    import random
+    random.seed(7)
+    vecs = [[random.uniform(-1, 1) for _ in range(8)] for _ in range(40)]
+    df = _emb(spark, vecs)
+    one = similarity.knn_all_topk(df, k=3, block_size=64)
+    many = similarity.knn_all_topk(df, k=3, block_size=8)  # 5 blocks
+    a = sorted(map(tuple, one.collect()))
+    b = sorted(map(tuple, many.collect()))
+    assert a == b and len(a) == 40 * 3
+
+
+def test_embedding_near_dup_multiblock(spark):
+    df = _emb(spark, [[1, 0], [0.999, 0.01], [0, 1], [0.998, 0.02]])
+    pairs = dedup.embedding_near_dup(df, threshold=0.99, block_size=2)
+    got = {(p.id_a, p.id_b) for p in pairs.collect()}
+    assert got == {(0, 1), (0, 3), (1, 3)}  # cross-block pair (0,3) found
