@@ -1,0 +1,38 @@
+"""Regenerate PLANS.md: formatted explains of headline queries."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from document_parsing_etl_pipeline_spark.plans.queries import QUERIES
+from document_parsing_etl_pipeline_spark.session import get_spark
+
+PICKS = {
+    "q1_pricing_summary": "filter pushdown + column pruning + single decimal agg",
+    "q3_shipping_priority": "broadcast dim join, shuffle only on l_orderkey",
+    "q5_local_supplier": "all dims broadcast; one fact shuffle",
+    "dedup_minhash_lsh": "explode->codegen md5->partial min; bucket cap before pairing",
+    "knn_all_topk": "block matmul mapInPandas + global top-k window",
+    "q_documents_list": "doc_id range pushed through explode+agg to both scans",
+}
+
+
+def main():
+    spark = get_spark("plans")
+    sf = "/root/testdata/sf0.1"
+    out = ["# PLANS — formatted explains of headline queries (sf0.1)",
+           "",
+           "Regenerate: `python scripts/dump_plans.py`. What to look for is",
+           "noted per query; see SURVEY §4 for the full shuffle inventory.",
+           ""]
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    for name, note in PICKS.items():
+        df = QUERIES[name](spark, sf)
+        plan = df._jdf.queryExecution().explainString(mode)
+        out.append(f"## {name}\n\n*{note}*\n\n```\n{plan.strip()}\n```\n")
+    open("/root/repo/PLANS.md", "w").write("\n".join(out))
+
+
+if __name__ == "__main__":
+    main()
