@@ -66,6 +66,38 @@ def chunk_documents(
     )
 
 
+def chunk_documents_by_tokens(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_per_chunk: int = 30,
+) -> DataFrame:
+    """Token-budgeted chunking: fixed number of \\S+ tokens per chunk
+    (closer to HybridChunker's tokenizer-aware splitting than char
+    windows; reference pdf_parser.py:64 chunks by BGE token budget).
+
+    Same shape as chunk_documents: sequence+explode chunk indices,
+    one slice+join per chunk — JVM-side, shuffle-free.
+    """
+    t = tokens_per_chunk
+    words = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
+    n_chunks = F.greatest(
+        F.ceil(F.size(words) / F.lit(t)), F.lit(1)
+    ).cast("int")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        words.alias("words"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_index"),
+    )
+    chunk_words = F.expr(f"slice(words, chunk_index * {t} + 1, {t})")
+    return base.select(
+        "doc_id",
+        "chunk_index",
+        F.array_join(chunk_words, " ").alias("text_content"),
+        F.size(chunk_words).alias("token_count"),
+    )
+
+
 def chunk_stats(chunks: DataFrame) -> DataFrame:
     """Per-document chunk rollup (Document.total_chunks parity,
     reference src/database/schema.py:31)."""

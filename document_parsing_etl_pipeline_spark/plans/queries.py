@@ -139,6 +139,34 @@ def q_doc_chunk_stats(spark, sf_dir):
     return _long(df, "total_chunks", "total_tokens", "max_chunk_tokens")
 
 
+_TOK_CHUNK = 30
+
+
+@register("doc_chunk_tokens", f"""
+WITH words_t AS (
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS words FROM documents
+), idx AS (
+    SELECT doc_id, words,
+           unnest(generate_series(
+               0, greatest(ceil(len(words) / {_TOK_CHUNK}.0)::BIGINT, 1) - 1))
+               AS chunk_index
+    FROM words_t
+)
+SELECT doc_id, chunk_index,
+       array_to_string(words[chunk_index*{_TOK_CHUNK}+1 :
+                             chunk_index*{_TOK_CHUNK}+{_TOK_CHUNK}], ' ')
+           AS text_content,
+       len(words[chunk_index*{_TOK_CHUNK}+1 :
+                 chunk_index*{_TOK_CHUNK}+{_TOK_CHUNK}]) AS token_count
+FROM idx
+""")
+def q_doc_chunk_tokens(spark, sf_dir):
+    df = chunking.chunk_documents_by_tokens(
+        load_table(spark, sf_dir, "documents"), tokens_per_chunk=_TOK_CHUNK
+    )
+    return _long(df, "chunk_index", "token_count")
+
+
 _NER_ORACLE = f"""
 WITH {CHUNK_CTE}
 SELECT doc_id, chunk_index,

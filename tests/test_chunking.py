@@ -58,3 +58,19 @@ def test_chunk_stats(spark):
     stats = {r.doc_id: r for r in chunk_stats(chunk_documents(df)).collect()}
     assert stats[0].total_chunks > 1
     assert stats[1].total_chunks == 1
+
+
+def test_token_chunking_budget(spark):
+    from document_parsing_etl_pipeline_spark.operators.chunking import (
+        chunk_documents_by_tokens,
+    )
+    df = _docs(spark, " ".join(f"w{i}" for i in range(65)), "only three words")
+    rows = chunk_documents_by_tokens(df, tokens_per_chunk=30).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c0 = sorted(by_doc[0], key=lambda r: r.chunk_index)
+    assert [r.token_count for r in c0] == [30, 30, 5]
+    assert c0[0].text_content.startswith("w0 w1 ")
+    assert c0[2].text_content == "w60 w61 w62 w63 w64"
+    assert by_doc[1][0].token_count == 3

