@@ -935,6 +935,74 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+@register("dedup_materialize", """
+WITH hashed AS (
+    SELECT doc_id, n_chars,
+           md5(array_to_string(regexp_extract_all(lower(text), '\\S+'), ' '))
+               AS content_hash
+    FROM documents
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY content_hash
+                                 ORDER BY doc_id) AS rn
+    FROM hashed
+)
+SELECT doc_id, n_chars, content_hash FROM ranked WHERE rn = 1
+""")
+def q_dedup_materialize(spark, sf_dir):
+    """The dedup deliverable: the surviving corpus (first doc per
+    content hash). Window keep-first — one shuffle on the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", "n_chars",
+        F.md5(dedup.normalized_text(F.col("text"))).alias("content_hash"),
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register("sample_hash_10pct", """
+SELECT lang, count(*) AS n_sampled
+FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 10 = 0
+GROUP BY lang
+""")
+def q_sample_hash(spark, sf_dir):
+    """Deterministic hash sampling (consistent 10% per re-run and per
+    engine — the reproducible alternative to rand() sampling for
+    training-data splits); rollup by lang checks stratification."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int"),
+        F.lit(10),
+    )
+    return (
+        docs.where(bucket == 0)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+
+
+@register("q_distinct_users", """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+""")
+def q_distinct_users(spark, sf_dir):
+    """Distinct aggregation (two-phase shuffle dedup); at 100 TB the
+    approx_count_distinct HLL sketch swaps in with the same shape."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def _simhash_sql(bits: int = dedup.SIMHASH_BITS) -> str:
     votes = []
     for b in range(bits):

@@ -74,6 +74,29 @@ def write_docstore(tables: dict[str, DataFrame], root: str) -> None:
          .parquet(os.path.join(root, name)))
 
 
+def write_bucketed_tables(
+    tables: dict[str, DataFrame],
+    database: str = "docstore",
+    n_buckets: int = 8,
+) -> None:
+    """Persist the store as bucketed+sorted catalog tables.
+
+    Hash-bucketing both sides of the doc_id join at write time means
+    the API-surface joins (documents⋈chunks⋈charts) run WITHOUT a
+    shuffle exchange — the physical property that matters most at
+    100 TB, where re-shuffling the chunk table per query would
+    dominate. Verified by plan assertion in tests.
+    """
+    spark = next(iter(tables.values())).sparkSession
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    for name, df in tables.items():
+        (df.write.mode("overwrite")
+         .bucketBy(n_buckets, "doc_id")
+         .sortBy("doc_id")
+         .format("parquet")
+         .saveAsTable(f"{database}.{name}"))
+
+
 def read_docstore(spark: SparkSession, root: str) -> dict[str, DataFrame]:
     return {
         name: spark.read.parquet(os.path.join(root, name))

@@ -85,3 +85,24 @@ def test_sql_view_facade(spark):
         GROUP BY d.lang ORDER BY n DESC
     """).collect()
     assert sum(r.n for r in out) == 500
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tables):
+    """Co-bucketed doc_id tables must join with no Exchange — the
+    write-time partitioning property that carries the API surface at
+    scale."""
+    small = {k: v.where(F.col("doc_id") < 50) for k, v in tables.items()
+             if k in ("documents", "chunks")}
+    docstore.write_bucketed_tables(small, database="store_t", n_buckets=4)
+    try:
+        d = spark.table("store_t.documents").hint("merge")
+        c = spark.table("store_t.chunks")
+        joined = d.join(c, "doc_id").select("doc_id", "chunk_index")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS store_t.documents")
+        spark.sql("DROP TABLE IF EXISTS store_t.chunks")
+        spark.sql("DROP DATABASE IF EXISTS store_t")
