@@ -33,9 +33,12 @@ BENCH_QUERIES = [
     "q_events_sessionize",
     "q_events_attribution",
     "doc_chunk",
+    "doc_chunk_tokens",
     "ner_entities",
     "doc_chunk_stats",
     "dedup_exact",
+    "dedup_materialize",
+    "q_distinct_users",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",

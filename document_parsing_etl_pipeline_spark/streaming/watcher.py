@@ -62,3 +62,41 @@ def start_pipeline(spark: SparkSession, watch_dir: str, out_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_full_pipeline(spark: SparkSession, watch_dir: str, store_root: str,
+                        checkpoint_dir: str, available_now: bool = True):
+    """Full process_document parity on a stream: each micro-batch
+    lands documents + chunks + charts in the doc store together
+    (reference pdf_parser.py:201-253 writes all three per document in
+    one transaction; here one foreachBatch = one atomic-enough unit —
+    the checkpoint replays the whole batch on failure).
+
+    Malformed drops don't kill the watcher: rows that fail the schema
+    land with null doc_id and are routed to `rejects/` instead of the
+    store (the reference logs-and-continues, main.py:117-118).
+    """
+    import os
+
+    from ..sources.docstore import build_docstore
+
+    stream = watch_documents(spark, watch_dir)
+
+    def _sink(batch_df, batch_id: int) -> None:
+        good = batch_df.where(F.col("doc_id").isNotNull())
+        bad = batch_df.where(F.col("doc_id").isNull())
+        if bad.isEmpty() is False:
+            bad.write.mode("append").parquet(
+                os.path.join(store_root, "rejects")
+            )
+        tables = build_docstore(good)
+        for name, df in tables.items():
+            df.write.mode("append").parquet(os.path.join(store_root, name))
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

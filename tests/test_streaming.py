@@ -74,3 +74,25 @@ def test_sessionize_gap_windows(tmp_path, spark):
     q.awaitTermination(120)
     got = spark.sql("SELECT * FROM sess ORDER BY session_start").collect()
     assert [r.n_events for r in got] == [2, 1]
+
+
+def test_full_pipeline_writes_three_tables_and_rejects(tmp_path, spark):
+    watch, store, ckpt = (str(tmp_path / d) for d in ("in", "store", "ck"))
+    (tmp_path / "in").mkdir()
+    good = {"doc_id": 5, "text": "table vector words " * 30, "lang": "en",
+            "source": "drop", "n_chars": 570}
+    (tmp_path / "in" / "good.json").write_text(json.dumps(good))
+    (tmp_path / "in" / "bad.json").write_text('{"text": "no id"}\nnot json at all')
+
+    q = watcher.start_full_pipeline(spark, watch, store, ckpt)
+    q.awaitTermination(120)
+
+    docs = spark.read.parquet(str(tmp_path / "store" / "documents"))
+    chunks = spark.read.parquet(str(tmp_path / "store" / "chunks"))
+    charts = spark.read.parquet(str(tmp_path / "store" / "charts"))
+    assert docs.where(docs.doc_id == 5).count() == 1
+    assert docs.collect()[0].total_chunks == chunks.count() > 0
+    assert charts.count() > 0  # 'table'/'vector' markers produce charts
+    assert chunks.where(chunks.doc_id == 5).count() == chunks.count()
+    rejects = spark.read.parquet(str(tmp_path / "store" / "rejects"))
+    assert rejects.count() >= 1  # malformed rows quarantined, not fatal
