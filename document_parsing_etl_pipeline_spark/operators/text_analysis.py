@@ -96,6 +96,60 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns (RE2-safe: no lookaround/backrefs).
+RE_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+RE_PHONE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+RE_SSN = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrub: emails/phones/SSN-shaped spans → typed placeholders.
+
+    The standard pre-training privacy pass; pure regexp_replace chain,
+    per-row, codegen'd.
+    """
+    c = F.col(text_col)
+    # priority order SSN > email > phone; counts are the spans each
+    # stage actually redacts (an SSN also matches the phone shape, so
+    # phone counts run on the SSN/email-redacted text)
+    after_ssn = F.regexp_replace(c, RE_SSN, "[SSN]")
+    after_email = F.regexp_replace(after_ssn, RE_EMAIL, "[EMAIL]")
+    redacted = F.regexp_replace(after_email, RE_PHONE, "[PHONE]")
+    return docs.select(
+        "doc_id",
+        _count_matches(after_ssn, RE_EMAIL).alias("n_emails"),
+        _count_matches(after_email, RE_PHONE).alias("n_phones"),
+        _count_matches(c, RE_SSN).alias("n_ssns"),
+        redacted.alias("redacted_text"),
+        F.length(redacted).alias("redacted_len"),
+    )
+
+
+def top_bigrams(docs: DataFrame, text_col: str = "text",
+                top_k: int = 20) -> DataFrame:
+    """Corpus-wide top-k bigrams (explode positions → codegen'd
+    concat → count, map-side partial; ties broken by bigram)."""
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+    base = (
+        docs.select("doc_id", words.alias("words"))
+        .where(F.size("words") >= 2)
+        .select(
+            "words",
+            F.explode(
+                F.sequence(F.lit(1), F.size("words") - F.lit(1))
+            ).alias("i"),
+        )
+    )
+    bigram = F.concat_ws(" ", F.slice("words", F.col("i"), 2))
+    return (
+        base.select(bigram.alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("occurrences"))
+        .orderBy(F.col("occurrences").desc(), "bigram")
+        .limit(top_k)
+    )
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles of a text column (array<string>).
 

@@ -1210,6 +1210,77 @@ def q_token_count(spark, sf_dir):
     return _long(df, "ws_tokens", "bpe_tokens")
 
 
+@register("pii_redact", f"""
+WITH staged AS (
+    SELECT doc_id, text,
+           regexp_replace(text, '{ta.RE_SSN}', '[SSN]', 'g') AS after_ssn
+    FROM documents
+), staged2 AS (
+    SELECT *, regexp_replace(after_ssn, '{ta.RE_EMAIL}', '[EMAIL]', 'g')
+                  AS after_email
+    FROM staged
+)
+SELECT doc_id,
+       len(regexp_extract_all(after_ssn, '{ta.RE_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(after_email, '{ta.RE_PHONE}')) AS n_phones,
+       len(regexp_extract_all(text, '{ta.RE_SSN}')) AS n_ssns,
+       regexp_replace(after_email, '{ta.RE_PHONE}', '[PHONE]', 'g')
+           AS redacted_text,
+       length(regexp_replace(after_email, '{ta.RE_PHONE}', '[PHONE]', 'g'))
+           AS redacted_len
+FROM staged2
+""")
+def q_pii_redact(spark, sf_dir):
+    df = ta.pii_redact(load_table(spark, sf_dir, "documents"))
+    return _long(df, "n_emails", "n_phones", "n_ssns", "redacted_len")
+
+
+@register("top_bigrams", """
+WITH words_t AS (
+    SELECT regexp_extract_all(lower(text), '\\S+') AS words FROM documents
+    WHERE len(regexp_extract_all(lower(text), '\\S+')) >= 2
+), pos AS (
+    SELECT words, unnest(generate_series(1, len(words) - 1)) AS i FROM words_t
+), bg AS (
+    SELECT array_to_string(words[i : i+1], ' ') AS bigram FROM pos
+)
+SELECT bigram, count(*) AS occurrences FROM bg
+GROUP BY bigram ORDER BY occurrences DESC, bigram LIMIT 20
+""")
+def q_top_bigrams(spark, sf_dir):
+    return ta.top_bigrams(load_table(spark, sf_dir, "documents"))
+
+
+@register("q_docs_with_embeddings", """
+SELECT d.doc_id, d.lang, e.label,
+       len(regexp_extract_all(d.text, '\\S+')) AS word_count,
+       round(sqrt(list_inner_product(e.embedding::DOUBLE[],
+                                     e.embedding::DOUBLE[])), 4) AS vec_norm
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+WHERE d.n_chars >= 250
+""")
+def q_docs_with_embeddings(spark, sf_dir):
+    """Cross-modal enrichment: text corpus ⋈ embedding table on id
+    (the join that feeds quality-filtered text+vector training
+    pairs)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("n_chars") >= 250
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    wc = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            "doc_id", "lang", "label",
+            wc.cast("long").alias("word_count"),
+            F.round(
+                F.sqrt(similarity.dot(F.col("embedding"), F.col("embedding"))),
+                4,
+            ).alias("vec_norm"),
+        )
+    )
+
+
 _FP_N = 4
 
 

@@ -68,3 +68,18 @@ def test_fingerprint_stable_and_content_sensitive(spark):
     fps = {r.doc_id: r.fp for r in rows}
     assert fps[0] == fps[1]
     assert fps[0] != fps[2]
+
+
+def test_pii_redaction(spark):
+    df = _docs(spark, "mail me at jane.doe@example.com or call +1 (555) 123-4567, ssn 123-45-6789")
+    r = ta.pii_redact(df).collect()[0]
+    assert (r.n_emails, r.n_phones, r.n_ssns) == (1, 1, 1)
+    assert "[EMAIL]" in r.redacted_text and "[PHONE]" in r.redacted_text
+    assert "example.com" not in r.redacted_text
+    assert "123-45-6789" not in r.redacted_text
+
+
+def test_top_bigrams(spark):
+    df = _docs(spark, "big data big data small", "big data")
+    rows = ta.top_bigrams(df, top_k=2).collect()
+    assert rows[0].bigram == "big data" and rows[0].occurrences == 3
