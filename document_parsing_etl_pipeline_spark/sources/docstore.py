@@ -104,6 +104,20 @@ def read_docstore(spark: SparkSession, root: str) -> dict[str, DataFrame]:
     }
 
 
+def upsert_documents(existing: DataFrame, updates: DataFrame,
+                     key: str = "doc_id") -> DataFrame:
+    """MERGE semantics: rows in ``updates`` replace same-key rows in
+    ``existing``; new keys append. Expressed as anti-join + union —
+    the shuffle is on the key both sides, and with the bucketed store
+    layout the anti-join co-partitions without an exchange.
+
+    (BaseRepository.update/create parity at dataset scale; on a real
+    deployment this is the Delta/Iceberg MERGE INTO statement.)
+    """
+    kept = existing.join(updates.select(key), key, "left_anti")
+    return kept.unionByName(updates.select(*existing.columns))
+
+
 # ----------------------------- repository-surface update/delete parity
 
 def update_document_meta(documents: DataFrame, doc_id: int,

@@ -106,3 +106,18 @@ def test_bucketed_tables_join_without_shuffle(spark, tables):
         spark.sql("DROP TABLE IF EXISTS store_t.documents")
         spark.sql("DROP TABLE IF EXISTS store_t.chunks")
         spark.sql("DROP DATABASE IF EXISTS store_t")
+
+
+def test_upsert_merge_semantics(spark, tables):
+    docs = tables["documents"].where(F.col("doc_id") < 10)
+    updates = spark.createDataFrame(
+        [(3, "doc_3_v2.txt", "fr", "src3", 999, 1, 10, 10),
+         (100, "doc_100.txt", "en", "new", 5, 1, 2, 2)],
+        docs.schema,
+    )
+    merged = docstore.upsert_documents(docs, updates)
+    assert merged.count() == 11  # 10 existing, 1 replaced, 1 new
+    by_id = {r.doc_id: r for r in merged.collect()}
+    assert by_id[3].filename == "doc_3_v2.txt" and by_id[3].lang == "fr"
+    assert by_id[100].source == "new"
+    assert by_id[2].filename == "doc_2.txt"  # untouched rows survive
