@@ -317,3 +317,54 @@ def embedding_near_dup(
             yield pd.concat(outs) if outs else empty
 
     return joined.mapInPandas(compute, "id_a long, id_b long, cosine double")
+
+
+# ------------------------------------------------- dedup clustering
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id,
+    component_id) with component_id = min doc_id in the component
+    (the canonical-document finisher after pair generation).
+
+    Iterative min-label propagation with per-round lineage truncation
+    (localCheckpoint); converges in diameter rounds — near-dup
+    components are shallow, so this is a handful of shuffles. At
+    extreme scale swap in the large-star/small-star variant
+    (Kiveris et al. 2014), same DataFrame shape.
+    """
+    fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    rev = pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    edges = fwd.union(rev).distinct().cache()
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels, edges["a"] == labels["id"]
+        ).select(F.col("b").alias("id"), F.col("label"))
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "id")
+            .where(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("component_id")
+    )

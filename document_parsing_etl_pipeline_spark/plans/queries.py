@@ -1003,6 +1003,45 @@ def q_distinct_users(spark, sf_dir):
     )
 
 
+_JACCARD_EXPR = (
+    "len(list_filter(ta.tokens, t -> list_contains(tb.tokens, t)))"
+    " / (len(ta.tokens) + len(tb.tokens)"
+    " - len(list_filter(ta.tokens, t -> list_contains(tb.tokens, t))))"
+)
+
+
+@register("dedup_components", f"""
+WITH RECURSIVE {_mh_sig_sql()}, {_mh_buckets_sql()}, jac AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cand c
+    JOIN toks ta ON ta.doc_id = c.doc_a
+    JOIN toks tb ON tb.doc_id = c.doc_b
+    WHERE round({_JACCARD_EXPR}, 4) >= 0.5
+), edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM jac
+    UNION
+    SELECT doc_b, doc_a FROM jac
+), verts AS (
+    SELECT DISTINCT a AS id FROM edges
+), walk(id, label) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT e.b AS id, w.label FROM walk w JOIN edges e ON w.id = e.a
+)
+SELECT id AS doc_id, min(label) AS component_id FROM walk GROUP BY id
+""")
+def q_dedup_components(spark, sf_dir):
+    """Dedup clustering: verified near-dup pairs → connected
+    components (canonical = min doc_id). Spark: iterative min-label
+    propagation; oracle: exact recursive CTE."""
+    pairs = dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=_MH_K, band_size=_MH_BAND, max_bucket=_MH_MAXB,
+        threshold=0.5,
+    )
+    return dedup.connected_components(pairs, max_iter=30)
+
+
 def _simhash_sql(bits: int = dedup.SIMHASH_BITS) -> str:
     votes = []
     for b in range(bits):

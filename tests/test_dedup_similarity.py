@@ -77,3 +77,14 @@ def test_embedding_near_dup_multiblock(spark):
     pairs = dedup.embedding_near_dup(df, threshold=0.99, block_size=2)
     got = {(p.id_a, p.id_b) for p in pairs.collect()}
     assert got == {(0, 1), (0, 3), (1, 3)}  # cross-block pair (0,3) found
+
+
+def test_connected_components(spark):
+    from pyspark.sql import Row as R
+    pairs = spark.createDataFrame(
+        [R(doc_a=1, doc_b=2), R(doc_a=2, doc_b=3), R(doc_a=5, doc_b=6),
+         R(doc_a=3, doc_b=4)]  # chain 1-2-3-4 and pair 5-6
+    )
+    got = {r.doc_id: r.component_id
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
