@@ -14,11 +14,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# One canonical whitespace regex used across parse/chunk/NER so token
-# boundaries agree between stages (and with the DuckDB oracles).
-WS = r"\s+"
-
-
 TOKEN = r"\S+"  # token = non-whitespace run (== Python str.split())
 
 

@@ -150,24 +150,6 @@ def top_bigrams(docs: DataFrame, text_col: str = "text",
     )
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles of a text column (array<string>).
-
-    Built with sequence+transform over the split array — JVM-side.
-    """
-    words = F.regexp_extract_all(text, F.lit(r"\S+"), 0)
-    k = F.size(words) - F.lit(n - 1)
-    idx = F.sequence(F.lit(0), F.greatest(k - F.lit(1), F.lit(0)))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + F.lit(j + 1)).cast("int")) for j in range(n)]
-        ),
-    )
-    # Short docs (fewer than n words): fall back to whole trimmed text.
-    return F.when(k >= 1, grams).otherwise(F.array(F.trim(text)))
-
-
 def fingerprint(docs: DataFrame, text_col: str = "text", n: int = 4) -> DataFrame:
     """Winnowing-style document fingerprint: min md5 over word n-gram
     shingles (Schleimer et al. 2003 'winnowing' simplified to a global

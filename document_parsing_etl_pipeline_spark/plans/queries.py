@@ -713,6 +713,67 @@ def q_events_percentiles(spark, sf_dir):
     )
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register("q_events_pivot", f"""
+SELECT user_id,
+       {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+                  for t in _EVENT_TYPES)}
+FROM events GROUP BY user_id
+""")
+def q_events_pivot(spark, sf_dir):
+    """Pivot: per-user event-type count matrix (fixed column list →
+    deterministic schema, single shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+        .fillna(0, subset=list(_EVENT_TYPES))
+    )
+    for t in _EVENT_TYPES:
+        piv = piv.withColumnRenamed(t, f"n_{t}")
+    return piv
+
+
+@register("q_quality_deciles", """
+WITH q AS (
+    SELECT d.doc_id, d.lang,
+           round(len(list_distinct(regexp_extract_all(d.text, '\\S+')))
+                 / greatest(len(regexp_extract_all(d.text, '\\S+')), 1), 4)
+               AS unique_ratio
+    FROM documents d
+), t AS (
+    SELECT *, ntile(10) OVER (PARTITION BY lang
+                              ORDER BY unique_ratio, doc_id) AS decile
+    FROM q
+)
+SELECT lang, decile, count(*) AS n_docs,
+       round(min(unique_ratio), 4) AS min_ur,
+       round(max(unique_ratio), 4) AS max_ur
+FROM t GROUP BY lang, decile
+""")
+def q_quality_deciles(spark, sf_dir):
+    """Quality-signal deciles per language (ntile window) — the
+    'filter the bottom decile' primitive for corpus curation."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = ta.quality_score(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy("unique_ratio", "doc_id")
+    return (
+        q.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.min("unique_ratio"), 4).alias("min_ur"),
+            F.round(F.max("unique_ratio"), 4).alias("max_ur"),
+        )
+        .withColumn("decile", F.col("decile").cast("long"))
+    )
+
+
 _WINDOW_US = 5 * 60 * 1_000_000
 
 
