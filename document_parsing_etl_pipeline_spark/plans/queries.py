@@ -244,6 +244,64 @@ def q_chart_inventory(spark, sf_dir):
     )
 
 
+def _gazetteer_values() -> str:
+    rows = [(t, "organization") for t in entities.ORG_TERMS] + [
+        (t, "location") for t in entities.LOC_TERMS
+    ]
+    return ", ".join(f"('{t}', '{e}')" for t, e in rows)
+
+
+@register("ner_gazetteer_join", f"""
+WITH gaz(term, entity_type) AS (VALUES {_gazetteer_values()}),
+toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+    FROM documents
+)
+SELECT t.doc_id, g.entity_type,
+       count(*) AS n_mentions,
+       count(DISTINCT t.term) AS n_distinct_terms
+FROM toks t JOIN gaz g USING (term)
+GROUP BY t.doc_id, g.entity_type
+""")
+def q_ner_gazetteer_join(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    gaz = entities.default_gazetteer(spark)
+    return entities.gazetteer_join_entities(docs, gaz)
+
+
+@register("q_source_quality", """
+WITH q AS (
+    SELECT d.source,
+           round(len(list_distinct(regexp_extract_all(d.text, '\\S+')))
+                 / greatest(len(regexp_extract_all(d.text, '\\S+')), 1), 4)
+               AS unique_ratio,
+           len(regexp_extract_all(d.text, '\\S+')) AS word_count
+    FROM documents d
+)
+SELECT source, count(*) AS n_docs,
+       round(sum(unique_ratio::DECIMAL(18,6))::DOUBLE / count(*), 4)
+           AS avg_unique_ratio,
+       round(sum(word_count::DECIMAL(18,6))::DOUBLE / count(*), 2)
+           AS avg_words
+FROM q GROUP BY source
+""")
+def q_source_quality(spark, sf_dir):
+    """Per-source quality report (the 'which crawl sources are junk'
+    rollup; decimal-exact averages for parity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = ta.quality_score(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    cnt = F.count("*")
+    return q.groupBy("source").agg(
+        cnt.alias("n_docs"),
+        F.round(F.sum(_dec(F.col("unique_ratio"))).cast("double") / cnt, 4)
+            .alias("avg_unique_ratio"),
+        F.round(F.sum(_dec(F.col("word_count"))).cast("double") / cnt, 2)
+            .alias("avg_words"),
+    )
+
+
 # ===================================================================
 # §2.B — doc-store query surface (API/repository parity)
 # ===================================================================
