@@ -1462,6 +1462,25 @@ def q_fingerprint(spark, sf_dir):
     return ta.fingerprint(load_table(spark, sf_dir, "documents"), n=_FP_N)
 
 
+@register("q_doc_length_histogram", """
+SELECT (n_chars // 50) * 50 AS bucket_lo,
+       count(*) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY 1
+""")
+def q_doc_length_histogram(spark, sf_dir):
+    """Equi-width document-length histogram (50-char buckets) —
+    integer mod-subtract bucketing, single partial-agg shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.col("n_chars") - F.pmod(F.col("n_chars"), F.lit(50))
+    return docs.groupBy(bucket.alias("bucket_lo")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 @register("q_docs_without_charts", f"""
 WITH {_CHARTS_CTE}
 SELECT d.doc_id, d.n_chars FROM documents d
