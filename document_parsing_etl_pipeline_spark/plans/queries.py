@@ -959,6 +959,75 @@ def q_events_attribution(spark, sf_dir):
     )
 
 
+@register("q_funnel_conversion", """
+WITH firsts AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               AS first_click_us,
+           min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS first_purchase_us
+    FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       count(first_click_us) AS n_clicked,
+       count(first_purchase_us) AS n_purchased,
+       count(CASE WHEN first_purchase_us > first_click_us THEN 1 END)
+           AS n_converted
+FROM firsts
+""")
+def q_funnel_conversion(spark, sf_dir):
+    """Funnel: users whose first purchase follows their first click
+    (conditional min aggregation, two map-side-combine passes)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts_us")))
+            .alias("first_click_us"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_us")))
+            .alias("first_purchase_us"),
+    )
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.count("first_click_us").alias("n_clicked"),
+        F.count("first_purchase_us").alias("n_purchased"),
+        F.count(
+            F.when(
+                F.col("first_purchase_us") > F.col("first_click_us"), 1
+            )
+        ).alias("n_converted"),
+    )
+
+
+@register("q_label_centroids", """
+SELECT e.label, i.i AS dim,
+       round(sum((e.embedding[i.i])::DECIMAL(18,9))::DOUBLE / count(*), 5)
+           AS centroid_val
+FROM embeddings e, unnest(generate_series(1, 8)) AS i(i)
+GROUP BY e.label, i.i
+""")
+def q_label_centroids(spark, sf_dir):
+    """Element-wise per-label centroids over the first 8 dims — the
+    distributed mean-update step of Lloyd's k-means (posexplode →
+    decimal-exact per-dimension sums; one shuffle on (label, dim))."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "v"),
+    )
+    cnt = F.count("*")
+    return (
+        dims.select("label", (F.col("pos") + 1).cast("long").alias("dim"), "v")
+        .groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(18,9)")).cast("double") / cnt,
+                5,
+            ).alias("centroid_val")
+        )
+    )
+
+
 # ===================================================================
 # §2.D — deduplication
 # ===================================================================
