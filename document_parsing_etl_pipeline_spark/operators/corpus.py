@@ -38,13 +38,16 @@ def tfidf_top_terms(
     table is tiny (vocab-sized) → broadcast back onto the tf table.
     """
     tf = term_frequencies(docs, text_col)
-    n_docs = docs.count()  # scalar, computed once
+    # N as a 1-row agg crossJoined into the plan (broadcast nested
+    # loop of one row) — no separate docs.count() driver action/job.
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
     df_t = tf.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    idf = df_t.withColumn(
-        "idf", F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1))
-    )
+    idf = df_t.crossJoin(F.broadcast(n_docs)).withColumn(
+        "idf",
+        F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)),
+    ).drop("n_docs")
     scored = tf.join(F.broadcast(idf), "term").withColumn(
         "tfidf", F.round(F.col("tf") * F.col("idf"), 4)
     )

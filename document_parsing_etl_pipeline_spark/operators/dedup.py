@@ -198,14 +198,22 @@ def simhash_signature(docs: DataFrame, text_col: str = "text",
 
 
 def simhash_pairs(docs: DataFrame, text_col: str = "text",
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3,
+                  max_bucket: int = 200) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Banding: the 32-bit signature splits into 4 byte-wide bands;
     hamming <= 3 can spoil at most 3 bands, so every qualifying pair
     shares at least one identical band (pigeonhole) — candidates join
-    on (band_index, band_value), never a full cross join, and 256
-    values per band keeps bucket fan-out ~16x below nibble banding.
+    on (band_index, band_value), never a full cross join.
+
+    With only 256 values per band, bucket population grows ~n/256, so
+    (unlike minhash's 128-bit band hashes) a cap is load-bearing here:
+    buckets over ``max_bucket`` members are dropped BEFORE the
+    self-join — the same count+join guard as minhash_lsh_candidates,
+    keeping pair fanout ≤ max_bucket² per bucket instead of quadratic
+    in the corpus. A pair in an oversized bucket is still found if it
+    shares any other in-cap band (near-dups usually share all 4).
     """
     assert max_hamming < SIMHASH_BANDS, "pigeonhole needs hamming < bands"
     sigs = simhash_signature(docs, text_col)
@@ -223,11 +231,17 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
             ])
         ).alias("e"),
     ).select("doc_id", "simhash", "e.band", "e.bv")
-    a = bands.select(
+    counts = (
+        bands.groupBy("band", "bv")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n").between(2, max_bucket))
+    )
+    capped = bands.join(counts.drop("n"), ["band", "bv"])
+    a = capped.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"),
         "band", "bv",
     )
-    b = bands.select(
+    b = capped.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"),
         "band", "bv",
     )

@@ -6,31 +6,67 @@ matching buckets — on a 1000-executor cluster the buckets are the
 partition keys, so each query touches one partition's worth of
 vectors instead of all of them).
 
-Dot products are computed with ``zip_with`` + ``aggregate`` in doubles
-— JVM-side, deterministic left-to-right accumulation (matches the
-DuckDB oracle's list_inner_product to 4 decimals).
+Per-pair dot products run in an Arrow-batched scalar Pandas UDF, NOT
+the ``zip_with`` + ``aggregate`` higher-order functions: HOFs are
+interpreted per row (no codegen; SURVEY §4 measured 10-20× slower),
+while the Pandas kernel amortizes one Python crossing over a whole
+Arrow batch and does the math in numpy. The kernel accumulates
+left-to-right over the dimension axis — the same double-add order as
+the HOF and the DuckDB oracle's list_inner_product, so results are
+bit-identical, just vectorized across rows.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 
-def dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def _stack(s: pd.Series) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in s])
+
+
+def _seq_dot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    # left-to-right accumulation over dims (loop over the SMALL axis;
+    # each step is a vectorized multiply-add over the whole batch) —
+    # bit-identical to sequential per-element accumulation, unlike
+    # einsum/BLAS whose pairwise summation can drift an ulp and flip
+    # a round(, 4) at the boundary.
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for j in range(A.shape[1]):
+        acc = acc + A[:, j] * B[:, j]
+    return acc
+
+
+@pandas_udf(DoubleType())  # type object: no DDL parse at import time
+def _cosine_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
+    if len(a) == 0:
+        return pd.Series(np.array([], dtype=np.float64))
+    A, B = _stack(a), _stack(b)
+    return pd.Series(
+        _seq_dot(A, B) / (np.sqrt(_seq_dot(A, A)) * np.sqrt(_seq_dot(B, B)))
     )
 
 
+@pandas_udf(DoubleType())
+def _norm_kernel(a: pd.Series) -> pd.Series:
+    if len(a) == 0:
+        return pd.Series(np.array([], dtype=np.float64))
+    A = _stack(a)
+    return pd.Series(np.sqrt(_seq_dot(A, A)))
+
+
 def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+    return _norm_kernel(a)
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    return _cosine_kernel(a, b)
 
 
 def knn_brute_cosine(

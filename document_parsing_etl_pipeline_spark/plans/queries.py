@@ -470,8 +470,11 @@ def q3(spark, sf_dir):
             orders.where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
+        # no broadcast hint: customer scales with SF (a multi-GB build
+        # side at 100 TB) — AQE picks broadcast at small SF from runtime
+        # stats and shuffles at large SF.
         .join(
-            F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+            cust.where(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
@@ -522,9 +525,12 @@ def q5(spark, sf_dir):
             ),
             li.l_orderkey == F.col("o_orderkey"),
         )
-        .join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        # supplier and customer scale with SF: no broadcast hints —
+        # AQE chooses from runtime stats (broadcast at small SF, shuffle
+        # join at large). Only nation/region (true dims) are hinted.
+        .join(dims, li.l_suppkey == dims.s_suppkey)
         .join(
-            F.broadcast(cust),
+            cust,
             (F.col("o_custkey") == cust.c_custkey)
             & (cust.c_nationkey == dims.s_nationkey),
         )
@@ -558,7 +564,7 @@ def q_top_customers(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     totals = (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment", "c_custkey", "c_name")
         .agg(
             F.sum(_dec(F.col("o_totalprice"))).alias("total_exact"),
@@ -654,7 +660,7 @@ def q14(spark, sf_dir):
             (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 F.lit(100.0) * F.sum(promo).cast("double")
@@ -689,7 +695,7 @@ def q18(spark, sf_dir):
     )
     return (
         big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "o_orderkey",
@@ -736,7 +742,7 @@ def q10(spark, sf_dir):
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(rev_exact.alias("rev_exact"), F.count("*").alias("n_items"))
@@ -1239,6 +1245,9 @@ def _simhash_sql(bits: int = dedup.SIMHASH_BITS) -> str:
             f"THEN {1 << b} ELSE 0 END"
         )
     sig = " + ".join(votes)
+    # len(tokens) > 0: Spark's explode drops zero-token docs from the
+    # signature table; without the filter DuckDB would give blank docs
+    # signature 0 (NULL vote sum -> ELSE 0 per bit) and pair them.
     return f"""
 toks AS (
     SELECT doc_id, {_NORM_TOKENS_SQL} AS tokens FROM documents
@@ -1247,9 +1256,13 @@ toks AS (
            list_transform(tokens,
                t -> ('0x' || substr(md5(t), 1, {bits // 4}))::BIGINT) AS vals
     FROM toks
+    WHERE len(tokens) > 0
 ), sigs AS (
     SELECT doc_id, ({sig})::BIGINT AS simhash FROM vals_t
 )"""
+
+
+_SH_MAXB = 200
 
 
 @register("dedup_simhash", f"""
@@ -1257,16 +1270,23 @@ WITH {_simhash_sql()}, sbands AS (
     SELECT doc_id, simhash, band,
            (simhash >> (8 * band)) & 255 AS bv
     FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) n
+), ssized AS (
+    SELECT band, bv, count(*) AS n FROM sbands GROUP BY band, bv
+), scapped AS (
+    SELECT s.doc_id, s.simhash, s.band, s.bv
+    FROM sbands s JOIN ssized z ON z.band = s.band AND z.bv = s.bv
+    WHERE z.n BETWEEN 2 AND {_SH_MAXB}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-FROM sbands a JOIN sbands b ON a.band = b.band AND a.bv = b.bv
+FROM scapped a JOIN scapped b ON a.band = b.band AND a.bv = b.bv
 WHERE a.doc_id < b.doc_id
   AND bit_count(xor(a.simhash, b.simhash)) <= 3
 """)
 def q_dedup_simhash(spark, sf_dir):
     df = dedup.simhash_pairs(
-        load_table(spark, sf_dir, "documents"), max_hamming=3
+        load_table(spark, sf_dir, "documents"), max_hamming=3,
+        max_bucket=_SH_MAXB,
     )
     return _long(df, "hamming")
 
@@ -1501,8 +1521,7 @@ def q_docs_with_embeddings(spark, sf_dir):
             "doc_id", "lang", "label",
             wc.cast("long").alias("word_count"),
             F.round(
-                F.sqrt(similarity.dot(F.col("embedding"), F.col("embedding"))),
-                4,
+                similarity.norm(F.col("embedding")), 4
             ).alias("vec_norm"),
         )
     )

@@ -50,11 +50,13 @@ class DocumentProcessor:
 
     # ------------------------------------------------------ queries
 
-    def get_documents(self, after_id: int = 0, limit: int = 100) -> DataFrame:
-        """Key-set pagination (the scale-correct get_multi)."""
+    def get_documents(self, after_id: int = -1, limit: int = 100) -> DataFrame:
+        """Key-set pagination (the scale-correct get_multi).
+        ``after_id`` is exclusive: pass the last doc_id of the previous
+        page and that row is not repeated."""
         return (
             self.tables["documents"]
-            .where(F.col("doc_id") >= after_id)
+            .where(F.col("doc_id") > after_id)
             .orderBy("doc_id")
             .limit(limit)
         )

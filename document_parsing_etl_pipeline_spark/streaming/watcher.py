@@ -69,8 +69,16 @@ def start_full_pipeline(spark: SparkSession, watch_dir: str, store_root: str,
     """Full process_document parity on a stream: each micro-batch
     lands documents + chunks + charts in the doc store together
     (reference pdf_parser.py:201-253 writes all three per document in
-    one transaction; here one foreachBatch = one atomic-enough unit —
-    the checkpoint replays the whole batch on failure).
+    one transaction).
+
+    Idempotent replay: every table write goes to a
+    ``batch_id=<n>`` subdirectory with mode("overwrite") scoped to
+    that path. If the sink dies mid-batch, the checkpoint replays the
+    batch and the rewrite lands on the SAME paths — no duplicate rows,
+    which is what makes foreachBatch + checkpoint exactly-once here
+    (plain append would duplicate on replay). Readers load the store
+    with ``spark.read.parquet(root + "/" + name)``, which globs the
+    batch dirs as a partition column.
 
     Malformed drops don't kill the watcher: rows that fail the schema
     land with null doc_id and are routed to `rejects/` instead of the
@@ -86,12 +94,14 @@ def start_full_pipeline(spark: SparkSession, watch_dir: str, store_root: str,
         good = batch_df.where(F.col("doc_id").isNotNull())
         bad = batch_df.where(F.col("doc_id").isNull())
         if bad.isEmpty() is False:
-            bad.write.mode("append").parquet(
-                os.path.join(store_root, "rejects")
+            bad.write.mode("overwrite").parquet(
+                os.path.join(store_root, "rejects", f"batch_id={batch_id}")
             )
         tables = build_docstore(good)
         for name, df in tables.items():
-            df.write.mode("append").parquet(os.path.join(store_root, name))
+            df.write.mode("overwrite").parquet(
+                os.path.join(store_root, name, f"batch_id={batch_id}")
+            )
 
     writer = (
         stream.writeStream.foreachBatch(_sink)

@@ -30,15 +30,39 @@ def test_q1_prunes_columns(spark):
     assert "l_returnflag" in read_schema
 
 
-def test_q3_broadcasts_customer_dim(spark):
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_q3_no_broadcast_hint_on_scaling_tables(spark):
+    # customer scales with SF: the plan must not hard-code a broadcast
+    # (AQE decides from runtime stats). At test SF the size-based
+    # planner still picks BroadcastHashJoin — that's fine; what's
+    # banned is the *hint*.
     df = QUERIES["q3_shipping_priority"](spark, SF_DIR)
-    assert "BroadcastHashJoin" in _executed(df)
+    assert "ResolvedHint" not in _analyzed(df)
+    assert "BroadcastHashJoin" in _executed(df)  # size-based at test SF
 
 
-def test_q5_broadcasts_all_dims(spark):
+def test_q5_hints_only_true_dims(spark):
+    # exactly two hints: nation and the filtered region. supplier and
+    # customer (SF-scaling) are left to AQE.
     df = QUERIES["q5_local_supplier"](spark, SF_DIR)
-    plan = _executed(df)
-    assert plan.count("BroadcastHashJoin") >= 3
+    assert _analyzed(df).count("ResolvedHint") == 2
+    assert _executed(df).count("BroadcastHashJoin") >= 3  # size-based
+
+
+def test_fact_queries_have_no_scaling_broadcast_hints(spark):
+    # q10 keeps one hint (nation); the rest must carry none.
+    expected_hints = {
+        "q18_large_orders": 0,
+        "q_top_customers": 0,
+        "q14_promo_revenue": 0,
+        "q10_returned_revenue": 1,
+    }
+    for name, n in expected_hints.items():
+        df = QUERIES[name](spark, SF_DIR)
+        assert _analyzed(df).count("ResolvedHint") == n, name
 
 
 def test_chunker_is_pure_jvm(spark):
