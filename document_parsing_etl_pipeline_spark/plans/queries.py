@@ -306,6 +306,9 @@ def q_source_quality(spark, sf_dir):
 # §2.B — doc-store query surface (API/repository parity)
 # ===================================================================
 
+# deterministic ingest clock (see sources/docstore.py INGEST_EPOCH_S)
+_INGEST_US = f"(({docstore.INGEST_EPOCH_S} + d.doc_id)::BIGINT * 1000000)"
+
 _DOCSTORE_CTE = f"""
 {CHUNK_CTE}, stats AS (
     SELECT doc_id, count(*) AS total_chunks,
@@ -314,7 +317,11 @@ _DOCSTORE_CTE = f"""
 ), documents_t AS (
     SELECT d.doc_id, 'doc_' || d.doc_id || '.txt' AS filename, d.lang, d.source,
            d.n_chars, coalesce(s.total_chunks, 0) AS total_chunks,
-           coalesce(s.total_tokens, 0) AS total_tokens
+           coalesce(s.total_tokens, 0) AS total_tokens,
+           '{{"lang":"' || d.lang || '","source":"' || d.source || '"}}'
+               AS metainfo,
+           {_INGEST_US} AS created_at_us,
+           {_INGEST_US} AS updated_at_us
     FROM documents d LEFT JOIN stats s USING (doc_id)
 )
 """
@@ -329,11 +336,19 @@ WITH {_DOCSTORE_CTE}
 SELECT * FROM documents_t WHERE doc_id >= 10 AND doc_id < 60
 """)
 def q_documents_list(spark, sf_dir):
+    """DocumentResponse parity: every list row carries metainfo +
+    created_at/updated_at (reference api.py:15-21 DocumentResponse,
+    schema.py Document.metainfo/created_at/updated_at)."""
     t = _docstore_tables(spark, sf_dir)
     df = t["documents"].where((F.col("doc_id") >= 10) & (F.col("doc_id") < 60))
     return _long(
-        df.select("doc_id", "filename", "lang", "source", "n_chars",
-                  "total_chunks", "total_tokens"),
+        df.select(
+            "doc_id", "filename", "lang", "source", "n_chars",
+            "total_chunks", "total_tokens",
+            F.to_json("metainfo").alias("metainfo"),
+            F.unix_micros("created_at").alias("created_at_us"),
+            F.unix_micros("updated_at").alias("updated_at_us"),
+        ),
         "total_chunks", "total_tokens",
     )
 
@@ -341,18 +356,29 @@ def q_documents_list(spark, sf_dir):
 @register("q_document_detail", f"""
 WITH {_DOCSTORE_CTE}
 SELECT d.doc_id, d.filename, d.lang, d.total_chunks,
-       c.chunk_index, c.text_content, c.token_count
+       d.created_at_us, d.updated_at_us,
+       c.chunk_index, c.text_content, c.token_count,
+       ({docstore.INGEST_EPOCH_S} + c.doc_id)::BIGINT * 1000000
+           AS chunk_created_at_us
 FROM documents_t d JOIN chunks_f c USING (doc_id)
 WHERE d.doc_id < 20
 """)
 def q_document_detail(spark, sf_dir):
+    """DocumentDetailResponse parity (reference api.py:37-40): doc
+    fields incl. timestamps joined to its chunks (ChunkResponse
+    carries created_at too)."""
     t = _docstore_tables(spark, sf_dir)
     df = (
         t["documents"].where(F.col("doc_id") < 20)
-        .select("doc_id", "filename", "lang", "total_chunks")
+        .select(
+            "doc_id", "filename", "lang", "total_chunks",
+            F.unix_micros("created_at").alias("created_at_us"),
+            F.unix_micros("updated_at").alias("updated_at_us"),
+        )
         .join(
             t["chunks"].select(
-                "doc_id", "chunk_index", "text_content", "token_count"
+                "doc_id", "chunk_index", "text_content", "token_count",
+                F.unix_micros("created_at").alias("chunk_created_at_us"),
             ),
             "doc_id",
         )
@@ -397,6 +423,102 @@ def q_doc_delete(spark, sf_dir):
         "doc_id", "chunk_index", "token_count"
     )
     return _long(df, "chunk_index", "token_count")
+
+
+@register("q_doc_update", f"""
+WITH {_DOCSTORE_CTE}
+SELECT doc_id, filename,
+       CASE WHEN doc_id = 7 THEN 'id' ELSE lang END AS lang,
+       CASE WHEN doc_id = 7 THEN updated_at_us + 86400000000
+            ELSE updated_at_us END AS updated_at_us,
+       created_at_us
+FROM documents_t WHERE doc_id < 20
+""")
+def q_doc_update(spark, sf_dir):
+    """BaseRepository.update parity (reference base.py:38-53):
+    update-then-read — doc 7's lang is overwritten and its updated_at
+    bumps (onupdate), every other row unchanged."""
+    t = _docstore_tables(spark, sf_dir)
+    updated = docstore.update_document_meta(t["documents"], 7, {"lang": "id"})
+    return updated.where(F.col("doc_id") < 20).select(
+        "doc_id", "filename", "lang",
+        F.unix_micros("updated_at").alias("updated_at_us"),
+        F.unix_micros("created_at").alias("created_at_us"),
+    )
+
+
+@register("q_chunk_entities", f"""
+WITH {CHUNK_CTE}, ent AS (
+    SELECT doc_id, chunk_index, 'persons' AS entity_type,
+           regexp_extract_all(text_content, '{entities.RE_PERSON}') AS terms
+    FROM chunks_f
+    UNION ALL
+    SELECT doc_id, chunk_index, 'organizations',
+           regexp_extract_all(text_content, '{entities.RE_ORG}')
+    FROM chunks_f
+    UNION ALL
+    SELECT doc_id, chunk_index, 'dates',
+           regexp_extract_all(text_content, '{entities.RE_DATE}')
+    FROM chunks_f
+    UNION ALL
+    SELECT doc_id, chunk_index, 'locations',
+           regexp_extract_all(text_content, '{entities.RE_LOC}')
+    FROM chunks_f
+    UNION ALL
+    SELECT doc_id, chunk_index, 'misc',
+           regexp_extract_all(text_content, '{entities.RE_NUMBER}')
+    FROM chunks_f
+)
+SELECT doc_id, chunk_index, entity_type,
+       coalesce(array_to_string(terms, '|'), '') AS terms,
+       len(terms) AS n_terms
+FROM ent
+""")
+def q_chunk_entities(spark, sf_dir):
+    """Reads the typed entities map<string,array<string>> stored per
+    chunk (DocumentChunk.entities parity, reference schema.py:17) —
+    the map is exploded to one row per entity type so the oracle can
+    cross-check every array."""
+    t = _docstore_tables(spark, sf_dir)
+    df = (
+        t["chunks"]
+        .select(
+            "doc_id", "chunk_index",
+            F.explode("entities").alias("entity_type", "terms_arr"),
+        )
+        .select(
+            "doc_id", "chunk_index", "entity_type",
+            F.array_join("terms_arr", "|").alias("terms"),
+            F.size("terms_arr").alias("n_terms"),
+        )
+    )
+    return _long(df, "chunk_index", "n_terms")
+
+
+@register("q_chart_info", f"""
+WITH {_CHARTS_CTE}
+SELECT doc_id, chart_type, chart_index, image_path,
+       chart_type AS info_type, chart_index AS info_index,
+       1::BIGINT AS info_level, CAST(NULL AS VARCHAR) AS info_caption,
+       ({docstore.INGEST_EPOCH_S} + doc_id)::BIGINT * 1000000
+           AS created_at_us
+FROM charts_f
+""")
+def q_chart_info(spark, sf_dir):
+    """ChartData.info parity (reference schema.py ChartData.info,
+    api.py:30-35 ChartResponse): the store's typed info struct
+    (type, index, image_path, metadata.level/caption) projected
+    flat, plus created_at."""
+    t = _docstore_tables(spark, sf_dir)
+    df = t["charts"].select(
+        "doc_id", "chart_type", "chart_index", "image_path",
+        F.col("info.type").alias("info_type"),
+        F.col("info.index").alias("info_index"),
+        F.col("info.metadata.level").alias("info_level"),
+        F.col("info.metadata.caption").alias("info_caption"),
+        F.unix_micros("created_at").alias("created_at_us"),
+    )
+    return _long(df, "chart_index", "info_index", "info_level")
 
 
 # ===================================================================

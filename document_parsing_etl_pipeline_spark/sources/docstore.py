@@ -29,6 +29,22 @@ from ..operators.entities import extract_entities
 
 N_BUCKETS = 64
 
+# Deterministic ingest clock: created_at = INGEST_EPOCH_S + doc_id
+# seconds. The reference stamps wall-clock Jakarta time
+# (schema.py get_jakarta_time, used by created_at/updated_at defaults);
+# a distributed idempotent ingest needs a *reproducible* clock, so the
+# stamp derives from the row identity instead of datetime.now() —
+# re-ingest produces the same bytes, and the DuckDB oracle can
+# recompute it. 1704067200 = 2024-01-01T00:00:00Z.
+INGEST_EPOCH_S = 1_704_067_200
+# update_document_meta bumps updated_at by one deterministic day
+# (reference onupdate=get_jakarta_time).
+UPDATE_BUMP = "INTERVAL 1 DAY"
+
+
+def _ingest_ts(id_col: str = "doc_id"):
+    return F.timestamp_seconds(F.lit(INGEST_EPOCH_S) + F.col(id_col))
+
 
 def _with_bucket(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.withColumn(
@@ -37,7 +53,17 @@ def _with_bucket(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def build_docstore(docs: DataFrame) -> dict[str, DataFrame]:
-    """Run the full parse pipeline and produce the three store tables."""
+    """Run the full parse pipeline and produce the three store tables.
+
+    Column parity with the reference schema (schema.py:11-57):
+    documents carry created_at / updated_at timestamps and a
+    ``metainfo`` map (Document.metainfo JSON); chunks carry a typed
+    ``entities`` map<string,array<string>> (DocumentChunk.entities)
+    plus ``chunk_metadata`` (token_count, as pdf_parser.py
+    _create_chunk_data builds it) and created_at; charts carry the
+    ``info`` struct (ChartData.info: type/index/image_path/metadata)
+    and created_at.
+    """
     documents = docs.select(
         "doc_id",
         F.concat(F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".txt")).alias(
@@ -46,23 +72,54 @@ def build_docstore(docs: DataFrame) -> dict[str, DataFrame]:
         "lang",
         "source",
         "n_chars",
+        F.create_map(
+            F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+        ).alias("metainfo"),
+        _ingest_ts().alias("created_at"),
+        _ingest_ts().alias("updated_at"),
     )
-    # chunk records carry their entity annotations, mirroring
-    # DocumentChunk.entities JSON (reference schema.py:17); arrays are
-    # dropped in favor of the flat count + joined-term columns.
     chunks = extract_entities(
         chunk_documents(docs), text_col="text_content"
     )
     chunks = chunks.select(
         "doc_id", "chunk_index", "text_content", "token_count",
+        # typed entity map, mirroring DocumentChunk.entities JSON keys
+        # (reference pdf_parser.py:89-107)
+        F.create_map(
+            F.lit("persons"), F.col("persons"),
+            F.lit("organizations"), F.col("organizations"),
+            F.lit("dates"), F.col("dates"),
+            F.lit("locations"), F.col("locations"),
+            F.lit("misc"), F.col("misc"),
+        ).alias("entities"),
+        F.create_map(
+            F.lit("token_count"), F.col("token_count").cast("long")
+        ).alias("chunk_metadata"),
         F.concat_ws(",", "organizations").alias("org_terms"),
         "n_persons", "n_organizations", "n_dates", "n_locations", "n_misc",
+        _ingest_ts().alias("created_at"),
     )
     stats = chunk_stats(chunks)
     documents = documents.join(stats, "doc_id", "left").fillna(
         {"total_chunks": 0, "total_tokens": 0}
     )
-    charts = chart_inventory(docs)
+    charts = chart_inventory(docs).select(
+        "doc_id", "chart_type", "chart_index", "image_path",
+        # ChartData.info parity (reference pdf_parser.py:235-239):
+        # {type, index, image_path, metadata:{level, caption}}. Layout
+        # level/caption need real PDF analysis — deterministic stubs
+        # (level 1, no caption), the plumbing and schema are real.
+        F.struct(
+            F.col("chart_type").alias("type"),
+            F.col("chart_index").alias("index"),
+            F.col("image_path").alias("image_path"),
+            F.struct(
+                F.lit(1).alias("level"),
+                F.lit(None).cast("string").alias("caption"),
+            ).alias("metadata"),
+        ).alias("info"),
+        _ingest_ts().alias("created_at"),
+    )
     return {"documents": documents, "chunks": chunks, "charts": charts}
 
 
@@ -124,12 +181,24 @@ def update_document_meta(documents: DataFrame, doc_id: int,
                          updates: dict) -> DataFrame:
     """BaseRepository.update parity (reference base.py:38-53):
     overwrite columns for one id — expressed as a declarative
-    projection (at scale this is a MERGE against the store)."""
+    projection (at scale this is a MERGE against the store).
+
+    Bumps ``updated_at`` for the touched row by a deterministic delta
+    (reference Document.updated_at has onupdate=get_jakarta_time;
+    the reproducible analog of "now")."""
     out = documents
     for col, val in updates.items():
         out = out.withColumn(
             col,
             F.when(F.col("doc_id") == doc_id, F.lit(val)).otherwise(F.col(col)),
+        )
+    if "updated_at" in documents.columns:
+        out = out.withColumn(
+            "updated_at",
+            F.when(
+                F.col("doc_id") == doc_id,
+                F.col("updated_at") + F.expr(UPDATE_BUMP),
+            ).otherwise(F.col("updated_at")),
         )
     return out
 

@@ -41,9 +41,33 @@ def test_update_metadata(tables):
     updated = docstore.update_document_meta(
         tables["documents"], 3, {"lang": "xx"}
     )
-    langs = {r.doc_id: r.lang for r in updated.where(F.col("doc_id") < 5).collect()}
-    assert langs[3] == "xx"
-    assert langs[2] != "xx"
+    rows = {r.doc_id: r for r in updated.where(F.col("doc_id") < 5).collect()}
+    assert rows[3].lang == "xx"
+    assert rows[2].lang != "xx"
+    # onupdate parity: the touched row's updated_at bumps, others don't
+    assert (rows[3].updated_at - rows[3].created_at).days == 1
+    assert rows[2].updated_at == rows[2].created_at
+
+
+def test_reference_schema_parity_columns(tables):
+    """Document.metainfo/created_at/updated_at, DocumentChunk.entities
+    (typed map) + chunk_metadata, ChartData.info (reference
+    schema.py:11-57) all surface in the store."""
+    doc = tables["documents"].where(F.col("doc_id") == 7).collect()[0]
+    assert doc.metainfo == {"lang": doc.lang, "source": doc.source}
+    assert doc.created_at == doc.updated_at
+    chunk = tables["chunks"].where(
+        (F.col("doc_id") == 7) & (F.col("chunk_index") == 0)
+    ).collect()[0]
+    assert set(chunk.entities.keys()) == {
+        "persons", "organizations", "dates", "locations", "misc"
+    }
+    assert all(isinstance(v, list) for v in chunk.entities.values())
+    assert chunk.chunk_metadata == {"token_count": chunk.token_count}
+    chart = tables["charts"].limit(1).collect()[0]
+    assert chart.info.type == chart.chart_type
+    assert chart.info["index"] == chart.chart_index  # .index is Row method
+    assert chart.info.metadata.level == 1 and chart.info.metadata.caption is None
 
 
 def test_cascade_delete(tables):
@@ -109,10 +133,19 @@ def test_bucketed_tables_join_without_shuffle(spark, tables):
 
 
 def test_upsert_merge_semantics(spark, tables):
+    from datetime import datetime, timezone
+
+    def ts(doc_id):
+        return datetime.fromtimestamp(
+            docstore.INGEST_EPOCH_S + doc_id, tz=timezone.utc
+        )
+
     docs = tables["documents"].where(F.col("doc_id") < 10)
     updates = spark.createDataFrame(
-        [(3, "doc_3_v2.txt", "fr", "src3", 999, 1, 10, 10),
-         (100, "doc_100.txt", "en", "new", 5, 1, 2, 2)],
+        [(3, "doc_3_v2.txt", "fr", "src3", 999,
+          {"lang": "fr", "source": "src3"}, ts(3), ts(3), 1, 10, 10),
+         (100, "doc_100.txt", "en", "new", 5,
+          {"lang": "en", "source": "new"}, ts(100), ts(100), 1, 2, 2)],
         docs.schema,
     )
     merged = docstore.upsert_documents(docs, updates)
