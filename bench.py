@@ -89,13 +89,34 @@ def main():
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+
+    # regression guard: compare per-query against the checked-in
+    # previous-round numbers (BASELINE_BENCH.json); a query >1.5x its
+    # baseline is flagged (and fails the run with
+    # SPARK_GRAFT_BENCH_STRICT=1 — informational otherwise, since
+    # per-query seconds at this SF carry noise).
+    base_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_BENCH.json"
+    )
+    if os.path.exists(base_path) and str(out["sf"]) == "0.1":
+        base = json.load(open(base_path))["queries"]
+        regressions = {
+            n: {"now": t, "baseline": base[n], "ratio": round(t / base[n], 2)}
+            for n, t in timings.items()
+            if n in base and base[n] > 0.2 and t > 1.5 * base[n]
+        }
+        if regressions:
+            out["regressions"] = regressions
+    print(json.dumps(out))
+    if out.get("regressions") and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
+        sys.exit(1)
 
 
 if __name__ == "__main__":
