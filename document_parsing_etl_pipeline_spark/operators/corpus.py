@@ -71,6 +71,74 @@ def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def contamination_check(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 8,
+    bench_mod: int = 97,
+) -> DataFrame:
+    """Benchmark-contamination scan: flag training docs sharing any
+    ``shingle_n``-token shingle with the held-out benchmark set
+    (docs with doc_id % bench_mod == 0 — stand-in for a real eval
+    corpus). The standard n-gram-overlap decontamination pass for
+    LLM training data.
+
+    Shape: shingle hashes explode per doc (cheap slice+concat,
+    codegen'd), benchmark hashes deduplicate (small side), and the
+    check is a hash join on the shingle hash — at 100 TB the bench
+    side is broadcastable (eval corpora are tiny) and the big side
+    never shuffles.
+    """
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+    pos = (
+        docs.select("doc_id", words.alias("words"))
+        .where(F.size("words") >= shingle_n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("words") - F.lit(shingle_n - 1))
+            ).alias("i"),
+            "words",
+        )
+    )
+    shingles = pos.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice("words", F.col("i"), shingle_n)))
+            .alias("h"),
+    )
+    bench = (
+        shingles.where(F.col("doc_id") % bench_mod == 0)
+        .select("h").distinct()
+    )
+    return (
+        shingles.where(F.col("doc_id") % bench_mod != 0)
+        .join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_shared_shingles"))
+    )
+
+
+def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension distribution stats over the embedding column
+    (feature-drift / normalization diagnostics before training).
+
+    posexplode → one groupBy on the dimension index: 64 groups, all
+    map-side partial — scan-bound at any corpus size.
+    """
+    exploded = embeddings.select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cnt = F.count("*")
+    return exploded.groupBy("dim").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double") / cnt, 4
+        ).alias("mean_v"),
+        F.round(F.min("v"), 4).alias("min_v"),
+        F.round(F.max("v"), 4).alias("max_v"),
+        cnt.alias("n_vecs"),
+    )
+
+
 def assign_nearest_centroid(
     embeddings: DataFrame, num_centroids: int = 8, id_col: str = "vec_id"
 ) -> DataFrame:

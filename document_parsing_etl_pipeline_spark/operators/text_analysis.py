@@ -150,6 +150,57 @@ def top_bigrams(docs: DataFrame, text_col: str = "text",
     )
 
 
+def top_ngrams(docs: DataFrame, text_col: str = "text", n: int = 3,
+               top_k: int = 20) -> DataFrame:
+    """Corpus-wide top-k word n-grams (the language-model count table
+    builder). Same shape as top_bigrams: position explode → one
+    slice+concat per n-gram, codegen'd, map-side partial agg."""
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+    base = (
+        docs.select("doc_id", words.alias("words"))
+        .where(F.size("words") >= n)
+        .select(
+            "words",
+            F.explode(
+                F.sequence(F.lit(1), F.size("words") - F.lit(n - 1))
+            ).alias("i"),
+        )
+    )
+    ngram = F.concat_ws(" ", F.slice("words", F.col("i"), n))
+    return (
+        base.select(ngram.alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("occurrences"))
+        .orderBy(F.col("occurrences").desc(), "ngram")
+        .limit(top_k)
+    )
+
+
+def repetition_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Top-token-fraction repetition signal: max term frequency over
+    total tokens per doc — the cheap boilerplate/spam detector in
+    LLM quality filtering (high ratio = one token dominates).
+
+    Two aggregations, both with map-side combine; the per-doc shuffle
+    key is doc_id (already the natural partitioning)."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+        ).alias("t"),
+    )
+    tf = toks.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    agg = tf.groupBy("doc_id").agg(
+        F.max("c").alias("max_tf"), F.sum("c").alias("n_tokens")
+    )
+    ratio = F.col("max_tf") / F.col("n_tokens")
+    return agg.select(
+        "doc_id", "max_tf", "n_tokens",
+        F.round(ratio, 4).alias("top_token_ratio"),
+        (ratio > 0.2).alias("is_repetitive"),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", n: int = 4) -> DataFrame:
     """Winnowing-style document fingerprint: min md5 over word n-gram
     shingles (Schleimer et al. 2003 'winnowing' simplified to a global

@@ -1833,3 +1833,534 @@ def q_mm_image_pipeline(spark, sf_dir):
         F.lit("image/png").alias("content_type"),
     )
     return decode_images(blobs).drop("feature")
+
+
+# ===================================================================
+# §2.C extensions (round 2) — deeper analytics coverage
+# ===================================================================
+
+@register("q7_nation_volume", """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       round(sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6))::DOUBLE, 2)
+           AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+""")
+def q7(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between a nation pair
+    by ship year. Both nation dims prune to 2 rows and broadcast;
+    the pair disjunction filters after the key joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    pair = nation.where(F.col("n_name").isin("NATION_1", "NATION_2"))
+    n1 = pair.select(F.col("n_nationkey").alias("sn_key"),
+                     F.col("n_name").alias("supp_nation"))
+    n2 = pair.select(F.col("n_nationkey").alias("cn_key"),
+                     F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year(F.col("l_shipdate").cast("timestamp")).cast("long")
+                .alias("l_year"),
+        )
+        .agg(
+            _money(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("revenue")
+        )
+    )
+
+
+@register("q8_market_share", """
+WITH all_sales AS (
+    SELECT year(o.o_orderdate) AS o_year,
+           (l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6) AS volume,
+           n2.n_name AS supp_nation
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+    JOIN region r ON n1.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+    WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+)
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                      ELSE 0 END)::DOUBLE
+             / sum(volume)::DOUBLE, 4) AS mkt_share
+FROM all_sales GROUP BY o_year
+""")
+def q8(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of a region's ECONOMY-part
+    revenue per order year. Filtered part prunes the lineitem scan
+    early; nation/region broadcast; customer/supplier go to AQE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    cust_nat = (
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == "AMERICA")),
+            nation.n_regionkey == region.r_regionkey,
+        ).select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp_nat = nation.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    vol = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    nation3 = F.when(
+        F.col("supp_nation") == "NATION_3", vol
+    ).otherwise(F.lit(0).cast("decimal(18,6)"))
+    return (
+        li.join(part.where(F.col("p_type") == "ECONOMY"),
+                li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("cn_key"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(supp_nat), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(
+            F.year(F.col("o_orderdate").cast("timestamp")).cast("long")
+                .alias("o_year")
+        )
+        .agg(
+            F.round(
+                F.sum(nation3).cast("double") / F.sum(vol).cast("double"), 4
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register("q9_profit_by_nation_year", """
+SELECT n.n_name AS nation, year(l.l_shipdate) AS l_year,
+       round(sum((l.l_extendedprice * (1 - l.l_discount)
+                  - 0.1 * p.p_retailprice * l.l_quantity)::DECIMAL(18,6))::DOUBLE, 2)
+           AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_type = 'STANDARD'
+GROUP BY nation, l_year
+""")
+def q9(spark, sf_dir):
+    """TPC-H Q9 shape (no partsupp table in this corpus: supply cost
+    modeled as 10% of retail price — identical per-row double math on
+    both engines). Profit by supplier nation x ship year."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(part.where(F.col("p_type") == "STANDARD"),
+                li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("l_shipdate").cast("timestamp")).cast("long")
+                .alias("l_year"),
+        )
+        .agg(_money(profit).alias("sum_profit"))
+    )
+
+
+@register("q12_priority_by_linestatus", """
+SELECT l.l_linestatus,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l.l_linestatus
+""")
+def q12(spark, sf_dir):
+    """TPC-H Q12 shape (no shipmode column: linestatus plays the
+    grouping role). Conditional counts — one shuffle, map-side
+    partial."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register("q13_order_count_distribution", """
+WITH c_orders AS (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM c_orders GROUP BY c_count
+""")
+def q13(spark, sf_dir):
+    """TPC-H Q13: order-count-per-customer histogram (left join keeps
+    zero-order customers; two shuffles, second one tiny)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    c_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register("q15_top_supplier", """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))
+               AS total_exact
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       round(r.total_exact::DOUBLE, 2) AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_exact = (SELECT max(total_exact) FROM revenue)
+""")
+def q15(spark, sf_dir):
+    """TPC-H Q15: top supplier by quarterly revenue. The max is a
+    1-row agg broadcast back (no global sort, no single-partition
+    window); ties kept exactly as the oracle does. Exact decimal
+    revenue makes the max comparison engine-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("total_exact")
+        )
+    )
+    top = revenue.agg(F.max("total_exact").alias("max_exact"))
+    return (
+        revenue.join(
+            F.broadcast(top), F.col("total_exact") == F.col("max_exact")
+        )
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            F.round(F.col("total_exact").cast("double"), 2)
+                .alias("total_revenue"),
+        )
+    )
+
+
+@register("q17_small_quantity_revenue", """
+WITH part_qty AS (
+    SELECT l_partkey,
+           sum(l_quantity::DECIMAL(18,6)) AS sum_qty,
+           count(*) AS n_lines
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(l.l_extendedprice::DECIMAL(18,6))::DOUBLE / 7.0, 2)
+           AS avg_yearly,
+       count(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN part_qty q ON q.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity * 5 * q.n_lines < q.sum_qty::DOUBLE
+""")
+def q17(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from below-20%-of-average-quantity
+    orders. The correlated avg is re-expressed as an exact decimal
+    sum + count joined back (qty*5*n < sum ⇔ qty < 0.2*avg, with no
+    cross-engine float-average drift); the per-part agg shuffles on
+    the same key as the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    part_qty = li.groupBy(F.col("l_partkey").alias("pq_key")).agg(
+        F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"),
+        F.count("*").alias("n_lines"),
+    )
+    return (
+        li.join(F.broadcast(part.where(F.col("p_brand") == "Brand#1")),
+                li.l_partkey == part.p_partkey)
+        .join(part_qty, li.l_partkey == F.col("pq_key"))
+        .where(
+            F.col("l_quantity") * 5 * F.col("n_lines")
+            < F.col("sum_qty").cast("double")
+        )
+        .agg(
+            F.round(
+                F.sum(_dec(F.col("l_extendedprice"))).cast("double")
+                / F.lit(7.0),
+                2,
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register("q19_brand_size_revenue", """
+SELECT round(sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6))::DOUBLE, 2)
+           AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 40)
+""")
+def q19(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive brand/size/quantity predicates.
+    The part-side disjuncts reduce part before the join; the residual
+    quantity conditions apply after."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & qty.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & qty.between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & qty.between(20, 40))
+    )
+    part_side = part.where(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    return (
+        li.join(F.broadcast(part_side), li.l_partkey == part_side.p_partkey)
+        .where(cond)
+        .agg(
+            _money(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register("q22_idle_customers", """
+WITH avg_bal AS (
+    SELECT (sum(c_acctbal::DECIMAL(18,6)) / count(*))::DOUBLE AS ab
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT n.n_name, count(*) AS numcust,
+       round(sum(c.c_acctbal::DECIMAL(18,6))::DOUBLE, 2) AS totacctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey, avg_bal
+WHERE c.c_acctbal > avg_bal.ab
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n.n_name
+""")
+def q22(spark, sf_dir):
+    """TPC-H Q22 shape: high-balance customers with no *recent*
+    orders, by nation. Global average = 1-row exact-decimal agg
+    broadcast in; the no-orders test is a left_anti join (never a
+    correlated per-row subquery)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(_dec(F.col("c_acctbal"))) / F.count("*"))
+            .cast("double").alias("ab")
+        )
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            _money(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+@register("q_events_json_props", """
+SELECT (CAST(props->>'$.k' AS BIGINT) // 10) AS k_bucket,
+       count(*) AS n_events,
+       round(sum(value::DECIMAL(18,6))::DOUBLE, 2) AS sum_value
+FROM events
+GROUP BY k_bucket
+""")
+def q_events_json_props(spark, sf_dir):
+    """Semi-structured extraction: JSON props column → typed field →
+    rollup (get_json_object is JVM-side; at scale prefer
+    from_json with an explicit schema, same plan shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select((F.floor(k / 10)).cast("long").alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            _money(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+# ===================================================================
+# §2.F extensions (round 2) — LLM training-data operators
+# ===================================================================
+
+@register("q_train_split", """
+SELECT CASE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 10
+           WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END AS split,
+       count(*) AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM documents
+GROUP BY split
+""")
+def q_train_split(spark, sf_dir):
+    """Deterministic train/val/test split (80/10/10 by content-stable
+    hash — reproducible across engines and re-runs, the requirement
+    rand() sampling can't meet) with per-split size accounting."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int"),
+        F.lit(10),
+    )
+    split = (
+        F.when(bucket == 0, "test").when(bucket == 1, "val").otherwise("train")
+    )
+    return (
+        docs.groupBy(split.alias("split"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register("q_repetition_ratio", """
+WITH tok AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS t
+    FROM documents
+), tf AS (
+    SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
+)
+SELECT doc_id, max(c)::BIGINT AS max_tf, sum(c)::BIGINT AS n_tokens,
+       round(max(c) / sum(c), 4) AS top_token_ratio,
+       (max(c) / sum(c)) > 0.2 AS is_repetitive
+FROM tf GROUP BY doc_id
+""")
+def q_repetition_ratio(spark, sf_dir):
+    df = ta.repetition_ratio(load_table(spark, sf_dir, "documents"))
+    return _long(df, "max_tf", "n_tokens")
+
+
+@register("q_trigram_topk", """
+WITH words_t AS (
+    SELECT regexp_extract_all(lower(text), '\\S+') AS words FROM documents
+    WHERE len(regexp_extract_all(lower(text), '\\S+')) >= 3
+), pos AS (
+    SELECT words, unnest(generate_series(1, len(words) - 2)) AS i FROM words_t
+), tg AS (
+    SELECT array_to_string(words[i : i+2], ' ') AS ngram FROM pos
+)
+SELECT ngram, count(*) AS occurrences FROM tg
+GROUP BY ngram ORDER BY occurrences DESC, ngram LIMIT 20
+""")
+def q_trigram_topk(spark, sf_dir):
+    return ta.top_ngrams(load_table(spark, sf_dir, "documents"), n=3)
+
+
+_CONTAM_N, _CONTAM_MOD = 5, 25
+
+
+@register("q_contamination", f"""
+WITH words_t AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS words
+    FROM documents
+    WHERE len(regexp_extract_all(lower(text), '\\S+')) >= {_CONTAM_N}
+), pos AS (
+    SELECT doc_id, words,
+           unnest(generate_series(1, len(words) - {_CONTAM_N - 1})) AS i
+    FROM words_t
+), sh AS (
+    SELECT doc_id, md5(array_to_string(words[i : i+{_CONTAM_N - 1}], ' ')) AS h
+    FROM pos
+), bench AS (
+    SELECT DISTINCT h FROM sh WHERE doc_id % {_CONTAM_MOD} = 0
+)
+SELECT s.doc_id, count(DISTINCT s.h)::BIGINT AS n_shared_shingles
+FROM sh s JOIN bench b ON s.h = b.h
+WHERE s.doc_id % {_CONTAM_MOD} <> 0
+GROUP BY s.doc_id
+""")
+def q_contamination(spark, sf_dir):
+    df = corpus.contamination_check(
+        load_table(spark, sf_dir, "documents"),
+        shingle_n=_CONTAM_N, bench_mod=_CONTAM_MOD,
+    )
+    return _long(df, "n_shared_shingles")
+
+
+@register("q_embedding_dim_stats", """
+WITH e AS (
+    SELECT vec_id, embedding,
+           unnest(generate_series(1, len(embedding))) AS i
+    FROM embeddings
+)
+SELECT (i - 1)::BIGINT AS dim,
+       round(sum(embedding[i]::DOUBLE::DECIMAL(18,6))::DOUBLE / count(*), 4)
+           AS mean_v,
+       round(min(embedding[i]::DOUBLE), 4) AS min_v,
+       round(max(embedding[i]::DOUBLE), 4) AS max_v,
+       count(*) AS n_vecs
+FROM e GROUP BY dim
+""")
+def q_embedding_dim_stats(spark, sf_dir):
+    df = corpus.embedding_dim_stats(load_table(spark, sf_dir, "embeddings"))
+    return _long(df, "dim")
