@@ -2122,7 +2122,9 @@ def q17(spark, sf_dir):
         F.count("*").alias("n_lines"),
     )
     return (
-        li.join(F.broadcast(part.where(F.col("p_brand") == "Brand#1")),
+        # brand-filtered part is still a fixed fraction of an
+        # SF-scaling table — no hint, AQE decides
+        li.join(part.where(F.col("p_brand") == "Brand#1"),
                 li.l_partkey == part.p_partkey)
         .join(part_qty, li.l_partkey == F.col("pq_key"))
         .where(
@@ -2171,7 +2173,7 @@ def q19(spark, sf_dir):
         F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
     )
     return (
-        li.join(F.broadcast(part_side), li.l_partkey == part_side.p_partkey)
+        li.join(part_side, li.l_partkey == part_side.p_partkey)
         .where(cond)
         .agg(
             _money(F.col("l_extendedprice") * (1 - F.col("l_discount")))

@@ -14,6 +14,9 @@ PICKS = {
     "dedup_minhash_lsh": "explode->codegen md5->partial min; bucket cap before pairing",
     "knn_all_topk": "block matmul mapInPandas + global top-k window",
     "q_documents_list": "doc_id range pushed through explode+agg to both scans",
+    "q8_market_share": "p_type filter pushed to part scan; hints only on nation dims, AQE on the rest",
+    "q17_small_quantity_revenue": "correlated avg as exact sum+count join; inequality pushed into join condition",
+    "knn_brute_cosine": "Arrow-batched cosine kernel (ArrowEvalPython), broadcast query side",
 }
 
 

@@ -65,6 +65,26 @@ def test_fact_queries_have_no_scaling_broadcast_hints(spark):
         assert _analyzed(df).count("ResolvedHint") == n, name
 
 
+def test_new_analytics_push_filters_and_hint_only_dims(spark):
+    # q8/q9: the part-type filter must reach the parquet scan, and
+    # broadcast hints appear only on nation-derived dims (customer/
+    # supplier/part go to AQE).
+    df8 = QUERIES["q8_market_share"](spark, SF_DIR)
+    assert "EqualTo(p_type,ECONOMY)" in _executed(df8)
+    assert _analyzed(df8).count("ResolvedHint") == 3  # region, cust/supp nat
+    df9 = QUERIES["q9_profit_by_nation_year"](spark, SF_DIR)
+    assert "EqualTo(p_type,STANDARD)" in _executed(df9)
+    assert _analyzed(df9).count("ResolvedHint") == 1  # nation
+    for name in ("q17_small_quantity_revenue", "q19_brand_size_revenue"):
+        assert _analyzed(QUERIES[name](spark, SF_DIR)).count("ResolvedHint") == 0
+
+
+def test_q22_uses_anti_join_not_subquery(spark):
+    plan = _executed(QUERIES["q22_idle_customers"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # pushed date filter
+
+
 def test_chunker_is_pure_jvm(spark):
     # no BatchEvalPython / ArrowEvalPython in the chunk+NER pipeline
     df = QUERIES["ner_entities"](spark, SF_DIR)
