@@ -59,3 +59,30 @@ def test_binary_ingest_deterministic(tmp_path, spark):
     two = files.extract_text(
         files.read_binary_documents(spark, str(tmp_path))).collect()[0]
     assert one.text == two.text and one.n_pages == two.n_pages
+
+
+def test_contamination_finds_shared_shingles(spark):
+    # doc 0 is "benchmark" (0 % 5 == 0); doc 1 copies its text, doc 2
+    # is clean — only doc 1 flags.
+    shared = "w1 w2 w3 w4 w5 w6"
+    docs = spark.createDataFrame(
+        [(0, shared), (1, shared + " extra"), (2, "x1 x2 x3 x4 x5 x6")],
+        "doc_id long, text string",
+    )
+    rows = corpus.contamination_check(
+        docs, shingle_n=5, bench_mod=5
+    ).collect()
+    assert [r.doc_id for r in rows] == [1]
+    assert rows[0].n_shared_shingles == 2  # both 5-shingles of doc 0
+
+
+def test_embedding_dim_stats_shape(spark):
+    from pyspark.sql import Row
+    emb = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0, -2.0]),
+         Row(vec_id=1, embedding=[3.0, 4.0])]
+    )
+    rows = {r.dim: r for r in corpus.embedding_dim_stats(emb).collect()}
+    assert rows[0].mean_v == 2.0 and rows[0].min_v == 1.0
+    assert rows[1].mean_v == 1.0 and rows[1].max_v == 4.0
+    assert all(r.n_vecs == 2 for r in rows.values())

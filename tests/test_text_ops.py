@@ -83,3 +83,17 @@ def test_top_bigrams(spark):
     df = _docs(spark, "big data big data small", "big data")
     rows = ta.top_bigrams(df, top_k=2).collect()
     assert rows[0].bigram == "big data" and rows[0].occurrences == 3
+
+
+def test_top_ngrams_trigram(spark):
+    df = _docs(spark, "a b c a b c", "a b c")
+    rows = ta.top_ngrams(df, n=3, top_k=3).collect()
+    assert rows[0].ngram == "a b c" and rows[0].occurrences == 3
+
+
+def test_repetition_ratio_flags_dominant_token(spark):
+    df = _docs(spark, "spam spam spam spam ok", "a b c d e")
+    rows = {r.doc_id: r for r in ta.repetition_ratio(df).collect()}
+    assert rows[0].max_tf == 4 and rows[0].n_tokens == 5
+    assert rows[0].is_repetitive is True
+    assert rows[1].top_token_ratio == 0.2 and rows[1].is_repetitive is False
