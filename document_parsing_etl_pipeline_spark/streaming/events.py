@@ -50,6 +50,30 @@ def windowed_counts(events: DataFrame, window: str = "5 minutes",
     )
 
 
+def enrich_with_dim(events: DataFrame, dim: DataFrame,
+                    key: str = "user_id") -> DataFrame:
+    """Stream-static join: enrich the event stream with a static
+    dimension (user/customer attributes). The static side is planned
+    per micro-batch — broadcast when small, and at scale the standard
+    pattern is a pre-bucketed dim so each batch joins without a
+    shuffle of the stream side."""
+    return events.join(F.broadcast(dim), key, "left")
+
+
+def streaming_quality_gate(events: DataFrame,
+                           min_value: float = 0.0) -> DataFrame:
+    """Route a stream into accepted/rejected with a reason column —
+    the streaming analog of the ingest-reject quarantine; downstream
+    writers fan out with .where() on `gate` (one source, two sinks).
+    """
+    return events.withColumn(
+        "gate",
+        F.when(F.col("value").isNull(), "reject:null_value")
+         .when(F.col("value") < min_value, "reject:below_min")
+         .otherwise("accept"),
+    )
+
+
 def sessionize(events: DataFrame, gap: str = "30 minutes",
                watermark: str = "10 minutes") -> DataFrame:
     """Gap-based session windows via the built-in session_window —

@@ -96,3 +96,48 @@ def test_full_pipeline_writes_three_tables_and_rejects(tmp_path, spark):
     assert chunks.where(chunks.doc_id == 5).count() == chunks.count()
     rejects = spark.read.parquet(str(tmp_path / "store" / "rejects"))
     assert rejects.count() >= 1  # malformed rows quarantined, not fatal
+
+
+def test_stream_static_enrichment_join(tmp_path, spark):
+    drop = tmp_path / "enr"
+    drop.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:01:00", "user_id": 1,
+         "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T00:02:00", "user_id": 9,
+         "event_type": "view", "value": 2.0},
+    ]
+    (drop / "e.json").write_text("\n".join(json.dumps(r) for r in rows))
+    dim = spark.createDataFrame(
+        [(1, "gold")], "user_id long, tier string"
+    )
+    stream = ev.read_event_stream(spark, str(drop))
+    q = (ev.enrich_with_dim(stream, dim).writeStream.format("memory")
+         .queryName("enriched").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.event_id: r.tier
+           for r in spark.sql("SELECT * FROM enriched").collect()}
+    assert got[1] == "gold"
+    assert got[2] is None  # left join keeps unmatched stream rows
+
+
+def test_streaming_quality_gate_routes(tmp_path, spark):
+    drop = tmp_path / "gate"
+    drop.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:01:00", "user_id": 1,
+         "event_type": "click", "value": 5.0},
+        {"event_id": 2, "ts": "2024-01-01T00:02:00", "user_id": 1,
+         "event_type": "click", "value": -1.0},
+        {"event_id": 3, "ts": "2024-01-01T00:03:00", "user_id": 1,
+         "event_type": "click", "value": None},
+    ]
+    (drop / "e.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = ev.read_event_stream(spark, str(drop))
+    q = (ev.streaming_quality_gate(stream).writeStream.format("memory")
+         .queryName("gated").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.event_id: r.gate for r in spark.sql("SELECT * FROM gated").collect()}
+    assert got == {1: "accept", 2: "reject:below_min", 3: "reject:null_value"}
