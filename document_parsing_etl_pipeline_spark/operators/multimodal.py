@@ -108,6 +108,43 @@ def sample_video_frames(blobs: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+def _fake_audio_decode(content: bytes) -> tuple[int, int, float]:
+    """STUB: deterministic fake audio header parse (no soundfile/
+    librosa here): derives (sample_rate, n_samples, duration_s) from
+    the bytes. Replace with soundfile.read in a real deployment."""
+    if not content:
+        return (0, 0, 0.0)
+    rate = 16000 if content[0] % 2 == 0 else 44100
+    n_samples = len(content) * 4
+    return (rate, n_samples, round(n_samples / rate, 4))
+
+
+def extract_audio_features(blobs: DataFrame, dim: int = 8) -> DataFrame:
+    """audio blobs → typed metadata (sample rate / duration) + a
+    fixed-dim feature vector (mel-spectrogram stand-in: the byte
+    histogram stub). Same Arrow-batched shape as the image path —
+    audio stays an opaque binary column until this operator."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf["content"].map(_fake_audio_decode)
+            yield pd.DataFrame({
+                "audio_path": pdf["image_path"],
+                "sample_rate": meta.map(lambda m: m[0]).astype("int32"),
+                "n_samples": meta.map(lambda m: m[1]).astype("int64"),
+                "duration_s": meta.map(lambda m: m[2]).astype("float64"),
+                "feature": pdf["content"].map(
+                    lambda c: _fake_feature(c, dim)
+                ),
+            })
+
+    return blobs.mapInPandas(
+        _decode,
+        schema=("audio_path string, sample_rate int, n_samples bigint, "
+                "duration_s double, feature array<float>"),
+    )
+
+
 def decode_images(blobs: DataFrame) -> DataFrame:
     """binary blobs → typed media metadata + feature vector.
 

@@ -51,3 +51,18 @@ def test_docstore_chunks_carry_entities(spark):
     assert chunks[0].org_terms == "customer"
     assert chunks[0].n_locations == 1
     assert chunks[0].n_dates == 1
+
+
+def test_audio_feature_extraction(spark):
+    from document_parsing_etl_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+    rows = extract_audio_features(
+        _blobs(spark, b"\x00" + bytes(1023)), dim=8
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.sample_rate == 16000  # even first byte
+    assert r.n_samples == 4096
+    assert r.duration_s == round(4096 / 16000, 4)
+    assert len(r.feature) == 8 and abs(sum(r.feature) - 1.0) < 1e-6
