@@ -139,6 +139,73 @@ def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 8,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Iterative Lloyd's k-means over the embedding column →
+    (vec_id, centroid_id, cosine). Deterministic seeding (first k
+    vectors), cosine assignment, element-wise mean update.
+
+    Each round is: broadcast the k centroids → assignment join (the
+    assign_nearest_centroid shape) → per-cluster element-wise mean via
+    posexplode + groupBy(cluster, dim) — two shuffles per round, both
+    on tiny keys; the full vector set is never collected. Centroid
+    lineage is truncated per round (localCheckpoint) like
+    connected_components. Non-SQL-expressible (iterative) — covered by
+    pytest, not an oracle query.
+    """
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col("embedding").alias("ev")
+    )
+    cents = vecs.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"), F.col("ev").alias("cv")
+    )
+    from .similarity import cosine_sim
+
+    assigned = None
+    for _ in range(max_iter):
+        scored = vecs.join(F.broadcast(cents)).select(
+            "vec_id", "ev", "centroid_id",
+            cosine_sim(F.col("ev"), F.col("cv")).alias("cosine"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cosine").desc(), F.col("centroid_id")
+        )
+        assigned = (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") == 1)
+            .drop("rnk")
+        )
+        # element-wise mean per cluster: posexplode → (cluster, dim)
+        # groups (k × dim keys — map-side partial, no vector collect)
+        dims = assigned.select(
+            "centroid_id", F.posexplode("ev").alias("dim", "v")
+        )
+        new_cents = (
+            dims.groupBy("centroid_id", "dim")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "m"))
+                ).alias("pairs")
+            )
+            .select(
+                "centroid_id",
+                F.transform(
+                    F.col("pairs"), lambda p: p["m"].cast("float")
+                ).alias("cv"),
+            )
+        )
+        cents = new_cents.localCheckpoint()
+    return assigned.select(
+        "vec_id", "centroid_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
 def assign_nearest_centroid(
     embeddings: DataFrame, num_centroids: int = 8, id_col: str = "vec_id"
 ) -> DataFrame:

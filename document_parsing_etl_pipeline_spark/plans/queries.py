@@ -2366,3 +2366,59 @@ FROM e GROUP BY dim
 def q_embedding_dim_stats(spark, sf_dir):
     df = corpus.embedding_dim_stats(load_table(spark, sf_dir, "embeddings"))
     return _long(df, "dim")
+
+
+@register("q_corpus_curation", """
+WITH w AS (
+    SELECT doc_id, lang,
+           regexp_extract_all(text, '\\S+') AS words,
+           regexp_extract_all(lower(text), '\\S+') AS lwords
+    FROM documents
+), tf AS (
+    SELECT doc_id, t, count(*) AS c
+    FROM (SELECT doc_id, unnest(lwords) AS t FROM w) GROUP BY doc_id, t
+), rep AS (
+    SELECT doc_id, max(c) / sum(c) AS top_ratio FROM tf GROUP BY doc_id
+), scored AS (
+    SELECT w.doc_id, w.lang, len(w.words) AS wc,
+           round(len(list_distinct(w.words))
+                 / greatest(len(w.words), 1), 4) AS unique_ratio,
+           round(r.top_ratio, 4) AS top_ratio
+    FROM w JOIN rep r USING (doc_id)
+), gated AS (
+    SELECT lang,
+           (unique_ratio >= 0.40 AND top_ratio <= 0.12 AND wc >= 25)
+               AS kept,
+           wc
+    FROM scored
+)
+SELECT lang, kept, count(*) AS n_docs,
+       sum(wc)::BIGINT AS total_words
+FROM gated GROUP BY lang, kept
+""")
+def q_corpus_curation(spark, sf_dir):
+    """The end-to-end curation gate a pre-training pipeline runs:
+    lexical-diversity + repetition + length thresholds composed into
+    a keep/drop decision, rolled up per language. Composes
+    quality_score + repetition_ratio on one scan each, joined on
+    doc_id (both sides already partial-aggregated)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = ta.quality_score(docs).select("doc_id", "word_count", "unique_ratio")
+    rep = ta.repetition_ratio(docs).select(
+        "doc_id", F.col("top_token_ratio").alias("top_ratio")
+    )
+    kept = (
+        (F.col("unique_ratio") >= 0.40)
+        & (F.col("top_ratio") <= 0.12)
+        & (F.col("word_count") >= 25)
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(q, "doc_id")
+        .join(rep, "doc_id")
+        .groupBy("lang", kept.alias("kept"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("word_count").cast("long").alias("total_words"),
+        )
+    )

@@ -86,3 +86,20 @@ def test_embedding_dim_stats_shape(spark):
     assert rows[0].mean_v == 2.0 and rows[0].min_v == 1.0
     assert rows[1].mean_v == 1.0 and rows[1].max_v == 4.0
     assert all(r.n_vecs == 2 for r in rows.values())
+
+
+def test_kmeans_lloyd_converges_on_separated_clusters(spark):
+    from pyspark.sql import Row
+    # two tight clusters around (1,0) and (0,1)
+    pts = [[1.0, 0.05], [0.95, 0.0], [1.0, -0.05], [0.9, 0.1],
+           [0.05, 1.0], [0.0, 0.95], [-0.05, 1.0], [0.1, 0.9]]
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in enumerate(pts)]
+    )
+    out = corpus.kmeans_lloyd(emb, k=2, max_iter=3).collect()
+    by_id = {r.vec_id: r.centroid_id for r in out}
+    assert len(by_id) == 8
+    first = {by_id[i] for i in range(4)}
+    second = {by_id[i] for i in range(4, 8)}
+    assert len(first) == 1 and len(second) == 1 and first != second
+    assert all(r.cosine > 0.9 for r in out)
