@@ -57,6 +57,24 @@ BENCH_QUERIES = [
     "cluster_assign",
     "q_events_moving_avg",
     "q_docs_without_charts",
+    # round-2 additions (not in the r01 baseline; the regression guard
+    # and the comparable_total field compare only shared keys)
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q12_priority_by_linestatus",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_brand_size_revenue",
+    "q22_idle_customers",
+    "q_events_json_props",
+    "q_train_split",
+    "q_repetition_ratio",
+    "q_trigram_topk",
+    "q_contamination",
+    "q_embedding_dim_stats",
+    "q_corpus_curation",
 ]
 
 
@@ -107,6 +125,10 @@ def main():
     )
     if os.path.exists(base_path) and str(out["sf"]) == "0.1":
         base = json.load(open(base_path))["queries"]
+        # apples-to-apples total over the queries the baseline measured
+        out["comparable_total"] = round(
+            sum(t for n, t in timings.items() if n in base), 3
+        )
         regressions = {
             n: {"now": t, "baseline": base[n], "ratio": round(t / base[n], 2)}
             for n, t in timings.items()
