@@ -335,6 +335,84 @@ def embedding_near_dup(
 
 # ------------------------------------------------- dedup clustering
 
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.
+    2014, "Connected Components in MapReduce and Beyond") — the
+    extreme-scale alternative to plain min-label propagation: rounds
+    are O(log² n) instead of graph diameter, and every step is a
+    groupBy on a vertex (no join against a growing label table).
+
+    large-star: every neighbor u > v links to v's minimum neighbor
+    (incl. v); small-star: every neighbor u <= max links to the min.
+    Alternate until the edge set is stable; final edges (u → min)
+    give each vertex its component minimum.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+    for _ in range(max_iter):
+        # large-star: reduce at v over the FULL neighborhood Γ(v);
+        # m = min(Γ(v) ∪ {v}); emit (u, m) for u ∈ Γ(v), u > v.
+        sym = (
+            edges.union(
+                edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            ).distinct()
+        )
+        m = sym.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        large = (
+            sym.join(m, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star: orient each edge larger→smaller, reduce at the
+        # larger endpoint u over its smaller neighbors Γ⁻(u);
+        # m = min(Γ⁻(u)); emit (w, m) for w ∈ Γ⁻(u) ∪ {u}, w ≠ m.
+        oriented = large.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        ).distinct()
+        mm = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            oriented.join(mm, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(mm.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = (
+            small.exceptAll(edges).union(edges.exceptAll(small)).limit(1)
+            .count()
+        )
+        edges = small
+        if changed == 0:
+            break
+    verts = (
+        pairs.select(F.col(src).alias("doc_id"))
+        .union(pairs.select(F.col(dst).alias("doc_id")))
+        .distinct()
+    )
+    roots = edges.groupBy("a").agg(F.min("b").alias("component_id"))
+    return (
+        verts.join(roots, verts.doc_id == roots.a, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", F.col("doc_id")).alias("component_id"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",

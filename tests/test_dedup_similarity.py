@@ -88,3 +88,21 @@ def test_connected_components(spark):
     got = {r.doc_id: r.component_id
            for r in dedup.connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+
+
+def test_connected_components_star_matches_propagation(spark):
+    import random
+    from pyspark.sql import Row as R
+    rng = random.Random(7)
+    # random graph: 40 vertices, 35 edges → several components,
+    # including a long chain to stress the star rounds
+    edges = [(i, i + 1) for i in range(0, 10)]  # chain 0..10
+    edges += [(rng.randrange(11, 40), rng.randrange(11, 40))
+              for _ in range(25)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame([R(doc_a=a, doc_b=b) for a, b in edges])
+    prop = {r.doc_id: r.component_id
+            for r in dedup.connected_components(pairs, max_iter=50).collect()}
+    star = {r.doc_id: r.component_id
+            for r in dedup.connected_components_star(pairs).collect()}
+    assert star == prop
