@@ -2422,3 +2422,67 @@ def q_corpus_curation(spark, sf_dir):
             F.sum("word_count").cast("long").alias("total_words"),
         )
     )
+
+
+_MH_AGREE = " + ".join(
+    f"(CASE WHEN sa.mh{k} = sb.mh{k} THEN 1 ELSE 0 END)"
+    for k in range(_MH_K)
+)
+
+
+@register("q_minhash_accuracy", f"""
+WITH {_mh_sig_sql()}, {_mh_buckets_sql()}
+SELECT c.doc_a, c.doc_b,
+       round(({_MH_AGREE}) / {_MH_K}.0, 4) AS est_jaccard,
+       round(len(list_filter(ta.tokens, t -> list_contains(tb.tokens, t)))
+             / (len(ta.tokens) + len(tb.tokens)
+                - len(list_filter(ta.tokens, t -> list_contains(tb.tokens, t)))),
+             4) AS jaccard
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.doc_a
+JOIN sigs sb ON sb.doc_id = c.doc_b
+JOIN toks ta ON ta.doc_id = c.doc_a
+JOIN toks tb ON tb.doc_id = c.doc_b
+""")
+def q_minhash_accuracy(spark, sf_dir):
+    """Sketch calibration: the MinHash-estimated Jaccard (fraction of
+    agreeing signature slots) next to the exact token-set Jaccard for
+    every LSH candidate pair — the measurement that justifies running
+    the sketch instead of the exact op at 100 TB. Signatures compute
+    once and join per side (no re-tokenization on the pair rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_candidates(
+        docs, num_hashes=_MH_K, band_size=_MH_BAND, max_bucket=_MH_MAXB
+    )
+    sigs = dedup.minhash_signature(docs, num_hashes=_MH_K)
+    toks = docs.select(
+        "doc_id", dedup._norm_tokens(F.col("text")).alias("tokens")
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{k}").alias(f"a{k}") for k in range(_MH_K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{k}").alias(f"b{k}") for k in range(_MH_K)],
+    )
+    agree = sum(
+        (F.col(f"a{k}") == F.col(f"b{k}")).cast("int") for k in range(_MH_K)
+    )
+    jac = F.round(
+        F.size(F.array_intersect("ta", "tb"))
+        / F.size(F.array_union("ta", "tb")),
+        4,
+    )
+    return (
+        cands.join(sa, "doc_a").join(sb, "doc_b")
+        .join(toks.withColumnsRenamed({"doc_id": "doc_a", "tokens": "ta"}),
+              "doc_a")
+        .join(toks.withColumnsRenamed({"doc_id": "doc_b", "tokens": "tb"}),
+              "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(agree / F.lit(float(_MH_K)), 4).alias("est_jaccard"),
+            jac.alias("jaccard"),
+        )
+    )

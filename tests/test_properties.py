@@ -52,3 +52,19 @@ def test_exact_dedup_hash_matches_hashlib(spark, text):
     r = dedup_exact(df).collect()[0]
     normalized = " ".join(text.lower().split())
     assert r.content_hash == hashlib.md5(normalized.encode()).hexdigest()
+
+
+def test_approx_percentile_within_tolerance_of_exact(spark):
+    """The t-digest/approx swap the percentile query names for 100 TB:
+    approx_percentile tracks the exact interpolated percentile within
+    a few percent on the events table."""
+    from document_parsing_etl_pipeline_spark.catalog import load_table
+    from conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    import pyspark.sql.functions as F
+    row = ev.agg(
+        F.expr("percentile(value, 0.95)").alias("exact"),
+        F.expr("approx_percentile(value, 0.95, 1000)").alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) <= 0.05 * abs(row.exact) + 1e-9
