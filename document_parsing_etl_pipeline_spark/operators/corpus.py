@@ -129,12 +129,14 @@ def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
         F.posexplode("embedding").alias("dim", "v")
     ).withColumn("v", F.col("v").cast("double"))
     cnt = F.count("*")
+    # + 0.0 normalizes IEEE negative zero (round(-2e-8, 4) -> -0.0):
+    # engines format -0.0 differently, and the driver hashes strings
     return exploded.groupBy("dim").agg(
-        F.round(
+        (F.round(
             F.sum(F.col("v").cast("decimal(18,6)")).cast("double") / cnt, 4
-        ).alias("mean_v"),
-        F.round(F.min("v"), 4).alias("min_v"),
-        F.round(F.max("v"), 4).alias("max_v"),
+        ) + F.lit(0.0)).alias("mean_v"),
+        (F.round(F.min("v"), 4) + F.lit(0.0)).alias("min_v"),
+        (F.round(F.max("v"), 4) + F.lit(0.0)).alias("max_v"),
         cnt.alias("n_vecs"),
     )
 

@@ -2357,9 +2357,9 @@ WITH e AS (
 )
 SELECT (i - 1)::BIGINT AS dim,
        round(sum(embedding[i]::DOUBLE::DECIMAL(18,6))::DOUBLE / count(*), 4)
-           AS mean_v,
-       round(min(embedding[i]::DOUBLE), 4) AS min_v,
-       round(max(embedding[i]::DOUBLE), 4) AS max_v,
+           + 0.0 AS mean_v,
+       round(min(embedding[i]::DOUBLE), 4) + 0.0 AS min_v,
+       round(max(embedding[i]::DOUBLE), 4) + 0.0 AS max_v,
        count(*) AS n_vecs
 FROM e GROUP BY dim
 """)
