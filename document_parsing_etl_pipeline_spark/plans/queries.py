@@ -2486,3 +2486,100 @@ def q_minhash_accuracy(spark, sf_dir):
             jac.alias("jaccard"),
         )
     )
+
+
+@register("q_events_cumulative", """
+WITH t AS (
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+)
+SELECT event_id, user_id, ts_us,
+       round(sum(value::DECIMAL(18,6))
+                 OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING)::DOUBLE, 4)
+           AS cum_value,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS event_seq
+FROM t
+""")
+def q_events_cumulative(spark, sf_dir):
+    """Per-user running total + event sequence number (unbounded
+    window frame; exact decimal accumulation so the running sum is
+    engine-identical at every row, not just the last)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ws = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ev.select(
+        "event_id", "user_id", "ts_us",
+        F.round(F.sum(_dec(F.col("value"))).over(w).cast("double"), 4)
+            .alias("cum_value"),
+        F.row_number().over(ws).cast("long").alias("event_seq"),
+    )
+
+
+@register("q_orders_monthly_trend", """
+WITH m AS (
+    SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+           count(*) AS n_orders,
+           round(sum(o_totalprice::DECIMAL(18,6))::DOUBLE, 2) AS revenue
+    FROM orders GROUP BY month_us
+)
+SELECT month_us, n_orders, revenue,
+       round(revenue - lag(revenue, 1, 0.0)
+                 OVER (ORDER BY month_us), 2) AS mom_delta
+FROM m
+""")
+def q_orders_monthly_trend(spark, sf_dir):
+    """Monthly order trend with month-over-month revenue delta
+    (date_trunc + lag). The lag window is over the months table
+    (dozens of rows) — the single-partition window is on the
+    aggregated, not the raw, data."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.unix_micros(
+                F.date_trunc("month", F.col("o_orderdate").cast("timestamp"))
+            ).alias("month_us")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            _money(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+    w = Window.orderBy("month_us")
+    return monthly.select(
+        "month_us", "n_orders", "revenue",
+        F.round(
+            F.col("revenue") - F.lag("revenue", 1, 0.0).over(w), 2
+        ).alias("mom_delta"),
+    )
+
+
+@register("q_chunk_dedup", f"""
+WITH {CHUNK_CTE}
+SELECT md5(text_content) AS chunk_hash,
+       count(*) AS n_chunks,
+       min(doc_id) AS first_doc_id
+FROM chunks_f
+GROUP BY chunk_hash
+HAVING count(*) > 1
+""")
+def q_chunk_dedup(spark, sf_dir):
+    """Chunk-granularity exact dedup: repeated chunk text across the
+    corpus (boilerplate headers/footers in training data dedupe at
+    chunk level, not document level). Same 1-shuffle md5-groupBy
+    shape as dedup_exact."""
+    ch = chunking.chunk_documents(load_table(spark, sf_dir, "documents"))
+    return (
+        ch.groupBy(F.md5("text_content").alias("chunk_hash"))
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .where(F.col("n_chunks") > 1)
+    )
