@@ -38,12 +38,17 @@ def salted_join(
 
 def key_skew_profile(df: DataFrame, key: str, top: int = 20) -> DataFrame:
     """Per-key row counts + share of total — the diagnostic to run
-    before choosing a partitioning/salting strategy."""
-    total = df.count()
+    before choosing a partitioning/salting strategy.
+
+    Total is a 1-row agg crossJoined into the plan (no separate
+    count() job); top-k is deterministic (count desc, key asc)."""
+    total = df.agg(F.count("*").alias("_total"))
     return (
         df.groupBy(key)
         .agg(F.count("*").alias("n_rows"))
-        .withColumn("share", F.round(F.col("n_rows") / F.lit(total), 6))
-        .orderBy(F.col("n_rows").desc())
+        .crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n_rows") / F.col("_total"), 6))
+        .drop("_total")
+        .orderBy(F.col("n_rows").desc(), F.col(key))
         .limit(top)
     )

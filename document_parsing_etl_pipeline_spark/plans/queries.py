@@ -2583,3 +2583,54 @@ def q_chunk_dedup(spark, sf_dir):
         )
         .where(F.col("n_chunks") > 1)
     )
+
+
+@register("q_skew_salted_join", """
+SELECT s.s_name,
+       count(*) AS n_items,
+       round(sum(l.l_quantity::DECIMAL(18,6))::DOUBLE, 2) AS total_qty
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE s.s_suppkey < 50
+GROUP BY s.s_name
+""")
+def q_skew_salted_join(spark, sf_dir):
+    """Skew-safe join with the hot-key salting operator: the big side
+    salts into 8 sub-keys off the row hash, the small side explodes
+    once per salt — result identical to the plain join (the oracle IS
+    the plain join), but a hot supplier spreads over 8 tasks instead
+    of one straggler. operators/skew.py:15."""
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_quantity"
+    )
+    supp = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_suppkey") < 50
+    ).select("s_suppkey", "s_name")
+    joined = salted_join(li, supp, key="s_suppkey", salt=8)
+    return joined.groupBy("s_name").agg(
+        F.count("*").alias("n_items"),
+        _money(F.col("l_quantity")).alias("total_qty"),
+    )
+
+
+@register("q_key_skew_profile", """
+WITH counts AS (
+    SELECT user_id, count(*) AS n_rows,
+           (SELECT count(*) FROM events) AS total
+    FROM events GROUP BY user_id
+)
+SELECT user_id, n_rows, round(n_rows / total, 6) AS share
+FROM counts
+ORDER BY n_rows DESC, user_id
+LIMIT 20
+""")
+def q_key_skew_profile(spark, sf_dir):
+    """The pre-salting diagnostic: top-20 hottest keys with their
+    share of all rows (deterministic order: count desc, key asc)."""
+    from ..operators.skew import key_skew_profile
+
+    df = key_skew_profile(
+        load_table(spark, sf_dir, "events"), key="user_id", top=20
+    )
+    return _long(df, "n_rows")
