@@ -75,6 +75,12 @@ BENCH_QUERIES = [
     "q_contamination",
     "q_embedding_dim_stats",
     "q_corpus_curation",
+    "q_minhash_accuracy",
+    "q_chunk_dedup",
+    "q_events_cumulative",
+    "q_orders_monthly_trend",
+    "q_skew_salted_join",
+    "q_key_skew_profile",
 ]
 
 

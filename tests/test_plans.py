@@ -85,6 +85,15 @@ def test_q22_uses_anti_join_not_subquery(spark):
     assert "GreaterThanOrEqual(o_orderdate" in plan  # pushed date filter
 
 
+def test_knn_uses_arrow_cosine_kernel(spark):
+    # the similarity hot path must be the Arrow-batched pandas_udf
+    # (ArrowEvalPython), not interpreted HOFs and not row-based Python
+    plan = _executed(QUERIES["knn_brute_cosine"](spark, SF_DIR))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "zip_with" not in plan and "aggregate(" not in plan
+
+
 def test_chunker_is_pure_jvm(spark):
     # no BatchEvalPython / ArrowEvalPython in the chunk+NER pipeline
     df = QUERIES["ner_entities"](spark, SF_DIR)
