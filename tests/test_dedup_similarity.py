@@ -106,3 +106,22 @@ def test_connected_components_star_matches_propagation(spark):
     star = {r.doc_id: r.component_id
             for r in dedup.connected_components_star(pairs).collect()}
     assert star == prop
+
+
+def test_blank_and_whitespace_docs_drop_from_signatures(spark):
+    """Zero-token docs (empty/whitespace) must not pair with each
+    other: they have no signature rows (explode drops them), matching
+    the oracle-side len(tokens) > 0 filter."""
+    from pyspark.sql import Row as R
+    docs = spark.createDataFrame([
+        R(doc_id=1, text=""), R(doc_id=2, text="   \t  "),
+        R(doc_id=3, text="real words here"),
+        R(doc_id=4, text="real words here"),
+    ])
+    sh = dedup.simhash_pairs(docs, max_hamming=3)
+    pairs = {(r.doc_a, r.doc_b) for r in sh.collect()}
+    assert (1, 2) not in pairs
+    assert (3, 4) in pairs
+    mh = dedup.minhash_lsh_candidates(docs)
+    mpairs = {(r.doc_a, r.doc_b) for r in mh.collect()}
+    assert (1, 2) not in mpairs and (3, 4) in mpairs
