@@ -91,13 +91,19 @@ def minhash_lsh_candidates(
     num_hashes: int = 8,
     band_size: int = 2,
     max_bucket: int = 50,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: band_hash = md5(concat of band's minhashes); docs
     sharing any (band, band_hash) bucket become candidate pairs.
 
-    Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b. Pass a
+    precomputed ``sigs`` (minhash_signature output) to share one
+    tokenize+hash scan with downstream consumers of the signatures —
+    at 100 TB the signature scan is the dominant cost and must not
+    run twice.
     """
-    sigs = minhash_signature(docs, text_col, num_hashes)
+    if sigs is None:
+        sigs = minhash_signature(docs, text_col, num_hashes)
     n_bands = num_hashes // band_size
     bands = []
     for b in range(n_bands):

@@ -2451,10 +2451,11 @@ def q_minhash_accuracy(spark, sf_dir):
     the sketch instead of the exact op at 100 TB. Signatures compute
     once and join per side (no re-tokenization on the pair rows)."""
     docs = load_table(spark, sf_dir, "documents")
-    cands = dedup.minhash_lsh_candidates(
-        docs, num_hashes=_MH_K, band_size=_MH_BAND, max_bucket=_MH_MAXB
-    )
     sigs = dedup.minhash_signature(docs, num_hashes=_MH_K)
+    cands = dedup.minhash_lsh_candidates(
+        docs, num_hashes=_MH_K, band_size=_MH_BAND, max_bucket=_MH_MAXB,
+        sigs=sigs,
+    )
     toks = docs.select(
         "doc_id", dedup._norm_tokens(F.col("text")).alias("tokens")
     )
