@@ -81,6 +81,12 @@ BENCH_QUERIES = [
     "q_orders_monthly_trend",
     "q_skew_salted_join",
     "q_key_skew_profile",
+    "q16_part_supplier_variety",
+    "q21_sole_blame_suppliers",
+    "q_gopher_filters",
+    "q_unigram_logprob",
+    "q_embedding_quantize",
+    "q_sequence_pack",
 ]
 
 

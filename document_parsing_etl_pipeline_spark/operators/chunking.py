@@ -98,6 +98,63 @@ def chunk_documents_by_tokens(
     )
 
 
+DEFAULT_PACK_BUDGET = 48
+
+
+def sequence_pack(
+    chunks: DataFrame, budget: int = DEFAULT_PACK_BUDGET
+) -> DataFrame:
+    """Next-fit sequence packing: assemble chunks (in chunk_index
+    order, per document) into training sequences of at most ``budget``
+    tokens — the batch-assembly step before LLM pre-training, where
+    short chunks are concatenated to fill the context window.
+
+    Next-fit is inherently a sequential recurrence (each placement
+    depends on the running fill), so it cannot be a prefix-sum window —
+    this is the applyInPandas escape hatch used as designed: groups are
+    per-document, Arrow-batched, and scale out with the doc_id
+    partitioning; no group ever exceeds one document's chunk count.
+
+    Output: (doc_id, chunk_index, token_count, seq_id, seq_fill) where
+    seq_id numbers sequences within the doc and seq_fill is the running
+    token fill after placing the chunk. A chunk larger than the budget
+    gets its own sequence (fill may exceed budget — next-fit never
+    splits items). The first chunk is always placed in seq 0, and the
+    new-sequence rule is exactly `fill + tokens > budget` — mirrored
+    one-to-one by the recursive-CTE oracle.
+    """
+    import pandas as pd  # noqa: F401 — Arrow batch interface
+
+    out_schema = (
+        "doc_id long, chunk_index long, token_count long, "
+        "seq_id long, seq_fill long"
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values("chunk_index").reset_index(drop=True)
+        seq_ids, fills = [], []
+        seq, fill, first = 0, 0, True
+        for tc in pdf["token_count"]:
+            tc = int(tc)
+            if not first and fill + tc > budget:
+                seq += 1
+                fill = 0
+            fill += tc
+            first = False
+            seq_ids.append(seq)
+            fills.append(fill)
+        pdf = pdf[["doc_id", "chunk_index", "token_count"]].copy()
+        pdf["seq_id"] = seq_ids
+        pdf["seq_fill"] = fills
+        return pdf
+
+    return (
+        chunks.select("doc_id", "chunk_index", "token_count")
+        .groupBy("doc_id")
+        .applyInPandas(pack, out_schema)
+    )
+
+
 def chunk_stats(chunks: DataFrame) -> DataFrame:
     """Per-document chunk rollup (Document.total_chunks parity,
     reference src/database/schema.py:31)."""

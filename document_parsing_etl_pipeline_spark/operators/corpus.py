@@ -141,6 +141,110 @@ def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style corpus-LM quality signal: per-doc mean unigram
+    surprisal in bits (-log2 p(token) under the corpus unigram
+    distribution). High bits/token = rare or garbled text; very low =
+    repetitive boilerplate — the standard perplexity-bucket filter for
+    LLM training data, with the corpus itself as the language model.
+
+    Shape: one token explode feeds both aggregations — vocab counts
+    (Zipf-bounded: vocab grows ~O(corpus^0.5), so the surprisal table
+    stays joinable/broadcastable at 100 TB) and the total token count
+    as a 1-row crossJoin (no driver-side count() action). Surprisal is
+    computed once per DISTINCT token (vocab-sized, not corpus-sized)
+    and rounded to 6 decimals BEFORE the exact decimal per-doc sum, so
+    engine libm ulp differences in log2 cannot reach the value hash.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+        ).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").alias("n_total"))
+    surp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(-F.log2(F.col("cnt") / F.col("n_total")), 6).alias(
+            "surprisal"
+        ),
+    )
+    # The per-doc metric stays in exact integer micro-bits: an average
+    # like 4.89955 sits exactly on a 4-decimal rounding boundary, where
+    # Spark's BigDecimal HALF_UP and DuckDB's multiply-then-round
+    # disagree — integer floor division has no such boundary.
+    return (
+        toks.join(surp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            (
+                F.sum(F.col("surprisal").cast("decimal(18,6)"))
+                * F.lit(1000000)
+            ).cast("long").alias("bits_micro_total"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "bits_micro_total",
+            F.expr("bits_micro_total div n_tokens div 1000").alias(
+                "bits_milli_per_token"
+            ),
+        )
+    )
+
+
+def quantize_embeddings(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Symmetric int8 per-vector quantization diagnostics:
+    scale = max|v|/127, q = clamp(floor(v/scale + 0.5), ±127),
+    reconstruction MSE + max abs error per vector — the audit pass
+    before shipping a quantized ANN index or int8 training features.
+
+    floor(x + 0.5) instead of round(): engines disagree on round's
+    half-away/half-even mode, floor is IEEE-identical everywhere.
+    Shape: one posexplode; per-vector scale is a groupBy, rejoined on
+    vec_id (co-partitioned shuffle — AQE plans it as one exchange
+    reused by the final per-vector agg). Error sums accumulate in
+    DECIMAL(18,12) (errors are ~1e-6-scale; (18,6) would flush them
+    to zero) — still long-backed, still exact.
+    """
+    vals = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode("embedding").alias("dim", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    scales = vals.groupBy("vec_id").agg(
+        (F.max(F.abs(F.col("v"))) / F.lit(127.0)).alias("scale")
+    )
+    q = (
+        vals.join(scales, "vec_id")
+        .withColumn(
+            "qv",
+            F.when(F.col("scale") == 0.0, F.lit(0.0)).otherwise(
+                F.greatest(
+                    F.lit(-127.0),
+                    F.least(
+                        F.lit(127.0),
+                        F.floor(F.col("v") / F.col("scale") + F.lit(0.5))
+                        .cast("double"),
+                    ),
+                )
+            ),
+        )
+        .withColumn("resid", F.col("v") - F.col("qv") * F.col("scale"))
+    )
+    cnt = F.count("*")
+    return q.groupBy("vec_id", F.round("scale", 6).alias("scale")).agg(
+        F.round(
+            F.sum((F.col("resid") * F.col("resid")).cast("decimal(18,12)"))
+            .cast("double")
+            / cnt,
+            9,
+        ).alias("mse"),
+        F.round(F.max(F.abs(F.col("resid"))), 9).alias("max_abs_err"),
+    )
+
+
 def kmeans_lloyd(
     embeddings: DataFrame,
     k: int = 8,

@@ -236,3 +236,62 @@ def fingerprint(docs: DataFrame, text_col: str = "text", n: int = 4) -> DataFram
         .groupBy("doc_id")
         .agg(F.min("h").alias("fp"))
     )
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-rules quality gate (Rae et al. 2021, App. A heuristics):
+    word-count bounds, mean-word-length window, symbol-to-word ratio,
+    alphabetic-word fraction, bullet/ellipsis line ratios → per-doc
+    keep flag. The standard pre-training format filter.
+
+    Every signal is a codegen'd regexp count plus one division — no
+    explode, no shuffle; the whole gate is scan-bound at any corpus
+    size. The keep flag is computed from the ROUNDED ratios so the
+    boundary decisions are engine-identical (rounded values are the
+    hash-checked ones).
+    """
+    t = F.col(text_col)
+    n_words = F.size(F.regexp_extract_all(t, F.lit(r"\S+"), 0))
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    # sum of token lengths == chars left after removing all whitespace
+    word_chars = F.length(F.regexp_replace(t, r"\s", ""))
+    # a token containing >=1 letter matches this exactly once: the
+    # greedy \S* runs extend to the token boundaries on both engines
+    alpha_words = F.size(
+        F.regexp_extract_all(t, F.lit(r"\S*[a-zA-Z]\S*"), 0)
+    )
+    n_symbols = _count_matches(t, "#") + _count_matches(t, r"\.\.\.")
+    n_lines = F.greatest(
+        F.size(F.split(t, r"\n")), F.lit(1)
+    ).cast("double")
+    # [ \t]* (not \s*) so the indent match can never consume a newline
+    # and pick up a bullet on a later line — keeps Java/RE2 agreement
+    bullet_lines = _count_matches(t, r"(?m)^[ \t]*[-*•]")
+    ellipsis_lines = _count_matches(t, r"(?m)\.\.\.$")
+
+    mean_word_len = F.round(word_chars / nw, 4)
+    symbol_ratio = F.round(n_symbols / nw, 4)
+    alpha_frac = F.round(alpha_words / nw, 4)
+    bullet_ratio = F.round(bullet_lines / n_lines, 4)
+    ellipsis_ratio = F.round(ellipsis_lines / n_lines, 4)
+
+    scored = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+    )
+    keep = (
+        (F.col("n_words") >= 40)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 2.0)
+        & (F.col("mean_word_len") <= 12.0)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("alpha_frac") > 0.7)
+        & (F.col("bullet_ratio") <= 0.9)
+        & (F.col("ellipsis_ratio") <= 0.3)
+    )
+    return scored.withColumn("keep", keep)

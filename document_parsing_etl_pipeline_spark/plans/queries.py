@@ -2635,3 +2635,238 @@ def q_key_skew_profile(spark, sf_dir):
         load_table(spark, sf_dir, "events"), key="user_id", top=20
     )
     return _long(df, "n_rows")
+
+
+@register("q_gopher_filters", r"""
+WITH s AS (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\S+')) AS n_words,
+           greatest(len(regexp_extract_all(text, '\S+')), 1) AS nw,
+           length(regexp_replace(text, '\s', '', 'g')) AS word_chars,
+           len(regexp_extract_all(text, '\S*[a-zA-Z]\S*')) AS alpha_words,
+           len(regexp_extract_all(text, '#'))
+               + len(regexp_extract_all(text, '\.\.\.')) AS n_symbols,
+           greatest(len(regexp_split_to_array(text, '\n')), 1) AS n_lines,
+           len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS bullet_lines,
+           len(regexp_extract_all(text, '(?m)\.\.\.$')) AS ellipsis_lines
+    FROM documents
+), r AS (
+    SELECT doc_id, n_words,
+           round(word_chars / nw, 4) AS mean_word_len,
+           round(n_symbols / nw, 4) AS symbol_ratio,
+           round(alpha_words / nw, 4) AS alpha_frac,
+           round(bullet_lines / n_lines, 4) AS bullet_ratio,
+           round(ellipsis_lines / n_lines, 4) AS ellipsis_ratio
+    FROM s
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+       bullet_ratio, ellipsis_ratio,
+       (n_words BETWEEN 40 AND 100000
+        AND mean_word_len BETWEEN 2.0 AND 12.0
+        AND symbol_ratio < 0.1 AND alpha_frac > 0.7
+        AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3) AS keep
+FROM r
+""")
+def q_gopher_filters(spark, sf_dir):
+    """Gopher-rules format gate (word-count/word-length/symbol/alpha/
+    bullet/ellipsis heuristics → keep flag). Pure codegen'd regexp
+    counts, shuffle-free. operators/text_analysis.py:gopher_quality."""
+    return ta.gopher_quality(load_table(spark, sf_dir, "documents"))
+
+
+@register("q_unigram_logprob", r"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+    FROM documents
+), vocab AS (
+    SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+), tot AS (
+    SELECT count(*) AS n_total FROM toks
+), surp AS (
+    SELECT tok, round(-log2(cnt / n_total), 6) AS surprisal
+    FROM vocab, tot
+), agg AS (
+    SELECT t.doc_id, count(*) AS n_tokens,
+           (sum(s.surprisal::DECIMAL(18,6)) * 1000000)::BIGINT
+               AS bits_micro_total
+    FROM toks t JOIN surp s USING (tok)
+    GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, bits_micro_total,
+       bits_micro_total // n_tokens // 1000 AS bits_milli_per_token
+FROM agg
+""")
+def q_unigram_logprob(spark, sf_dir):
+    """CCNet-style corpus-LM scoring: mean unigram surprisal
+    (bits/token) per document — the perplexity-bucket quality filter
+    with the corpus as its own LM. operators/corpus.py:unigram_logprob
+    (surprisal rounded per DISTINCT token before the exact decimal sum
+    so libm ulp drift can't reach the hash)."""
+    return corpus.unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+@register("q_embedding_quantize", """
+WITH vals AS (
+    SELECT e.vec_id, (e.embedding[i.i])::DOUBLE AS v
+    FROM embeddings e,
+         unnest(generate_series(1, len(e.embedding))) AS i(i)
+), scales AS (
+    SELECT vec_id, max(abs(v)) / 127.0 AS scale FROM vals GROUP BY vec_id
+), q AS (
+    SELECT v.vec_id, s.scale, v.v,
+           CASE WHEN s.scale = 0 THEN 0.0
+                ELSE greatest(-127.0,
+                              least(127.0, floor(v.v / s.scale + 0.5)))
+           END AS qv
+    FROM vals v JOIN scales s USING (vec_id)
+), r AS (
+    SELECT vec_id, scale, (v - qv * scale) AS resid FROM q
+)
+SELECT vec_id, round(scale, 6) AS scale,
+       round((sum((resid * resid)::DECIMAL(18,12))::DOUBLE) / count(*), 9)
+           AS mse,
+       round(max(abs(resid)), 9) AS max_abs_err
+FROM r GROUP BY 1, 2
+""")
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization audit: per-vector scale,
+    reconstruction MSE, max abs error — the check before shipping a
+    quantized ANN index. floor(x+0.5) (not round) keeps the
+    quantized value engine-identical. corpus.py:quantize_embeddings."""
+    return corpus.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("q_sequence_pack", f"""
+WITH RECURSIVE {CHUNK_CTE}, pack AS (
+    SELECT doc_id, chunk_index, token_count,
+           0 AS seq_id, token_count AS seq_fill
+    FROM chunks_f WHERE chunk_index = 0
+    UNION ALL
+    SELECT c.doc_id, c.chunk_index, c.token_count,
+           CASE WHEN p.seq_fill + c.token_count > {chunking.DEFAULT_PACK_BUDGET}
+                THEN p.seq_id + 1 ELSE p.seq_id END,
+           CASE WHEN p.seq_fill + c.token_count > {chunking.DEFAULT_PACK_BUDGET}
+                THEN c.token_count ELSE p.seq_fill + c.token_count END
+    FROM pack p JOIN chunks_f c
+      ON c.doc_id = p.doc_id AND c.chunk_index = p.chunk_index + 1
+)
+SELECT doc_id, chunk_index, token_count::BIGINT AS token_count,
+       seq_id::BIGINT AS seq_id, seq_fill::BIGINT AS seq_fill
+FROM pack
+""")
+def q_sequence_pack(spark, sf_dir):
+    """Next-fit sequence packing of chunks into token-budget training
+    sequences (batch assembly for pre-training). Sequential recurrence
+    → applyInPandas per doc group; the oracle replays the identical
+    recurrence as a recursive CTE. chunking.py:sequence_pack."""
+    ch = chunking.chunk_documents(load_table(spark, sf_dir, "documents"))
+    return chunking.sequence_pack(ch)
+
+
+@register("q16_part_supplier_variety", """
+SELECT p.p_brand, p.p_type, p_size::BIGINT AS p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND p.p_type <> 'ECONOMY'
+  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 50
+""")
+def q16_part_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape: distinct supplier count per surviving
+    (brand, type, size) after a NOT-IN complaint-supplier exclusion.
+    The NOT IN is a left_anti join; no broadcast hints — part and the
+    complaint set both scale with SF, so AQE picks the strategy (the
+    anti side is small enough that AQE broadcasts it at runtime)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "ECONOMY")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    complaints = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        li.join(complaints, "l_suppkey", "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+        .limit(50)
+    )
+
+
+@register("q21_sole_blame_suppliers", """
+WITH per_os AS (
+    SELECT l_orderkey, l_suppkey,
+           max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+    FROM lineitem GROUP BY 1, 2
+), per_order AS (
+    SELECT l_orderkey, count(*) AS n_supp,
+           sum(has_r)::BIGINT AS n_supp_r,
+           min(CASE WHEN has_r = 1 THEN l_suppkey END) AS blame_supp
+    FROM per_os GROUP BY 1
+), blamed AS (
+    SELECT p.blame_supp
+    FROM per_order p JOIN orders o ON o.o_orderkey = p.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND p.n_supp > 1 AND p.n_supp_r = 1
+)
+SELECT n.n_name, s.s_name, count(*) AS numwait
+FROM blamed b
+JOIN supplier s ON s.s_suppkey = b.blame_supp
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY 1, 2
+ORDER BY numwait DESC, n_name, s_name
+LIMIT 100
+""")
+def q21_sole_blame_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (returnflag as the lateness signal): suppliers
+    solely responsible for a returned line on a multi-supplier
+    finished order. The classic EXISTS/NOT-EXISTS pair is de-correlated
+    into one aggregation pass over lineitem — (order, supplier) partial
+    agg first (map-side combine, no 3x expand from multi-DISTINCT),
+    then a per-order rollup; the two self-joins of the textbook form
+    never happen. nation is the only broadcast (true dim); the
+    orders/supplier joins are AQE-planned."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(0)
+        ).alias("has_r")
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("has_r").cast("long").alias("n_supp_r"),
+        F.min(F.when(F.col("has_r") == 1, F.col("l_suppkey"))).alias(
+            "blame_supp"
+        ),
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    blamed = per_order.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).where((F.col("n_supp") > 1) & (F.col("n_supp_r") == 1))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        blamed.join(supp, F.col("blame_supp") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "n_name", "s_name")
+        .limit(100)
+    )

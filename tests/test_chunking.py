@@ -74,3 +74,25 @@ def test_token_chunking_budget(spark):
     assert c0[0].text_content.startswith("w0 w1 ")
     assert c0[2].text_content == "w60 w61 w62 w63 w64"
     assert by_doc[1][0].token_count == 3
+
+
+def test_sequence_pack_next_fit(spark):
+    from pyspark.sql import Row
+    from document_parsing_etl_pipeline_spark.operators.chunking import (
+        sequence_pack,
+    )
+    chunks = spark.createDataFrame(
+        [Row(doc_id=1, chunk_index=i, token_count=tc)
+         for i, tc in enumerate([10, 20, 25, 48, 5])]
+        + [Row(doc_id=2, chunk_index=0, token_count=60),
+           Row(doc_id=2, chunk_index=1, token_count=10)]
+    )
+    rows = sequence_pack(chunks, budget=48).collect()
+    d1 = sorted((r for r in rows if r.doc_id == 1),
+                key=lambda r: r.chunk_index)
+    assert [r.seq_id for r in d1] == [0, 0, 1, 2, 3]
+    assert [r.seq_fill for r in d1] == [10, 30, 25, 48, 5]
+    # an oversize first chunk owns seq 0 (next-fit never splits)
+    d2 = sorted((r for r in rows if r.doc_id == 2),
+                key=lambda r: r.chunk_index)
+    assert [(r.seq_id, r.seq_fill) for r in d2] == [(0, 60), (1, 10)]

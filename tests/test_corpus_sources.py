@@ -103,3 +103,32 @@ def test_kmeans_lloyd_converges_on_separated_clusters(spark):
     second = {by_id[i] for i in range(4, 8)}
     assert len(first) == 1 and len(second) == 1 and first != second
     assert all(r.cosine > 0.9 for r in out)
+
+
+def test_unigram_logprob_exact_micro_bits(spark):
+    from pyspark.sql import Row
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="a a"), Row(doc_id=1, text="a b")]
+    )
+    rows = {r.doc_id: r for r in corpus.unigram_logprob(docs).collect()}
+    # N=4, p(a)=3/4 -> 0.415037 bits, p(b)=1/4 -> 2.0 bits
+    assert rows[0].bits_micro_total == 2 * 415037
+    assert rows[1].bits_micro_total == 415037 + 2_000_000
+    assert rows[1].bits_milli_per_token == (415037 + 2_000_000) // 2 // 1000
+    assert rows[0].n_tokens == 2
+
+
+def test_quantize_embeddings_bounds(spark):
+    from pyspark.sql import Row
+    emb = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0, -0.5, 0.0]),
+         Row(vec_id=1, embedding=[0.0, 0.0])]
+    )
+    rows = {r.vec_id: r for r in
+            corpus.quantize_embeddings(emb).collect()}
+    scale = round(1.0 / 127.0, 6)
+    assert rows[0].scale == scale
+    # non-clipped residuals are bounded by scale/2
+    assert rows[0].max_abs_err <= 1.0 / 127.0 / 2 + 1e-9
+    # all-zero vector: scale 0, quantizes to 0 with no error
+    assert rows[1].scale == 0.0 and rows[1].mse == 0.0

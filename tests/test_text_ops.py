@@ -97,3 +97,24 @@ def test_repetition_ratio_flags_dominant_token(spark):
     assert rows[0].max_tf == 4 and rows[0].n_tokens == 5
     assert rows[0].is_repetitive is True
     assert rows[1].top_token_ratio == 0.2 and rows[1].is_repetitive is False
+
+
+def test_gopher_quality_keeps_clean_prose(spark):
+    clean = " ".join(f"word{i}" for i in range(50))
+    symbols = "# " * 50
+    short = "too short"
+    rows = {r.doc_id: r for r in
+            ta.gopher_quality(_docs(spark, clean, symbols, short)).collect()}
+    assert rows[0].keep is True
+    assert rows[0].n_words == 50
+    # '#' tokens: symbol_ratio 1.0 and no alphabetic words -> dropped
+    assert rows[1].keep is False and rows[1].alpha_frac == 0.0
+    # 2 words < 40 -> dropped despite clean text
+    assert rows[2].keep is False and rows[2].n_words == 2
+
+
+def test_gopher_bullet_and_ellipsis_lines(spark):
+    t = "- one\n- two\n- three\nplain..."
+    r = ta.gopher_quality(_docs(spark, t)).collect()[0]
+    assert r.bullet_ratio == 0.75
+    assert r.ellipsis_ratio == 0.25
