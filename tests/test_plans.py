@@ -101,6 +101,40 @@ def test_chunker_is_pure_jvm(spark):
     assert "EvalPython" not in plan
 
 
+def test_q16_anti_join_no_hints_pushed_filters(spark):
+    df = QUERIES["q16_part_supplier_variety"](spark, SF_DIR)
+    plan = _executed(df)
+    assert "LeftAnti" in plan                     # NOT IN as anti join
+    assert "ResolvedHint" not in _analyzed(df)    # AQE picks strategies
+    # brand/type filters visibly pushed to the part scan (the p_size
+    # In-filter is pushed too but elided by plan-string truncation)
+    assert "Not(EqualTo(p_brand,Brand#45))" in plan
+
+
+def test_q21_single_agg_pass_no_expand(spark):
+    # the EXISTS/NOT-EXISTS de-correlation must not pay the 3x Expand
+    # of multi-DISTINCT aggregation, and only nation carries a hint
+    df = QUERIES["q21_sole_blame_suppliers"](spark, SF_DIR)
+    plan = _executed(df)
+    assert "Expand" not in plan
+    assert _analyzed(df).count("ResolvedHint") == 1  # nation only
+
+
+def test_gopher_gate_is_shuffle_free_jvm(spark):
+    df = QUERIES["q_gopher_filters"](spark, SF_DIR)
+    plan = _executed(df)
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan  # pure per-row scan, no shuffle
+
+
+def test_sequence_pack_uses_grouped_arrow_udf(spark):
+    # the next-fit recurrence is the designed applyInPandas escape
+    # hatch: grouped Arrow execution, never row-based Python
+    plan = _executed(QUERIES["q_sequence_pack"](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_all_queries_no_rowbased_python_udf(spark):
     # row-at-a-time Python UDFs are banned in every registered query;
     # only Arrow-batched (MapInPandas) is acceptable, and only in the
