@@ -127,11 +127,13 @@ def test_gopher_gate_is_shuffle_free_jvm(spark):
     assert "Exchange" not in plan  # pure per-row scan, no shuffle
 
 
-def test_sequence_pack_uses_grouped_arrow_udf(spark):
-    # the next-fit recurrence is the designed applyInPandas escape
-    # hatch: grouped Arrow execution, never row-based Python
+def test_sequence_pack_uses_partition_arrow_udf(spark):
+    # the next-fit recurrence runs one Arrow call per PARTITION
+    # (mapInPandas over doc-partitioned sorted data), never per-group
+    # dispatch and never row-based Python
     plan = _executed(QUERIES["q_sequence_pack"](spark, SF_DIR))
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
     assert "BatchEvalPython" not in plan
 
 
@@ -139,7 +141,10 @@ def test_all_queries_no_rowbased_python_udf(spark):
     # row-at-a-time Python UDFs are banned in every registered query;
     # only Arrow-batched (MapInPandas) is acceptable, and only in the
     # multimodal pipeline and the block-matrix embedding kernel.
-    arrow_ok = {"mm_image_pipeline", "dedup_embedding", "knn_all_topk"}
+    arrow_ok = {
+        "mm_image_pipeline", "dedup_embedding", "knn_all_topk",
+        "q_sequence_pack",
+    }
     for name, fn in QUERIES.items():
         plan = _executed(fn(spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
