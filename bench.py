@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "q_unigram_logprob",
     "q_embedding_quantize",
     "q_sequence_pack",
+    "q_embedding_covariance",
 ]
 
 

@@ -245,6 +245,133 @@ def quantize_embeddings(embeddings: DataFrame, id_col: str = "vec_id") -> DataFr
     )
 
 
+def embedding_covariance(embeddings: DataFrame) -> DataFrame:
+    """Exact mean-centered covariance entries (dim_i, dim_j, cov) over
+    the embedding column — the statistic behind PCA/whitening/feature
+    decorrelation. Upper triangle only (the matrix is symmetric).
+
+    Parity path: per-row products are IEEE-identical across engines,
+    so each v_i*v_j casts to DECIMAL(28,12) and sums exactly; the
+    d²/2 fan-out self-join is fine for diagnostics-sized d (64 dims →
+    2080 pairs/vector). The scale path for the same statistic is
+    pca_project's per-partition numpy X^T X partials (one row per
+    partition instead of d²/2 per vector) — kept separate because
+    partial-sum accumulation order is not engine-reproducible.
+    """
+    vals = embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("i", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    sums = vals.groupBy("i").agg(
+        F.sum(F.col("v").cast("decimal(28,12)")).alias("s")
+    )
+    n = embeddings.agg(F.count("*").alias("n"))
+    right = vals.select(
+        "vec_id", F.col("i").alias("j"), F.col("v").alias("vj")
+    )
+    prods = (
+        vals.join(right, "vec_id")
+        .where(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum((F.col("v") * F.col("vj")).cast("decimal(28,12)")).alias(
+                "sij"
+            )
+        )
+    )
+    sa = sums.select(F.col("i").alias("ia"), F.col("s").alias("si"))
+    sb = sums.select(F.col("i").alias("ib"), F.col("s").alias("sj"))
+    nn = F.col("n").cast("double")
+    return (
+        prods.join(sa, F.col("i") == F.col("ia"))
+        .join(sb, F.col("j") == F.col("ib"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("i").cast("long").alias("dim_i"),
+            F.col("j").cast("long").alias("dim_j"),
+            (F.round(
+                (
+                    F.col("sij").cast("double")
+                    - F.col("si").cast("double")
+                    * F.col("sj").cast("double") / nn
+                ) / (nn - 1),
+                6,
+            ) + F.lit(0.0)).alias("cov"),
+        )
+    )
+
+
+def pca_project(
+    embeddings: DataFrame, k: int = 8, id_col: str = "vec_id"
+) -> DataFrame:
+    """Distributed PCA: per-partition numpy partials (count, sum
+    vector, X^T X) → driver combine + eigh on the tiny d×d matrix →
+    broadcast components → Arrow-batched projection.
+
+    This is the MLlib RowMatrix/treeAggregate shape: the distributed
+    work is ONE scan for the second-moment partials (one result row
+    per partition, each (d²+d+1) doubles) and one scan to project;
+    the d×d eigensolve is driver-side because d is small by
+    construction (embedding dims, not corpus size). Iterative /
+    eigendecomposition steps are not SQL-expressible — pytest-covered,
+    like kmeans_lloyd.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = embeddings.select(F.col(id_col).alias("vec_id"), "embedding")
+
+    def partials(batches):
+        n, s, ss = 0, None, None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            n += X.shape[0]
+            s = X.sum(axis=0) if s is None else s + X.sum(axis=0)
+            ss = X.T @ X if ss is None else ss + X.T @ X
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
+            )
+
+    rows = emb.mapInPandas(
+        partials, "n long, s array<double>, ss array<double>"
+    ).collect()  # one row per partition — the treeAggregate combine
+    n = sum(r["n"] for r in rows)
+    if n < 2:
+        raise ValueError("pca_project needs at least 2 vectors")
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    d = s.shape[0]
+    ss = np.sum([np.asarray(r["ss"]).reshape(d, d) for r in rows], axis=0)
+    mean = s / n
+    cov = (ss - np.outer(mean, s)) / (n - 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1][:k]
+    components = eigvecs[:, order]  # d × k
+    explained = eigvals[order]
+
+    comp_b = components.copy()
+    mean_b = mean.copy()
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            P = (X - mean_b) @ comp_b
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "proj": list(map(list, P))}
+            )
+
+    out = emb.mapInPandas(project, "vec_id long, proj array<double>")
+    out.explained_variance = explained  # diagnostics for callers/tests
+    return out
+
+
 def kmeans_lloyd(
     embeddings: DataFrame,
     k: int = 8,

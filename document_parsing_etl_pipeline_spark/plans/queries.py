@@ -2736,6 +2736,38 @@ def q_embedding_quantize(spark, sf_dir):
     return corpus.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
 
 
+@register("q_embedding_covariance", """
+WITH vals AS (
+    SELECT e.vec_id, (i.i - 1)::BIGINT AS i, (e.embedding[i.i])::DOUBLE AS v
+    FROM embeddings e,
+         unnest(generate_series(1, len(e.embedding))) AS i(i)
+), sums AS (
+    SELECT i, sum(v::DECIMAL(28,12)) AS s FROM vals GROUP BY i
+), nn AS (
+    SELECT count(*)::DOUBLE AS n FROM embeddings
+), prods AS (
+    SELECT a.i AS i, b.i AS j,
+           sum((a.v * b.v)::DECIMAL(28,12)) AS sij
+    FROM vals a JOIN vals b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+)
+SELECT p.i AS dim_i, p.j AS dim_j,
+       round(((p.sij::DOUBLE)
+              - (sa.s::DOUBLE) * (sb.s::DOUBLE) / nn.n) / (nn.n - 1), 6)
+           + 0.0 AS cov
+FROM prods p
+JOIN sums sa ON sa.i = p.i
+JOIN sums sb ON sb.i = p.j, nn
+""")
+def q_embedding_covariance(spark, sf_dir):
+    """Exact covariance matrix entries over the embedding column (the
+    PCA/whitening statistic; upper triangle). Per-row products sum in
+    DECIMAL(28,12) for engine-exact accumulation.
+    corpus.py:embedding_covariance; the one-row-per-partition numpy
+    partial path for true scale is corpus.py:pca_project."""
+    return corpus.embedding_covariance(load_table(spark, sf_dir, "embeddings"))
+
+
 @register("q_sequence_pack", f"""
 WITH RECURSIVE {CHUNK_CTE}, pack AS (
     SELECT doc_id, chunk_index, token_count,

@@ -132,3 +132,43 @@ def test_quantize_embeddings_bounds(spark):
     assert rows[0].max_abs_err <= 1.0 / 127.0 / 2 + 1e-9
     # all-zero vector: scale 0, quantizes to 0 with no error
     assert rows[1].scale == 0.0 and rows[1].mse == 0.0
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+    from pyspark.sql import Row
+    rng = [[1.0, 2.0, 3.0], [2.0, 1.0, 0.0], [0.0, 0.0, 1.0],
+           [4.0, 2.0, 2.0]]
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in enumerate(rng)]
+    )
+    got = {(r.dim_i, r.dim_j): r.cov
+           for r in corpus.embedding_covariance(emb).collect()}
+    want = np.cov(np.array(rng), rowvar=False)
+    for (i, j), v in got.items():
+        assert abs(v - want[i][j]) < 1e-6, (i, j)
+    assert len(got) == 6  # upper triangle of 3x3
+
+
+def test_pca_projects_onto_dominant_axes(spark):
+    import numpy as np
+    from pyspark.sql import Row
+    # variance lives in dims 0 and 1; dim 2 is constant
+    rs = np.random.RandomState(7)
+    X = np.zeros((40, 3))
+    X[:, 0] = rs.normal(0, 10, 40)
+    X[:, 1] = rs.normal(0, 3, 40)
+    X[:, 2] = 5.0
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(a) for a in row])
+         for i, row in enumerate(X)]
+    )
+    out = corpus.pca_project(emb, k=2)
+    ev = out.explained_variance
+    rows = {r.vec_id: r.proj for r in out.collect()}
+    assert len(rows) == 40 and len(rows[0]) == 2
+    # top component captures the dim-0 variance, nothing from dim 2
+    assert ev[0] > 50 and ev[1] > 1 and ev[0] > 5 * ev[1]
+    # projection preserves the centered data's total variance in 2D
+    P = np.array([rows[i] for i in range(40)])
+    assert abs(P[:, 0].var(ddof=1) - ev[0]) / ev[0] < 1e-6
