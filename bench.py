@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "q_embedding_quantize",
     "q_sequence_pack",
     "q_embedding_covariance",
+    "q_user_retention",
+    "q_rfm_segments",
 ]
 
 

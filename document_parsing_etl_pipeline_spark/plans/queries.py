@@ -2736,6 +2736,136 @@ def q_embedding_quantize(spark, sf_dir):
     return corpus.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
 
 
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+@register("q_user_retention", f"""
+WITH act AS (
+    SELECT user_id, epoch_us(ts) // {_WEEK_US} AS week
+    FROM events GROUP BY 1, 2
+), cohort AS (
+    SELECT user_id, min(week) AS cohort_week FROM act GROUP BY 1
+), sizes AS (
+    SELECT cohort_week, count(*) AS cohort_size FROM cohort GROUP BY 1
+), ret AS (
+    SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+           count(*) AS n_active
+    FROM act a JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+)
+SELECT r.cohort_week, r.week_offset, r.n_active, s.cohort_size,
+       r.n_active * 1000 // s.cohort_size AS retention_permille
+FROM ret r JOIN sizes s USING (cohort_week)
+""")
+def q_user_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-active epoch
+    week, activity tracked per week offset. Integer permille (floor
+    division) instead of a rounded ratio — small-integer ratios land
+    exactly on decimal rounding boundaries where engine round modes
+    diverge. Shape: distinct (user, week) pass, per-user min, then a
+    user-key join that AQE co-partitions with the cohort agg; the
+    per-(cohort, offset) rollup is weeks², tiny at any SF."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id",
+        F.expr(f"(ts div 1000) div {_WEEK_US}").alias("week"),
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    ret = (
+        act.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+    return ret.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week", "week_offset", "n_active", "cohort_size",
+        F.expr("n_active * 1000 div cohort_size").alias("retention_permille"),
+    )
+
+
+@register("q_rfm_segments", """
+WITH per_cust AS (
+    SELECT o_custkey,
+           max(epoch_us(o_orderdate)) AS recency_us,
+           count(*) AS frequency,
+           round(sum(o_totalprice::DECIMAL(18,6))::DOUBLE, 2) AS monetary
+    FROM orders GROUP BY 1
+), cuts AS (
+    SELECT quantile_cont(recency_us, 0.25) AS r1,
+           quantile_cont(recency_us, 0.50) AS r2,
+           quantile_cont(recency_us, 0.75) AS r3,
+           quantile_cont(frequency, 0.25) AS f1,
+           quantile_cont(frequency, 0.50) AS f2,
+           quantile_cont(frequency, 0.75) AS f3,
+           quantile_cont(monetary, 0.25) AS m1,
+           quantile_cont(monetary, 0.50) AS m2,
+           quantile_cont(monetary, 0.75) AS m3
+    FROM per_cust
+)
+SELECT o_custkey, frequency, monetary,
+       1 + (recency_us > r1)::INT + (recency_us > r2)::INT
+         + (recency_us > r3)::INT AS r_score,
+       1 + (frequency > f1)::INT + (frequency > f2)::INT
+         + (frequency > f3)::INT AS f_score,
+       1 + (monetary > m1)::INT + (monetary > m2)::INT
+         + (monetary > m3)::INT AS m_score,
+       (1 + (recency_us > r1)::INT + (recency_us > r2)::INT
+          + (recency_us > r3)::INT) * 100
+       + (1 + (frequency > f1)::INT + (frequency > f2)::INT
+            + (frequency > f3)::INT) * 10
+       + (1 + (monetary > m1)::INT + (monetary > m2)::INT
+            + (monetary > m3)::INT) AS segment
+FROM per_cust, cuts
+""")
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation with quartile CUTPOINTS, not ntile:
+    a global ntile needs a single-partition window sort (the classic
+    scale anti-pattern); scoring against three exact interpolated
+    percentile cuts is two fully-parallel passes — the cuts are a
+    1-row broadcast. Boundary ties resolve by strict value comparison,
+    identical on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        ).alias("recency_us"),
+        F.count("*").alias("frequency"),
+        _money(F.col("o_totalprice")).alias("monetary"),
+    )
+    cuts = per_cust.agg(
+        *[
+            F.expr(f"percentile({c}, {q})").alias(f"{c[0]}{i}")
+            for c in ("recency_us", "frequency", "monetary")
+            for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+    scored = per_cust.crossJoin(F.broadcast(cuts))
+
+    def score(col, pfx):
+        return (
+            F.lit(1)
+            + (F.col(col) > F.col(f"{pfx}1")).cast("int")
+            + (F.col(col) > F.col(f"{pfx}2")).cast("int")
+            + (F.col(col) > F.col(f"{pfx}3")).cast("int")
+        )
+
+    r, f, m = (
+        score("recency_us", "r"),
+        score("frequency", "f"),
+        score("monetary", "m"),
+    )
+    return scored.select(
+        "o_custkey", "frequency", "monetary",
+        r.alias("r_score"), f.alias("f_score"), m.alias("m_score"),
+        (r * 100 + f * 10 + m).alias("segment"),
+    )
+
+
 @register("q_embedding_covariance", """
 WITH vals AS (
     SELECT e.vec_id, (i.i - 1)::BIGINT AS i, (e.embedding[i.i])::DOUBLE AS v
