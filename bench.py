@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "q_embedding_covariance",
     "q_user_retention",
     "q_rfm_segments",
+    "q_stratified_sample",
 ]
 
 

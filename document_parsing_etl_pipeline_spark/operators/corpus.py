@@ -245,6 +245,46 @@ def quantize_embeddings(embeddings: DataFrame, id_col: str = "vec_id") -> DataFr
     )
 
 
+DEFAULT_MIX_PERMILLE = {"en": 250, "de": 500, "fr": 750, "es": 1000}
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates_permille: dict[str, int] | None = None,
+    default_permille: int = 100,
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Deterministic stratified sampling — the corpus-mixing /
+    reweighting step of training-data assembly: each stratum keeps a
+    configured fraction, selected by content-stable hash (md5 of
+    doc_id), so reruns and engines agree row-for-row.
+
+    The rates table is definitionally tiny (one row per stratum) →
+    broadcast; the document side never shuffles: mark + filter run
+    at scan speed.
+    """
+    rates = rates_permille or DEFAULT_MIX_PERMILLE
+    spark = docs.sparkSession
+    rates_df = spark.createDataFrame(
+        [(k, v) for k, v in sorted(rates.items())],
+        f"{stratum_col} string, rate_permille int",
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+        ).cast("long") % 1000
+    )
+    return (
+        docs.join(F.broadcast(rates_df), stratum_col, "left")
+        .withColumn(
+            "rate_permille",
+            F.coalesce(F.col("rate_permille"), F.lit(default_permille)),
+        )
+        .where(h < F.col("rate_permille"))
+        .select("doc_id", stratum_col, "rate_permille")
+    )
+
+
 def embedding_covariance(embeddings: DataFrame) -> DataFrame:
     """Exact mean-centered covariance entries (dim_i, dim_j, cov) over
     the embedding column — the statistic behind PCA/whitening/feature

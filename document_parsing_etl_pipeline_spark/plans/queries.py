@@ -2736,6 +2736,28 @@ def q_embedding_quantize(spark, sf_dir):
     return corpus.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
 
 
+@register("q_stratified_sample", """
+WITH rates AS (
+    SELECT * FROM (VALUES ('de', 500), ('en', 250), ('es', 1000),
+                          ('fr', 750)) AS t(lang, rate_permille)
+), marked AS (
+    SELECT d.doc_id, d.lang,
+           coalesce(r.rate_permille, 100) AS rate_permille,
+           ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 6))::BIGINT % 1000
+               AS h
+    FROM documents d LEFT JOIN rates r USING (lang)
+)
+SELECT doc_id, lang, rate_permille::BIGINT AS rate_permille
+FROM marked WHERE h < rate_permille
+""")
+def q_stratified_sample(spark, sf_dir):
+    """Corpus mixing: per-language keep rates applied by
+    content-stable hash sampling (broadcast rates dim, scan-speed
+    filter — no shuffle). corpus.py:stratified_sample."""
+    out = corpus.stratified_sample(load_table(spark, sf_dir, "documents"))
+    return _long(out, "rate_permille")
+
+
 _WEEK_US = 7 * 24 * 3600 * 1_000_000
 
 

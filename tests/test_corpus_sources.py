@@ -172,3 +172,17 @@ def test_pca_projects_onto_dominant_axes(spark):
     # projection preserves the centered data's total variance in 2D
     P = np.array([rows[i] for i in range(40)])
     assert abs(P[:, 0].var(ddof=1) - ev[0]) / ev[0] < 1e-6
+
+
+def test_stratified_sample_rates(spark):
+    from pyspark.sql import Row
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang=("es" if i % 2 else "zz")) for i in range(40)]
+    )
+    out = corpus.stratified_sample(
+        docs, rates_permille={"es": 1000}, default_permille=0
+    ).collect()
+    # es keeps everything (rate 1000), unknown lang drops all (rate 0)
+    assert {r.lang for r in out} == {"es"}
+    assert len(out) == 20
+    assert all(r.rate_permille == 1000 for r in out)
