@@ -298,9 +298,17 @@ def embedding_covariance(embeddings: DataFrame) -> DataFrame:
     partition instead of d²/2 per vector) — kept separate because
     partial-sum accumulation order is not engine-reproducible.
     """
-    vals = embeddings.select(
-        "vec_id", F.posexplode("embedding").alias("i", "v")
-    ).withColumn("v", F.col("v").cast("double"))
+    # repartition BEFORE exploding: the embeddings file is few input
+    # splits, and without this the (tiny-side) pair join broadcasts —
+    # the whole d²/2-per-vector product plus the decimal partial agg
+    # would run in ONE task (measured 11.6s at sf0.001; 32-way
+    # parallel it is sub-second)
+    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
+    vals = (
+        embeddings.repartition(n_parts, "vec_id")
+        .select("vec_id", F.posexplode("embedding").alias("i", "v"))
+        .withColumn("v", F.col("v").cast("double"))
+    )
     sums = vals.groupBy("i").agg(
         F.sum(F.col("v").cast("decimal(28,12)")).alias("s")
     )
