@@ -68,3 +68,75 @@ def test_approx_percentile_within_tolerance_of_exact(spark):
         F.expr("approx_percentile(value, 0.95, 1000)").alias("approx"),
     ).collect()[0]
     assert abs(row.approx - row.exact) <= 0.05 * abs(row.exact) + 1e-9
+
+
+def test_hll_distinct_within_tolerance_of_exact(spark):
+    """The HLL swap for q_distinct_users at 100 TB: approx_count_distinct
+    (HyperLogLog++, rsd 2%) tracks the exact distinct count."""
+    from document_parsing_etl_pipeline_spark.catalog import load_table
+    from conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    import pyspark.sql.functions as F
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) <= 0.05 * row.exact
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=0, max_value=70), min_size=1,
+                    max_size=25),
+    budget=st.integers(min_value=8, max_value=64),
+)
+@SLOW_OK
+def test_sequence_pack_invariants(spark, tokens, budget):
+    from document_parsing_etl_pipeline_spark.operators.chunking import (
+        sequence_pack,
+    )
+    chunks = spark.createDataFrame(
+        [Row(doc_id=7, chunk_index=i, token_count=t)
+         for i, t in enumerate(tokens)]
+    )
+    rows = sorted(sequence_pack(chunks, budget=budget).collect(),
+                  key=lambda r: r.chunk_index)
+    # every chunk appears exactly once, in order
+    assert [r.chunk_index for r in rows] == list(range(len(tokens)))
+    # seq ids start at 0 and never skip
+    seqs = [r.seq_id for r in rows]
+    assert seqs[0] == 0
+    assert all(b - a in (0, 1) for a, b in zip(seqs, seqs[1:]))
+    # a sequence exceeds the budget only when it is a single chunk
+    per_seq: dict[int, list] = {}
+    for r in rows:
+        per_seq.setdefault(r.seq_id, []).append(r.token_count)
+    for members in per_seq.values():
+        assert sum(members) <= budget or len(members) == 1
+    # fills are running sums within the sequence
+    fill = {}
+    for r in rows:
+        fill[r.seq_id] = fill.get(r.seq_id, 0) + r.token_count
+        assert r.seq_fill == fill[r.seq_id]
+
+
+@given(
+    vec=st.lists(
+        st.floats(min_value=-10, max_value=10, allow_nan=False,
+                  width=32),
+        min_size=1, max_size=8,
+    )
+)
+@SLOW_OK
+def test_quantize_error_bound(spark, vec):
+    from document_parsing_etl_pipeline_spark.operators.corpus import (
+        quantize_embeddings,
+    )
+    emb = spark.createDataFrame([Row(vec_id=0, embedding=vec)])
+    r = quantize_embeddings(emb).collect()[0]
+    m = max(abs(v) for v in vec)
+    if m == 0:
+        assert r.scale == 0.0 and r.mse == 0.0
+    else:
+        # symmetric int8: |err| <= scale/2 (+ rounding slack)
+        assert r.max_abs_err <= m / 127.0 / 2 + 1e-9
