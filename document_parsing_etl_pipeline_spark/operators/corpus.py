@@ -162,8 +162,14 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
         ).alias("tok"),
     )
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    total = toks.agg(F.count("*").alias("n_total"))
+    # aggregate to per-(doc, token) term frequencies BEFORE the vocab
+    # join: the scored table shrinks from total occurrences to distinct
+    # terms per doc, and the inevitable hot keys ("the" is a few
+    # percent of all tokens) contribute one row per document instead
+    # of one per occurrence — AQE skew-split covers the rest
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    total = tf.agg(F.sum("tf").alias("n_total"))
     surp = vocab.crossJoin(F.broadcast(total)).select(
         "tok",
         F.round(-F.log2(F.col("cnt") / F.col("n_total")), 6).alias(
@@ -174,13 +180,17 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # like 4.89955 sits exactly on a 4-decimal rounding boundary, where
     # Spark's BigDecimal HALF_UP and DuckDB's multiply-then-round
     # disagree — integer floor division has no such boundary.
+    # tf × decimal surprisal is exact, so the sum equals the
+    # per-occurrence formulation row-for-row.
     return (
-        toks.join(surp, "tok")
+        tf.join(surp, "tok")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("tf").cast("long").alias("n_tokens"),
             (
-                F.sum(F.col("surprisal").cast("decimal(18,6)"))
+                F.sum(
+                    F.col("surprisal").cast("decimal(18,6)") * F.col("tf")
+                )
                 * F.lit(1000000)
             ).cast("long").alias("bits_micro_total"),
         )

@@ -2850,7 +2850,10 @@ def q_rfm_segments(spark, sf_dir):
     scale anti-pattern); scoring against three exact interpolated
     percentile cuts is two fully-parallel passes — the cuts are a
     1-row broadcast. Boundary ties resolve by strict value comparison,
-    identical on both engines."""
+    identical on both engines. At 100 TB the exact `percentile` agg
+    (which gathers the per-customer values into one reducer) swaps for
+    `approx_percentile` — same cutpoint shape, t-digest accuracy
+    (tolerance evidence in tests/test_properties.py)."""
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.max(
