@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "q_user_retention",
     "q_rfm_segments",
     "q_stratified_sample",
+    "q_events_anomaly",
+    "q_edit_distance_pairs",
 ]
 
 

@@ -2736,6 +2736,77 @@ def q_embedding_quantize(spark, sf_dir):
     return corpus.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
 
 
+@register("q_edit_distance_pairs", f"""
+WITH {_mh_sig_sql()}, {_mh_buckets_sql()}
+SELECT c.doc_a, c.doc_b,
+       levenshtein(substring(da.text, 1, 80),
+                   substring(db.text, 1, 80))::BIGINT AS edit_dist
+FROM cand c
+JOIN documents da ON da.doc_id = c.doc_a
+JOIN documents db ON db.doc_id = c.doc_b
+WHERE levenshtein(substring(da.text, 1, 80),
+                  substring(db.text, 1, 80)) <= 20
+""")
+def q_edit_distance_pairs(spark, sf_dir):
+    """Character-level near-dup verification: Levenshtein on fixed
+    prefixes of the capped LSH candidate pairs (catches in-place edits
+    that token-set Jaccard misses; constant-size DP per pair).
+    dedup.py:edit_distance_pairs."""
+    return dedup.edit_distance_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=_MH_K, band_size=_MH_BAND, max_bucket=_MH_MAXB,
+    )
+
+
+@register("q_events_anomaly", """
+WITH m AS (
+    SELECT event_type,
+           count(*) AS n,
+           (sum(value::DECIMAL(18,6))::DOUBLE) AS s1,
+           (sum((value * value)::DECIMAL(28,12))::DOUBLE) AS s2
+    FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       round(e.value, 4) + 0.0 AS value,
+       round((e.value - s1 / n)
+             / sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 1e-12)), 4)
+           + 0.0 AS zscore
+FROM events e JOIN m USING (event_type)
+WHERE abs((e.value - s1 / n)
+          / sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 1e-12))) > 3
+""")
+def q_events_anomaly(spark, sf_dir):
+    """Z-score outlier scan per event type with EXACT moments: mean
+    and variance derive from decimal sums (sum v, sum v²), not from
+    stddev_samp whose float accumulation order is engine- and
+    partition-dependent. sqrt is IEEE correctly-rounded — identical
+    everywhere. The per-type moment table is tiny → broadcast; the
+    scan stays one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec(F.col("value"))).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,12)"))
+        .cast("double").alias("s2"),
+    )
+    j = ev.join(F.broadcast(m), "event_type")
+    n = F.col("n").cast("double")
+    mean = F.col("s1") / n
+    var = F.greatest(
+        (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1),
+        F.lit(1e-12),
+    )
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        j.where(F.abs(z) > 3)
+        .select(
+            "event_id", "event_type",
+            (F.round(F.col("value"), 4) + F.lit(0.0)).alias("value"),
+            (F.round(z, 4) + F.lit(0.0)).alias("zscore"),
+        )
+    )
+
+
 @register("q_stratified_sample", """
 WITH rates AS (
     SELECT * FROM (VALUES ('de', 500), ('en', 250), ('es', 1000),

@@ -125,3 +125,12 @@ def test_blank_and_whitespace_docs_drop_from_signatures(spark):
     mh = dedup.minhash_lsh_candidates(docs)
     mpairs = {(r.doc_a, r.doc_b) for r in mh.collect()}
     assert (1, 2) not in mpairs and (3, 4) in mpairs
+
+
+def test_edit_distance_pairs_on_lsh_candidates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = _docs(spark, base, base.replace("dog", "cat"),
+               "zz yy xx ww vv uu tt ss")
+    pairs = dedup.edit_distance_pairs(df, max_dist=20).collect()
+    assert {(p.doc_a, p.doc_b) for p in pairs} == {(0, 1)}
+    assert pairs[0].edit_dist == 3  # dog -> cat: 3 substitutions
