@@ -148,5 +148,8 @@ def test_all_queries_no_rowbased_python_udf(spark):
     for name, fn in QUERIES.items():
         plan = _executed(fn(spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
+        # 1-row aggregate crossJoins must plan as broadcast nested
+        # loop, never a partitioned cartesian product
+        assert "CartesianProduct" not in plan, name
         if name not in arrow_ok:
             assert "MapInPandas" not in plan, name
