@@ -17,6 +17,10 @@ PICKS = {
     "q8_market_share": "p_type filter pushed to part scan; hints only on nation dims, AQE on the rest",
     "q17_small_quantity_revenue": "correlated avg as exact sum+count join; inequality pushed into join condition",
     "knn_brute_cosine": "Arrow-batched cosine kernel (ArrowEvalPython), broadcast query side",
+    "q21_sole_blame_suppliers": "EXISTS/NOT-EXISTS de-correlated to one agg pass; no Expand, nation-only hint",
+    "q_sequence_pack": "MapInPandas recurrence over repartition(doc_id)+sort (one Arrow call per partition)",
+    "q_embedding_covariance": "pair fan-out parallelized by pinned repartition; decimal partial agg per core",
+    "q_unigram_logprob": "tf pre-agg shrinks the vocab join; 1-row total as broadcast NLJ",
 }
 
 
