@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "q_stratified_sample",
     "q_events_anomaly",
     "q_edit_distance_pairs",
+    "q_events_trailing_window",
 ]
 
 

@@ -1731,6 +1731,44 @@ def q_events_moving_avg(spark, sf_dir):
     )
 
 
+_TRAIL_US = 10 * 60 * 1_000_000
+
+
+@register("q_events_trailing_window", f"""
+WITH t AS (
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+)
+SELECT event_id, user_id, ts_us,
+       count(*) OVER w AS n_in_window,
+       round((sum(value::DECIMAL(18,6)) OVER w)::DOUBLE, 4)
+           AS trailing_sum
+FROM t
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN {_TRAIL_US} PRECEDING AND CURRENT ROW)
+""")
+def q_events_trailing_window(spark, sf_dir):
+    """Time-based RANGE frame: trailing 10-minute per-user rollup
+    (rate limiting / rolling-exposure primitive). RANGE peers with
+    equal timestamps have no defined accumulation order, so the frame
+    sum goes through exact decimal — order-independent on both
+    engines."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_TRAIL_US, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts_us",
+        F.count("*").over(w).alias("n_in_window"),
+        F.round(
+            F.sum(_dec(F.col("value"))).over(w).cast("double"), 4
+        ).alias("trailing_sum"),
+    )
+
+
 # ===================================================================
 # §2.F+ — corpus-level operators
 # ===================================================================
