@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "q_events_anomaly",
     "q_edit_distance_pairs",
     "q_events_trailing_window",
+    "q_events_gap_detection",
 ]
 
 

@@ -1731,6 +1731,44 @@ def q_events_moving_avg(spark, sf_dir):
     )
 
 
+_GAP_US = 3600 * 1_000_000
+
+
+@register("q_events_gap_detection", f"""
+WITH t AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+), o AS (
+    SELECT user_id, event_id, ts_us,
+           lead(ts_us) OVER (PARTITION BY user_id
+                             ORDER BY ts_us, event_id) AS next_us
+    FROM t
+)
+SELECT user_id, event_id, ts_us AS gap_start_us,
+       next_us - ts_us AS gap_us
+FROM o WHERE next_us - ts_us > {_GAP_US}
+""")
+def q_events_gap_detection(spark, sf_dir):
+    """Activity-gap scan: per-user silences longer than an hour
+    (monitoring/liveness primitive; the complement of sessionization).
+    One lead() over the per-user order — integer-exact everywhere."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    o = ev.select(
+        "user_id", "event_id", "ts_us",
+        F.lead("ts_us").over(w).alias("next_us"),
+    )
+    return (
+        o.where(F.col("next_us") - F.col("ts_us") > _GAP_US)
+        .select(
+            "user_id", "event_id",
+            F.col("ts_us").alias("gap_start_us"),
+            (F.col("next_us") - F.col("ts_us")).alias("gap_us"),
+        )
+    )
+
+
 _TRAIL_US = 10 * 60 * 1_000_000
 
 
