@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "q_edit_distance_pairs",
     "q_events_trailing_window",
     "q_events_gap_detection",
+    "q_sequence_texts",
 ]
 
 

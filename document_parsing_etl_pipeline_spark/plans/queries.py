@@ -3097,6 +3097,56 @@ def q_sequence_pack(spark, sf_dir):
     return chunking.sequence_pack(ch)
 
 
+@register("q_sequence_texts", f"""
+WITH RECURSIVE {CHUNK_CTE}, pack AS (
+    SELECT doc_id, chunk_index, token_count,
+           0 AS seq_id, token_count AS seq_fill
+    FROM chunks_f WHERE chunk_index = 0
+    UNION ALL
+    SELECT c.doc_id, c.chunk_index, c.token_count,
+           CASE WHEN p.seq_fill + c.token_count > {chunking.DEFAULT_PACK_BUDGET}
+                THEN p.seq_id + 1 ELSE p.seq_id END,
+           CASE WHEN p.seq_fill + c.token_count > {chunking.DEFAULT_PACK_BUDGET}
+                THEN c.token_count ELSE p.seq_fill + c.token_count END
+    FROM pack p JOIN chunks_f c
+      ON c.doc_id = p.doc_id AND c.chunk_index = p.chunk_index + 1
+)
+SELECT p.doc_id, p.seq_id::BIGINT AS seq_id,
+       string_agg(cf.text_content, ' ' ORDER BY p.chunk_index)
+           AS seq_text,
+       sum(p.token_count)::BIGINT AS n_tokens,
+       count(*) AS n_chunks
+FROM pack p
+JOIN chunks_f cf
+  ON cf.doc_id = p.doc_id AND cf.chunk_index = p.chunk_index
+GROUP BY 1, 2
+""")
+def q_sequence_texts(spark, sf_dir):
+    """Materialized training sequences: packed chunks concatenated in
+    order — the shard-writer step after sequence_pack. Assembly is
+    array_sort(collect_list(struct)) + array_join: the sort key makes
+    the concat order deterministic, so the group agg needs no sorted
+    shuffle; one exchange on (doc_id, seq_id)."""
+    ch = chunking.chunk_documents(load_table(spark, sf_dir, "documents"))
+    packed = chunking.sequence_pack(ch)
+    j = packed.join(ch.select("doc_id", "chunk_index", "text_content"),
+                    ["doc_id", "chunk_index"])
+    agg = j.groupBy("doc_id", "seq_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("chunk_index", "text_content"))
+        ).alias("parts"),
+        F.sum("token_count").cast("long").alias("n_tokens"),
+        F.count("*").alias("n_chunks"),
+    )
+    return agg.select(
+        "doc_id", "seq_id",
+        F.array_join(
+            F.transform(F.col("parts"), lambda p: p["text_content"]), " "
+        ).alias("seq_text"),
+        "n_tokens", "n_chunks",
+    )
+
+
 @register("q16_part_supplier_variety", """
 SELECT p.p_brand, p.p_type, p_size::BIGINT AS p_size,
        count(DISTINCT l.l_suppkey) AS supplier_cnt
