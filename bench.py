@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "q_events_trailing_window",
     "q_events_gap_detection",
     "q_sequence_texts",
+    "q_referential_audit",
 ]
 
 

@@ -1731,6 +1731,55 @@ def q_events_moving_avg(spark, sf_dir):
     )
 
 
+@register("q_referential_audit", """
+WITH o AS (SELECT o_orderkey FROM orders GROUP BY 1),
+     l AS (SELECT l_orderkey, count(*) AS n_items
+           FROM lineitem GROUP BY 1)
+SELECT sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS orders_without_items,
+       sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS items_without_order,
+       sum(CASE WHEN o.o_orderkey IS NOT NULL
+                 AND l.l_orderkey IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS matched_orders,
+       coalesce(sum(CASE WHEN o.o_orderkey IS NOT NULL
+                         THEN l.n_items END), 0)::BIGINT
+           AS matched_items
+FROM o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey
+""")
+def q_referential_audit(spark, sf_dir):
+    """Referential-integrity audit between the order and line-item
+    tables (orphan detection on both sides) — the data-quality gate a
+    pipeline runs after ingest/CDC. FULL OUTER join of the two key
+    aggregates; both sides pre-aggregate to one row per key, so the
+    join is key-cardinality, never row-cardinality."""
+    o = load_table(spark, sf_dir, "orders").groupBy("o_orderkey").agg(
+        F.lit(1).alias("_o")
+    )
+    li = load_table(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count("*").alias("n_items")
+    )
+    j = o.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "full_outer")
+    return j.agg(
+        F.sum(
+            F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)
+        ).cast("long").alias("orders_without_items"),
+        F.sum(
+            F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+        ).cast("long").alias("items_without_order"),
+        F.sum(
+            F.when(
+                F.col("o_orderkey").isNotNull()
+                & F.col("l_orderkey").isNotNull(), 1
+            ).otherwise(0)
+        ).cast("long").alias("matched_orders"),
+        F.coalesce(
+            F.sum(F.when(F.col("o_orderkey").isNotNull(), F.col("n_items"))),
+            F.lit(0),
+        ).cast("long").alias("matched_items"),
+    )
+
+
 _GAP_US = 3600 * 1_000_000
 
 
