@@ -1326,14 +1326,17 @@ _JACCARD_EXPR = (
 )
 
 
-@register("dedup_components", f"""
+_CC_ORACLE = f"""
 WITH RECURSIVE {_mh_sig_sql()}, {_mh_buckets_sql()}, jac AS (
     SELECT c.doc_a, c.doc_b
     FROM cand c
     JOIN toks ta ON ta.doc_id = c.doc_a
     JOIN toks tb ON tb.doc_id = c.doc_b
     WHERE round({_JACCARD_EXPR}, 4) >= 0.5
-), edges AS (
+), edges AS MATERIALIZED (
+    -- MATERIALIZED: the recursive walk references edges every
+    -- iteration; inlined, the whole LSH+jaccard pipeline would
+    -- re-execute per recursion step
     SELECT doc_a AS a, doc_b AS b FROM jac
     UNION
     SELECT doc_b, doc_a FROM jac
@@ -1342,20 +1345,43 @@ WITH RECURSIVE {_mh_sig_sql()}, {_mh_buckets_sql()}, jac AS (
 ), walk(id, label) AS (
     SELECT id, id FROM verts
     UNION
+    -- min-label pruning: a label can only be the component minimum
+    -- for nodes with larger ids (every node of the component has
+    -- id >= the min), so propagating label >= target is dead work;
+    -- the true minimum always survives every hop (min < every other
+    -- id in its component). Cuts the recursion from all-pairs
+    -- reachability to monotone paths (~200s -> seconds at sf0.1).
     SELECT e.b AS id, w.label FROM walk w JOIN edges e ON w.id = e.a
+    WHERE w.label < e.b
 )
 SELECT id AS doc_id, min(label) AS component_id FROM walk GROUP BY id
-""")
-def q_dedup_components(spark, sf_dir):
-    """Dedup clustering: verified near-dup pairs → connected
-    components (canonical = min doc_id). Spark: iterative min-label
-    propagation; oracle: exact recursive CTE."""
-    pairs = dedup.ngram_jaccard_pairs(
+"""
+
+
+def _jaccard_pairs(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
         num_hashes=_MH_K, band_size=_MH_BAND, max_bucket=_MH_MAXB,
         threshold=0.5,
     )
-    return dedup.connected_components(pairs, max_iter=30)
+
+
+@register("dedup_components", _CC_ORACLE)
+def q_dedup_components(spark, sf_dir):
+    """Dedup clustering: verified near-dup pairs → connected
+    components (canonical = min doc_id). Spark: iterative min-label
+    propagation; oracle: exact recursive CTE."""
+    return dedup.connected_components(_jaccard_pairs(spark, sf_dir),
+                                      max_iter=30)
+
+
+@register("dedup_components_star", _CC_ORACLE)
+def q_dedup_components_star(spark, sf_dir):
+    """The same components via large-star/small-star (Kiveris et al.
+    2014): O(log² n) rounds instead of graph diameter — the
+    extreme-scale path, hash-checked against the identical recursive
+    CTE as the propagation variant. dedup.py:connected_components_star."""
+    return dedup.connected_components_star(_jaccard_pairs(spark, sf_dir))
 
 
 def _simhash_sql(bits: int = dedup.SIMHASH_BITS) -> str:
@@ -1958,6 +1984,35 @@ def q_mm_image_pipeline(spark, sf_dir):
         F.lit("image/png").alias("content_type"),
     )
     return decode_images(blobs).drop("feature")
+
+
+@register("mm_audio_features")
+def q_mm_audio_features(spark, sf_dir):
+    """Audio binary columns → mapInPandas decode (stubbed) → typed
+    metadata + fixed-dim features. Blobs synthesized deterministically
+    like the image pipeline (rows-only: binary decode isn't
+    SQL-expressible)."""
+    from ..operators.multimodal import extract_audio_features
+
+    inv = charts_op.chart_inventory(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    )
+    blobs = inv.select(
+        "image_path",
+        F.unhex(F.md5("image_path")).alias("content"),
+        F.lit("audio/wav").alias("content_type"),
+    )
+    return extract_audio_features(blobs).drop("feature")
+
+
+@register("q_kmeans_clusters")
+def q_kmeans_clusters(spark, sf_dir):
+    """Iterative Lloyd's k-means assignments (3 rounds, deterministic
+    first-k seeding). Iterative — non-SQL-expressible, rows-only;
+    convergence/separation asserted in pytest. corpus.py:kmeans_lloyd."""
+    return corpus.kmeans_lloyd(
+        load_table(spark, sf_dir, "embeddings"), k=8, max_iter=3
+    )
 
 
 # ===================================================================
