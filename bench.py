@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "q_events_gap_detection",
     "q_sequence_texts",
     "q_referential_audit",
+    "q_event_transitions",
 ]
 
 

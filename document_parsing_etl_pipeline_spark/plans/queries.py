@@ -1757,6 +1757,39 @@ def q_events_moving_avg(spark, sf_dir):
     )
 
 
+@register("q_event_transitions", """
+WITH t AS (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+    FROM events
+), o AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id) AS next_type
+    FROM t
+)
+SELECT event_type, next_type, count(*) AS n_transitions
+FROM o WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+""")
+def q_event_transitions(spark, sf_dir):
+    """Markov transition counts between consecutive event types per
+    user (path/flow analysis — the aggregate behind sankey funnels
+    and next-action models). One lead() window + one rollup;
+    transition-matrix cardinality is event-type², tiny at any SF."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    o = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        o.where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
 @register("q_referential_audit", """
 WITH o AS (SELECT o_orderkey FROM orders GROUP BY 1),
      l AS (SELECT l_orderkey, count(*) AS n_items
