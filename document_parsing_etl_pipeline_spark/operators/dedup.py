@@ -404,7 +404,7 @@ def connected_components_star(
     # without truncation every reference re-evaluates the upstream
     # pair-generation lineage — measured 257s at sf0.1 vs ~5s with
     # the checkpoint (the rounds themselves are ~1s each)
-    edges = (
+    edges = init_edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
@@ -465,9 +465,13 @@ def connected_components_star(
         if cur_sig == prev_sig:
             break
         prev_sig = cur_sig
+    # vertices derive from the CHECKPOINTED initial edge set, not from
+    # `pairs` — re-reading pairs would re-run the whole candidate
+    # lineage once more. Self-pairs (a == b) are ignored throughout,
+    # matching the pair-generators (doc_a < doc_b) and the oracle.
     verts = (
-        pairs.select(F.col(src).alias("doc_id"))
-        .union(pairs.select(F.col(dst).alias("doc_id")))
+        init_edges.select(F.col("a").alias("doc_id"))
+        .union(init_edges.select(F.col("b").alias("doc_id")))
         .distinct()
     )
     roots = edges.groupBy("a").agg(F.min("b").alias("component_id"))
