@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "q_sequence_texts",
     "q_referential_audit",
     "q_event_transitions",
+    "q_lang_confusion",
+    "q_conversion_latency",
 ]
 
 

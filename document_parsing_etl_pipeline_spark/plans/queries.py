@@ -1757,6 +1757,91 @@ def q_events_moving_avg(spark, sf_dir):
     )
 
 
+@register("q_lang_confusion", f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+           {_stop_sql('de')} AS hits_de,
+           {_stop_sql('en')} AS hits_en,
+           {_stop_sql('es')} AS hits_es,
+           {_stop_sql('fr')} AS hits_fr
+    FROM documents
+), pred AS (
+    SELECT lang,
+           CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0
+                    THEN 'und'
+                WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr)
+                    THEN 'de'
+                WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr)
+                    THEN 'en'
+                WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr)
+                    THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM scored
+)
+SELECT lang, pred_lang, count(*) AS n_docs
+FROM pred GROUP BY 1, 2
+""")
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix (labelled lang × predicted lang) —
+    the classifier-evaluation rollup over the stopword-ratio
+    heuristic. lang² output; one shuffle."""
+    pred = ta.language_id(load_table(spark, sf_dir, "documents"))
+    return pred.groupBy("lang", "pred_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+@register("q_conversion_latency", """
+WITH firsts AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               AS first_click_us,
+           min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS first_purchase_us
+    FROM events GROUP BY user_id
+), lat AS (
+    SELECT first_purchase_us - first_click_us AS latency_us
+    FROM firsts
+    WHERE first_click_us IS NOT NULL
+      AND first_purchase_us > first_click_us
+)
+SELECT count(*) AS n_converted,
+       (sum(latency_us)::BIGINT // count(*)) AS mean_latency_us,
+       round(quantile_cont(latency_us, 0.5), 4) AS p50_us,
+       round(quantile_cont(latency_us, 0.95), 4) AS p95_us
+FROM lat
+""")
+def q_conversion_latency(spark, sf_dir):
+    """Click→purchase conversion latency distribution: integer floor
+    mean (micros) + exact interpolated percentiles over per-user first
+    events. Same two-shuffle shape as the funnel; the latency column
+    is integer micros end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts div 1000")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", us)).alias(
+            "first_click_us"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias(
+            "first_purchase_us"
+        ),
+    )
+    lat = firsts.where(
+        F.col("first_click_us").isNotNull()
+        & (F.col("first_purchase_us") > F.col("first_click_us"))
+    ).select(
+        (F.col("first_purchase_us") - F.col("first_click_us")).alias(
+            "latency_us"
+        )
+    )
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.expr("sum(latency_us) div count(*)").alias("mean_latency_us"),
+        F.round(F.expr("percentile(latency_us, 0.5)"), 4).alias("p50_us"),
+        F.round(F.expr("percentile(latency_us, 0.95)"), 4).alias("p95_us"),
+    )
+
+
 @register("q_event_transitions", """
 WITH t AS (
     SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
