@@ -2123,6 +2123,18 @@ def q_mm_audio_features(spark, sf_dir):
     return extract_audio_features(blobs).drop("feature")
 
 
+@register("q_pca_projection")
+def q_pca_projection(spark, sf_dir):
+    """Distributed PCA projection to 8 components (per-partition
+    X^T X partials → driver eigh → broadcast projection). Rows-only:
+    the eigensolve isn't SQL-expressible; the covariance statistic it
+    consumes IS hash-checked (q_embedding_covariance), and accuracy
+    is pytest-asserted. corpus.py:pca_project."""
+    return corpus.pca_project(
+        load_table(spark, sf_dir, "embeddings"), k=8
+    )
+
+
 @register("q_kmeans_clusters")
 def q_kmeans_clusters(spark, sf_dir):
     """Iterative Lloyd's k-means assignments (3 rounds, deterministic
