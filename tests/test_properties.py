@@ -140,3 +140,43 @@ def test_quantize_error_bound(spark, vec):
     else:
         # symmetric int8: |err| <= scale/2 (+ rounding slack)
         assert r.max_abs_err <= m / 127.0 / 2 + 1e-9
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=18),
+                  st.integers(min_value=0, max_value=18)),
+        min_size=1, max_size=24,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cc_star_equals_propagation_on_random_graphs(spark, edges):
+    from document_parsing_etl_pipeline_spark.operators.dedup import (
+        connected_components, connected_components_star,
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    pairs = spark.createDataFrame(
+        [Row(doc_a=a, doc_b=b) for a, b in edges]
+    )
+    prop = {r.doc_id: r.component_id
+            for r in connected_components(pairs, max_iter=50).collect()}
+    star = {r.doc_id: r.component_id
+            for r in connected_components_star(pairs).collect()}
+    assert star == prop
+    # ground truth: union-find over the same edges
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {v: find(v) for v in parent}
+    assert star == truth
