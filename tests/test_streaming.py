@@ -141,3 +141,33 @@ def test_streaming_quality_gate_routes(tmp_path, spark):
     q.awaitTermination(120)
     got = {r.event_id: r.gate for r in spark.sql("SELECT * FROM gated").collect()}
     assert got == {1: "accept", 2: "reject:below_min", 3: "reject:null_value"}
+
+
+def test_store_as_of_prunes_batches(tmp_path, spark):
+    import os
+    watch, store, ckpt = (str(tmp_path / d) for d in ("in2", "store2", "ck2"))
+    (tmp_path / "in2").mkdir()
+    d1 = {"doc_id": 1, "text": "alpha words " * 40, "lang": "en",
+          "source": "a", "n_chars": 480}
+    (tmp_path / "in2" / "one.json").write_text(json.dumps(d1))
+    q = watcher.start_full_pipeline(spark, watch, store, ckpt)
+    q.awaitTermination(120)
+    # second batch: a new file, new stream run over the same checkpoint
+    d2 = {"doc_id": 2, "text": "beta words " * 40, "lang": "en",
+          "source": "b", "n_chars": 440}
+    (tmp_path / "in2" / "two.json").write_text(json.dumps(d2))
+    q = watcher.start_full_pipeline(spark, watch, store, ckpt)
+    q.awaitTermination(120)
+
+    batches = sorted(
+        int(p.split("=")[1])
+        for p in os.listdir(os.path.join(store, "documents"))
+        if p.startswith("batch_id=")
+    )
+    assert len(batches) >= 2
+    full = watcher.read_store_as_of(spark, store, "documents")
+    asof = watcher.read_store_as_of(spark, store, "documents", batches[0])
+    assert full.count() == 2 and asof.count() == 1
+    # the as-of predicate must prune partitions at the scan
+    plan = asof._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(batch_id" in plan
