@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "q_event_transitions",
     "q_lang_confusion",
     "q_conversion_latency",
+    "q_events_hopping",
 ]
 
 

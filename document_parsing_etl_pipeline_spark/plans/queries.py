@@ -1757,6 +1757,67 @@ def q_events_moving_avg(spark, sf_dir):
     )
 
 
+_HOP_SIZE_US = 10 * 60 * 1_000_000
+_HOP_STEP_US = 5 * 60 * 1_000_000
+
+
+@register("q_events_hopping", f"""
+WITH t AS (
+    SELECT event_type, epoch_us(ts) AS us, value FROM events
+), buckets AS (
+    -- the dividend is filtered non-negative BEFORE the integer
+    -- division, so floor-vs-truncate semantics for negatives can
+    -- never differ between engines
+    SELECT event_type, value,
+           ((us - {_HOP_SIZE_US} + {_HOP_STEP_US}
+             + k.k * {_HOP_STEP_US}) // {_HOP_STEP_US}) * {_HOP_STEP_US}
+               AS window_start_us
+    FROM t, unnest(generate_series(0,
+        {_HOP_SIZE_US // _HOP_STEP_US - 1})) AS k(k)
+    WHERE us - {_HOP_SIZE_US} + {_HOP_STEP_US} + k.k * {_HOP_STEP_US} >= 0
+)
+SELECT window_start_us, event_type, count(*) AS n_events,
+       round(sum(value::DECIMAL(18,6))::DOUBLE, 2) AS sum_value
+FROM buckets
+GROUP BY 1, 2
+""")
+def q_events_hopping(spark, sf_dir):
+    """Hopping (overlapping) event-time windows: 10-min windows every
+    5 min — each event lands in size/step buckets via a small
+    sequence+explode (the batch shape of Structured Streaming's
+    window(size, slide)). Integer bucket arithmetic, decimal-exact
+    sums; explode factor = size/step = 2."""
+    ev = load_table(spark, sf_dir, "events")
+    n_hops = _HOP_SIZE_US // _HOP_STEP_US
+    us = F.expr("ts div 1000")
+    base = ev.select(
+        "event_type", "value", us.alias("us"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_hops - 1))).alias("k"),
+    )
+    # integer `div` (never double division: a truncated float quotient
+    # can drift off the bucket boundary at epoch-micro magnitudes),
+    # dividend filtered non-negative first — engine-identical
+    dividend = (
+        F.col("us") - F.lit(_HOP_SIZE_US) + F.lit(_HOP_STEP_US)
+        + F.col("k") * F.lit(_HOP_STEP_US)
+    )
+    return (
+        base.where(dividend >= 0)
+        .select(
+            "event_type", "value",
+            (F.expr(
+                f"(us - {_HOP_SIZE_US} + {_HOP_STEP_US}"
+                f" + k * {_HOP_STEP_US}) div {_HOP_STEP_US}"
+            ) * F.lit(_HOP_STEP_US)).alias("window_start_us"),
+        )
+        .groupBy("window_start_us", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            _money(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
 @register("q_lang_confusion", f"""
 WITH scored AS (
     SELECT doc_id, lang,
