@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "q_lang_confusion",
     "q_conversion_latency",
     "q_events_hopping",
+    "q_dedup_method_agreement",
 ]
 
 

@@ -1412,8 +1412,7 @@ toks AS (
 
 _SH_MAXB = 200
 
-
-@register("dedup_simhash", f"""
+_SH_PAIRS_SQL = f"""
 WITH {_simhash_sql()}, sbands AS (
     SELECT doc_id, simhash, band,
            (simhash >> (8 * band)) & 255 AS bv
@@ -1430,7 +1429,10 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM scapped a JOIN scapped b ON a.band = b.band AND a.bv = b.bv
 WHERE a.doc_id < b.doc_id
   AND bit_count(xor(a.simhash, b.simhash)) <= 3
-""")
+"""
+
+
+@register("dedup_simhash", _SH_PAIRS_SQL)
 def q_dedup_simhash(spark, sf_dir):
     df = dedup.simhash_pairs(
         load_table(spark, sf_dir, "documents"), max_hamming=3,
@@ -1754,6 +1756,59 @@ def q_events_moving_avg(spark, sf_dir):
     return ev.select(
         "event_id", "user_id", "ts_us",
         F.round(F.avg("value").over(w), 4).alias("mov_avg"),
+    )
+
+
+@register("q_dedup_method_agreement", f"""
+WITH mh AS (
+    SELECT doc_a, doc_b FROM (
+        WITH {_mh_sig_sql()}, {_mh_buckets_sql()}
+        SELECT doc_a, doc_b FROM cand
+    ) t
+), sh AS (
+    SELECT doc_a, doc_b FROM ({_SH_PAIRS_SQL}) s
+)
+SELECT sum(CASE WHEN sh.doc_a IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_minhash_only,
+       sum(CASE WHEN mh.doc_a IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_simhash_only,
+       sum(CASE WHEN mh.doc_a IS NOT NULL
+                 AND sh.doc_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_both
+FROM mh FULL OUTER JOIN sh
+  ON mh.doc_a = sh.doc_a AND mh.doc_b = sh.doc_b
+""")
+def q_dedup_method_agreement(spark, sf_dir):
+    """Sketch-agreement diagnostics: candidate pairs flagged by
+    MinHash-LSH vs SimHash — the calibration readout when tuning
+    which near-dup detector (or both) to run at scale. FULL OUTER on
+    the two (already capped) pair sets; output is one row."""
+    docs = load_table(spark, sf_dir, "documents")
+    mh = dedup.minhash_lsh_candidates(
+        docs, num_hashes=_MH_K, band_size=_MH_BAND, max_bucket=_MH_MAXB
+    )
+    sh = dedup.simhash_pairs(
+        docs, max_hamming=3, max_bucket=_SH_MAXB
+    ).select(
+        F.col("doc_a").alias("sa"), F.col("doc_b").alias("sb")
+    )
+    j = mh.join(
+        sh,
+        (F.col("doc_a") == F.col("sa")) & (F.col("doc_b") == F.col("sb")),
+        "full_outer",
+    )
+    return j.agg(
+        F.sum(
+            F.when(F.col("sa").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_minhash_only"),
+        F.sum(
+            F.when(F.col("doc_a").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_simhash_only"),
+        F.sum(
+            F.when(
+                F.col("doc_a").isNotNull() & F.col("sa").isNotNull(), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_both"),
     )
 
 
