@@ -91,8 +91,10 @@ chunks_raw AS (
 
 @register("doc_normalize", """
 SELECT doc_id,
-       array_to_string(regexp_extract_all(lower(text), '\\S+'), ' ') AS norm_text,
-       length(array_to_string(regexp_extract_all(lower(text), '\\S+'), ' '))
+       coalesce(array_to_string(regexp_extract_all(lower(text), '\\S+'), ' '),
+                '') AS norm_text,
+       length(coalesce(array_to_string(
+                  regexp_extract_all(lower(text), '\\S+'), ' '), ''))
            AS norm_len
 FROM documents
 """)
@@ -153,8 +155,8 @@ WITH words_t AS (
     FROM words_t
 )
 SELECT doc_id, chunk_index,
-       array_to_string(words[chunk_index*{_TOK_CHUNK}+1 :
-                             chunk_index*{_TOK_CHUNK}+{_TOK_CHUNK}], ' ')
+       coalesce(array_to_string(words[chunk_index*{_TOK_CHUNK}+1 :
+                             chunk_index*{_TOK_CHUNK}+{_TOK_CHUNK}], ' '), '')
            AS text_content,
        len(words[chunk_index*{_TOK_CHUNK}+1 :
                  chunk_index*{_TOK_CHUNK}+{_TOK_CHUNK}]) AS token_count
@@ -1209,7 +1211,8 @@ bucketed AS (
 
 
 @register("dedup_exact", """
-SELECT md5(array_to_string(regexp_extract_all(lower(text), '\\S+'), ' '))
+SELECT md5(coalesce(array_to_string(
+               regexp_extract_all(lower(text), '\\S+'), ' '), ''))
            AS content_hash,
        min(doc_id) AS canonical_doc_id,
        count(*) AS n_docs
@@ -1254,7 +1257,8 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 @register("dedup_materialize", """
 WITH hashed AS (
     SELECT doc_id, n_chars,
-           md5(array_to_string(regexp_extract_all(lower(text), '\\S+'), ' '))
+           md5(coalesce(array_to_string(
+                   regexp_extract_all(lower(text), '\\S+'), ' '), ''))
                AS content_hash
     FROM documents
 ), ranked AS (

@@ -1,0 +1,89 @@
+"""Adversarial-data parity: the Spark↔DuckDB oracle contract must
+hold on degenerate documents (empty / whitespace-only / unicode /
+CRLF / symbol-heavy), not just the generator's clean corpus.
+
+Found real latent bugs once: DuckDB ``array_to_string([])`` is NULL
+where Spark's ``array_join`` is '' — md5(NULL) then poisoned the
+dedup hashes. The oracles now coalesce; this test keeps them honest.
+"""
+
+import duckdb
+import pytest
+
+from document_parsing_etl_pipeline_spark.plans.queries import (
+    ORACLES, QUERIES,
+)
+
+EDGE_DOCS = [
+    (0, "", "en", "edge", 0),
+    (1, "   ", "en", "edge", 3),
+    (2, "\t\n\t\n", "en", "edge", 4),
+    (3, "word", "en", "edge", 4),
+    (4, "a " * 200, "en", "edge", 400),
+    (5, "Café naïve résumé 中文文档 😀 emoji", "fr", "edge", 30),
+    (6, "x" * 500, "en", "edge", 500),
+    (7, "the the the and and of to a " * 10, "en", "edge", 280),
+    (8, "line1\nline2\n- bullet\n- b2\nend...", "en", "edge", 32),
+    (9, "MiXeD CaSe TEXT with  double  spaces", "de", "edge", 36),
+    (10, "tab\there\nnew\nlines\r\ncarriage", "es", "edge", 29),
+    (11, "123 456 789 #### ... ... $$$", "en", "edge", 28),
+]
+
+# documents-only queries that exercise the text/token/hash paths
+EDGE_QUERIES = [
+    "doc_normalize", "doc_metadata", "doc_chunk", "doc_chunk_tokens",
+    "dedup_exact", "dedup_materialize", "quality_score", "token_count",
+    "lang_id", "q_gopher_filters", "q_unigram_logprob", "fingerprint",
+    "q_repetition_ratio", "q_sequence_pack",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory, spark):
+    import shutil
+
+    d = tmp_path_factory.mktemp("edge_sf")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        shutil.copyfile(f"/root/testdata/sf0.001/{t}.parquet",
+                        str(d / f"{t}.parquet"))
+    con = duckdb.connect()
+    con.execute("create table d(doc_id BIGINT, text VARCHAR, "
+                "lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+    con.executemany("insert into d values (?,?,?,?,?)", EDGE_DOCS)
+    con.execute(
+        f"copy d to '{d}/documents.parquet' (format parquet)"
+    )
+    return str(d)
+
+
+def _normalize(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = f"{v:.6g}"
+            vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name", EDGE_QUERIES)
+def test_edge_parity(spark, edge_dir, name):
+    got = QUERIES[name](spark, edge_dir)
+    cols = got.columns
+    got_n = _normalize([tuple(r) for r in got.collect()], cols)
+
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{edge_dir}/documents.parquet')"
+    )
+    res = con.execute(ORACLES[name])
+    ocols = [d[0] for d in res.description]
+    want_n = _normalize(res.fetchall(), ocols)
+    assert sorted(cols) == sorted(ocols)
+    assert got_n == want_n
