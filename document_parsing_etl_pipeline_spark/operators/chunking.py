@@ -114,12 +114,11 @@ def sequence_pack(
     Per-group applyInPandas would pay one Python call per DOCUMENT
     (measured 15 s for 5k docs at sf0.1 — group-dispatch overhead, not
     compute), so the recurrence runs instead as mapInPandas over
-    doc-partitioned, (doc_id, chunk_index)-sorted partitions: one
-    Arrow-batched Python call per PARTITION, resetting state at each
-    doc boundary. repartition(doc_id) guarantees a document never
-    splits across partitions; task memory is one partition of
-    3-column longs (bounded by spark.sql.shuffle.partitions sizing at
-    the target SF).
+    doc-partitioned, (doc_id, chunk_index)-sorted partitions,
+    resetting state at each doc boundary and carrying the running
+    (doc, seq, fill) across Arrow batch boundaries — task memory is
+    ONE Arrow batch, regardless of partition size. repartition(doc_id)
+    guarantees a document never splits across partitions.
 
     Output: (doc_id, chunk_index, token_count, seq_id, seq_fill) where
     seq_id numbers sequences within the doc and seq_fill is the running
@@ -137,29 +136,30 @@ def sequence_pack(
     )
 
     def pack_partition(batches):
-        # mapInPandas batches can split mid-document — concatenate the
-        # partition (its rows are already doc-grouped and sorted)
-        pdfs = list(batches)
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True)
-        seq_ids, fills = [], []
+        # Arrow batches can split mid-document, but the recurrence
+        # only needs the running (doc, seq, fill) carried across the
+        # batch boundary — process one batch at a time (task memory =
+        # one Arrow batch, NOT the whole partition)
         prev_doc, seq, fill = None, 0, 0
-        for doc, tc in zip(pdf["doc_id"], pdf["token_count"]):
-            tc = int(tc)
-            if doc != prev_doc:
-                prev_doc, seq, fill = doc, 0, tc
-            elif fill + tc > budget:
-                seq += 1
-                fill = tc
-            else:
-                fill += tc
-            seq_ids.append(seq)
-            fills.append(fill)
-        pdf = pdf[["doc_id", "chunk_index", "token_count"]].copy()
-        pdf["seq_id"] = seq_ids
-        pdf["seq_fill"] = fills
-        yield pdf
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seq_ids, fills = [], []
+            for doc, tc in zip(pdf["doc_id"], pdf["token_count"]):
+                tc = int(tc)
+                if doc != prev_doc:
+                    prev_doc, seq, fill = doc, 0, tc
+                elif fill + tc > budget:
+                    seq += 1
+                    fill = tc
+                else:
+                    fill += tc
+                seq_ids.append(seq)
+                fills.append(fill)
+            out = pdf[["doc_id", "chunk_index", "token_count"]].copy()
+            out["seq_id"] = seq_ids
+            out["seq_fill"] = fills
+            yield out
 
     return (
         chunks.select("doc_id", "chunk_index", "token_count")
