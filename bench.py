@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "q_conversion_latency",
     "q_events_hopping",
     "q_dedup_method_agreement",
+    "q_vocab_build",
 ]
 
 

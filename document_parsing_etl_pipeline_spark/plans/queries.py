@@ -1763,6 +1763,50 @@ def q_events_moving_avg(spark, sf_dir):
     )
 
 
+@register("q_vocab_build", r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS tok
+    FROM documents
+), stats AS (
+    SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM toks GROUP BY tok
+)
+SELECT tok, tf, df FROM stats
+WHERE df >= 2
+ORDER BY tf DESC, tok
+LIMIT 200
+""")
+def q_vocab_build(spark, sf_dir):
+    """Tokenizer-vocabulary construction: BPE-regex token counts with
+    a document-frequency floor (min_df prunes hapax noise) → top-200
+    by frequency. The standard vocab pass before training a
+    tokenizer; one explode + one two-phase agg — the distinct-df
+    count pre-aggregates per (tok, doc) map-side. (A max_df stopword
+    bound composes the same way; the synthetic corpus's closed vocab
+    makes it degenerate here.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(ta.RE_BPE_TOKEN), 0
+            )
+        ).alias("tok"),
+    )
+    stats = toks.groupBy("tok").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    return (
+        stats.where(F.col("df") >= 2)
+        .select("tok", "tf", "df")
+        .orderBy(F.col("tf").desc(), "tok")
+        .limit(200)
+    )
+
+
 @register("q_dedup_method_agreement", f"""
 WITH mh AS (
     SELECT doc_a, doc_b FROM (
