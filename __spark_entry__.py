@@ -4,7 +4,10 @@ entry(spark)  — flagship pipeline on sf0.001 (parse → chunk → NER →
                 doc-store rollup).
 queries()     — one entry per implemented operator from SURVEY.md §2.
 oracle_sql()  — DuckDB-equivalent SQL per query (omitted only for the
-                non-SQL-expressible multimodal decode, which gets the
+                non-SQL-expressible entries — binary decode
+                [mm_image_pipeline, mm_audio_features] and the
+                iterative eigensolve/clustering pair
+                [q_pca_projection, q_kmeans_clusters] — which get the
                 weaker rows-only check).
 """
 
