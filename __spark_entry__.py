@@ -5,7 +5,7 @@ entry(spark)  — flagship pipeline on sf0.001 (parse → chunk → NER →
 queries()     — one entry per implemented operator from SURVEY.md §2.
 oracle_sql()  — DuckDB-equivalent SQL per query (omitted only for the
                 non-SQL-expressible entries — binary decode
-                [mm_image_pipeline, mm_audio_features] and the
+                [mm_image_pipeline, mm_audio_features, mm_video_frames] and the
                 iterative eigensolve/clustering pair
                 [q_pca_projection, q_kmeans_clusters] — which get the
                 weaker rows-only check).

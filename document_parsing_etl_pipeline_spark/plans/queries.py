@@ -2299,6 +2299,26 @@ def q_pca_projection(spark, sf_dir):
     )
 
 
+@register("mm_video_frames")
+def q_mm_video_frames(spark, sf_dir):
+    """Video binary columns → per-frame rows (flatMap shape: one
+    output row per sampled frame index, the contract a real ffmpeg
+    frame extractor needs). Blobs synthesized deterministically;
+    rows-only (binary decode isn't SQL-expressible).
+    multimodal.py:sample_video_frames."""
+    from ..operators.multimodal import sample_video_frames
+
+    inv = charts_op.chart_inventory(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    )
+    blobs = inv.select(
+        "image_path",
+        F.unhex(F.md5("image_path")).alias("content"),
+        F.lit("video/mp4").alias("content_type"),
+    )
+    return sample_video_frames(blobs)
+
+
 @register("q_kmeans_clusters")
 def q_kmeans_clusters(spark, sf_dir):
     """Iterative Lloyd's k-means assignments (3 rounds, deterministic

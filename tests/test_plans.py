@@ -142,7 +142,8 @@ def test_all_queries_no_rowbased_python_udf(spark):
     # only Arrow-batched (MapInPandas) is acceptable, and only in the
     # multimodal pipeline and the block-matrix embedding kernel.
     arrow_ok = {
-        "mm_image_pipeline", "mm_audio_features", "dedup_embedding",
+        "mm_image_pipeline", "mm_audio_features", "mm_video_frames",
+        "dedup_embedding",
         "knn_all_topk", "q_pca_projection",
         "q_sequence_pack", "q_sequence_texts",  # packing recurrence
     }
