@@ -123,6 +123,11 @@ def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
 
     posexplode → one groupBy on the dimension index: 64 groups, all
     map-side partial — scan-bound at any corpus size.
+
+    Domain: embedding magnitudes are bounded by construction (unit-ish
+    vectors); the exact DECIMAL(18,6) accumulator holds |sum| < 1e12.
+    Garbage values (1e30) would overflow under ANSI — a loud error,
+    by design, not a silent wrong answer.
     """
     exploded = embeddings.select(
         F.posexplode("embedding").alias("dim", "v")

@@ -48,8 +48,13 @@ def _cosine_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
     if len(a) == 0:
         return pd.Series(np.array([], dtype=np.float64))
     A, B = _stack(a), _stack(b)
+    dot = _seq_dot(A, B)
+    den = np.sqrt(_seq_dot(A, A)) * np.sqrt(_seq_dot(B, B))
+    # zero-norm guard: cosine against a zero vector is defined as 0
+    # (not NaN) — padded/masked embeddings occur in real corpora, and
+    # NaN ordering diverges between engines
     return pd.Series(
-        _seq_dot(A, B) / (np.sqrt(_seq_dot(A, A)) * np.sqrt(_seq_dot(B, B)))
+        np.divide(dot, den, out=np.zeros_like(dot), where=den != 0.0)
     )
 
 
@@ -166,9 +171,13 @@ def knn_all_topk(
                               for v in row["vecs_a"]])
                 B = np.stack([np.asarray(v, dtype=np.float64)
                               for v in row["vecs_b"]])
-                C = (A @ B.T) / np.outer(
+                den = np.outer(
                     np.sqrt((A * A).sum(axis=1)),
                     np.sqrt((B * B).sum(axis=1)),
+                )
+                # zero-norm guard: score 0, never NaN (engine-stable)
+                C = np.divide(
+                    A @ B.T, den, out=np.zeros_like(den), where=den != 0.0
                 )
                 C = np.round(C, 4)
                 # self-matches out of contention

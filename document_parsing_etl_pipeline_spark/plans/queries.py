@@ -1469,9 +1469,16 @@ def q_dedup_embedding(spark, sf_dir):
 # ===================================================================
 
 _COS_SQL = (
-    "list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])"
+    # zero-norm guard mirrors the Arrow kernel: cosine vs a zero
+    # vector is 0, never NaN (NaN ordering diverges between engines)
+    "CASE WHEN list_inner_product(q.embedding::DOUBLE[],"
+    " q.embedding::DOUBLE[]) = 0"
+    " OR list_inner_product(e.embedding::DOUBLE[],"
+    " e.embedding::DOUBLE[]) = 0 THEN 0.0"
+    " ELSE list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])"
     " / (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))"
     " * sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))"
+    " END"
 )
 
 
@@ -2224,11 +2231,16 @@ WITH cents AS (
     FROM embeddings WHERE vec_id < 8
 ), scored AS (
     SELECT e.vec_id, c.centroid_id,
-           round(list_inner_product(e.embedding::DOUBLE[], c.cv::DOUBLE[])
+           round(CASE WHEN list_inner_product(e.embedding::DOUBLE[],
+                               e.embedding::DOUBLE[]) = 0
+                       OR list_inner_product(c.cv::DOUBLE[],
+                                             c.cv::DOUBLE[]) = 0
+                      THEN 0.0
+                 ELSE list_inner_product(e.embedding::DOUBLE[], c.cv::DOUBLE[])
                  / (sqrt(list_inner_product(e.embedding::DOUBLE[],
                                             e.embedding::DOUBLE[]))
-                    * sqrt(list_inner_product(c.cv::DOUBLE[], c.cv::DOUBLE[]))),
-                 4) AS cosine
+                    * sqrt(list_inner_product(c.cv::DOUBLE[], c.cv::DOUBLE[])))
+                 END, 4) AS cosine
     FROM embeddings e CROSS JOIN cents c
 ), ranked AS (
     SELECT *, row_number() OVER (PARTITION BY vec_id

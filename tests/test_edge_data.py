@@ -87,3 +87,59 @@ def test_edge_parity(spark, edge_dir, name):
     want_n = _normalize(res.fetchall(), ocols)
     assert sorted(cols) == sorted(ocols)
     assert got_n == want_n
+
+
+EDGE_EMB_QUERIES = [
+    "knn_brute_cosine", "knn_ivf_bucketed", "knn_all_topk",
+    "dedup_embedding", "cluster_assign", "q_embedding_quantize",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_emb_dir(tmp_path_factory, spark):
+    import random
+    import shutil
+
+    d = tmp_path_factory.mktemp("edge_emb")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents"):
+        shutil.copyfile(f"/root/testdata/sf0.001/{t}.parquet",
+                        str(d / f"{t}.parquet"))
+    rng = random.Random(3)
+    rows = []
+    for i in range(40):
+        if i == 0:
+            v = [0.0] * 64                  # zero vector (NaN trap)
+        elif i == 1:
+            v = [0.0] * 63 + [1.0]          # one-hot
+        elif i == 2:
+            v = [1e-6] * 64                 # tiny magnitudes
+        else:
+            v = [rng.gauss(0, 1) for _ in range(64)]
+        rows.append((i, [float(x) for x in v], i % 5))
+    con = duckdb.connect()
+    con.execute("create table e(vec_id BIGINT, embedding FLOAT[], "
+                "label INTEGER)")
+    con.executemany("insert into e values (?,?,?)", rows)
+    con.execute(f"copy e to '{d}/embeddings.parquet' (format parquet)")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EDGE_EMB_QUERIES)
+def test_edge_embedding_parity(spark, edge_emb_dir, name):
+    """Zero-norm vectors must score cosine 0 (not NaN) identically on
+    both engines — NaN ordering diverges between them."""
+    got = QUERIES[name](spark, edge_emb_dir)
+    cols = got.columns
+    got_n = _normalize([tuple(r) for r in got.collect()], cols)
+
+    con = duckdb.connect()
+    con.execute(
+        "create view embeddings as select * from "
+        f"read_parquet('{edge_emb_dir}/embeddings.parquet')"
+    )
+    res = con.execute(ORACLES[name])
+    ocols = [d[0] for d in res.description]
+    want_n = _normalize(res.fetchall(), ocols)
+    assert sorted(cols) == sorted(ocols)
+    assert got_n == want_n
