@@ -9,7 +9,13 @@ matches):
   order is not), then cast to DOUBLE and round;
 - timestamps are compared as epoch microseconds (BIGINT);
 - hashes are md5 hex strings (identical algorithm both engines);
-- regexes use only syntax with identical Java-regex/RE2 semantics.
+- regexes use only syntax with identical Java-regex/RE2 semantics;
+- cosine against a zero-norm vector is 0 (never NaN — engines order
+  NaN differently);
+- numeric input domain: metric/money/embedding values are finite and
+  magnitude-bounded (decimal accumulators are sized for the domain;
+  garbage like NaN or 1e30 fails loudly under ANSI rather than
+  silently corrupting an aggregate).
 """
 
 from __future__ import annotations
