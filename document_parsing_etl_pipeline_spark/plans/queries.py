@@ -2741,7 +2741,10 @@ def q22(spark, sf_dir):
 
 
 @register("q_events_json_props", """
-SELECT (CAST(props->>'$.k' AS BIGINT) // 10) AS k_bucket,
+SELECT CAST(floor(TRY_CAST(
+           CASE WHEN props IS NOT NULL AND json_valid(props)
+                THEN props->>'$.k' END AS DOUBLE) / 10.0) AS BIGINT)
+           AS k_bucket,
        count(*) AS n_events,
        round(sum(value::DECIMAL(18,6))::DOUBLE, 2) AS sum_value
 FROM events
@@ -2750,9 +2753,14 @@ GROUP BY k_bucket
 def q_events_json_props(spark, sf_dir):
     """Semi-structured extraction: JSON props column → typed field →
     rollup (get_json_object is JVM-side; at scale prefer
-    from_json with an explicit schema, same plan shape)."""
+    from_json with an explicit schema, same plan shape). Messy JSON
+    is survivable by construction: try_cast to DOUBLE (not ANSI cast,
+    and not integer — engines disagree on rounding '25.7' to BIGINT),
+    and the oracle guards DuckDB's throwing `->>` with json_valid —
+    malformed/nested/absent keys land in the NULL bucket identically
+    on both engines."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS double)")
     return (
         ev.select((F.floor(k / 10)).cast("long").alias("k_bucket"), "value")
         .groupBy("k_bucket")
@@ -3281,11 +3289,13 @@ WITH m AS (
 SELECT e.event_id, e.event_type,
        round(e.value, 4) + 0.0 AS value,
        round((e.value - s1 / n)
-             / sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 1e-12)), 4)
+             / sqrt(greatest((s2 - s1 * s1 / n) / greatest(n - 1, 1),
+                             1e-12)), 4)
            + 0.0 AS zscore
 FROM events e JOIN m USING (event_type)
 WHERE abs((e.value - s1 / n)
-          / sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 1e-12))) > 3
+          / sqrt(greatest((s2 - s1 * s1 / n) / greatest(n - 1, 1),
+                          1e-12))) > 3
 """)
 def q_events_anomaly(spark, sf_dir):
     """Z-score outlier scan per event type with EXACT moments: mean
@@ -3304,8 +3314,11 @@ def q_events_anomaly(spark, sf_dir):
     j = ev.join(F.broadcast(m), "event_type")
     n = F.col("n").cast("double")
     mean = F.col("s1") / n
+    # greatest(n-1, 1): a singleton event type must not divide by
+    # zero (ANSI error); its z-score is 0 and never passes the filter
     var = F.greatest(
-        (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1),
+        (F.col("s2") - F.col("s1") * F.col("s1") / n)
+        / F.greatest(n - 1, F.lit(1.0)),
         F.lit(1e-12),
     )
     z = (F.col("value") - mean) / F.sqrt(var)

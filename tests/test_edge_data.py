@@ -143,3 +143,74 @@ def test_edge_embedding_parity(spark, edge_emb_dir, name):
     want_n = _normalize(res.fetchall(), ocols)
     assert sorted(cols) == sorted(ocols)
     assert got_n == want_n
+
+
+EDGE_EVENTS = [
+    (0, '2024-01-01 00:00:00', 1, 'click', 1.5, '{"k": 5}'),
+    (1, '2024-01-01 00:01:00', 1, 'click', 2.5, '{"k": "17"}'),
+    (2, '2024-01-01 00:02:00', 2, 'view', 0.5, '{"other": 1}'),
+    (3, '2024-01-01 00:03:00', 2, 'view', 1.0, 'not json'),
+    (4, '2024-01-01 00:04:00', 3, 'purchase', 9.0, ''),
+    (5, '2024-01-01 00:05:00', 3, 'view', 2.0, None),
+    (6, '2024-01-01 00:06:00', 4, 'click', 3.0, '{"k": {"nested": 1}}'),
+    (7, '2024-01-01 00:07:00', 4, 'click', 4.0, '{"k": 25.7}'),
+    (8, '2024-01-01 00:08:00', 5, 'view', 5.0, '{"k": null}'),
+    (9, '2024-01-01 00:09:00', 5, 'view', 6.0, '[1,2,3]'),
+]
+
+EDGE_EVENT_QUERIES = [
+    "q_events_json_props", "q_events_windowed", "q_event_transitions",
+    "q_events_gap_detection", "q_funnel_conversion", "q_events_anomaly",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_ev_dir(tmp_path_factory, spark):
+    import shutil
+
+    d = tmp_path_factory.mktemp("edge_ev")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        shutil.copyfile(f"/root/testdata/sf0.001/{t}.parquet",
+                        str(d / f"{t}.parquet"))
+    # write through pyarrow: the real events.parquet carries
+    # TIMESTAMP(NANOS) (DuckDB's COPY downcasts to micros, which
+    # Spark would read as TIMESTAMP_NTZ instead of the nanos long)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in EDGE_EVENTS], pa.int64()),
+        "ts": pa.array(
+            [datetime.fromisoformat(r[1]) for r in EDGE_EVENTS],
+            pa.timestamp("ns"),
+        ),
+        "user_id": pa.array([r[2] for r in EDGE_EVENTS], pa.int64()),
+        "event_type": pa.array([r[3] for r in EDGE_EVENTS], pa.string()),
+        "value": pa.array([r[4] for r in EDGE_EVENTS], pa.float64()),
+        "props": pa.array([r[5] for r in EDGE_EVENTS], pa.string()),
+    })
+    pq.write_table(tbl, f"{d}/events.parquet", version="2.6",
+                   coerce_timestamps=None)
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EDGE_EVENT_QUERIES)
+def test_edge_events_parity(spark, edge_ev_dir, name):
+    """Messy JSON props (malformed / nested / float / string-number /
+    null / array-root) must bucket identically on both engines."""
+    got = QUERIES[name](spark, edge_ev_dir)
+    cols = got.columns
+    got_n = _normalize([tuple(r) for r in got.collect()], cols)
+
+    con = duckdb.connect()
+    con.execute(
+        "create view events as select * from "
+        f"read_parquet('{edge_ev_dir}/events.parquet')"
+    )
+    res = con.execute(ORACLES[name])
+    ocols = [d[0] for d in res.description]
+    want_n = _normalize(res.fetchall(), ocols)
+    assert sorted(cols) == sorted(ocols)
+    assert got_n == want_n
