@@ -135,6 +135,11 @@ def main():
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # The printed line must stay SHORT: the driver captures only the tail
+    # of stdout (~3 KB) and parses the last line as JSON — the full
+    # 80+-query dict overflowed that buffer in round 2 ("parsed": null).
+    # Print the r01-comparable per-query subset (the cross-round metric)
+    # and write the complete detail to BENCH_FULL.json next to this file.
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -151,26 +156,47 @@ def main():
     base_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BASELINE_BENCH.json"
     )
-    if os.path.exists(base_path) and str(out["sf"]) == "0.1":
+    regressions: dict[str, dict] = {}
+    if os.path.exists(base_path):
         loaded = json.load(open(base_path))
         r01 = loaded["queries"]
-        # apples-to-apples vs ROUND 1: total over the queries the r01
-        # baseline measured (the judge's cross-round metric)
-        out["comparable_total"] = round(
-            sum(t for n, t in timings.items() if n in r01), 3
-        )
-        # regression guard covers r01 + the extended round-2 anchors
-        anchors = dict(loaded.get("extended_queries", {}), **r01)
-        regressions = {
-            n: {"now": t, "baseline": anchors[n],
-                "ratio": round(t / anchors[n], 2)}
-            for n, t in timings.items()
-            if n in anchors and anchors[n] > 0.2 and t > 1.5 * anchors[n]
-        }
-        if regressions:
-            out["regressions"] = regressions
+        # the printed per-query dict is the r01-comparable subset only
+        # (keeps the line inside the driver's tail buffer)
+        out["queries"] = {n: t for n, t in timings.items() if n in r01}
+        out["full_n"] = len(timings)
+        if str(out["sf"]) == "0.1":
+            # apples-to-apples vs ROUND 1: total over the queries the
+            # r01 baseline measured (the judge's cross-round metric)
+            out["comparable_total"] = round(
+                sum(t for n, t in timings.items() if n in r01), 3
+            )
+            # regression guard covers r01 + the extended round-2 anchors
+            anchors = dict(loaded.get("extended_queries", {}), **r01)
+            regressions = {
+                n: {"now": t, "baseline": anchors[n],
+                    "ratio": round(t / anchors[n], 2)}
+                for n, t in timings.items()
+                if n in anchors and anchors[n] > 0.2 and t > 1.5 * anchors[n]
+            }
+            if regressions:
+                out["n_regressions"] = len(regressions)
+    else:
+        out["queries"] = dict(list(timings.items())[:40])
+        out["full_n"] = len(timings)
+
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    try:
+        with open(full_path, "w") as f:
+            json.dump({"metric": out["metric"], "value": total,
+                       "unit": "sec", "sf": out["sf"], "queries": timings,
+                       "regressions": regressions}, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: the printed line is still complete
+
     print(json.dumps(out))
-    if out.get("regressions") and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
+    if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
         sys.exit(1)
 
 
