@@ -9,6 +9,8 @@ TF-IDF; a broadcast centroid join for assignment.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -362,9 +364,17 @@ def embedding_covariance(embeddings: DataFrame) -> DataFrame:
     )
 
 
+class PCAResult(NamedTuple):
+    """Projection DataFrame + the top-k explained variances (the
+    eigensolve diagnostic that callers/tests assert on)."""
+
+    projections: DataFrame
+    explained_variance: list
+
+
 def pca_project(
     embeddings: DataFrame, k: int = 8, id_col: str = "vec_id"
-) -> DataFrame:
+) -> PCAResult:
     """Distributed PCA: per-partition numpy partials (count, sum
     vector, X^T X) → driver combine + eigh on the tiny d×d matrix →
     broadcast components → Arrow-batched projection.
@@ -430,8 +440,7 @@ def pca_project(
             )
 
     out = emb.mapInPandas(project, "vec_id long, proj array<double>")
-    out.explained_variance = explained  # diagnostics for callers/tests
-    return out
+    return PCAResult(out, explained.tolist())
 
 
 def kmeans_lloyd(

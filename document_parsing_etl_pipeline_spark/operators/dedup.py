@@ -414,10 +414,10 @@ def connected_components_star(
     def _sig(df):
         # convergence signature: count + order-free checksum — one
         # cheap agg per round instead of two full exceptAll compares
-        # (the exceptAll version measured 300s+ at sf0.1; this is the
-        # per-round cost that matters, the fixpoint itself is safe:
-        # a 64-bit collision would only delay/advance the stop, and
-        # the stationary edge set makes the result identical anyway)
+        # (the exceptAll version measured 300s+ at sf0.1 because it
+        # ran EVERY round; here a signature match is only a trigger
+        # for ONE exact confirmation below, so a collision can never
+        # yield an early non-converged result)
         r = df.agg(
             F.count("*").alias("n"),
             # decimal accumulator: a long sum of 64-bit hashes
@@ -426,6 +426,8 @@ def connected_components_star(
         ).first()
         return (r["n"], r["h"])
 
+    converged = False
+    prev_edges = edges
     prev_sig = _sig(edges)
     for _ in range(max_iter):
         # large-star: reduce at v over the FULL neighborhood Γ(v);
@@ -463,8 +465,20 @@ def connected_components_star(
         edges = small
         cur_sig = _sig(edges)
         if cur_sig == prev_sig:
-            break
+            # exact one-shot stability check: both frames are
+            # checkpointed and distinct with equal counts (part of the
+            # signature), so a single-direction exceptAll proves set
+            # equality — this runs once at the fixpoint, not per round
+            if edges.exceptAll(prev_edges).isEmpty():
+                converged = True
+                break
         prev_sig = cur_sig
+        prev_edges = edges
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star: edge set not stable after "
+            f"{max_iter} rounds — raise max_iter (rounds are O(log² n))"
+        )
     # vertices derive from the CHECKPOINTED initial edge set, not from
     # `pairs` — re-reading pairs would re-run the whole candidate
     # lineage once more. Self-pairs (a == b) are ignored throughout,

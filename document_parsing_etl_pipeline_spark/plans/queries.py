@@ -2314,7 +2314,7 @@ def q_pca_projection(spark, sf_dir):
     is pytest-asserted. corpus.py:pca_project."""
     return corpus.pca_project(
         load_table(spark, sf_dir, "embeddings"), k=8
-    )
+    ).projections
 
 
 @register("mm_video_frames")

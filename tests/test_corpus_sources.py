@@ -163,9 +163,9 @@ def test_pca_projects_onto_dominant_axes(spark):
         [Row(vec_id=i, embedding=[float(a) for a in row])
          for i, row in enumerate(X)]
     )
-    out = corpus.pca_project(emb, k=2)
-    ev = out.explained_variance
-    rows = {r.vec_id: r.proj for r in out.collect()}
+    res = corpus.pca_project(emb, k=2)
+    ev = res.explained_variance
+    rows = {r.vec_id: r.proj for r in res.projections.collect()}
     assert len(rows) == 40 and len(rows[0]) == 2
     # top component captures the dim-0 variance, nothing from dim 2
     assert ev[0] > 50 and ev[1] > 1 and ev[0] > 5 * ev[1]
