@@ -2740,6 +2740,250 @@ def q22(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------- partsupp
+# The testdata schema has no partsupp table (so TPC-H Q2/Q11/Q20 were
+# previously out of reach). Derive one DETERMINISTICALLY from the part
+# and supplier keys with pure integer arithmetic — both engines compute
+# the identical relation, so the oracle protocol still holds:
+#   suppliers of part p: (p + k*max(S//4,1)) % S  for k in 0..3
+#   ps_availqty        = (p*7  + s*13) % 9999  + 1
+#   ps_supplycost_cents= (p*31 + s*17) % 20000 + 100   (integer cents)
+# This mirrors TPC-H's own modular partsupp generator (dbgen assigns
+# each part 4 suppliers by wrapping the key space). Costs stay in
+# integer cents end-to-end; money outputs divide by 100.0 only at the
+# final projection.
+
+PARTSUPP_CTE = """
+ps_keys AS (
+    SELECT p.p_partkey AS ps_partkey,
+           (p.p_partkey + k.k * greatest((SELECT count(*) FROM supplier) // 4, 1))
+               % (SELECT count(*) FROM supplier) AS ps_suppkey
+    FROM part p, (SELECT unnest(generate_series(0, 3)) AS k) k
+    GROUP BY 1, 2
+), partsupp AS (
+    SELECT ps_partkey, ps_suppkey,
+           (ps_partkey * 7 + ps_suppkey * 13) % 9999 + 1 AS ps_availqty,
+           (ps_partkey * 31 + ps_suppkey * 17) % 20000 + 100
+               AS ps_supplycost_cents
+    FROM ps_keys
+)"""
+
+
+def _partsupp(spark, sf_dir) -> DataFrame:
+    """Derived partsupp relation (see PARTSUPP_CTE). 4 rows per part;
+    the supplier count arrives as a 1-row broadcast, so generation is
+    one narrow pass over part — no shuffle until a consumer asks."""
+    part = load_table(spark, sf_dir, "part")
+    n_supp = load_table(spark, sf_dir, "supplier").agg(
+        F.count("*").alias("n_supp")
+    )
+    step = F.greatest((F.col("n_supp") / 4).cast("long"), F.lit(1))
+    return (
+        part.select("p_partkey")
+        .crossJoin(F.broadcast(n_supp))
+        .select(
+            "p_partkey",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+            "n_supp",
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") + F.col("k") * step) % F.col("n_supp"))
+                .alias("ps_suppkey"),
+        )
+        .distinct()
+        .withColumn(
+            "ps_availqty",
+            (F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 13) % 9999 + 1,
+        )
+        .withColumn(
+            "ps_supplycost_cents",
+            (F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 20000
+            + 100,
+        )
+    )
+
+
+@register("q2_min_cost_supplier", f"""
+WITH {PARTSUPP_CTE},
+eligible AS (
+    SELECT ps.ps_partkey, ps.ps_supplycost_cents,
+           s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+    FROM partsupp ps
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+),
+mins AS (
+    SELECT ps_partkey, min(ps_supplycost_cents) AS min_cents
+    FROM eligible GROUP BY ps_partkey
+)
+SELECT p.p_partkey, p.p_brand, p.p_type,
+       e.s_suppkey, e.s_name, e.n_name, e.s_acctbal,
+       round(e.ps_supplycost_cents / 100.0, 2) AS supplycost
+FROM eligible e
+JOIN mins m ON m.ps_partkey = e.ps_partkey
+           AND e.ps_supplycost_cents = m.min_cents
+JOIN part p ON p.p_partkey = e.ps_partkey
+WHERE p.p_size >= 40 AND p.p_type = 'LARGE'
+""")
+def q2(spark, sf_dir):
+    """TPC-H Q2 shape: cheapest supplier per part within one region
+    (correlated min subquery de-correlated into a per-part min agg
+    joined back on (part, exact integer cents) — ties keep every
+    minimal supplier, as Q2 specifies). The per-part min shuffles on
+    ps_partkey, the same key as the join back, so AQE coalesces both
+    into one exchange; nation/region are broadcast dims; supplier and
+    the filtered part side scale with SF, so no hints — AQE decides.
+    Derived-partsupp trio: reference has no partsupp table, see
+    PARTSUPP_CTE."""
+    ps = _partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    eligible = (
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("ps_partkey", "ps_supplycost_cents",
+                "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    mins = eligible.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost_cents").alias("min_cents")
+    )
+    return (
+        eligible.join(mins, "ps_partkey")
+        .where(F.col("ps_supplycost_cents") == F.col("min_cents"))
+        .join(
+            part.where((F.col("p_size") >= 40) & (F.col("p_type") == "LARGE")),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "p_partkey", "p_brand", "p_type", "s_suppkey", "s_name",
+            "n_name", "s_acctbal",
+            F.round(F.col("ps_supplycost_cents") / 100.0, 2)
+                .alias("supplycost"),
+        )
+    )
+
+
+@register("q11_important_stock", f"""
+WITH {PARTSUPP_CTE},
+regional AS (
+    SELECT ps.ps_partkey,
+           ps.ps_supplycost_cents * ps.ps_availqty AS v_cents
+    FROM partsupp ps
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_regionkey = 3
+)
+SELECT ps_partkey, sum(v_cents) AS value_cents
+FROM regional
+GROUP BY ps_partkey
+HAVING sum(v_cents) * (SELECT count(DISTINCT ps_partkey) FROM regional) * 2
+       > (SELECT sum(v_cents) FROM regional) * 3
+""")
+def q11(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose regional inventory value exceeds
+    1.5× the average per-part value. TPC-H scales its Q11 fraction by
+    1/SF for exactly this reason — a fixed share empties out as the
+    part count grows; an average-relative threshold is scale-invariant
+    by construction. Value = integer cents × integer qty — the agg,
+    the global total/count, and the threshold compare are all exact
+    BIGINT arithmetic (no float drift between engines). The totals are
+    a 1-row agg broadcast back; the per-part agg is one
+    map-side-combined shuffle. Derived-partsupp trio, see
+    PARTSUPP_CTE."""
+    ps = _partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    regional = (
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nation.where(F.col("n_regionkey") == 3)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost_cents") * F.col("ps_availqty"))
+                .alias("v_cents"),
+        )
+    )
+    total = regional.agg(
+        F.sum("v_cents").alias("total_cents"),
+        F.countDistinct("ps_partkey").alias("n_parts"),
+    )
+    return (
+        regional.groupBy("ps_partkey")
+        .agg(F.sum("v_cents").alias("value_cents"))
+        .crossJoin(F.broadcast(total))
+        .where(
+            F.col("value_cents") * F.col("n_parts") * 2
+            > F.col("total_cents") * 3
+        )
+        .select("ps_partkey", "value_cents")
+    )
+
+
+@register("q20_excess_stock", f"""
+WITH {PARTSUPP_CTE},
+shipped AS (
+    SELECT l_partkey, l_suppkey,
+           sum(l_quantity::DECIMAL(18,6)) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+    GROUP BY l_partkey, l_suppkey
+)
+SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
+FROM partsupp ps
+JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_name LIKE '%bolt%'
+JOIN shipped q ON q.l_partkey = ps.ps_partkey
+              AND q.l_suppkey = ps.ps_suppkey
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_regionkey = 2
+  AND ps.ps_availqty::DECIMAL(18,6) > q.sum_qty * 2
+""")
+def q20(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers in one region holding excess stock
+    of a part family (availqty > 2× the quantity they shipped in
+    1995). The nested-EXISTS chain de-correlates into a
+    (partkey, suppkey) shipment agg that shuffles on the SAME
+    composite key as the partsupp join — co-partitioned, no second
+    exchange; the threshold compares exact decimals. DISTINCT
+    collapses to one row per qualifying supplier. Derived-partsupp
+    trio, see PARTSUPP_CTE."""
+    ps = _partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    shipped = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"))
+    )
+    return (
+        ps.join(part.where(F.col("p_name").like("%bolt%")),
+                ps.ps_partkey == part.p_partkey)
+        .join(shipped, (F.col("ps_partkey") == F.col("l_partkey"))
+                       & (F.col("ps_suppkey") == F.col("l_suppkey")))
+        .where(_dec(F.col("ps_availqty")) > F.col("sum_qty") * 2)
+        .join(supp, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.where(F.col("n_regionkey") == 2)),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+    )
+
+
 @register("q_events_json_props", """
 SELECT CAST(floor(TRY_CAST(
            CASE WHEN props IS NOT NULL AND json_valid(props)

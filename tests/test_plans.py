@@ -137,6 +137,23 @@ def test_sequence_pack_uses_partition_arrow_udf(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_partsupp_trio_broadcasts_dims_only(spark):
+    # the derived-partsupp TPC-H shapes: dims (nation/region/1-row
+    # supplier count) broadcast; SF-scaling sides (supplier, part,
+    # lineitem, partsupp itself) carry no hints
+    for name in ("q2_min_cost_supplier", "q11_important_stock",
+                 "q20_excess_stock"):
+        df = QUERIES[name](spark, SF_DIR)
+        assert "BroadcastHashJoin" in _executed(df) \
+            or "BroadcastNestedLoopJoin" in _executed(df), name
+        analyzed = _analyzed(df)
+        for scaling in ("supplier", "part.parquet", "lineitem"):
+            # hints are attached pre-analysis; a hint on a scaling
+            # table would appear as ResolvedHint directly over its scan
+            assert f"ResolvedHint (strategy=broadcast)\n+- Relation [{scaling}" \
+                not in analyzed, (name, scaling)
+
+
 def test_all_queries_no_rowbased_python_udf(spark):
     # row-at-a-time Python UDFs are banned in every registered query;
     # only Arrow-batched (MapInPandas) is acceptable, and only in the
