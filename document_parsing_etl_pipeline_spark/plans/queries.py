@@ -3947,3 +3947,141 @@ def q21_sole_blame_suppliers(spark, sf_dir):
         .orderBy(F.col("numwait").desc(), "n_name", "s_name")
         .limit(100)
     )
+
+
+# ===================================================================
+# round 3 — training-data writer sharding + incremental maintenance
+# ===================================================================
+
+SHARD_TOKENS = 2048
+SHARD_BUCKET = 100  # doc_id range per prefix-sum leaf
+
+
+@register("q_shard_assignment", f"""
+WITH toks AS (
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '\\S+')) AS n_tokens
+    FROM documents
+), cum AS (
+    SELECT doc_id, n_tokens,
+           sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS cum_before
+    FROM toks
+)
+SELECT coalesce(cum_before, 0) // {SHARD_TOKENS} AS shard_id,
+       count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM cum
+GROUP BY shard_id
+""")
+def q_shard_assignment(spark, sf_dir):
+    """Training-shard writer planning: assign doc_id-ordered documents
+    to fixed token-budget output shards (shard = floor(tokens-before /
+    budget)) and report per-shard manifests.
+
+    The naive form is a GLOBAL ordered cumsum — a single-partition
+    window at 100 TB. This runs the classic two-level distributed
+    prefix-sum instead: (1) cumsum WITHIN doc_id range buckets
+    (partitioned window, parallel over buckets), (2) per-bucket totals
+    — one tiny row per bucket — cumsummed and broadcast back as bucket
+    offsets. global_before = bucket_offset + within_before. The only
+    ordered window over a single partition runs on #buckets rows, not
+    #docs. Oracle: the equivalent single global window cumsum."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"\S+"), 0)
+        ).cast("long").alias("n_tokens"),
+        (F.col("doc_id") / SHARD_BUCKET).cast("long").alias("bucket"),
+    )
+    w_in = (
+        Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = toks.withColumn(
+        "within_before", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    )
+    bucket_totals = toks.groupBy("bucket").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    w_b = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_totals.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(w_b), F.lit(0))
+            .alias("bucket_offset"),
+    )
+    return (
+        within.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id", "n_tokens",
+            ((F.col("bucket_offset") + F.col("within_before"))
+             / SHARD_TOKENS).cast("long").alias("shard_id"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@register("q_incremental_rollup", """
+SELECT lang, source,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       round((sum(n_chars::DECIMAL(18,6)) / count(*))::DOUBLE, 2)
+           AS avg_chars
+FROM documents
+GROUP BY lang, source
+""")
+def q_incremental_rollup(spark, sf_dir):
+    """Incremental aggregate maintenance: the per-(lang, source)
+    corpus rollup maintained as ALGEBRAIC partial states — a base
+    partial (docs with doc_id % 10 != 0, the 'already ingested' set)
+    merged with a delta partial (doc_id % 10 == 0, the 'new batch')
+    by re-aggregation, never by recomputing over the full corpus.
+
+    Every stat is decomposable (count/sum/min/max merge associatively;
+    avg derives from merged sum/count at the end), which is exactly
+    what lets a 100 TB nightly rollup absorb a per-batch delta with
+    work proportional to the DELTA — the same contract as a streaming
+    state-store merge or a materialized-view refresh. The oracle is
+    the full recompute: passing the hash check IS the proof that the
+    incremental merge equals recomputation."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def partial(df):
+        return df.groupBy("lang", "source").agg(
+            F.count("*").alias("p_n"),
+            F.sum("n_chars").alias("p_sum"),
+            F.min("n_chars").alias("p_min"),
+            F.max("n_chars").alias("p_max"),
+            F.sum(_dec(F.col("n_chars"))).alias("p_sum_exact"),
+        )
+
+    base = partial(docs.where(F.col("doc_id") % 10 != 0))
+    delta = partial(docs.where(F.col("doc_id") % 10 == 0))
+    return (
+        base.unionByName(delta)
+        .groupBy("lang", "source")
+        .agg(
+            F.sum("p_n").alias("n_docs"),
+            F.sum("p_sum").alias("total_chars"),
+            F.min("p_min").alias("min_chars"),
+            F.max("p_max").alias("max_chars"),
+            F.round(
+                (F.sum("p_sum_exact") / F.sum("p_n")).cast("double"), 2
+            ).alias("avg_chars"),
+        )
+    )
