@@ -85,6 +85,31 @@ def minhash_signature(
     )
 
 
+def minhash_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """LSH bucket membership: (doc_id, band, bh) with bh =
+    md5(concat of the band's minhashes). Shared by the candidate
+    generator and the bucket-load diagnostics (q_lsh_bucket_stats),
+    so cap tuning observes exactly the buckets pairing uses."""
+    if sigs is None:
+        sigs = minhash_signature(docs, text_col, num_hashes)
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * band_size + r}") for r in range(band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*cols)).alias("bh"))
+        )
+    return sigs.select(
+        "doc_id", F.explode(F.array(*bands)).alias("e")
+    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     text_col: str = "text",
@@ -102,18 +127,7 @@ def minhash_lsh_candidates(
     at 100 TB the signature scan is the dominant cost and must not
     run twice.
     """
-    if sigs is None:
-        sigs = minhash_signature(docs, text_col, num_hashes)
-    n_bands = num_hashes // band_size
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"mh{b * band_size + r}") for r in range(band_size)]
-        bands.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*cols)).alias("bh"))
-        )
-    buckets = sigs.select(
-        "doc_id", F.explode(F.array(*bands)).alias("e")
-    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    buckets = minhash_buckets(docs, text_col, num_hashes, band_size, sigs)
     # Cap degenerate buckets BEFORE pairing, via a count + join — never
     # collect a bucket into one row (a hot bucket at 100 TB would be an
     # OOM row under collect_list). The count aggregates map-side; the
@@ -244,6 +258,27 @@ def simhash_signature(docs: DataFrame, text_col: str = "text",
     return votes.select("doc_id", sig.alias("simhash"))
 
 
+def simhash_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Simhash band membership: (doc_id, simhash, band, bv) with bv =
+    the signature's byte for that band. Shared by the pair generator
+    and the bucket-load diagnostics (q_lsh_bucket_stats)."""
+    sigs = simhash_signature(docs, text_col)
+    return sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.shiftright("simhash", 8 * j).bitwiseAND(F.lit(255))
+                        .alias("bv"),
+                )
+                for j in range(SIMHASH_BANDS)
+            ])
+        ).alias("e"),
+    ).select("doc_id", "simhash", "e.band", "e.bv")
+
+
 def simhash_pairs(docs: DataFrame, text_col: str = "text",
                   max_hamming: int = 3,
                   max_bucket: int = 200) -> DataFrame:
@@ -263,21 +298,7 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
     shares any other in-cap band (near-dups usually share all 4).
     """
     assert max_hamming < SIMHASH_BANDS, "pigeonhole needs hamming < bands"
-    sigs = simhash_signature(docs, text_col)
-    bands = sigs.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("band"),
-                    F.shiftright("simhash", 8 * j).bitwiseAND(F.lit(255))
-                        .alias("bv"),
-                )
-                for j in range(SIMHASH_BANDS)
-            ])
-        ).alias("e"),
-    ).select("doc_id", "simhash", "e.band", "e.bv")
+    bands = simhash_buckets(docs, text_col)
     counts = (
         bands.groupBy("band", "bv")
         .agg(F.count("*").alias("n"))

@@ -1175,23 +1175,23 @@ _NORM_TOKENS_SQL = (
 _MH_K, _MH_BAND, _MH_MAXB = 8, 2, 50
 
 
-def _mh_sig_sql() -> str:
+def _mh_sig_sql(p: str = "") -> str:
     cols = ",\n           ".join(
         "list_aggregate(list_transform(tokens, t -> md5('{k}:' || t)), 'min')"
         " AS mh{k}".format(k=k)
         for k in range(_MH_K)
     )
     return f"""
-toks AS (
+{p}toks AS (
     SELECT doc_id, {_NORM_TOKENS_SQL} AS tokens FROM documents
-), sigs AS (
+), {p}sigs AS (
     SELECT doc_id,
            {cols}
-    FROM toks
+    FROM {p}toks
 )"""
 
 
-def _mh_buckets_sql() -> str:
+def _mh_buckets_sql(p: str = "") -> str:
     n_bands = _MH_K // _MH_BAND
     cases = " ".join(
         "WHEN {b} THEN md5({concat})".format(
@@ -1202,16 +1202,16 @@ def _mh_buckets_sql() -> str:
     )
     bands_list = "[" + ",".join(str(b) for b in range(n_bands)) + "]"
     return f"""
-bucketed AS (
+{p}bucketed AS (
     SELECT doc_id, band, CASE band {cases} END AS bh
-    FROM sigs CROSS JOIN (SELECT unnest({bands_list}) AS band) b
-), sized AS (
-    SELECT band, bh, count(*) AS n FROM bucketed GROUP BY band, bh
-), cand AS (
+    FROM {p}sigs CROSS JOIN (SELECT unnest({bands_list}) AS band) b
+), {p}sized AS (
+    SELECT band, bh, count(*) AS n FROM {p}bucketed GROUP BY band, bh
+), {p}cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bucketed a
-    JOIN bucketed b ON a.band = b.band AND a.bh = b.bh
-    JOIN sized s ON s.band = a.band AND s.bh = a.bh
+    FROM {p}bucketed a
+    JOIN {p}bucketed b ON a.band = b.band AND a.bh = b.bh
+    JOIN {p}sized s ON s.band = a.band AND s.bh = a.bh
     WHERE a.doc_id < b.doc_id AND s.n BETWEEN 2 AND {_MH_MAXB}
 )"""
 
@@ -1394,7 +1394,7 @@ def q_dedup_components_star(spark, sf_dir):
     return dedup.connected_components_star(_jaccard_pairs(spark, sf_dir))
 
 
-def _simhash_sql(bits: int = dedup.SIMHASH_BITS) -> str:
+def _simhash_sql(bits: int = dedup.SIMHASH_BITS, p: str = "") -> str:
     votes = []
     for b in range(bits):
         votes.append(
@@ -1407,16 +1407,16 @@ def _simhash_sql(bits: int = dedup.SIMHASH_BITS) -> str:
     # signature table; without the filter DuckDB would give blank docs
     # signature 0 (NULL vote sum -> ELSE 0 per bit) and pair them.
     return f"""
-toks AS (
+{p}toks AS (
     SELECT doc_id, {_NORM_TOKENS_SQL} AS tokens FROM documents
-), vals_t AS (
+), {p}vals_t AS (
     SELECT doc_id,
            list_transform(tokens,
                t -> ('0x' || substr(md5(t), 1, {bits // 4}))::BIGINT) AS vals
-    FROM toks
+    FROM {p}toks
     WHERE len(tokens) > 0
-), sigs AS (
-    SELECT doc_id, ({sig})::BIGINT AS simhash FROM vals_t
+), {p}sigs AS (
+    SELECT doc_id, ({sig})::BIGINT AS simhash FROM {p}vals_t
 )"""
 
 
@@ -4084,4 +4084,71 @@ def q_incremental_rollup(spark, sf_dir):
                 (F.sum("p_sum_exact") / F.sum("p_n")).cast("double"), 2
             ).alias("avg_chars"),
         )
+    )
+
+
+@register("q_lsh_bucket_stats", f"""
+WITH {_mh_sig_sql("mh_")}, {_mh_buckets_sql("mh_")},
+{_simhash_sql(p="sh_")},
+sh_sized AS (
+    SELECT band, (simhash >> (8 * band)) & 255 AS bv, count(*) AS n
+    FROM sh_sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b
+    GROUP BY 1, 2
+),
+mh_stats AS (
+    SELECT 'minhash' AS method, band, count(*) AS n_buckets,
+           count(*) FILTER (WHERE n BETWEEN 2 AND {_MH_MAXB})
+               AS n_pairable,
+           count(*) FILTER (WHERE n > {_MH_MAXB}) AS n_dropped,
+           coalesce(sum(n) FILTER (WHERE n > {_MH_MAXB}), 0)
+               AS docs_in_dropped,
+           max(n) AS max_bucket_n
+    FROM mh_sized GROUP BY band
+),
+sh_stats AS (
+    SELECT 'simhash' AS method, band, count(*) AS n_buckets,
+           count(*) FILTER (WHERE n BETWEEN 2 AND {_SH_MAXB})
+               AS n_pairable,
+           count(*) FILTER (WHERE n > {_SH_MAXB}) AS n_dropped,
+           coalesce(sum(n) FILTER (WHERE n > {_SH_MAXB}), 0)
+               AS docs_in_dropped,
+           max(n) AS max_bucket_n
+    FROM sh_sized GROUP BY band
+)
+SELECT * FROM mh_stats UNION ALL SELECT * FROM sh_stats
+""")
+def q_lsh_bucket_stats(spark, sf_dir):
+    """LSH bucket-load observability: per (method, band) — bucket
+    count, pairable buckets (2..cap), buckets DROPPED by the fanout
+    cap, and how many docs sat in them. This is the 'no silent caps'
+    rule as a first-class query: the recall the caps trade away
+    (minhash max_bucket={_MH_MAXB}, simhash max_bucket={_SH_MAXB},
+    see SURVEY §4) is measured, not guessed, and cap tuning reads
+    directly off max_bucket_n. One count agg per method over the same
+    bucket frames pairing uses (dedup.minhash_buckets /
+    simhash_buckets) — map-side combinable, no join, strictly cheaper
+    than the pair generators it instruments."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def stats(per_bucket, cap, method):
+        return per_bucket.groupBy("band").agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(F.when(F.col("n").between(2, cap), 1).otherwise(0))
+                .cast("long").alias("n_pairable"),
+            F.sum(F.when(F.col("n") > cap, 1).otherwise(0))
+                .cast("long").alias("n_dropped"),
+            F.sum(F.when(F.col("n") > cap, F.col("n")).otherwise(0))
+                .cast("long").alias("docs_in_dropped"),
+            F.max("n").alias("max_bucket_n"),
+        ).select(
+            F.lit(method).alias("method"), "band", "n_buckets",
+            "n_pairable", "n_dropped", "docs_in_dropped", "max_bucket_n",
+        )
+
+    mh = dedup.minhash_buckets(docs, num_hashes=_MH_K, band_size=_MH_BAND) \
+        .groupBy("band", "bh").agg(F.count("*").alias("n"))
+    sh = dedup.simhash_buckets(docs) \
+        .groupBy("band", "bv").agg(F.count("*").alias("n"))
+    return stats(mh, _MH_MAXB, "minhash").unionByName(
+        stats(sh, _SH_MAXB, "simhash")
     )
