@@ -30,26 +30,31 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 # query accumulates a hash-checked CORRECTNESS entry across rounds.
 # The full registry is locally hash-validated against DuckDB every
 # round via scripts/validate.py (results committed as VALIDATION.json).
-_DEFER = [
-    # never-driver-checked diagnostics whose parent operators are
-    # already verified (or are in this round's front block); these take
-    # the round-4 slots
-    "q_dedup_method_agreement", "q_minhash_accuracy",
-    "q_edit_distance_pairs", "q_sequence_texts", "q_skew_salted_join",
-    "q_key_skew_profile", "q_trigram_topk", "q_events_hopping",
-    "q_events_gap_detection", "q_event_transitions",
-    "q_orders_monthly_trend", "q_events_cumulative", "q_lang_confusion",
-]
+_DEFER: list[str] = []
 
 
 def _checked_before() -> set[str]:
+    """Names with a PASSING driver-correctness entry in any prior
+    round: hash-verified, or rows-only with a recorded row count.
+    Entries that errored or hash-mismatched rotate back to the front
+    so the next driver check re-verifies the fix."""
+    import glob
+
     seen: set[str] = set()
-    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+    for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
         try:
-            with open(os.path.join(_HERE, fname)) as f:
-                seen.update(json.load(f))
+            with open(path) as f:
+                data = json.load(f)
         except (OSError, ValueError):
-            pass
+            continue
+        for name, rec in data.items():
+            if not isinstance(rec, dict):
+                seen.add(name)
+            elif rec.get("hash_match") is True or (
+                rec.get("err") == "no_oracle"
+                and rec.get("spark_rows") is not None
+            ):
+                seen.add(name)
     return seen
 
 

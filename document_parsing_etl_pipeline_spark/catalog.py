@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -22,10 +22,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS); Spark's vectorized
-        # reader only accepts it via the nanos-as-long legacy conf.
-        # Queries derive epoch micros with `ts div 1000`.
+        # events.parquet has shipped with two physical types for `ts`
+        # across driver generations: TIMESTAMP(NANOS) (readable only as
+        # long via the legacy conf) and TIMESTAMP(MICROS) (read as
+        # TIMESTAMP_NTZ). All queries derive epoch micros with
+        # `ts div 1000`, so normalize both to nanos-as-long here.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type != "long":
+            # NTZ wall-clock == UTC epoch for this data; DuckDB's
+            # epoch_us(ts) reads the same wall clock, so oracles agree.
+            df = df.withColumn(
+                "ts",
+                (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)),
+            )
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -2311,10 +2311,17 @@ def q_pca_projection(spark, sf_dir):
     X^T X partials → driver eigh → broadcast projection). Rows-only:
     the eigensolve isn't SQL-expressible; the covariance statistic it
     consumes IS hash-checked (q_embedding_covariance), and accuracy
-    is pytest-asserted. corpus.py:pca_project."""
-    return corpus.pca_project(
+    is pytest-asserted. corpus.py:pca_project.
+
+    Output is flattened to (vec_id, component, value) scalar rows —
+    the driver's result canonicalizer sorts by every column, so array
+    columns must not appear in a registered query's output."""
+    proj = corpus.pca_project(
         load_table(spark, sf_dir, "embeddings"), k=8
     ).projections
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("component", "value")
+    )
 
 
 @register("mm_video_frames")
@@ -2880,7 +2887,7 @@ regional AS (
     JOIN nation n ON n.n_nationkey = s.s_nationkey
     WHERE n.n_regionkey = 3
 )
-SELECT ps_partkey, sum(v_cents) AS value_cents
+SELECT ps_partkey, CAST(sum(v_cents) AS BIGINT) AS value_cents
 FROM regional
 GROUP BY ps_partkey
 HAVING sum(v_cents) * (SELECT count(DISTINCT ps_partkey) FROM regional) * 2
@@ -3969,9 +3976,10 @@ WITH toks AS (
                AS cum_before
     FROM toks
 )
-SELECT coalesce(cum_before, 0) // {SHARD_TOKENS} AS shard_id,
+SELECT CAST(coalesce(cum_before, 0) // {SHARD_TOKENS} AS BIGINT)
+           AS shard_id,
        count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        min(doc_id) AS first_doc,
        max(doc_id) AS last_doc
 FROM cum
@@ -4037,7 +4045,7 @@ def q_shard_assignment(spark, sf_dir):
 @register("q_incremental_rollup", """
 SELECT lang, source,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        min(n_chars) AS min_chars,
        max(n_chars) AS max_chars,
        round((sum(n_chars::DECIMAL(18,6)) / count(*))::DOUBLE, 2)
@@ -4100,8 +4108,8 @@ mh_stats AS (
            count(*) FILTER (WHERE n BETWEEN 2 AND {_MH_MAXB})
                AS n_pairable,
            count(*) FILTER (WHERE n > {_MH_MAXB}) AS n_dropped,
-           coalesce(sum(n) FILTER (WHERE n > {_MH_MAXB}), 0)
-               AS docs_in_dropped,
+           CAST(coalesce(sum(n) FILTER (WHERE n > {_MH_MAXB}), 0)
+               AS BIGINT) AS docs_in_dropped,
            max(n) AS max_bucket_n
     FROM mh_sized GROUP BY band
 ),
@@ -4110,8 +4118,8 @@ sh_stats AS (
            count(*) FILTER (WHERE n BETWEEN 2 AND {_SH_MAXB})
                AS n_pairable,
            count(*) FILTER (WHERE n > {_SH_MAXB}) AS n_dropped,
-           coalesce(sum(n) FILTER (WHERE n > {_SH_MAXB}), 0)
-               AS docs_in_dropped,
+           CAST(coalesce(sum(n) FILTER (WHERE n > {_SH_MAXB}), 0)
+               AS BIGINT) AS docs_in_dropped,
            max(n) AS max_bucket_n
     FROM sh_sized GROUP BY band
 )
