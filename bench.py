@@ -103,6 +103,13 @@ BENCH_QUERIES = [
     "q_events_hopping",
     "q_dedup_method_agreement",
     "q_vocab_build",
+    # round 4
+    "q_cdc_latest_state",
+    "q_user_state_history",
+    "q_range_join_events",
+    "q_sketch_rank_audit",
+    "q_dau_wau_stickiness",
+    "q_bm25_scores",
 ]
 
 

@@ -62,6 +62,84 @@ def tfidf_top_terms(
     )
 
 
+def bm25_scores(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query
+    term set — the classic retrieval scorer, and the ranking half of a
+    corpus search index (tfidf_top_terms is the per-doc half).
+
+    Shape: one token explode feeds doc lengths AND the query-term tf
+    table (filtered to |terms| rows per doc, so the scored relation is
+    tiny); df/idf is a |terms|-row broadcast; corpus totals are a
+    1-row crossJoin (no driver count() action). The only doc-sized
+    shuffle is the doc_id equi-join of tf × doc-length.
+
+    Parity: idf and the per-(doc, term) score are rounded to 6
+    decimals BEFORE the exact decimal sum (libm ln ulp drift can't
+    reach the hash — same recipe as unigram_logprob); everything
+    upstream of the rounding is per-row IEEE double arithmetic,
+    engine-identical.
+    """
+    tf_all = term_frequencies(docs, text_col)
+    dl = tf_all.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("dl")
+    )
+    totals = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    )
+    qtf = tf_all.where(F.col("term").isin(list(terms)))
+    df_t = qtf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    idf = df_t.crossJoin(F.broadcast(totals)).select(
+        "term", "n_docs", "total_dl",
+        F.round(
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+            6,
+        ).alias("idf"),
+    )
+    scored = (
+        qtf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "term_score",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b)
+                        * F.col("dl")
+                        / (
+                            F.col("total_dl").cast("double")
+                            / F.col("n_docs")
+                        )
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_terms_matched"),
+        # ≤ |terms| exact 6-dp decimals per doc: the sum is exact and
+        # the double cast is lossless at this magnitude
+        F.sum(F.col("term_score").cast("decimal(18,6)"))
+            .cast("double").alias("bm25"),
+    )
+
+
 def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-(lang, source) corpus rollup: doc counts + length stats."""
     return docs.groupBy("lang", "source").agg(

@@ -4160,3 +4160,353 @@ def q_lsh_bucket_stats(spark, sf_dir):
     return stats(mh, _MH_MAXB, "minhash").unionByName(
         stats(sh, _SH_MAXB, "simhash")
     )
+
+
+# ===================================================================
+# round 4 — CDC/state-history compaction, range join, sketch audit,
+# engagement rollups, BM25 retrieval scoring
+# ===================================================================
+
+@register("q_cdc_latest_state", """
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
+    FROM events
+), r AS (
+    SELECT user_id, ts_us, event_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts_us DESC, event_id DESC) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n_events
+    FROM e
+)
+SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
+       event_type AS last_event_type, value AS last_value, n_events
+FROM r WHERE rn = 1
+""")
+def q_cdc_latest_state(spark, sf_dir):
+    """CDC log compaction: latest state per key (last-row-wins upsert
+    view over an append-only change stream — the read side of a
+    Debezium/Kafka table topic, or a Delta/Iceberg MERGE snapshot).
+
+    Deliberately NOT a row_number window (the oracle's formulation):
+    a partitioned window shuffles the ENTIRE log and sorts every
+    group's full history; `max` over a (ts, id, payload) struct is an
+    ordinary aggregate with map-side partial combine, so the shuffle
+    carries one row per key per map task. Struct max does fall back to
+    SortAggregate (local, spillable sorts on the grouping key — the
+    hash-agg buffer only holds primitives), which is the right trade:
+    the wire cost drops from the full log to ~|keys| rows. (ts_us,
+    event_id) is a unique prefix, so the struct comparison never
+    reaches the payload fields and the result is deterministic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("ts_us"),
+        "event_id", "event_type", "value",
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("ts_us", "event_id", "event_type", "value")
+            ).alias("last"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("last.ts_us").alias("last_ts_us"),
+            F.col("last.event_id").alias("last_event_id"),
+            F.col("last.event_type").alias("last_event_type"),
+            F.col("last.value").alias("last_value"),
+            "n_events",
+        )
+    )
+
+
+@register("q_user_state_history", """
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+    FROM events
+), flagged AS (
+    SELECT user_id, ts_us, event_id, event_type,
+           CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts_us, event_id)
+                     IS DISTINCT FROM event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM e
+), islands AS (
+    SELECT user_id, event_type, ts_us,
+           CAST(sum(chg) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS version
+    FROM flagged
+), hist AS (
+    SELECT user_id, version, event_type AS state,
+           min(ts_us) AS valid_from_us, count(*) AS n_events
+    FROM islands GROUP BY user_id, version, event_type
+)
+SELECT user_id, version, state, valid_from_us,
+       coalesce(lead(valid_from_us) OVER (PARTITION BY user_id
+                                          ORDER BY valid_from_us), -1)
+           AS valid_to_us,
+       n_events
+FROM hist
+""")
+def q_user_state_history(spark, sf_dir):
+    """SCD-type-2 state history from an event log: consecutive runs of
+    the same event_type per user collapse into versioned validity
+    intervals [valid_from_us, valid_to_us) with -1 marking the open
+    current row — the gaps-and-islands build every warehouse uses to
+    construct slowly-changing dimensions from CDC feeds.
+
+    Two user-partitioned window passes (lag → change flag, running sum
+    → island id) + one agg; the closing timestamps come from a lead()
+    over the already-aggregated interval rows (group-count sized, not
+    event-count sized). All windows are keyed by user_id — parallel
+    across keys, never a global sort."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("ts_us"),
+        "event_id", "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("event_type").over(w)
+    flagged = ev.withColumn(
+        "chg",
+        F.when(
+            prev.isNull() | (prev != F.col("event_type")), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "version",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+    hist = islands.groupBy("user_id", "version", "event_type").agg(
+        F.min("ts_us").alias("valid_from_us"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_us")
+    return hist.select(
+        "user_id", "version",
+        F.col("event_type").alias("state"),
+        "valid_from_us",
+        F.coalesce(
+            F.lead("valid_from_us").over(w2), F.lit(-1)
+        ).alias("valid_to_us"),
+        "n_events",
+    )
+
+
+RJ_WINDOW_US = 60_000_000  # ±60 s context window
+
+
+@register("q_range_join_events", f"""
+WITH err AS (
+    SELECT event_id, epoch_us(ts) AS ts_us FROM events
+    WHERE event_type = 'error'
+), vw AS (
+    SELECT epoch_us(ts) AS v_us FROM events WHERE event_type = 'view'
+)
+SELECT e.event_id, e.ts_us, count(v.v_us) AS n_views_nearby
+FROM err e LEFT JOIN vw v
+  ON v.v_us >= e.ts_us - {RJ_WINDOW_US}
+ AND v.v_us <  e.ts_us + {RJ_WINDOW_US}
+GROUP BY e.event_id, e.ts_us
+""")
+def q_range_join_events(spark, sf_dir):
+    """Pure range (band) join with NO equi-key: every error event ×
+    the view events inside its ±60 s window, as per-error context
+    counts. The oracle's inequality join is what Spark would compile
+    to a BroadcastNestedLoopJoin — O(|L|·|R|) and a fact-table
+    broadcast; operators/rangejoin.py instead quantizes time into
+    window-width buckets, explodes each error into the 2-3 buckets its
+    window overlaps, and equi-joins on the bucket id: a plain shuffled
+    hash join with bounded fanout that AQE can skew-split. Each view
+    lands in exactly one bucket, so matched pairs are never double-
+    counted and unmatched exploded copies add nothing to count()."""
+    from ..operators.rangejoin import range_join_count
+
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select(
+        "event_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    vw = ev.where(F.col("event_type") == "view").select(
+        F.expr("ts div 1000").alias("v_us")
+    )
+    return range_join_count(
+        err, vw, "ts_us", "v_us",
+        lo=-RJ_WINDOW_US, hi=RJ_WINDOW_US, bucket_width=RJ_WINDOW_US,
+        left_id="event_id", agg_alias="n_views_nearby",
+    )
+
+
+_SKETCH_EPS = 0.01  # approx_percentile accuracy=100 → rank error ≤ 1%
+
+
+@register("q_sketch_rank_audit", """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS exact_p50,
+       round(quantile_cont(value, 0.95), 4) AS exact_p95,
+       count(*) AS n_events,
+       TRUE AS p50_within_eps,
+       TRUE AS p95_within_eps
+FROM events GROUP BY event_type
+""")
+def q_sketch_rank_audit(spark, sf_dir):
+    """Sketch-accuracy audit for the 100 TB percentile path: run the
+    approx_percentile (Greenwald-Khanna) sketch NEXT TO the exact
+    percentile, measure the exact rank of each sketch answer, and
+    assert it sits inside the sketch's contractual ±ε rank band
+    (accuracy=100 → ε=1%). The oracle pins the exact percentiles and
+    the contract booleans at TRUE — if the sketch ever drifts out of
+    its band, the hash check fails. Same calibration pattern as
+    q_minhash_accuracy: the approximation is graded by a measurement,
+    not trusted. One extra broadcast of a 5-row stats table + one
+    conditional re-aggregation over the events scan."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("exact_p50"),
+        F.percentile("value", F.lit(0.95)).alias("exact_p95"),
+        F.expr("approx_percentile(value, 0.5, 100)").alias("a50"),
+        F.expr("approx_percentile(value, 0.95, 100)").alias("a95"),
+        F.count("*").alias("n_events"),
+    )
+    audited = (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy(
+            "event_type", "exact_p50", "exact_p95",
+            "a50", "a95", "n_events",
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("value") <= F.col("a50"), 1).otherwise(0)
+            ).alias("rank_a50"),
+            F.sum(
+                F.when(F.col("value") <= F.col("a95"), 1).otherwise(0)
+            ).alias("rank_a95"),
+        )
+    )
+
+    def within(rank_col, q):
+        lo = F.floor((F.lit(q) - _SKETCH_EPS) * F.col("n_events"))
+        hi = F.ceil((F.lit(q) + _SKETCH_EPS) * F.col("n_events"))
+        return (F.col(rank_col) >= lo) & (F.col(rank_col) <= hi)
+
+    return audited.select(
+        "event_type",
+        F.round("exact_p50", 4).alias("exact_p50"),
+        F.round("exact_p95", 4).alias("exact_p95"),
+        "n_events",
+        within("rank_a50", 0.5).alias("p50_within_eps"),
+        within("rank_a95", 0.95).alias("p95_within_eps"),
+    )
+
+
+_DAY_US = 86_400_000_000
+
+
+@register("q_dau_wau_stickiness", f"""
+WITH act AS (
+    SELECT DISTINCT epoch_us(ts) // {_DAY_US} AS day, user_id
+    FROM events
+), daily AS (
+    SELECT day // 7 AS week, day, count(*) AS dau FROM act GROUP BY 1, 2
+), weekly AS (
+    SELECT day // 7 AS week, count(DISTINCT user_id) AS wau
+    FROM act GROUP BY 1
+), daily_agg AS (
+    SELECT week, count(*) AS n_days, CAST(sum(dau) AS BIGINT) AS dau_sum
+    FROM daily GROUP BY week
+)
+SELECT a.week, a.n_days, w.wau, a.dau_sum,
+       a.dau_sum * 1000 // (w.wau * a.n_days) AS stickiness_permille
+FROM daily_agg a JOIN weekly w USING (week)
+""")
+def q_dau_wau_stickiness(spark, sf_dir):
+    """Engagement rollup: per-week DAU/WAU stickiness — mean daily
+    active over weekly active, in integer permille (no
+    boundary-sensitive float ratio; same rule as q_user_retention).
+    One (day, user) distinct pass feeds both the daily and the weekly
+    distinct counts; everything after runs on day- and week-sized
+    frames. The exact distinct is the sf-test semantics; at 100 TB the
+    same plan takes approx_count_distinct (HLL) per the documented
+    q_distinct_users swap."""
+    act = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.expr(f"(ts div 1000) div {_DAY_US}").alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .withColumn("week", F.expr("day div 7"))
+    )
+    daily = act.groupBy("week", "day").agg(F.count("*").alias("dau"))
+    weekly = act.groupBy("week").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    daily_agg = daily.groupBy("week").agg(
+        F.count("*").alias("n_days"),
+        F.sum("dau").cast("long").alias("dau_sum"),
+    )
+    return (
+        daily_agg.join(weekly, "week")
+        .select(
+            "week", "n_days", "wau", "dau_sum",
+            F.expr("dau_sum * 1000 div (wau * n_days)")
+                .alias("stickiness_permille"),
+        )
+    )
+
+
+# k1/b chosen exactly binary-representable (1.25 = 5/4, 0.75 = 3/4):
+# every literal in the score expression converts to the identical
+# double in Spark and DuckDB, so the whole per-row chain is
+# engine-identical IEEE arithmetic (the protocol's parity rule).
+BM25_K1 = 1.25
+BM25_B = 0.75
+BM25_TERMS = ("join", "hash", "vector", "filter")
+
+
+@register("q_bm25_scores", f"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+    FROM documents
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dl AS (
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+), totals AS (
+    SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl
+), qtf AS (
+    SELECT doc_id, term, tf FROM tf
+    WHERE term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+), idf AS (
+    SELECT d.term,
+           round(ln(((t.n_docs - d.df)::DOUBLE + 0.5)
+                    / (d.df::DOUBLE + 0.5) + 1.0), 6) AS idf
+    FROM (SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM qtf GROUP BY term) d, totals t
+), scored AS (
+    SELECT q.doc_id,
+           round(i.idf * (q.tf::DOUBLE * {BM25_K1 + 1.0})
+                 / (q.tf::DOUBLE + {BM25_K1}
+                    * ({1.0 - BM25_B} + {BM25_B} * l.dl::DOUBLE
+                       / (t.total_dl::DOUBLE / t.n_docs))), 6)
+               AS term_score
+    FROM qtf q JOIN idf i USING (term) JOIN dl l USING (doc_id), totals t
+)
+SELECT doc_id, count(*) AS n_terms_matched,
+       (sum(term_score::DECIMAL(18,6)))::DOUBLE AS bm25
+FROM scored GROUP BY doc_id
+""")
+def q_bm25_scores(spark, sf_dir):
+    """Okapi BM25 relevance of every document against a fixed query
+    (join/hash/vector/filter) — the retrieval scorer for a corpus
+    search index. operators/corpus.py:bm25_scores: query-term tf table
+    is |terms| rows/doc, idf is a broadcast dim, corpus totals a 1-row
+    crossJoin; the only doc-sized shuffle is tf ⋈ doc-length on
+    doc_id. idf and per-term scores rounded to 6 dp before the exact
+    decimal sum (unigram_logprob's libm-ulp rule)."""
+    return corpus.bm25_scores(
+        load_table(spark, sf_dir, "documents"),
+        BM25_TERMS, k1=BM25_K1, b=BM25_B,
+    )

@@ -46,3 +46,72 @@ def dedup_stream(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -------------------------------------------------------------------
+# streaming CDC latest-state compaction (the stream twin of the batch
+# q_cdc_latest_state query)
+# -------------------------------------------------------------------
+
+LATEST_OUT_SCHEMA = (
+    "user_id bigint, last_ts_us bigint, last_event_id bigint, "
+    "last_event_type string, n_updates bigint"
+)
+LATEST_STATE_SCHEMA = (
+    "ts_us bigint, event_id bigint, event_type string, n bigint"
+)
+
+
+def _latest_fn(
+    key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState
+) -> "Iterator[pd.DataFrame]":
+    """Keep (max (ts_us, event_id), its payload, update count) per key;
+    emit the key's current state once per micro-batch it appears in
+    (update-mode changelog — the read side materializes last-row-wins).
+    State is one fixed-size tuple per key, O(|keys|) total, exactly
+    the footprint a 1000-executor state store shards by key."""
+    best = state.get if state.exists else None
+    n = best[3] if best is not None else 0
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        n += len(pdf)
+        idx = pdf.sort_values(["ts_us", "event_id"]).index[-1]
+        row = (
+            int(pdf.at[idx, "ts_us"]),
+            int(pdf.at[idx, "event_id"]),
+            str(pdf.at[idx, "event_type"]),
+        )
+        if best is None or row[:2] > tuple(best[:2]):
+            best = (*row, n)
+        else:
+            best = (*best[:3], n)
+    if best is not None:
+        state.update(tuple(best))
+        yield pd.DataFrame([{
+            "user_id": key[0],
+            "last_ts_us": best[0],
+            "last_event_id": best[1],
+            "last_event_type": best[2],
+            "n_updates": best[3],
+        }])
+
+
+def latest_state_stream(stream: DataFrame) -> DataFrame:
+    """Cross-batch CDC compaction: per-key last-row-wins state over an
+    unbounded change stream (needs columns user_id, ts_us, event_id,
+    event_type). Late/out-of-order rows can never regress the state:
+    the (ts_us, event_id) comparison is monotone across batches.
+
+    Output is a CHANGELOG (one upsert record per key per micro-batch
+    it appears in), declared append-mode so it lands in append-only
+    sinks (parquet/Kafka); each changelog row is final once emitted.
+    Readers materialize the table with last-record-per-key — exactly
+    how a compacted Kafka topic or a Delta CDF feed is consumed."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _latest_fn,
+        outputStructType=LATEST_OUT_SCHEMA,
+        stateStructType=LATEST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

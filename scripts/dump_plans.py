@@ -21,6 +21,8 @@ PICKS = {
     "q_sequence_pack": "MapInPandas recurrence over repartition(doc_id)+sort (one Arrow call per partition)",
     "q_embedding_covariance": "pair fan-out parallelized by pinned repartition; decimal partial agg per core",
     "q_unigram_logprob": "tf pre-agg shrinks the vocab join; 1-row total as broadcast NLJ",
+    "q_range_join_events": "bucketed interval join: bucket equi-key + range residual, no nested loop",
+    "q_cdc_latest_state": "struct-max partial agg: ~one row per key shuffled, no window sort",
 }
 
 

@@ -172,3 +172,20 @@ def test_all_queries_no_rowbased_python_udf(spark):
         assert "CartesianProduct" not in plan, name
         if name not in arrow_ok:
             assert "MapInPandas" not in plan, name
+
+
+def test_range_join_plans_as_equi_join_not_nested_loop(spark):
+    # the bucketed range join must compile to a bucket equi-join
+    # (broadcast or shuffled hash); a BroadcastNestedLoopJoin means
+    # the bucket key was lost and we're back to O(|L|*|R|) compares
+    plan = _executed(QUERIES["q_range_join_events"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_latest_state_uses_partial_agg_not_window(spark):
+    # struct-max aggregation: shuffle carries ~one row per key; the
+    # window formulation would shuffle and sort the entire event log
+    plan = _executed(QUERIES["q_cdc_latest_state"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert "partial_max" in plan

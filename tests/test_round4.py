@@ -1,0 +1,245 @@
+"""Round-4 operators: bucketed range join, CDC latest-state, SCD2
+state history, sketch rank audit, DAU/WAU stickiness, BM25."""
+
+import sys
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from document_parsing_etl_pipeline_spark.catalog import load_table
+from document_parsing_etl_pipeline_spark.operators import corpus
+from document_parsing_etl_pipeline_spark.operators.rangejoin import (
+    range_join,
+    range_join_count,
+)
+from document_parsing_etl_pipeline_spark.plans.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# -------------------------------------------------------------------
+# range join: equivalence with the naive cross-join formulation
+# -------------------------------------------------------------------
+
+def _naive_pairs(left_rows, right_rows, lo, hi):
+    return sorted(
+        (lid, lk, rk)
+        for lid, lk in left_rows
+        for rk in right_rows
+        if lk + lo <= rk < lk + hi
+    )
+
+
+@pytest.mark.parametrize("lo,hi,bucket", [
+    (-10, 10, 10),   # symmetric window, bucket == half-width
+    (-10, 10, 7),    # bucket not dividing the window
+    (0, 5, 5),       # trailing-only window
+    (-25, -5, 8),    # strictly-past window (lo < hi < 0)
+])
+def test_range_join_matches_naive(spark, lo, hi, bucket):
+    left_rows = [(i, k) for i, k in enumerate(
+        [0, 3, 9, 10, 11, 20, 35, 50, 99, 100])]
+    right_rows = [0, 1, 5, 9, 10, 15, 19, 20, 30, 44, 45, 90, 100, 101]
+    left = spark.createDataFrame(
+        [Row(lid=i, lk=k) for i, k in left_rows])
+    right = spark.createDataFrame([Row(rk=k) for k in right_rows])
+
+    got = sorted(
+        (r["lid"], r["lk"], r["rk"])
+        for r in range_join(
+            left, right, "lk", "rk", lo, hi, bucket
+        ).collect()
+    )
+    assert got == _naive_pairs(left_rows, right_rows, lo, hi)
+
+
+def test_range_join_count_keeps_unmatched_lefts(spark):
+    left = spark.createDataFrame(
+        [Row(lid=1, lk=0), Row(lid=2, lk=1000), Row(lid=3, lk=50)])
+    right = spark.createDataFrame(
+        [Row(rk=1), Row(rk=2), Row(rk=55), Row(rk=49)])
+    out = {
+        r["lid"]: r["n_matches"]
+        for r in range_join_count(
+            left, right, "lk", "rk", -5, 6, 5, left_id="lid"
+        ).collect()
+    }
+    # lid=1 window [-5, 6) matches rk 1,2; lid=2 matches nothing but
+    # must survive with 0; lid=3 window [45, 56) matches 49 and 55
+    assert out == {1: 2, 2: 0, 3: 2}
+
+
+def test_range_join_rejects_outer_mode(spark):
+    df = spark.range(1).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="range_join_count"):
+        range_join(df, df, "k", "k", 0, 1, 1, how="left")
+
+
+# -------------------------------------------------------------------
+# CDC latest state ≡ the window formulation
+# -------------------------------------------------------------------
+
+def test_cdc_latest_state_equals_window_formulation(spark):
+    from pyspark.sql.window import Window
+
+    agg = {
+        (r["user_id"], r["last_ts_us"], r["last_event_id"],
+         r["last_event_type"], r["last_value"], r["n_events"])
+        for r in QUERIES["q_cdc_latest_state"](spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", F.expr("ts div 1000").alias("ts_us"),
+        "event_id", "event_type", "value",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    wn = Window.partitionBy("user_id")
+    via_window = {
+        (r["user_id"], r["ts_us"], r["event_id"], r["event_type"],
+         r["value"], r["n_events"])
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_events", F.count("*").over(wn))
+        .where(F.col("rn") == 1).drop("rn").collect()
+    }
+    assert agg == via_window and len(agg) > 0
+
+
+# -------------------------------------------------------------------
+# SCD2 state history invariants
+# -------------------------------------------------------------------
+
+def test_state_history_intervals_chain(spark):
+    rows = QUERIES["q_user_state_history"](spark, SF_DIR).collect()
+    ev_count = load_table(spark, SF_DIR, "events").count()
+    assert sum(r["n_events"] for r in rows) == ev_count
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["version"])
+        # versions are contiguous from 1
+        assert [r["version"] for r in ivs] == list(range(1, len(ivs) + 1))
+        for a, b in zip(ivs, ivs[1:]):
+            # consecutive intervals chain exactly and change state
+            assert a["valid_to_us"] == b["valid_from_us"]
+            assert a["state"] != b["state"]
+        assert ivs[-1]["valid_to_us"] == -1  # open current row
+
+
+# -------------------------------------------------------------------
+# sketch audit + stickiness sanity
+# -------------------------------------------------------------------
+
+def test_sketch_rank_audit_within_contract(spark):
+    rows = QUERIES["q_sketch_rank_audit"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert all(r["p50_within_eps"] and r["p95_within_eps"] for r in rows)
+
+
+def test_stickiness_bounds(spark):
+    rows = QUERIES["q_dau_wau_stickiness"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # mean daily actives can never exceed weekly actives
+        assert 0 < r["stickiness_permille"] <= 1000
+        assert r["dau_sum"] >= r["wau"]        # each day ⊆ week
+        assert r["dau_sum"] <= r["wau"] * r["n_days"]
+
+
+# -------------------------------------------------------------------
+# BM25
+# -------------------------------------------------------------------
+
+def test_bm25_orders_by_term_frequency_at_equal_length(spark):
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="join join join pad1 pad2 pad3"),
+        Row(doc_id=2, text="join pad0 pad1 pad2 pad3 pad4"),
+        Row(doc_id=3, text="pad0 pad1 pad2 pad3 pad4 pad5"),
+    ])
+    out = {r["doc_id"]: r for r in corpus.bm25_scores(
+        docs, ("join",)).collect()}
+    assert set(out) == {1, 2}          # doc 3 matches nothing
+    # same doc length → more occurrences of the query term wins
+    assert out[1]["bm25"] > out[2]["bm25"] > 0
+    assert out[1]["n_terms_matched"] == out[2]["n_terms_matched"] == 1
+
+
+def test_bm25_rare_term_outweighs_common_at_equal_tf(spark):
+    # 'rare' appears in 1 of 4 docs, 'common' in all 4; tf and doc
+    # length equal where both appear → idf dominates
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="rare x y z"),
+        Row(doc_id=2, text="common x y z"),
+        Row(doc_id=3, text="common a b c"),
+        Row(doc_id=4, text="common d e f"),
+    ])
+    out = {r["doc_id"]: r["bm25"] for r in corpus.bm25_scores(
+        docs, ("rare", "common")).collect()}
+    assert out[1] > out[2]
+
+
+# -------------------------------------------------------------------
+# streaming CDC latest-state compaction
+# -------------------------------------------------------------------
+
+def test_latest_state_stream_last_row_wins_across_batches(spark, tmp_path):
+    import json
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from document_parsing_etl_pipeline_spark.streaming.stateful import (
+        latest_state_stream,
+    )
+
+    drop = tmp_path / "in"
+    drop.mkdir()
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+    ])
+    out = str(tmp_path / "out")
+
+    def run_batch():
+        stream = spark.readStream.schema(schema).json(str(drop))
+        q = (latest_state_stream(stream).writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    rows = [
+        {"user_id": 1, "ts_us": 100, "event_id": 1, "event_type": "a"},
+        {"user_id": 1, "ts_us": 300, "event_id": 3, "event_type": "c"},
+        {"user_id": 1, "ts_us": 200, "event_id": 2, "event_type": "b"},
+        {"user_id": 2, "ts_us": 50, "event_id": 4, "event_type": "x"},
+    ]
+    (drop / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    run_batch()
+
+    # batch 2: a LATE row for user 1 (must not regress the state) and
+    # a genuinely newer row for user 2
+    late = [
+        {"user_id": 1, "ts_us": 150, "event_id": 9, "event_type": "z"},
+        {"user_id": 2, "ts_us": 60, "event_id": 5, "event_type": "y"},
+    ]
+    (drop / "b2.json").write_text("\n".join(json.dumps(r) for r in late))
+    run_batch()
+
+    # materialize the changelog: last emitted row per key wins
+    latest = {}
+    for r in spark.read.parquet(out).collect():
+        prev = latest.get(r.user_id)
+        if prev is None or r.n_updates > prev.n_updates:
+            latest[r.user_id] = r
+    assert latest[1].last_ts_us == 300
+    assert latest[1].last_event_type == "c"
+    assert latest[1].n_updates == 4          # saw all 4 user-1 rows
+    assert latest[2].last_ts_us == 60
+    assert latest[2].last_event_type == "y"
