@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "q_sketch_rank_audit",
     "q_dau_wau_stickiness",
     "q_bm25_scores",
+    "q_semdedup",
 ]
 
 

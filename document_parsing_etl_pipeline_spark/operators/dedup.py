@@ -566,3 +566,68 @@ def connected_components(
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("component_id")
     )
+
+
+# -------------------------------------------------------------------
+# semantic dedup (SemDeDup, Abbas et al. 2023)
+# -------------------------------------------------------------------
+
+def semdedup_keep(
+    embeddings: DataFrame,
+    num_centroids: int = 8,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup: cluster-scoped semantic near-duplicate removal over
+    an embedding column — the standard curation pass for web-scale
+    LLM training corpora (cluster first, then pay the quadratic
+    pairwise cost only WITHIN clusters, never across the corpus).
+
+    Returns one row per vector: (vec_id, centroid_id, keep). A vector
+    is dropped when some same-cluster vector with a SMALLER id has
+    cosine ≥ threshold (deterministic keep-first — the same survivor
+    rule as dedup_materialize; transitive chains keep only the chain
+    head it reaches by id order within the pair relation).
+
+    Scale shape: the centroid assignment is a broadcast join + window
+    argmax (corpus.assign_nearest_centroid); pairing shuffles once on
+    centroid_id; with k ∝ corpus size the expected cluster population
+    stays constant and per-cluster pairing cost is bounded — exactly
+    the SemDeDup recipe. Cosine runs through the Arrow-batched kernel
+    (similarity.cosine_sim), not an interpreted HOF."""
+    from .corpus import assign_nearest_centroid
+    from .similarity import cosine_sim
+
+    assign = assign_nearest_centroid(
+        embeddings, num_centroids=num_centroids, id_col=id_col
+    ).select("vec_id", "centroid_id")
+    vecs = assign.join(
+        embeddings.select(F.col(id_col).alias("vec_id"), "embedding"),
+        "vec_id",
+    )
+    a = vecs.select(
+        F.col("centroid_id").alias("cid"),
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+    )
+    b = vecs.select(
+        F.col("centroid_id").alias("cid"),
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+    )
+    dropped = (
+        a.join(b, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.round(cosine_sim(F.col("va"), F.col("vb")), 4)
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        assign.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id", "centroid_id",
+            F.col("is_dup").isNull().alias("keep"),
+        )
+    )

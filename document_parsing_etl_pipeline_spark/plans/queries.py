@@ -4510,3 +4510,75 @@ def q_bm25_scores(spark, sf_dir):
         load_table(spark, sf_dir, "documents"),
         BM25_TERMS, k1=BM25_K1, b=BM25_B,
     )
+
+
+_SEMDEDUP_TAU = 0.3
+_SEMDEDUP_K = 8
+
+# inline cosine with the zero-norm guard (same contract as _COS_SQL,
+# re-aliased for the x/y pair join)
+_PAIR_COS_SQL = (
+    "CASE WHEN list_inner_product(x.embedding::DOUBLE[],"
+    " x.embedding::DOUBLE[]) = 0"
+    " OR list_inner_product(y.embedding::DOUBLE[],"
+    " y.embedding::DOUBLE[]) = 0 THEN 0.0"
+    " ELSE list_inner_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])"
+    " / (sqrt(list_inner_product(x.embedding::DOUBLE[],"
+    " x.embedding::DOUBLE[]))"
+    " * sqrt(list_inner_product(y.embedding::DOUBLE[],"
+    " y.embedding::DOUBLE[]))) END"
+)
+
+_ASSIGN_COS_SQL = (
+    "CASE WHEN list_inner_product(e.embedding::DOUBLE[],"
+    " e.embedding::DOUBLE[]) = 0"
+    " OR list_inner_product(c.cv::DOUBLE[], c.cv::DOUBLE[]) = 0"
+    " THEN 0.0"
+    " ELSE list_inner_product(e.embedding::DOUBLE[], c.cv::DOUBLE[])"
+    " / (sqrt(list_inner_product(e.embedding::DOUBLE[],"
+    " e.embedding::DOUBLE[]))"
+    " * sqrt(list_inner_product(c.cv::DOUBLE[], c.cv::DOUBLE[]))) END"
+)
+
+
+@register("q_semdedup", f"""
+WITH cents AS (
+    SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+    WHERE vec_id < {_SEMDEDUP_K}
+), scored AS (
+    SELECT e.vec_id, c.centroid_id,
+           round({_ASSIGN_COS_SQL}, 4) AS cosine
+    FROM embeddings e, cents c
+), assign AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cosine DESC, centroid_id)
+                   AS rn
+        FROM scored
+    ) WHERE rn = 1
+), vecs AS (
+    SELECT a.vec_id, a.centroid_id, e.embedding
+    FROM assign a JOIN embeddings e USING (vec_id)
+), dropped AS (
+    SELECT DISTINCT y.vec_id
+    FROM vecs x JOIN vecs y
+      ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+    WHERE round({_PAIR_COS_SQL}, 4) >= {_SEMDEDUP_TAU}
+)
+SELECT v.vec_id, v.centroid_id, (d.vec_id IS NULL) AS keep
+FROM (SELECT vec_id, centroid_id FROM vecs) v
+LEFT JOIN dropped d USING (vec_id)
+""")
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster-scoped semantic
+    near-duplicate removal — the quadratic pairwise cosine is paid
+    only WITHIN k-means clusters, never across the corpus, which is
+    what makes embedding dedup tractable at training-corpus scale
+    (k grows with the corpus, per-cluster population stays bounded).
+    One row per vector with a deterministic keep-first survivor flag.
+    operators/dedup.py:semdedup_keep."""
+    return dedup.semdedup_keep(
+        load_table(spark, sf_dir, "embeddings"),
+        num_centroids=_SEMDEDUP_K, threshold=_SEMDEDUP_TAU,
+    )

@@ -243,3 +243,43 @@ def test_latest_state_stream_last_row_wins_across_batches(spark, tmp_path):
     assert latest[1].n_updates == 4          # saw all 4 user-1 rows
     assert latest[2].last_ts_us == 60
     assert latest[2].last_event_type == "y"
+
+
+# -------------------------------------------------------------------
+# SemDeDup
+# -------------------------------------------------------------------
+
+def test_semdedup_drop_rule_matches_numpy_recompute(spark):
+    import numpy as np
+
+    from document_parsing_etl_pipeline_spark.operators.dedup import (
+        semdedup_keep,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = semdedup_keep(emb, num_centroids=4, threshold=0.3).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+
+    def cos(u, v):
+        nu, nv = np.linalg.norm(u), np.linalg.norm(v)
+        if nu == 0 or nv == 0:
+            return 0.0
+        return float(u @ v / (nu * nv))
+
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["centroid_id"], []).append(r)
+    n_dropped = 0
+    for cid, rows in by_cluster.items():
+        rows.sort(key=lambda r: r["vec_id"])
+        ids = [r["vec_id"] for r in rows]
+        for r in rows:
+            expect_drop = any(
+                round(cos(vecs[u], vecs[r["vec_id"]]), 4) >= 0.3
+                for u in ids if u < r["vec_id"]
+            )
+            assert r["keep"] == (not expect_drop), (cid, r["vec_id"])
+            n_dropped += (not r["keep"])
+    assert len(out) == len(vecs)     # one verdict per vector
+    assert 0 < n_dropped < len(vecs)  # threshold actually bites
