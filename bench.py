@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "q_dau_wau_stickiness",
     "q_bm25_scores",
     "q_semdedup",
+    "q_dsir_weights",
 ]
 
 

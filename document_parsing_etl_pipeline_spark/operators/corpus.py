@@ -197,6 +197,88 @@ def contamination_check(
     )
 
 
+def dsir_logweights(
+    docs: DataFrame,
+    target_mod: int = 17,
+    n_buckets: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how much more likely its hashed-unigram bag is under a TARGET
+    (in-domain) distribution than under the RAW corpus distribution —
+    log w(d) = Σ_b f_d[b]·(ln p_target[b] − ln p_raw[b]). High-weight
+    documents are the ones importance resampling keeps when curating
+    pretraining data toward a domain sample.
+
+    The target set here is the deterministic doc_id % target_mod == 0
+    slice (an 'in-domain benchmark sample' stand-in). Features are
+    md5-prefix-hashed token buckets (engine-identical hashing — the
+    sample_hash_10pct recipe), so the whole feature space is a fixed
+    n_buckets-row table: both bucket models and the log-ratio table
+    are broadcast-sized at ANY corpus scale, and the per-doc score is
+    one map-side-combinable agg over (doc, bucket) features. Laplace
+    (+1) smoothing keeps buckets unseen in the target finite.
+
+    Parity: the per-bucket log-ratio is rounded to 6 decimals before
+    the exact decimal per-doc sum; the result ships as integer
+    micro-nats (unigram_logprob's rule — no float rounding boundary
+    can flip the hash)."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+        ).alias("term"),
+    )
+    feat = toks.select(
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast("int"),
+            F.lit(n_buckets),
+        ).alias("bucket"),
+    ).groupBy("doc_id", "bucket").agg(F.count("*").alias("tf"))
+    is_target = F.col("doc_id") % target_mod == 0
+    raw_cnt = feat.groupBy("bucket").agg(
+        F.sum("tf").cast("long").alias("c_r")
+    )
+    tgt_cnt = feat.where(is_target).groupBy("bucket").agg(
+        F.sum("tf").cast("long").alias("c_t")
+    )
+    tot = feat.agg(
+        F.sum("tf").cast("long").alias("t_r"),
+        F.sum(F.when(is_target, F.col("tf")).otherwise(0))
+            .cast("long").alias("t_t"),
+    )
+    ratio = (
+        raw_cnt.join(tgt_cnt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+                    / (F.col("t_t") + F.lit(n_buckets)).cast("double")
+                )
+                - F.log(
+                    (F.col("c_r") + 1)
+                    / (F.col("t_r") + F.lit(n_buckets)).cast("double")
+                ),
+                6,
+            ).alias("lr"),
+        )
+    )
+    return (
+        feat.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (F.sum(F.col("tf") * F.col("lr").cast("decimal(18,6)"))
+             * 1000000).cast("long").alias("dsir_micro_nats"),
+        )
+        .withColumn("is_target", is_target)
+    )
+
+
 def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
     """Per-dimension distribution stats over the embedding column
     (feature-drift / normalization diagnostics before training).

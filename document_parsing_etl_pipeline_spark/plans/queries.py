@@ -4582,3 +4582,55 @@ def q_semdedup(spark, sf_dir):
         load_table(spark, sf_dir, "embeddings"),
         num_centroids=_SEMDEDUP_K, threshold=_SEMDEDUP_TAU,
     )
+
+
+_DSIR_MOD = 17
+_DSIR_B = 256
+
+
+@register("q_dsir_weights", rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+    FROM documents
+), feat AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(term), 1, 4))::INT % {_DSIR_B} AS bucket,
+           count(*) AS tf
+    FROM toks GROUP BY 1, 2
+), raw_cnt AS (
+    SELECT bucket, CAST(sum(tf) AS BIGINT) AS c_r FROM feat GROUP BY 1
+), tgt_cnt AS (
+    SELECT bucket, CAST(sum(tf) AS BIGINT) AS c_t FROM feat
+    WHERE doc_id % {_DSIR_MOD} = 0 GROUP BY 1
+), tot AS (
+    SELECT CAST(sum(tf) AS BIGINT) AS t_r,
+           CAST(sum(CASE WHEN doc_id % {_DSIR_MOD} = 0 THEN tf
+                         ELSE 0 END) AS BIGINT) AS t_t
+    FROM feat
+), ratio AS (
+    SELECT r.bucket,
+           round(ln((coalesce(t.c_t, 0) + 1)
+                    / (tot.t_t + {_DSIR_B})::DOUBLE)
+                 - ln((r.c_r + 1) / (tot.t_r + {_DSIR_B})::DOUBLE),
+                 6) AS lr
+    FROM raw_cnt r LEFT JOIN tgt_cnt t USING (bucket), tot
+)
+SELECT f.doc_id,
+       CAST(sum(f.tf) AS BIGINT) AS n_tokens,
+       (sum(f.tf * ratio.lr::DECIMAL(18,6)) * 1000000)::BIGINT
+           AS dsir_micro_nats,
+       (f.doc_id % {_DSIR_MOD} = 0) AS is_target
+FROM feat f JOIN ratio USING (bucket)
+GROUP BY f.doc_id
+""")
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie 2023): hashed-unigram importance
+    log-ratio of a deterministic in-domain target slice vs the raw
+    corpus, in integer micro-nats per document — the data-selection
+    scorer for curating pretraining corpora toward a domain. Both
+    bucket models and the log-ratio table are fixed 256-row broadcast
+    dims at any corpus scale. operators/corpus.py:dsir_logweights."""
+    return corpus.dsir_logweights(
+        load_table(spark, sf_dir, "documents"),
+        target_mod=_DSIR_MOD, n_buckets=_DSIR_B,
+    )

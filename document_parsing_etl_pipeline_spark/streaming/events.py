@@ -90,3 +90,59 @@ def sessionize(events: DataFrame, gap: str = "30 minutes",
             "user_id", "n_events", "sum_value",
         )
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    window_seconds: int = 60,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each left event pairs with right
+    events whose event_time lies in [left - w, left + w] — the
+    streaming twin of operators/rangejoin.py, and it needs the SAME
+    bucketing trick: Spark rejects stream-stream joins without an
+    equality predicate, so the join key is a window-width time bucket
+    (left explodes into its 2-3 overlapping buckets, right stays
+    single-bucket → every matched pair meets in exactly one bucket,
+    no duplicates). The exact time-range condition rides along as the
+    join residual over both watermarked event_time columns, which is
+    what lets the state store evict buffered rows that can no longer
+    match (without the range bound, join state grows without limit).
+
+    Inputs need (event_id, event_time, event_type); output is one row
+    per matched pair."""
+    w = int(window_seconds)
+    lw = (
+        left.withWatermark("event_time", watermark)
+        .select(
+            F.col("event_id").alias("l_id"),
+            F.col("event_time").alias("l_time"),
+            F.col("event_type").alias("l_type"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"(unix_seconds(l_time) - {w}) div {w}"),
+                    F.expr(f"(unix_seconds(l_time) + {w}) div {w}"),
+                )
+            ),
+        )
+    )
+    rw = (
+        right.withWatermark("event_time", watermark)
+        .select(
+            F.col("event_id").alias("r_id"),
+            F.col("event_time").alias("r_time"),
+            F.col("event_type").alias("r_type"),
+        )
+        .withColumn("bucket", F.expr(f"unix_seconds(r_time) div {w}"))
+    )
+    cond = (
+        (lw["bucket"] == rw["bucket"])
+        & F.expr(f"r_time >= l_time - INTERVAL {w} SECONDS")
+        & F.expr(f"r_time <= l_time + INTERVAL {w} SECONDS")
+        & (F.col("l_id") != F.col("r_id"))
+    )
+    return lw.join(rw, cond).drop("bucket")

@@ -283,3 +283,52 @@ def test_semdedup_drop_rule_matches_numpy_recompute(spark):
             n_dropped += (not r["keep"])
     assert len(out) == len(vecs)     # one verdict per vector
     assert 0 < n_dropped < len(vecs)  # threshold actually bites
+
+
+# -------------------------------------------------------------------
+# stream-stream interval join
+# -------------------------------------------------------------------
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    import json
+
+    from document_parsing_etl_pipeline_spark.streaming import events as ev
+
+    drop = tmp_path / "ev"
+    drop.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:30", "user_id": 1,
+         "event_type": "error", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T00:01:00", "user_id": 2,
+         "event_type": "view", "value": 1.0},   # within 1 min of #1
+        {"event_id": 3, "ts": "2024-01-01T00:05:00", "user_id": 3,
+         "event_type": "view", "value": 1.0},   # too far from #1
+    ]
+    (drop / "e.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = ev.read_event_stream(spark, str(drop))
+    errors = stream.where(F.col("event_type") == "error")
+    views = stream.where(F.col("event_type") == "view")
+    joined = ev.interval_join_streams(errors, views, window_seconds=60)
+    q = (joined.writeStream.format("memory").queryName("ij")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.l_id, r.r_id) for r in spark.sql("SELECT * FROM ij").collect()}
+    assert got == {(1, 2)}  # error #1 ⋈ view #2 only; #3 outside window
+
+
+# -------------------------------------------------------------------
+# DSIR importance weights
+# -------------------------------------------------------------------
+
+def test_dsir_targets_score_higher_on_average(spark):
+    rows = QUERIES["q_dsir_weights"](spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert len(rows) == n_docs
+    tgt = [r["dsir_micro_nats"] / r["n_tokens"]
+           for r in rows if r["is_target"]]
+    raw = [r["dsir_micro_nats"] / r["n_tokens"]
+           for r in rows if not r["is_target"]]
+    assert tgt and raw
+    # the target slice defines the target distribution: its own
+    # importance weight must be higher in expectation
+    assert sum(tgt) / len(tgt) > sum(raw) / len(raw)
