@@ -3991,46 +3991,22 @@ def q_shard_assignment(spark, sf_dir):
     budget)) and report per-shard manifests.
 
     The naive form is a GLOBAL ordered cumsum — a single-partition
-    window at 100 TB. This runs the classic two-level distributed
-    prefix-sum instead: (1) cumsum WITHIN doc_id range buckets
-    (partitioned window, parallel over buckets), (2) per-bucket totals
-    — one tiny row per bucket — cumsummed and broadcast back as bucket
-    offsets. global_before = bucket_offset + within_before. The only
-    ordered window over a single partition runs on #buckets rows, not
-    #docs. Oracle: the equivalent single global window cumsum."""
+    window at 100 TB. sources/shards.py:shard_assignments runs the
+    classic two-level distributed prefix-sum instead: (1) cumsum
+    WITHIN doc_id range buckets (partitioned window, parallel over
+    buckets), (2) per-bucket totals — one tiny row per bucket —
+    cumsummed and broadcast back as bucket offsets. global_before =
+    bucket_offset + within_before. The only ordered window over a
+    single partition runs on #buckets rows, not #docs. The same
+    module's write_training_shards materializes the plan as one
+    sorted parquet file per shard. Oracle: the equivalent single
+    global window cumsum."""
+    from ..sources.shards import shard_assignments
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.size(
-            F.regexp_extract_all(F.lower("text"), F.lit(r"\S+"), 0)
-        ).cast("long").alias("n_tokens"),
-        (F.col("doc_id") / SHARD_BUCKET).cast("long").alias("bucket"),
-    )
-    w_in = (
-        Window.partitionBy("bucket").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    within = toks.withColumn(
-        "within_before", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
-    )
-    bucket_totals = toks.groupBy("bucket").agg(
-        F.sum("n_tokens").alias("bucket_tokens")
-    )
-    w_b = (
-        Window.orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = bucket_totals.select(
-        "bucket",
-        F.coalesce(F.sum("bucket_tokens").over(w_b), F.lit(0))
-            .alias("bucket_offset"),
-    )
     return (
-        within.join(F.broadcast(offsets), "bucket")
-        .select(
-            "doc_id", "n_tokens",
-            ((F.col("bucket_offset") + F.col("within_before"))
-             / SHARD_TOKENS).cast("long").alias("shard_id"),
+        shard_assignments(
+            docs, shard_tokens=SHARD_TOKENS, bucket_size=SHARD_BUCKET
         )
         .groupBy("shard_id")
         .agg(

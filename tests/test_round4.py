@@ -332,3 +332,43 @@ def test_dsir_targets_score_higher_on_average(spark):
     # the target slice defines the target distribution: its own
     # importance weight must be higher in expectation
     assert sum(tgt) / len(tgt) > sum(raw) / len(raw)
+
+
+# -------------------------------------------------------------------
+# training-shard writer sink
+# -------------------------------------------------------------------
+
+def test_write_training_shards_one_sorted_file_per_shard(spark, tmp_path):
+    import glob
+    import os
+
+    from document_parsing_etl_pipeline_spark.sources.shards import (
+        write_training_shards,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "shards")
+    manifest = {r["shard_id"]: r for r in write_training_shards(
+        docs, out, shard_tokens=2048).collect()}
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()          # nothing lost
+    got = {r["shard_id"]: r for r in back.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    ).collect()}
+    assert set(got) == set(manifest)
+    for sid, m in manifest.items():
+        assert got[sid]["n_docs"] == m["n_docs"]
+        assert got[sid]["total_tokens"] == m["total_tokens"]
+        # one file per shard: the loader streams a shard sequentially
+        files = [f for f in glob.glob(
+            os.path.join(out, f"shard_id={sid}", "*.parquet"))]
+        assert len(files) == 1, (sid, files)
+        # doc order inside the shard file is ascending doc_id
+        ids = [r.doc_id for r in spark.read.parquet(files[0]).collect()]
+        assert ids == sorted(ids)
+    # shards partition doc_id space into contiguous runs
+    spans = sorted((m["first_doc"], m["last_doc"]) for m in manifest.values())
+    for (af, al), (bf, bl) in zip(spans, spans[1:]):
+        assert al < bf
