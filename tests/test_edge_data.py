@@ -35,6 +35,7 @@ EDGE_QUERIES = [
     "dedup_exact", "dedup_materialize", "quality_score", "token_count",
     "lang_id", "q_gopher_filters", "q_unigram_logprob", "fingerprint",
     "q_repetition_ratio", "q_sequence_pack",
+    "q_bm25_scores", "q_dsir_weights", "q_shard_assignment",
 ]
 
 
@@ -173,9 +174,11 @@ def edge_ev_dir(tmp_path_factory, spark):
               "orders", "lineitem", "documents", "embeddings"):
         shutil.copyfile(f"/root/testdata/sf0.001/{t}.parquet",
                         str(d / f"{t}.parquet"))
-    # write through pyarrow: the real events.parquet carries
-    # TIMESTAMP(NANOS) (DuckDB's COPY downcasts to micros, which
-    # Spark would read as TIMESTAMP_NTZ instead of the nanos long)
+    # write through pyarrow as TIMESTAMP(NANOS): driver testdata has
+    # shipped both NANOS (rounds 1-3) and MICROS (round 4) for
+    # events.ts; the real sf dirs exercise whichever the driver
+    # currently generates, and this fixture deliberately keeps the
+    # nanos-as-long leg of catalog.load_table's normalization covered
     import pyarrow as pa
     import pyarrow.parquet as pq
     from datetime import datetime

@@ -180,3 +180,40 @@ def test_cc_star_equals_propagation_on_random_graphs(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     truth = {v: find(v) for v in parent}
     assert star == truth
+
+
+@given(
+    lefts=st.lists(st.integers(min_value=0, max_value=400),
+                   min_size=1, max_size=12, unique=True),
+    rights=st.lists(st.integers(min_value=0, max_value=400),
+                    min_size=1, max_size=15),
+    lo=st.integers(min_value=-60, max_value=40),
+    width=st.integers(min_value=1, max_value=80),
+    bucket=st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_range_join_equivalent_to_naive_filter(
+    spark, lefts, rights, lo, width, bucket
+):
+    """Bucketed range join ≡ cross-join + range filter for ANY window
+    [lo, lo+width) and ANY bucket width (bucket need not divide or
+    relate to the window at all)."""
+    from pyspark.sql import Row
+
+    from document_parsing_etl_pipeline_spark.operators.rangejoin import (
+        range_join,
+    )
+
+    hi = lo + width
+    left = spark.createDataFrame([Row(lid=k, lk=k) for k in lefts])
+    right = spark.createDataFrame([Row(rk=k) for k in rights])
+    got = sorted(
+        (r["lid"], r["rk"])
+        for r in range_join(left, right, "lk", "rk", lo, hi, bucket)
+        .collect()
+    )
+    want = sorted(
+        (lk, rk) for lk in lefts for rk in rights if lk + lo <= rk < lk + hi
+    )
+    assert got == want
