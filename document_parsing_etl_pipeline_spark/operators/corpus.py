@@ -238,25 +238,26 @@ def dsir_logweights(
         ).alias("bucket"),
     ).groupBy("doc_id", "bucket").agg(F.count("*").alias("tf"))
     is_target = F.col("doc_id") % target_mod == 0
-    raw_cnt = feat.groupBy("bucket").agg(
-        F.sum("tf").cast("long").alias("c_r")
-    )
-    tgt_cnt = feat.where(is_target).groupBy("bucket").agg(
-        F.sum("tf").cast("long").alias("c_t")
-    )
-    tot = feat.agg(
-        F.sum("tf").cast("long").alias("t_r"),
+    # ONE pass builds both bucket models (raw + conditional target
+    # sum — no separate target aggregation, no left join), and the
+    # corpus totals are re-aggregated from the 256-row model table
+    # instead of re-scanning the features
+    cnt = feat.groupBy("bucket").agg(
+        F.sum("tf").cast("long").alias("c_r"),
         F.sum(F.when(is_target, F.col("tf")).otherwise(0))
-            .cast("long").alias("t_t"),
+            .cast("long").alias("c_t"),
+    )
+    tot = cnt.agg(
+        F.sum("c_r").cast("long").alias("t_r"),
+        F.sum("c_t").cast("long").alias("t_t"),
     )
     ratio = (
-        raw_cnt.join(tgt_cnt, "bucket", "left")
-        .crossJoin(F.broadcast(tot))
+        cnt.crossJoin(F.broadcast(tot))
         .select(
             "bucket",
             F.round(
                 F.log(
-                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+                    (F.col("c_t") + 1)
                     / (F.col("t_t") + F.lit(n_buckets)).cast("double")
                 )
                 - F.log(
