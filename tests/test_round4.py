@@ -372,3 +372,16 @@ def test_write_training_shards_one_sorted_file_per_shard(spark, tmp_path):
     spans = sorted((m["first_doc"], m["last_doc"]) for m in manifest.values())
     for (af, al), (bf, bl) in zip(spans, spans[1:]):
         assert al < bf
+
+
+def test_semdedup_materialized_matches_default(spark):
+    from document_parsing_etl_pipeline_spark.operators.dedup import (
+        semdedup_keep,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = {(r["vec_id"], r["centroid_id"], r["keep"])
+            for r in semdedup_keep(emb, 4, 0.3).collect()}
+    mat = {(r["vec_id"], r["centroid_id"], r["keep"])
+           for r in semdedup_keep(emb, 4, 0.3, materialize=True).collect()}
+    assert base == mat and len(base) > 0
