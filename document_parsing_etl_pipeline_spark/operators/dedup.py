@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 
 def _norm_tokens(text: Column) -> Column:
-    """Distinct lowercase word tokens (set semantics for Jaccard).
+    r"""Distinct lowercase word tokens (set semantics for Jaccard).
     token = \S+ run (== Python str.split(); whitespace-only text has
     zero tokens, not [''])."""
     return F.array_distinct(
