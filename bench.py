@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "q_bm25_scores",
     "q_semdedup",
     "q_dsir_weights",
+    "q_hll_audit",
 ]
 
 

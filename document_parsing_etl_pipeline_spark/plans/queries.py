@@ -4610,3 +4610,41 @@ def q_dsir_weights(spark, sf_dir):
         load_table(spark, sf_dir, "documents"),
         target_mod=_DSIR_MOD, n_buckets=_DSIR_B,
     )
+
+
+_HLL_RSD = 0.05
+_HLL_BOUND = 0.15  # 3× the requested rsd — generous, never flaky
+
+
+@register("q_hll_audit", """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users_exact,
+       count(*) AS n_events,
+       TRUE AS hll_within_bound
+FROM events GROUP BY event_type
+""")
+def q_hll_audit(spark, sf_dir):
+    """Sketch calibration for the distinct-count swap: run HyperLogLog
+    (approx_count_distinct, rsd=5%) NEXT TO the exact distinct and
+    assert the estimate lands within 3× the requested error — the
+    measurement that justifies q_distinct_users' documented HLL swap
+    at 100 TB. The oracle pins the exact counts and the contract
+    boolean at TRUE; HLL drift outside the band fails the hash gate
+    (same pattern as q_sketch_rank_audit / q_minhash_accuracy: the
+    approximation is graded, not trusted)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users_exact"),
+            F.approx_count_distinct("user_id", _HLL_RSD).alias("n_hll"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type", "n_users_exact", "n_events",
+            (
+                F.abs(F.col("n_hll") - F.col("n_users_exact"))
+                <= F.ceil(F.col("n_users_exact") * _HLL_BOUND)
+            ).alias("hll_within_bound"),
+        )
+    )

@@ -385,3 +385,9 @@ def test_semdedup_materialized_matches_default(spark):
     mat = {(r["vec_id"], r["centroid_id"], r["keep"])
            for r in semdedup_keep(emb, 4, 0.3, materialize=True).collect()}
     assert base == mat and len(base) > 0
+
+
+def test_hll_audit_within_contract(spark):
+    rows = QUERIES["q_hll_audit"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert all(r["hll_within_bound"] for r in rows)
