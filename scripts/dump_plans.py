@@ -23,6 +23,8 @@ PICKS = {
     "q_unigram_logprob": "tf pre-agg shrinks the vocab join; 1-row total as broadcast NLJ",
     "q_range_join_events": "bucketed interval join: bucket equi-key + range residual, no nested loop",
     "q_cdc_latest_state": "struct-max partial agg: ~one row per key shuffled, no window sort",
+    "q_dsir_weights": "single-pass dual bucket models; 256-row broadcast ratio dim; one (doc,bucket) shuffle",
+    "q_semdedup": "broadcast centroid assign; pair join shuffles once on centroid_id, quadratic stays in-cluster",
 }
 
 
