@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "q_semdedup",
     "q_dsir_weights",
     "q_hll_audit",
+    "q_bpe_merge_step",
 ]
 
 

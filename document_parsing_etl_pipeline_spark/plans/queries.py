@@ -4648,3 +4648,69 @@ def q_hll_audit(spark, sf_dir):
             ).alias("hll_within_bound"),
         )
     )
+
+
+_BPE_TOPK = 30
+
+
+@register("q_bpe_merge_step", rf"""
+WITH toks AS (
+    SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS word
+    FROM documents
+), vocab AS (
+    SELECT word, count(*) AS cnt FROM toks GROUP BY word
+), pairs AS (
+    SELECT substring(v.word, i.i, 1) AS a,
+           substring(v.word, i.i + 1, 1) AS b,
+           v.cnt
+    FROM vocab v,
+         unnest(generate_series(1, length(v.word) - 1)) AS i(i)
+    WHERE length(v.word) >= 2
+), ranked AS (
+    SELECT a, b, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY a, b
+)
+SELECT a, b, n_occurrences FROM ranked
+ORDER BY n_occurrences DESC, a, b LIMIT {_BPE_TOPK}
+""")
+def q_bpe_merge_step(spark, sf_dir):
+    """The statistics pass of BPE tokenizer training: count adjacent
+    symbol pairs over the corpus and rank the merge candidates — the
+    inner loop a distributed tokenizer trainer runs once per merge.
+
+    Vocab-first (the optimization every real BPE trainer uses, and
+    the only shape that survives 100 TB): pairs are generated from
+    the DISTINCT word table weighted by word count, so the
+    explode×substring fan-out runs over the Zipf-bounded vocab
+    (~O(corpus^0.5) rows), never over the token stream. Pure
+    sequence+substring codegen — no higher-order functions, no
+    Python. Top-k via a single bounded sort (TakeOrderedAndProject),
+    deterministic ties by symbol pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"\S+"), 0)
+        ).alias("word")
+    )
+    vocab = toks.groupBy("word").agg(F.count("*").alias("cnt"))
+    # single-char words generate no pairs; the length filter also keeps
+    # Spark's sequence() ascending (sequence(1, 0) would DESCEND and
+    # emit a phantom (char, '') pair where DuckDB's generate_series is
+    # simply empty)
+    pairs = vocab.where(F.length("word") >= 2).select(
+        "word", "cnt",
+        F.explode(
+            F.sequence(F.lit(1), F.length("word") - 1)
+        ).alias("i"),
+    ).select(
+        F.substring(F.col("word"), F.col("i").cast("int"), 1)
+            .alias("a"),
+        F.expr("substring(word, i + 1, 1)").alias("b"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.sum("cnt").cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "a", "b")
+        .limit(_BPE_TOPK)
+    )

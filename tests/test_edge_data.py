@@ -36,6 +36,7 @@ EDGE_QUERIES = [
     "lang_id", "q_gopher_filters", "q_unigram_logprob", "fingerprint",
     "q_repetition_ratio", "q_sequence_pack",
     "q_bm25_scores", "q_dsir_weights", "q_shard_assignment",
+    "q_bpe_merge_step",
 ]
 
 
