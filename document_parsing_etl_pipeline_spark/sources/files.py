@@ -99,3 +99,39 @@ def read_jsonl_documents(spark: SparkSession, path: str,
 
 def read_csv_documents(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("header", "true").csv(path)
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession, path: str, schema: str,
+    required: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Robust JSONL ingest for corpora where some records are always
+    broken (at 100 TB, 'some' is millions): parse each raw line with
+    from_json and split into (good, quarantine). Quarantined rows
+    keep the raw line for replay after a parser fix — the batch
+    analog of the streaming watcher's malformed-row quarantine
+    (streaming/watcher.py), replacing fail-the-job (FAILFAST) and
+    silently-drop (DROPMALFORMED) at scale.
+
+    Implementation note: this deliberately avoids the reader's
+    internal _corrupt_record column — Spark refuses plans whose scan
+    references ONLY that column (the quarantine branch would), and
+    the documented cache() workaround materializes the whole parse.
+    text-source + from_json has no such restriction, stays lazy, and
+    the schema is explicit (never inferred — inference reads the data
+    twice and locks in the first sample's shape).
+
+    A good row must parse AND carry a non-null `required` key (default:
+    the schema's first field): from_json's PERMISSIVE mode maps some
+    malformed lines to an all-null struct rather than NULL, and a
+    record without its primary key is quarantine-worthy anyway."""
+    req = required or schema.split(",")[0].strip().split()[0]
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.col("value").alias("raw_line"),
+        F.from_json("value", schema).alias("r"),
+    )
+    ok = F.col("r").isNotNull() & F.col(f"r.{req}").isNotNull()
+    good = parsed.where(ok).select("r.*")
+    quarantine = parsed.where(~ok).select("raw_line")
+    return good, quarantine

@@ -391,3 +391,33 @@ def test_hll_audit_within_contract(spark):
     rows = QUERIES["q_hll_audit"](spark, SF_DIR).collect()
     assert len(rows) > 0
     assert all(r["hll_within_bound"] for r in rows)
+
+
+# -------------------------------------------------------------------
+# robust JSONL ingest (corrupt-record quarantine)
+# -------------------------------------------------------------------
+
+def test_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
+    from document_parsing_etl_pipeline_spark.sources.files import (
+        read_jsonl_quarantine,
+    )
+
+    p = tmp_path / "drop"
+    p.mkdir()
+    (p / "a.jsonl").write_text("\n".join([
+        '{"doc_id": 1, "text": "ok one"}',
+        'this is not json at all',
+        '{"doc_id": 2, "text": "ok two"}',
+        '{"doc_id": 3, "text": "unterminated',
+        '{"doc_id": 4, "text": "ok three"}',
+    ]))
+    good, quarantine = read_jsonl_quarantine(
+        spark, str(p), "doc_id BIGINT, text STRING")
+    ids = sorted(r.doc_id for r in good.collect())
+    assert ids == [1, 2, 4]
+    assert "_corrupt_record" not in good.columns
+    bad = sorted(r.raw_line for r in quarantine.collect())
+    assert bad == [
+        'this is not json at all',
+        '{"doc_id": 3, "text": "unterminated',
+    ]
