@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "q_dsir_weights",
     "q_hll_audit",
     "q_bpe_merge_step",
+    "q_session_window_native",
 ]
 
 

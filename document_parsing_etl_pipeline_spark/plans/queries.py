@@ -4714,3 +4714,43 @@ def q_bpe_merge_step(spark, sf_dir):
         .orderBy(F.col("n_occurrences").desc(), "a", "b")
         .limit(_BPE_TOPK)
     )
+
+
+@register("q_session_window_native", ORACLES["q_events_sessionize"])
+def q_session_window_native(spark, sf_dir):
+    """The SAME gap-based sessionization as q_events_sessionize, but
+    through Spark's native session_window operator instead of the
+    manual lag→flag→cumsum windows — hash-checked against the
+    IDENTICAL oracle, proving the two formulations equivalent row for
+    row. Native session_window is the one that carries over to
+    Structured Streaming state merging unchanged.
+
+    Boundary alignment: session_window merges two events iff
+    t2 - t1 < gap (strict), while the manual/oracle rule keeps them
+    together iff t2 - t1 <= gap — so the native gap is gap+1 µs.
+    The ordinal session_id is a per-user row_number over the
+    already-aggregated session rows (session-count-sized window,
+    never event-sized)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    sess = (
+        ev.groupBy(
+            "user_id",
+            F.session_window(
+                F.timestamp_micros("ts_us"),
+                f"{_SESSION_GAP_US + 1} microseconds",
+            ).alias("sw"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts_us").alias("session_start_us"),
+            _money(F.col("value")).alias("sum_value"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("session_start_us")
+    return sess.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("session_id"),
+        "n_events", "session_start_us", "sum_value",
+    )
