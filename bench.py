@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "q_hll_audit",
     "q_bpe_merge_step",
     "q_session_window_native",
+    "q_events_ohlc",
 ]
 
 

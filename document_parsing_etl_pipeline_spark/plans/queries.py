@@ -4754,3 +4754,59 @@ def q_session_window_native(spark, sf_dir):
         F.row_number().over(w).cast("long").alias("session_id"),
         "n_events", "session_start_us", "sum_value",
     )
+
+
+@register("q_events_ohlc", f"""
+WITH e AS (
+    SELECT user_id, epoch_us(ts) // {_DAY_US} AS day,
+           epoch_us(ts) AS ts_us, event_id, value
+    FROM events
+), ranked AS (
+    SELECT user_id, day, value,
+           row_number() OVER (PARTITION BY user_id, day
+                              ORDER BY ts_us, event_id) AS rn_a,
+           row_number() OVER (PARTITION BY user_id, day
+                              ORDER BY ts_us DESC, event_id DESC) AS rn_d
+    FROM e
+)
+SELECT user_id, day,
+       min(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       min(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*) AS n_events
+FROM ranked GROUP BY user_id, day
+""")
+def q_events_ohlc(spark, sf_dir):
+    """Per-(user, day) OHLC candles — the canonical time-series
+    compaction. Spark side uses min/max over (ts, id, value) structs:
+    a pure aggregate with map-side partial combine, so the shuffle
+    carries one candle per key per map task; the oracle is the
+    window formulation (row_number first/last), so the hash check
+    proves agg ≡ window — the same trade as q_cdc_latest_state, per
+    SURVEY §4 'last-row-wins compaction is an aggregate, not a
+    window'. (ts_us, event_id) is a unique ordering prefix, so
+    open/close are deterministic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"(ts div 1000) div {_DAY_US}").alias("day"),
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_id", "value",
+    )
+    return (
+        ev.groupBy("user_id", "day")
+        .agg(
+            F.min(F.struct("ts_us", "event_id", "value")).alias("first"),
+            F.max(F.struct("ts_us", "event_id", "value")).alias("last"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id", "day",
+            F.col("first.value").alias("open"),
+            "high", "low",
+            F.col("last.value").alias("close"),
+            "n_events",
+        )
+    )
