@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "q_bpe_merge_step",
     "q_session_window_native",
     "q_events_ohlc",
+    "q_funnel_three_step",
+    "q_data_profile",
 ]
 
 

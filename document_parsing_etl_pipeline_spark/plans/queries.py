@@ -4810,3 +4810,128 @@ def q_events_ohlc(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@register("q_funnel_three_step", """
+WITH e AS (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+), v AS (
+    SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts_us END)
+               AS t_view
+    FROM e GROUP BY user_id
+), c AS (
+    SELECT e.user_id,
+           min(CASE WHEN e.event_type = 'click'
+                     AND e.ts_us > v.t_view THEN e.ts_us END) AS t_click
+    FROM e JOIN v USING (user_id)
+    WHERE v.t_view IS NOT NULL
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id,
+           min(CASE WHEN e.event_type = 'purchase'
+                     AND e.ts_us > c.t_click THEN e.ts_us END)
+               AS t_purchase
+    FROM e JOIN c USING (user_id)
+    WHERE c.t_click IS NOT NULL
+    GROUP BY e.user_id
+)
+SELECT count(*) AS n_viewed,
+       (SELECT count(*) FROM c WHERE t_click IS NOT NULL)
+           AS n_then_clicked,
+       (SELECT count(*) FROM p WHERE t_purchase IS NOT NULL)
+           AS n_then_purchased
+FROM v WHERE t_view IS NOT NULL
+""")
+def q_funnel_three_step(spark, sf_dir):
+    """Ordered 3-step funnel (view → click-after-view →
+    purchase-after-click): each stage is a conditional-min aggregate
+    gated on the previous stage's timestamp — the product-analytics
+    sequence funnel without any per-user event sort. Three groupBy
+    passes over the events scan joined stage-to-stage on user_id
+    (stage frames are user-count-sized); the final stage counts are
+    three 1-row aggregates. Extends q_funnel_conversion (2-step,
+    unordered firsts) with strict event ORDERING between stages."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+    )
+    v = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us")))
+            .alias("t_view")
+    ).where(F.col("t_view").isNotNull())
+    c = (
+        ev.join(v, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts_us") > F.col("t_view")),
+                    F.col("ts_us"),
+                )
+            ).alias("t_click")
+        )
+    )
+    p = (
+        ev.join(c.where(F.col("t_click").isNotNull()), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_us") > F.col("t_click")),
+                    F.col("ts_us"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    nv = v.agg(F.count("*").alias("n_viewed"))
+    nc = c.where(F.col("t_click").isNotNull()).agg(
+        F.count("*").alias("n_then_clicked")
+    )
+    np_ = p.where(F.col("t_purchase").isNotNull()).agg(
+        F.count("*").alias("n_then_purchased")
+    )
+    return nv.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(np_))
+
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+@register("q_data_profile", f"""
+WITH stats AS (
+    SELECT count(*) AS n_rows,
+           {", ".join(
+               f"count({c}) AS nn_{c}, count(DISTINCT {c}) AS nd_{c}"
+               for c in _PROFILE_COLS)}
+    FROM documents
+)
+{" UNION ALL ".join(
+    f"SELECT '{c}' AS column_name, n_rows, n_rows - nn_{c} AS n_null, "
+    f"nd_{c} AS n_distinct FROM stats"
+    for c in _PROFILE_COLS)}
+""")
+def q_data_profile(spark, sf_dir):
+    """Column-level data-quality profile of the documents table:
+    null counts and exact distinct cardinality per column — the
+    post-ingest profiling pass every warehouse runs before trusting a
+    new corpus drop. ONE aggregation pass computes every column's
+    stats (multi-column distinct plans as a single Expand — no
+    per-column scans); the per-column rows come from unpivoting the
+    1-row stats frame. At 100 TB the distinct counts swap to HLL per
+    the q_hll_audit-calibrated rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    stats = docs.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_null"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+        )
+        for c in _PROFILE_COLS
+    ])
+    return stats.select(F.explode(rows).alias("r")).select("r.*")
