@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "q_events_ohlc",
     "q_funnel_three_step",
     "q_data_profile",
+    "q_chunk_context",
+    "q_events_hourly_profile",
 ]
 
 

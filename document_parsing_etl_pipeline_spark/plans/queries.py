@@ -4935,3 +4935,62 @@ def q_data_profile(spark, sf_dir):
         for c in _PROFILE_COLS
     ])
     return stats.select(F.explode(rows).alias("r")).select("r.*")
+
+
+@register("q_chunk_context", f"""
+WITH {CHUNK_CTE}
+SELECT doc_id, chunk_index,
+       length(text_content) AS n_chars,
+       coalesce(lag(md5(text_content))
+                OVER (PARTITION BY doc_id ORDER BY chunk_index), '')
+           AS prev_hash,
+       coalesce(lead(md5(text_content))
+                OVER (PARTITION BY doc_id ORDER BY chunk_index), '')
+           AS next_hash
+FROM chunks_f
+""")
+def q_chunk_context(spark, sf_dir):
+    """Context stitching: every chunk with its neighboring chunks'
+    content hashes — the join a RAG retriever or a training-context
+    assembler runs to expand a hit into prev/next context without
+    re-reading the document. lag/lead over doc-partitioned chunk
+    order (parallel across docs, never a global sort); hashes stand
+    in for the neighbor text so the output stays hash-comparable and
+    the wire stays narrow."""
+    ch = chunking.chunk_documents(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("doc_id").orderBy("chunk_index")
+    h = F.md5("text_content")
+    return ch.select(
+        "doc_id", "chunk_index",
+        F.length("text_content").cast("long").alias("n_chars"),
+        F.coalesce(F.lag(h).over(w), F.lit("")).alias("prev_hash"),
+        F.coalesce(F.lead(h).over(w), F.lit("")).alias("next_hash"),
+    )
+
+
+@register("q_events_hourly_profile", """
+SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+       event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+""")
+def q_events_hourly_profile(spark, sf_dir):
+    """Hour-of-day × event-type seasonality profile (traffic-shape
+    analysis; the rollup capacity planning and anomaly baselines read
+    from). Hour is derived from epoch micros by integer arithmetic —
+    identical on both engines regardless of session timezone because
+    the data's wall clock IS UTC."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.expr("((ts div 1000) div 3600000000) % 24")
+                .alias("hour_of_day"),
+            "event_type", "user_id",
+        )
+        .groupBy("hour_of_day", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
