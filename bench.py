@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "q_data_profile",
     "q_chunk_context",
     "q_events_hourly_profile",
+    "q_supplier_hhi",
 ]
 
 

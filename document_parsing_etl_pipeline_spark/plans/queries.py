@@ -4994,3 +4994,64 @@ def q_events_hourly_profile(spark, sf_dir):
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@register("q_supplier_hhi", """
+WITH rev AS (
+    SELECT n.n_name, s.s_suppkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) * 100)
+                AS BIGINT) AS cents
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name, s.s_suppkey
+), tot AS (
+    SELECT n_name, CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM rev GROUP BY n_name
+)
+SELECT r.n_name,
+       count(*) AS n_suppliers,
+       t.total_cents,
+       CAST(sum((r.cents * 10000 // t.total_cents)
+                * (r.cents * 10000 // t.total_cents)) AS BIGINT)
+           AS hhi_pm2
+FROM rev r JOIN tot t USING (n_name)
+GROUP BY r.n_name, t.total_cents
+""")
+def q_supplier_hhi(spark, sf_dir):
+    """Supplier revenue concentration per nation — the
+    Herfindahl-Hirschman index in exact integer arithmetic: revenue
+    share in permyriad by integer floor division (identical on both
+    engines; the float formulation would divide before summing and
+    drift), squared and summed — HHI ∈ (0, 1e8], 1e8 = monopoly.
+    Two aggs (supplier-level pre-agg, then nation rollup) + one
+    nation-keyed join of supplier-count-sized frames; the money sum
+    is the exact decimal cents rule from the parity protocol."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation),
+              supp["s_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name", "s_suppkey")
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,6)")) * 100)
+            .cast("long").alias("cents")
+        )
+    )
+    tot = rev.groupBy("n_name").agg(
+        F.sum("cents").cast("long").alias("total_cents")
+    )
+    return (
+        rev.join(tot, "n_name")
+        .groupBy("n_name", "total_cents")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(
+                F.expr("(cents * 10000 div total_cents)"
+                       " * (cents * 10000 div total_cents)")
+            ).cast("long").alias("hhi_pm2"),
+        )
+        .select("n_name", "n_suppliers", "total_cents", "hhi_pm2")
+    )
