@@ -30,12 +30,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         ts_type = df.schema["ts"].dataType.typeName()
-        if ts_type != "long":
+        if ts_type == "timestamp_ntz":
             # NTZ wall-clock == UTC epoch for this data; DuckDB's
             # epoch_us(ts) reads the same wall clock, so oracles agree.
+            # timestampdiff over two NTZ values is pure wall-clock
+            # arithmetic — independent of spark.sql.session.timeZone
+            # (a cast to LTZ here would silently shift every timestamp
+            # in a session not pinned to UTC).
             df = df.withColumn(
                 "ts",
-                (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)),
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                ) * F.lit(1000),
+            )
+        elif ts_type != "long":
+            # LTZ (isAdjustedToUTC micros): unix_micros reads the
+            # absolute instant — also timezone-independent
+            df = df.withColumn(
+                "ts", F.unix_micros(F.col("ts")) * F.lit(1000)
             )
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

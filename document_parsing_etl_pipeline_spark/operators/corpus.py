@@ -69,9 +69,14 @@ def bm25_scores(
     b: float = 0.75,
     text_col: str = "text",
 ) -> DataFrame:
-    """Okapi BM25 relevance of every document against a fixed query
-    term set — the classic retrieval scorer, and the ranking half of a
-    corpus search index (tfidf_top_terms is the per-doc half).
+    """Okapi BM25 relevance against a fixed query term set — the
+    classic retrieval scorer, and the ranking half of a corpus search
+    index (tfidf_top_terms is the per-doc half).
+
+    Coverage contract (inner-match semantics): the output contains one
+    row per document that matches AT LEAST ONE query term — zero-match
+    documents get no row (their score would be 0), and zero-token
+    documents are excluded from the n_docs/avgdl corpus statistics.
 
     Shape: one token explode feeds doc lengths AND the query-term tf
     table (filtered to |terms| rows per doc, so the scored relation is

@@ -87,17 +87,24 @@ def range_join_count(
     left_id: str,
     agg_alias: str = "n_matches",
 ) -> DataFrame:
-    """LEFT range join + per-left-row match count in one pass: every
-    left row keyed by `left_id` comes back with the number of right
-    rows in its window (0 for no matches).
+    """LEFT range join + per-left-row match count: EVERY left row
+    (duplicates included) comes back with the number of right rows in
+    its window (0 for no matches), all original left columns intact.
 
-    Grouping happens on the exploded frame: a left row exploded into
-    k buckets contributes its k copies to the same `left_id` group,
-    but every matched right row arrives via exactly one bucket, so
-    `count(right_key)` counts each match once and unmatched copies
-    contribute nothing. No DISTINCT needed.
+    Duplicate-safe by construction: counting happens on the DISTINCT
+    (left_id, left_key) pairs — a left row exploded into k buckets
+    contributes its k copies to one (id, key) group, every matched
+    right row arrives via exactly one bucket, so `count(right_key)`
+    counts each match once — and the counts then join back to the
+    original left frame on (left_id, left_key). Duplicate left rows
+    each reappear with their own correct count instead of merging
+    into one combined group (the pre-fix behavior when grouping over
+    all left columns). The distinct, the count groupBy, and the
+    join-back all hash on the same (left_id, left_key) pair, so AQE
+    reuses one partitioning across the three steps.
     """
-    lb = left.withColumn(
+    keys = left.select(left_id, left_key).distinct()
+    lb = keys.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
@@ -115,9 +122,11 @@ def range_join_count(
         & (rb["__rkey"] >= lb[left_key] + F.lit(lo))
         & (rb["__rkey"] < lb[left_key] + F.lit(hi))
     )
-    joined = lb.join(rb, cond, "left")
-    group_cols = [c for c in left.columns]
-    return (
-        joined.groupBy(*group_cols)
+    counts = (
+        lb.join(rb, cond, "left")
+        .groupBy(left_id, left_key)
         .agg(F.count("__rkey").cast("long").alias(agg_alias))
     )
+    # inner join-back: `counts` covers every distinct (id, key) pair,
+    # so each left row matches exactly one counts row
+    return left.join(counts, [left_id, left_key], "inner")

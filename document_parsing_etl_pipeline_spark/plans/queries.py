@@ -4244,11 +4244,12 @@ def q_user_state_history(spark, sf_dir):
     )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     prev = F.lag("event_type").over(w)
+    # ~eqNullSafe ≡ the oracle's IS DISTINCT FROM: a NULL state after a
+    # non-null one (or vice versa) flags a change instead of yielding
+    # NULL → 0 the way `prev != col` would
     flagged = ev.withColumn(
         "chg",
-        F.when(
-            prev.isNull() | (prev != F.col("event_type")), 1
-        ).otherwise(0),
+        F.when(~prev.eqNullSafe(F.col("event_type")), 1).otherwise(0),
     )
     islands = flagged.withColumn(
         "version",

@@ -97,6 +97,7 @@ def interval_join_streams(
     right: DataFrame,
     window_seconds: int = 60,
     watermark: str = "10 minutes",
+    exclude_same_id: bool = False,
 ) -> DataFrame:
     """Stream-stream interval join: each left event pairs with right
     events whose event_time lies in [left - w, left + w] — the
@@ -111,7 +112,11 @@ def interval_join_streams(
     match (without the range bound, join state grows without limit).
 
     Inputs need (event_id, event_time, event_type); output is one row
-    per matched pair."""
+    per matched pair. Set ``exclude_same_id=True`` ONLY when both
+    sides are filtered views of the same stream (self-join): it drops
+    pairs sharing an event_id so a row can't match itself. Leave it
+    off for genuinely distinct streams — their id spaces may collide,
+    and the exclusion would silently drop legitimate matches."""
     w = int(window_seconds)
     lw = (
         left.withWatermark("event_time", watermark)
@@ -143,6 +148,7 @@ def interval_join_streams(
         (lw["bucket"] == rw["bucket"])
         & F.expr(f"r_time >= l_time - INTERVAL {w} SECONDS")
         & F.expr(f"r_time <= l_time + INTERVAL {w} SECONDS")
-        & (F.col("l_id") != F.col("r_id"))
     )
+    if exclude_same_id:
+        cond = cond & (F.col("l_id") != F.col("r_id"))
     return lw.join(rw, cond).drop("bucket")

@@ -71,10 +71,47 @@ def test_range_join_count_keeps_unmatched_lefts(spark):
     assert out == {1: 2, 2: 0, 3: 2}
 
 
+def test_range_join_count_duplicate_left_rows(spark):
+    # duplicate left rows (same id+key twice, and one id with two
+    # different keys) must each come back with their OWN match count —
+    # not merge into one group with a combined count
+    left = spark.createDataFrame([
+        Row(lid=1, lk=0), Row(lid=1, lk=0),      # exact duplicate row
+        Row(lid=2, lk=0), Row(lid=2, lk=1000),   # same id, two keys
+    ])
+    right = spark.createDataFrame(
+        [Row(rk=1), Row(rk=2), Row(rk=1001)])
+    got = sorted(
+        (r["lid"], r["lk"], r["n_matches"])
+        for r in range_join_count(
+            left, right, "lk", "rk", -5, 6, 5, left_id="lid"
+        ).collect()
+    )
+    assert got == [(1, 0, 2), (1, 0, 2), (2, 0, 2), (2, 1000, 1)]
+
+
 def test_range_join_rejects_outer_mode(spark):
     df = spark.range(1).withColumnRenamed("id", "k")
     with pytest.raises(ValueError, match="range_join_count"):
         range_join(df, df, "k", "k", 0, 1, 1, how="left")
+
+
+def test_events_ts_normalization_is_timezone_independent(spark):
+    # catalog.load_table must yield identical epoch nanos whatever
+    # spark.sql.session.timeZone is — a cast through LTZ would shift
+    # NTZ wall clocks by the session offset
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    base = [r["ts"] for r in
+            load_table(spark, SF_DIR, "events")
+            .orderBy("event_id").limit(20).collect()]
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        shifted = [r["ts"] for r in
+                   load_table(spark, SF_DIR, "events")
+                   .orderBy("event_id").limit(20).collect()]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+    assert base == shifted
 
 
 # -------------------------------------------------------------------
