@@ -572,12 +572,23 @@ def connected_components(
 # semantic dedup (SemDeDup, Abbas et al. 2023)
 # -------------------------------------------------------------------
 
+# expected vectors per cluster with derived k: k = ceil(n / POP), so
+# within-cluster pair work is O(n · POP) — linear in the corpus, the
+# Abbas 2023 recipe (fixed k would degenerate to O(n²/k))
+SEMDEDUP_TARGET_POP = 64
+# below this corpus size the (vec_id, centroid_id, embedding) frame is
+# cheaper to recompute per branch than to localCheckpoint (measured
+# 2.1 s vs 2.7 s at sf0.1); above it the centroid-scoring scan
+# dominates and must run once
+SEMDEDUP_MATERIALIZE_MIN = 100_000
+
+
 def semdedup_keep(
     embeddings: DataFrame,
-    num_centroids: int = 8,
+    num_centroids: int | None = None,
     threshold: float = 0.3,
     id_col: str = "vec_id",
-    materialize: bool = False,
+    materialize: bool | None = None,
 ) -> DataFrame:
     """SemDeDup: cluster-scoped semantic near-duplicate removal over
     an embedding column — the standard curation pass for web-scale
@@ -592,13 +603,24 @@ def semdedup_keep(
 
     Scale shape: the centroid assignment is a broadcast join + window
     argmax (corpus.assign_nearest_centroid); pairing shuffles once on
-    centroid_id; with k ∝ corpus size the expected cluster population
-    stays constant and per-cluster pairing cost is bounded — exactly
-    the SemDeDup recipe. Cosine runs through the Arrow-batched kernel
-    (similarity.cosine_sim), not an interpreted HOF."""
+    centroid_id. ``num_centroids=None`` (the default) DERIVES
+    k = ceil(n / SEMDEDUP_TARGET_POP) from the corpus size, so the
+    expected cluster population is a constant and total pair work is
+    O(n · pop) — exactly the SemDeDup recipe; a fixed k would let
+    cluster populations grow ∝ n and the within-cluster quadratic
+    degenerate to O(n²/k). The sizing count() is one metadata-cheap
+    job (parquet row-group counts; no column data read). Cosine runs
+    through the Arrow-batched kernel (similarity.cosine_sim), not an
+    interpreted HOF."""
     from .corpus import assign_nearest_centroid
     from .similarity import cosine_sim
 
+    if num_centroids is None or materialize is None:
+        n = embeddings.count()
+        if num_centroids is None:
+            num_centroids = max(1, -(-n // SEMDEDUP_TARGET_POP))
+        if materialize is None:
+            materialize = n >= SEMDEDUP_MATERIALIZE_MIN
     assign = assign_nearest_centroid(
         embeddings, num_centroids=num_centroids, id_col=id_col
     ).select("vec_id", "centroid_id")
@@ -606,10 +628,9 @@ def semdedup_keep(
     # final verdict frame; without materialization the centroid-scoring
     # subtree (broadcast join + window argmax) re-executes per branch
     # (measured: 8 embedding scans, 0 exchange reuse). materialize=True
-    # localCheckpoints it once — the right call on a REAL corpus where
-    # the scoring scan dominates; at the test/bench SFs the table is
-    # hundreds of rows and recompute is cheaper than the checkpoint
-    # round-trip (measured 2.1 s vs 2.7 s at sf0.1), so default False.
+    # localCheckpoints it once — auto-selected above
+    # SEMDEDUP_MATERIALIZE_MIN vectors where the scoring scan
+    # dominates; below it recompute beats the checkpoint round-trip.
     vecs = assign.join(
         embeddings.select(F.col(id_col).alias("vec_id"), "embedding"),
         "vec_id",

@@ -4490,7 +4490,13 @@ def q_bm25_scores(spark, sf_dir):
 
 
 _SEMDEDUP_TAU = 0.3
-_SEMDEDUP_K = 8
+# k is DERIVED from corpus size: ceil(n / target_pop) — constant
+# expected cluster population at any scale (dedup.SEMDEDUP_TARGET_POP;
+# the oracle computes the identical k via the scalar subquery below)
+_SEMDEDUP_K_SQL = (
+    f"(SELECT GREATEST(1, (count(*) + {dedup.SEMDEDUP_TARGET_POP - 1})"
+    f" // {dedup.SEMDEDUP_TARGET_POP}) FROM embeddings)"
+)
 
 # inline cosine with the zero-norm guard (same contract as _COS_SQL,
 # re-aliased for the x/y pair join)
@@ -4521,7 +4527,7 @@ _ASSIGN_COS_SQL = (
 @register("q_semdedup", f"""
 WITH cents AS (
     SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
-    WHERE vec_id < {_SEMDEDUP_K}
+    WHERE vec_id < {_SEMDEDUP_K_SQL}
 ), scored AS (
     SELECT e.vec_id, c.centroid_id,
            round({_ASSIGN_COS_SQL}, 4) AS cosine
@@ -4554,10 +4560,12 @@ def q_semdedup(spark, sf_dir):
     what makes embedding dedup tractable at training-corpus scale
     (k grows with the corpus, per-cluster population stays bounded).
     One row per vector with a deterministic keep-first survivor flag.
+    num_centroids=None derives k = ceil(n/64) from the corpus size —
+    the oracle's scalar subquery computes the identical k.
     operators/dedup.py:semdedup_keep."""
     return dedup.semdedup_keep(
         load_table(spark, sf_dir, "embeddings"),
-        num_centroids=_SEMDEDUP_K, threshold=_SEMDEDUP_TAU,
+        threshold=_SEMDEDUP_TAU,
     )
 
 

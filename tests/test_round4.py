@@ -286,6 +286,24 @@ def test_latest_state_stream_last_row_wins_across_batches(spark, tmp_path):
 # SemDeDup
 # -------------------------------------------------------------------
 
+def test_semdedup_derives_k_from_corpus_size(spark):
+    from document_parsing_etl_pipeline_spark.operators.dedup import (
+        SEMDEDUP_TARGET_POP,
+        semdedup_keep,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    expect_k = max(1, -(-n // SEMDEDUP_TARGET_POP))
+    out = semdedup_keep(emb)  # num_centroids=None → derived
+    cents = {r["centroid_id"] for r in
+             out.select("centroid_id").distinct().collect()}
+    # every assigned centroid id comes from the derived seed set, and
+    # the seed set is actually used (≥1 cluster, ≤ derived k)
+    assert cents <= set(range(expect_k)) and len(cents) >= 1
+    assert out.count() == n
+
+
 def test_semdedup_drop_rule_matches_numpy_recompute(spark):
     import numpy as np
 
