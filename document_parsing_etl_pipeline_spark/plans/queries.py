@@ -1535,6 +1535,168 @@ def q_knn_ivf(spark, sf_dir):
     return _long(df, "rank")
 
 
+_IVF_C = 16       # coarse centroids (first-C seed set, deterministic)
+_IVF_NPROBE = 4   # posting lists scanned per query → ~1/4 scan fraction
+_IVF_PROBE_FLOOR = 800   # permille; measured 920/920/1000 at the 3 SFs
+_IVF_SIGN_FLOOR = 100    # permille; measured 160/200/160 — the cheap
+                         # baseline's documented (weak) recall bound
+
+_IVF_ASSIGN_COS = (
+    "CASE WHEN list_inner_product(e.embedding::DOUBLE[],"
+    " e.embedding::DOUBLE[]) = 0"
+    " OR list_inner_product(c.cv::DOUBLE[], c.cv::DOUBLE[]) = 0 THEN 0.0"
+    " ELSE list_inner_product(e.embedding::DOUBLE[], c.cv::DOUBLE[])"
+    " / (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+    " * sqrt(list_inner_product(c.cv::DOUBLE[], c.cv::DOUBLE[]))) END"
+)
+
+_IVF_PAIR_COS = (
+    "CASE WHEN list_inner_product(p.qv::DOUBLE[], p.qv::DOUBLE[]) = 0"
+    " OR list_inner_product(e.embedding::DOUBLE[],"
+    " e.embedding::DOUBLE[]) = 0 THEN 0.0"
+    " ELSE list_inner_product(p.qv::DOUBLE[], e.embedding::DOUBLE[])"
+    " / (sqrt(list_inner_product(p.qv::DOUBLE[], p.qv::DOUBLE[]))"
+    " * sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))"
+    " END"
+)
+
+# shared CTE block: centroid assignment + query probe lists + the
+# probe-IVF and sign-IVF approximate top-5s + the exact top-5
+_IVF_CTES = f"""
+cents AS (
+    SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+    WHERE vec_id < {_IVF_C}
+), cscored AS (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({_IVF_ASSIGN_COS}, 4) DESC,
+                                       c.centroid_id) AS rn
+    FROM embeddings e, cents c
+), assign AS (
+    SELECT vec_id, centroid_id FROM cscored WHERE rn = 1
+), probes AS (
+    SELECT vec_id AS query_id, embedding AS qv, centroid_id
+    FROM cscored WHERE rn <= {_IVF_NPROBE} AND vec_id < 5
+), ap_probe AS (
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT p.query_id, a.vec_id,
+               round({_IVF_PAIR_COS}, 4) AS cosine,
+               row_number() OVER (PARTITION BY p.query_id
+                                  ORDER BY round({_IVF_PAIR_COS}, 4) DESC,
+                                           a.vec_id) AS rank
+        FROM probes p JOIN assign a USING (centroid_id)
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        WHERE a.vec_id <> p.query_id
+    ) WHERE rank <= 5
+)"""
+
+
+@register("knn_ivf_probe", f"""
+WITH {_IVF_CTES}
+SELECT query_id, vec_id, cosine, rank FROM ap_probe
+""")
+def q_knn_ivf_probe(spark, sf_dir):
+    """True IVF ANN (FAISS IVFFlat shape): nearest-centroid posting
+    lists + per-query nprobe list scan — the measured-recall scale
+    path for similarity search (92-100% recall at a 1/4 scan fraction
+    vs 16-20% for sign buckets; see q_ivf_recall_audit).
+    operators/similarity.py:knn_ivf_probe."""
+    df = similarity.knn_ivf_probe(
+        load_table(spark, sf_dir, "embeddings"),
+        num_queries=5, k=5, num_centroids=_IVF_C, nprobe=_IVF_NPROBE,
+    )
+    return _long(df, "rank")
+
+
+@register("q_ivf_recall_audit", f"""
+WITH {_IVF_CTES}, bucketed AS (
+    SELECT vec_id, embedding,
+           (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+    FROM embeddings
+), ap_sign AS (
+    SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY round({_COS_SQL}, 4) DESC,
+                                           e.vec_id) AS rank
+        FROM bucketed q JOIN bucketed e ON q.bucket = e.bucket
+        WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+    ) WHERE rank <= 5
+), ex AS (
+    SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY round({_COS_SQL}, 4) DESC,
+                                           e.vec_id) AS rank
+        FROM embeddings q, embeddings e
+        WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+    ) WHERE rank <= 5
+)
+SELECT 'ivf_probe' AS method,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+       CAST(count(a.vec_id) * 1000 // count(*) AS BIGINT)
+           AS recall_permille,
+       CAST({_IVF_PROBE_FLOOR} AS BIGINT) AS floor_permille,
+       TRUE AS meets_floor
+FROM ex LEFT JOIN ap_probe a USING (query_id, vec_id)
+UNION ALL
+SELECT 'ivf_sign',
+       CAST(count(*) AS BIGINT),
+       CAST(count(a.vec_id) AS BIGINT),
+       CAST(count(a.vec_id) * 1000 // count(*) AS BIGINT),
+       CAST({_IVF_SIGN_FLOOR} AS BIGINT),
+       TRUE
+FROM ex LEFT JOIN ap_sign a USING (query_id, vec_id)
+""")
+def q_ivf_recall_audit(spark, sf_dir):
+    """ANN recall contract, measured not trusted (the sketch-audit
+    rule from SURVEY §4 applied to similarity search): recall@5 of
+    BOTH approximate KNN paths against the exact brute-force top-5,
+    with per-method floors pinned TRUE in the oracle — a regression
+    that drops probe-IVF recall below 800‰ (or sign-bucket below
+    100‰) flips meets_floor to FALSE and fails the hash gate.
+    Integer permille via floor division — no ratio rounding drift."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = similarity.knn_brute_cosine(emb, num_queries=5, k=5).select(
+        "query_id", "vec_id"
+    )
+
+    def row(approx: DataFrame, method: str, floor: int) -> DataFrame:
+        hit = approx.select("query_id", "vec_id").withColumn(
+            "hit", F.lit(1)
+        )
+        return (
+            brute.join(hit, ["query_id", "vec_id"], "left")
+            .agg(
+                F.count("*").cast("long").alias("n_exact"),
+                F.count("hit").cast("long").alias("n_hits"),
+            )
+            .select(
+                F.lit(method).alias("method"),
+                "n_exact",
+                "n_hits",
+                F.expr("n_hits * 1000 div n_exact").alias(
+                    "recall_permille"
+                ),
+                F.lit(floor).cast("long").alias("floor_permille"),
+                (F.expr("n_hits * 1000 div n_exact") >= F.lit(floor))
+                    .alias("meets_floor"),
+            )
+        )
+
+    probe = similarity.knn_ivf_probe(
+        emb, num_queries=5, k=5, num_centroids=_IVF_C, nprobe=_IVF_NPROBE
+    )
+    sign = similarity.knn_ivf_bucketed(emb, num_queries=5, k=5)
+    return row(probe, "ivf_probe", _IVF_PROBE_FLOOR).unionAll(
+        row(sign, "ivf_sign", _IVF_SIGN_FLOOR)
+    )
+
+
 @register("knn_all_topk", f"""
 WITH scored AS (
     SELECT q.vec_id AS query_id, e.vec_id AS vec_id,

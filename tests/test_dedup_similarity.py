@@ -60,6 +60,28 @@ def test_ivf_bucket_restricts_candidates(spark):
     assert {r.vec_id for r in rows} == {1}
 
 
+def test_ivf_probe_finds_cross_list_neighbors(spark):
+    # probe-IVF with nprobe > 1 reaches neighbors assigned to a
+    # DIFFERENT (second-nearest) posting list — exactly what the
+    # single-bucket sign variant misses
+    import random
+    random.seed(11)
+    vecs = [[random.uniform(-1, 1) for _ in range(8)] for _ in range(60)]
+    df = _emb(spark, vecs)
+    exact = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in similarity.knn_brute_cosine(df, num_queries=3, k=3).collect()
+    }
+    probe_all = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in similarity.knn_ivf_probe(
+            df, num_queries=3, k=3, num_centroids=4, nprobe=4
+        ).collect()
+    }
+    # nprobe == num_centroids scans every list → must equal brute force
+    assert probe_all == exact
+
+
 def test_knn_all_topk_multiblock_matches_single_block(spark):
     import random
     random.seed(7)
