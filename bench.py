@@ -18,6 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from document_parsing_etl_pipeline_spark.plans.queries import QUERIES
 from document_parsing_etl_pipeline_spark.session import get_spark
 
+from pyspark.sql import functions as F
+
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -121,7 +123,109 @@ BENCH_QUERIES = [
     "q_chunk_context",
     "q_events_hourly_profile",
     "q_supplier_hhi",
+    # round 5
+    "knn_ivf_probe",
+    "q_ivf_recall_audit",
 ]
+
+
+def _progress_stats(query) -> tuple[int, float, float]:
+    """(input_rows, total_batch_ms, max_batch_ms) over the micro-
+    batches that actually carried rows."""
+    rows, total_ms, max_ms = 0, 0.0, 0.0
+    for p in query.recentProgress:
+        if isinstance(p, str):
+            p = json.loads(p)
+        n = int(p.get("numInputRows", 0) or 0)
+        if n <= 0:
+            continue
+        ms = float(p.get("durationMs", {}).get("triggerExecution", 0) or 0)
+        rows += n
+        total_ms += ms
+        max_ms = max(max_ms, ms)
+    return rows, total_ms, max_ms
+
+
+def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
+    """Rate/latency for the G-family streaming operators at the bench
+    SF: rows/s and micro-batch latency through availableNow runs over
+    the same tables the batch queries read (events → windowed agg and
+    stateful CDC compaction; documents → the watcher parse→chunk→
+    parquet pipeline, maxFilesPerTrigger-batched)."""
+    import shutil
+    import tempfile
+
+    from document_parsing_etl_pipeline_spark.catalog import load_table
+    from document_parsing_etl_pipeline_spark.streaming import (
+        events as sev,
+        stateful,
+        watcher,
+    )
+
+    out: dict[str, dict] = {}
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        # ---- inputs: JSON drops rendered once from the bench tables
+        ev_dir = os.path.join(tmp, "events_in")
+        load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.date_format(
+                F.timestamp_micros(F.expr("ts div 1000")),
+                "yyyy-MM-dd HH:mm:ss.SSSSSS",
+            ).alias("ts"),
+            "user_id", "event_type", "value",
+        ).repartition(8).write.mode("overwrite").json(ev_dir)
+        doc_dir = os.path.join(tmp, "docs_in")
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        ).repartition(48).write.mode("overwrite").json(doc_dir)
+
+        def run(name: str, q) -> None:
+            t0 = time.time()
+            q.awaitTermination()
+            wall = time.time() - t0
+            rows, total_ms, max_ms = _progress_stats(q)
+            out[name] = {
+                "input_rows": rows,
+                "wall_sec": round(wall, 2),
+                "batch_total_ms": round(total_ms, 0),
+                "batch_max_ms": round(max_ms, 0),
+                "rows_per_sec": round(rows / (total_ms / 1000.0), 0)
+                if total_ms > 0 else None,
+            }
+
+        # windowed agg with watermark (stream_events)
+        run("stream_events", (
+            sev.windowed_counts(sev.read_event_stream(spark, ev_dir))
+            .writeStream.format("noop").outputMode("update")
+            .option("checkpointLocation", os.path.join(tmp, "cp_ev"))
+            .trigger(availableNow=True).start()
+        ))
+
+        # stateful CDC latest-state compaction (stream_latest_state)
+        cdc_in = sev.read_event_stream(spark, ev_dir).select(
+            "user_id",
+            F.unix_micros("event_time").alias("ts_us"),
+            "event_id", "event_type",
+        )
+        run("stream_latest_state", (
+            stateful.latest_state_stream(cdc_in)
+            .writeStream.format("noop").outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "cp_cdc"))
+            .trigger(availableNow=True).start()
+        ))
+
+        # watcher parse→chunk→parquet (stream_watcher); 48 input files
+        # at maxFilesPerTrigger=16 → 3 micro-batches
+        run("stream_watcher", watcher.start_pipeline(
+            spark, doc_dir,
+            os.path.join(tmp, "chunks_out"),
+            os.path.join(tmp, "cp_watch"),
+            available_now=True,
+        ))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def main():
@@ -140,19 +244,42 @@ def main():
     else:
         spark.range(1).count()
 
+    load_start = os.getloadavg()[0]
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        best = None
+        durations = []
         for _ in range(runs):  # best-of-N: steady state, not load noise
             t0 = time.time()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            durations.append(round(time.time() - t0, 3))
+        timings[name] = min(durations)
+        all_runs[name] = durations
 
     total = round(sum(timings.values()), 3)
+    # run metadata: attributes round-over-round deltas to machine load
+    # vs plan changes (the round-4 vs round-2 ambiguity)
+    spreads = [
+        (max(d) - min(d)) / min(d) for d in all_runs.values() if min(d) > 0
+    ]
+    meta = {
+        "runs_per_query": runs,
+        "load1_start": round(load_start, 2),
+        "load1_end": round(os.getloadavg()[0], 2),
+        "cpus": os.cpu_count(),
+        "median_run_spread_pct": round(
+            100 * sorted(spreads)[len(spreads) // 2], 1
+        ) if spreads else None,
+    }
+
+    streaming: dict[str, dict] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
+        try:
+            streaming = bench_streaming(spark, sf_dir)
+        except Exception as e:  # never let the streaming leg kill the line
+            streaming = {"error": str(e)[:200]}
     # The printed line must stay SHORT: the driver captures only the tail
     # of stdout (~3 KB) and parses the last line as JSON — the full
     # 80+-query dict overflowed that buffer in round 2 ("parsed": null).
@@ -164,7 +291,15 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "meta": meta,
     }
+    if streaming:
+        # compact rows/s summary on the printed line; full detail in
+        # BENCH_FULL.json
+        out["streaming_rows_per_sec"] = {
+            k: v.get("rows_per_sec") for k, v in streaming.items()
+            if isinstance(v, dict)
+        } or streaming
 
     # regression guard: compare per-query against the checked-in
     # previous-round numbers (BASELINE_BENCH.json); a query >1.5x its
@@ -209,6 +344,8 @@ def main():
         with open(full_path, "w") as f:
             json.dump({"metric": out["metric"], "value": total,
                        "unit": "sec", "sf": out["sf"], "queries": timings,
+                       "runs_detail": all_runs, "meta": meta,
+                       "streaming": streaming,
                        "regressions": regressions}, f, indent=1)
     except OSError:
         pass  # read-only checkout: the printed line is still complete

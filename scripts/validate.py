@@ -2,11 +2,18 @@
 queries() entry on Spark and its oracle_sql() on DuckDB over the same
 parquet, compare row count + order-insensitive value hash.
 
+Full runs (no query filter) also write VALIDATION.json next to
+__spark_entry__.py — the committed proof that the WHOLE registry was
+hash-validated, not just the driver's 50-entry window.
+
 Usage: python scripts/validate.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime
+import json
+import os
 import sys
 import time
 
@@ -48,6 +55,7 @@ def main():
         )
     qs, oracles = queries(), oracle_sql()
     failed = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -59,10 +67,14 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             failed.append(name)
+            results[name] = {"status": "spark_error",
+                             "err": str(e)[:200]}
             continue
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(srows)} rows, "
                   f"{time.time()-t0:.1f}s)")
+            results[name] = {"status": "rows_only", "rows": len(srows),
+                             "secs": round(time.time() - t0, 2)}
             continue
         try:
             res = con.execute(oracles[name])
@@ -71,22 +83,48 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
             failed.append(name)
+            results[name] = {"status": "duckdb_error",
+                             "err": str(e)[:200]}
             continue
         if sorted(scols) != sorted(ocols):
             print(f"FAIL {name}: columns {sorted(scols)} != {sorted(ocols)}")
             failed.append(name)
+            results[name] = {"status": "column_mismatch"}
             continue
         sn, on = normalize(srows, scols), normalize(orows, ocols)
         if len(sn) != len(on):
             print(f"FAIL {name}: rowcount {len(sn)} != {len(on)}")
             failed.append(name)
+            results[name] = {"status": "rowcount_mismatch",
+                             "spark_rows": len(sn), "oracle_rows": len(on)}
         elif sn != on:
             diff = [(a, b) for a, b in zip(sn, on) if a != b][:3]
             print(f"FAIL {name}: value mismatch, first diffs: {diff}")
             failed.append(name)
+            results[name] = {"status": "value_mismatch", "rows": len(sn)}
         else:
             print(f"ok   {name}: {len(sn)} rows match ({time.time()-t0:.1f}s)")
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} queries pass")
+            results[name] = {"status": "hash_pass", "rows": len(sn),
+                             "secs": round(time.time() - t0, 2)}
+    n_run = len(results)
+    print(f"\n{n_run - len(failed)}/{n_run} queries pass")
+    if not only:
+        # full-registry run → commit-able artifact
+        out = {
+            "sf_dir": sf_dir,
+            "generated_utc": datetime.datetime.now(
+                datetime.timezone.utc
+            ).isoformat(timespec="seconds"),
+            "n_queries": n_run,
+            "n_pass": n_run - len(failed),
+            "n_fail": len(failed),
+            "results": results,
+        }
+        path = os.path.join(os.path.dirname(__file__), "..",
+                            "VALIDATION.json")
+        with open(os.path.abspath(path), "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        print(f"wrote VALIDATION.json ({n_run} queries)")
     sys.exit(1 if failed else 0)
 
 
