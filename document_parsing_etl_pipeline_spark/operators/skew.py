@@ -36,6 +36,80 @@ def salted_join(
     return big_s.join(small_s, [key, "_salt"], how).drop("_salt")
 
 
+def salt_plan(
+    df: DataFrame,
+    key: str,
+    target_rows_per_task: int,
+    top: int = 50,
+) -> DataFrame:
+    """Measured salting: derive each hot key's salt fanout from the
+    ACTUAL key distribution instead of a fixed constant — the
+    key_skew_profile diagnostic turned into the knob it was built to
+    tune. Returns (key, n_salts) for the top-k keys whose row count
+    exceeds ``target_rows_per_task`` (n_salts = ceil(n/target), so
+    each sub-key carries ~target rows); keys not in the plan default
+    to fanout 1 in apply_salt_plan. The plan is ≤ top rows —
+    broadcastable at any data scale."""
+    return (
+        df.groupBy(key)
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy(F.col("n_rows").desc(), F.col(key))
+        .limit(top)
+        .select(
+            key,
+            F.ceil(F.col("n_rows") / F.lit(target_rows_per_task))
+            .cast("int")
+            .alias("n_salts"),
+        )
+        .where(F.col("n_salts") > 1)
+    )
+
+
+def apply_salt_plan(big: DataFrame, plan: DataFrame, key: str) -> DataFrame:
+    """Attach a `_salt` column to the big side per the plan: a key
+    with n_salts in the plan spreads uniformly (row-hash modulo) over
+    n_salts sub-keys; unlisted keys keep _salt = 0. The plan joins in
+    by broadcast — no shuffle of the big side."""
+    return (
+        big.join(F.broadcast(plan), key, "left")
+        .withColumn(
+            "_salt",
+            F.pmod(
+                F.xxhash64(*big.columns),
+                F.coalesce(F.col("n_salts"), F.lit(1)),
+            ).cast("int"),
+        )
+        .drop("n_salts")
+    )
+
+
+def salted_join_profiled(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    plan: DataFrame,
+    how: str = "inner",
+) -> DataFrame:
+    """salted_join with per-key fanout from a measured salt_plan:
+    only the keys the profile flagged pay any duplication of the
+    small side (explode × n_salts); every other key joins 1:1.
+    Result is identical to the plain join."""
+    big_s = apply_salt_plan(big, plan, key)
+    small_s = (
+        small.join(F.broadcast(plan), key, "left")
+        .withColumn(
+            "_salt",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.coalesce(F.col("n_salts"), F.lit(1)) - 1
+                )
+            ),
+        )
+        .drop("n_salts")
+    )
+    return big_s.join(small_s, [key, "_salt"], how).drop("_salt")
+
+
 def key_skew_profile(df: DataFrame, key: str, top: int = 20) -> DataFrame:
     """Per-key row counts + share of total — the diagnostic to run
     before choosing a partitioning/salting strategy.

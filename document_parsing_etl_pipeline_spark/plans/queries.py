@@ -3528,12 +3528,14 @@ WHERE s.s_suppkey < 50
 GROUP BY s.s_name
 """)
 def q_skew_salted_join(spark, sf_dir):
-    """Skew-safe join with the hot-key salting operator: the big side
-    salts into 8 sub-keys off the row hash, the small side explodes
-    once per salt — result identical to the plain join (the oracle IS
-    the plain join), but a hot supplier spreads over 8 tasks instead
-    of one straggler. operators/skew.py:15."""
-    from ..operators.skew import salted_join
+    """Skew-safe join with MEASURED salting: the fanout per key comes
+    from the data's own distribution (skew.salt_plan — the
+    key_skew_profile diagnostic wired to the knob it tunes), not a
+    hardcoded constant. Keys above the per-task row target spread over
+    ceil(n/target) sub-keys off the row hash; the small side explodes
+    only for those keys. Result identical to the plain join, which IS
+    the oracle. operators/skew.py:salt_plan/salted_join_profiled."""
+    from ..operators.skew import salt_plan, salted_join_profiled
 
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_suppkey").alias("s_suppkey"), "l_quantity"
@@ -3541,7 +3543,9 @@ def q_skew_salted_join(spark, sf_dir):
     supp = load_table(spark, sf_dir, "supplier").where(
         F.col("s_suppkey") < 50
     ).select("s_suppkey", "s_name")
-    joined = salted_join(li, supp, key="s_suppkey", salt=8)
+    # low target at bench SF so the measured path actually fans out
+    plan = salt_plan(li, "s_suppkey", target_rows_per_task=250)
+    joined = salted_join_profiled(li, supp, key="s_suppkey", plan=plan)
     return joined.groupBy("s_name").agg(
         F.count("*").alias("n_items"),
         _money(F.col("l_quantity")).alias("total_qty"),

@@ -5,7 +5,8 @@ from pyspark.sql import functions as F
 
 from document_parsing_etl_pipeline_spark.operators.asof import asof_join
 from document_parsing_etl_pipeline_spark.operators.skew import (
-    key_skew_profile, salted_join,
+    apply_salt_plan, key_skew_profile, salt_plan, salted_join,
+    salted_join_profiled,
 )
 from document_parsing_etl_pipeline_spark.sources.maintenance import (
     compact, file_stats,
@@ -45,6 +46,54 @@ def test_salted_join_matches_plain_join(spark):
     small = spark.createDataFrame([Row(k=0, name="zero"), Row(k=1, name="one")])
     plain = big.join(small, "k").select("k", "payload", "name")
     salted = salted_join(big, small, "k", salt=4).select("k", "payload", "name")
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_salt_plan_fans_out_only_hot_keys(spark):
+    big = spark.createDataFrame(
+        [Row(k="hot", payload=i) for i in range(2000)]
+        + [Row(k=f"cold{j}", payload=j) for j in range(50)]
+    )
+    plan = {r.k: r.n_salts
+            for r in salt_plan(big, "k", target_rows_per_task=200).collect()}
+    # hot: ceil(2000/200) = 10 sub-keys; cold keys (1 row) stay out
+    assert plan == {"hot": 10}
+
+
+def test_profiled_salting_equalizes_task_sizes(spark):
+    big = spark.createDataFrame(
+        [Row(k="hot", payload=i) for i in range(2000)]
+        + [Row(k=f"cold{j}", payload=j) for j in range(50)]
+    )
+    plan = salt_plan(big, "k", target_rows_per_task=200)
+    sizes = {
+        (r.k, r._salt): r.n
+        for r in apply_salt_plan(big, plan, "k")
+        .groupBy("k", "_salt").agg(F.count("*").alias("n")).collect()
+    }
+    hot = [n for (k, _), n in sizes.items() if k == "hot"]
+    # the hot key spreads over all 10 sub-keys, each near the 200-row
+    # target (row-hash spread: allow 2x) — no single straggler task
+    assert len(hot) == 10
+    assert max(hot) <= 400 and min(hot) >= 50
+    # cold keys stay on one sub-key
+    assert all(s == 0 for (k, s) in sizes if k != "hot")
+
+
+def test_profiled_salted_join_matches_plain_join(spark):
+    big = spark.createDataFrame(
+        [Row(k=i % 5, payload=i) for i in range(500)]
+    )
+    small = spark.createDataFrame(
+        [Row(k=i, name=f"n{i}") for i in range(4)]
+    )
+    plan = salt_plan(big, "k", target_rows_per_task=30)
+    plain = big.join(small, "k").select("k", "payload", "name")
+    salted = salted_join_profiled(big, small, "k", plan).select(
+        "k", "payload", "name"
+    )
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, salted.collect())
     )
