@@ -532,10 +532,12 @@ def embedding_covariance(embeddings: DataFrame) -> DataFrame:
 
 class PCAResult(NamedTuple):
     """Projection DataFrame + the top-k explained variances (the
-    eigensolve diagnostic that callers/tests assert on)."""
+    eigensolve diagnostic that callers/tests assert on) + the d×k
+    component matrix (rows = input dims) for basis audits."""
 
     projections: DataFrame
     explained_variance: list
+    components: list | None = None
 
 
 def pca_project(
@@ -606,7 +608,94 @@ def pca_project(
             )
 
     out = emb.mapInPandas(project, "vec_id long, proj array<double>")
-    return PCAResult(out, explained.tolist())
+    return PCAResult(out, explained.tolist(),
+                     components=components.tolist())
+
+
+def pca_variance_audit(
+    embeddings: DataFrame,
+    rel_tol: float = 1e-4,
+    ortho_tol: float = 1e-8,
+) -> DataFrame:
+    """Partial oracle for the non-SQL eigensolve: PCA invariants that
+    a SQL engine CAN check, as one audit row.
+
+    The full-rank PCA projection is an orthogonal rotation of the
+    mean-centered data, so (a) the component basis is orthonormal and
+    (b) the summed per-component variance of the PROJECTIONS equals
+    the trace of the covariance matrix — a statistic both engines
+    compute exactly (per-dim variances via the DECIMAL(28,12) product
+    protocol of embedding_covariance, summed as DECIMAL(18,6)).
+    The oracle pins variance_capture_ok / orthonormal_ok at TRUE: a
+    broken eigensolve, mis-centered projection, or non-orthogonal
+    basis flips a flag and fails the hash gate.
+
+    One extra scan beyond pca_project's two; the projection-variance
+    check is a posexplode + groupBy over n×d rows — same shape as the
+    trace computation. Audit-sized by design (runs PCA machinery
+    driver-side, like pca_project itself)."""
+    import numpy as np
+
+    d = len(embeddings.select("embedding").first()[0])
+    res = pca_project(embeddings, k=d)
+
+    V = np.asarray(res.components)  # d × d
+    ortho_err = float(np.max(np.abs(V.T @ V - np.eye(d))))
+
+    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
+
+    def _vars(df: DataFrame, col: str) -> DataFrame:
+        """Per-position sample variance, exact-decimal accumulation,
+        rounded to 6 dp — the covariance-diagonal protocol."""
+        vals = (
+            df.repartition(n_parts, "vec_id")
+            .select(F.posexplode(col).alias("i", "v"))
+            .withColumn("v", F.col("v").cast("double"))
+        )
+        n = df.agg(F.count("*").alias("n"))
+        nn = F.col("n").cast("double")
+        return (
+            vals.groupBy("i")
+            .agg(
+                F.sum(F.col("v").cast("decimal(28,12)")).alias("si"),
+                F.sum((F.col("v") * F.col("v"))
+                      .cast("decimal(28,12)")).alias("sii"),
+            )
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.round(
+                    (
+                        F.col("sii").cast("double")
+                        - F.col("si").cast("double")
+                        * F.col("si").cast("double") / nn
+                    ) / (nn - 1),
+                    6,
+                ).alias("var6")
+            )
+        )
+
+    trace = (
+        _vars(embeddings, "embedding")
+        .agg(F.sum(F.col("var6").cast("decimal(18,6)")).alias("t"))
+        .first()["t"]
+    )
+    captured = (
+        _vars(res.projections, "proj")
+        .agg(F.sum(F.col("var6").cast("decimal(18,6)")).alias("t"))
+        .first()["t"]
+    )
+    n_vec = embeddings.count()
+    capture_ok = (
+        float(trace) > 0
+        and abs(float(captured) - float(trace)) / float(trace) <= rel_tol
+    )
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(n_vec, d, float(trace), bool(capture_ok),
+          bool(ortho_err <= ortho_tol))],
+        "n_vectors long, n_dims long, trace_var double, "
+        "variance_capture_ok boolean, orthonormal_ok boolean",
+    )
 
 
 def kmeans_lloyd(

@@ -2486,6 +2486,43 @@ def q_pca_projection(spark, sf_dir):
     )
 
 
+@register("q_pca_variance_audit", """
+WITH vals AS (
+    SELECT e.vec_id, (i.i - 1)::BIGINT AS i, (e.embedding[i.i])::DOUBLE AS v
+    FROM embeddings e,
+         unnest(generate_series(1, len(e.embedding))) AS i(i)
+), nn AS (
+    SELECT count(*)::DOUBLE AS n, count(*) AS nb FROM embeddings
+), per_dim AS (
+    SELECT i, sum(v::DECIMAL(28,12)) AS si,
+           sum((v * v)::DECIMAL(28,12)) AS sii
+    FROM vals GROUP BY i
+), vars AS (
+    SELECT round(((sii::DOUBLE)
+                  - (si::DOUBLE) * (si::DOUBLE) / nn.n) / (nn.n - 1), 6)
+               AS var6
+    FROM per_dim, nn
+)
+SELECT (SELECT nb FROM nn) AS n_vectors,
+       (SELECT max(len(embedding)) FROM embeddings)::BIGINT AS n_dims,
+       (sum(var6::DECIMAL(18,6)))::DOUBLE AS trace_var,
+       TRUE AS variance_capture_ok,
+       TRUE AS orthonormal_ok
+FROM vars
+""")
+def q_pca_variance_audit(spark, sf_dir):
+    """The PCA partial oracle: SQL can't eigensolve, but it CAN check
+    the invariants the eigensolve must satisfy — the full-rank
+    projection is a rotation, so the summed per-component variance of
+    the PROJECTIONS must equal the covariance trace (computed here by
+    both engines via the exact-decimal diagonal protocol), and the
+    basis must be orthonormal. The oracle pins both contract booleans
+    TRUE: a broken eigensolve or mis-centered projection fails the
+    hash gate. Shrinks q_pca_projection's rows-only surface to just
+    the eigenvector VALUES. corpus.py:pca_variance_audit."""
+    return corpus.pca_variance_audit(load_table(spark, sf_dir, "embeddings"))
+
+
 @register("mm_video_frames")
 def q_mm_video_frames(spark, sf_dir):
     """Video binary columns → per-frame rows (flatMap shape: one

@@ -174,6 +174,42 @@ def test_pca_projects_onto_dominant_axes(spark):
     assert abs(P[:, 0].var(ddof=1) - ev[0]) / ev[0] < 1e-6
 
 
+def test_pca_variance_audit_passes_and_catches_breakage(spark):
+    import numpy as np
+    from pyspark.sql import Row
+    rs = np.random.RandomState(3)
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(a) for a in rs.normal(0, 2, 6)])
+         for i in range(50)]
+    )
+    row = corpus.pca_variance_audit(emb).collect()[0]
+    assert row.n_vectors == 50 and row.n_dims == 6
+    assert row.variance_capture_ok and row.orthonormal_ok
+    assert row.trace_var > 0
+    # a truncated (non-full-rank) projection must FAIL the capture
+    # check — proves the invariant actually discriminates
+    res = corpus.pca_project(emb, k=2)
+    trunc = res.projections
+    # recompute captured variance the audit's way on the 2-component
+    # projection: it cannot reach the 6-dim trace
+    import pyspark.sql.functions as SF
+    cap = (
+        trunc.select(SF.posexplode("proj").alias("i", "v"))
+        .groupBy("i")
+        .agg(
+            SF.sum(SF.col("v").cast("decimal(28,12)")).alias("si"),
+            SF.sum((SF.col("v") * SF.col("v"))
+                   .cast("decimal(28,12)")).alias("sii"),
+        )
+        .select(
+            ((SF.col("sii").cast("double")
+              - SF.col("si").cast("double") ** 2 / 50) / 49).alias("v")
+        )
+        .agg(SF.sum("v")).first()[0]
+    )
+    assert cap < row.trace_var * 0.95
+
+
 def test_stratified_sample_rates(spark):
     from pyspark.sql import Row
     docs = spark.createDataFrame(
