@@ -374,22 +374,13 @@ WHERE d.doc_id < 20
 def q_document_detail(spark, sf_dir):
     """DocumentDetailResponse parity (reference api.py:37-40): doc
     fields incl. timestamps joined to its chunks (ChunkResponse
-    carries created_at too)."""
+    carries created_at too). The join logic is the store-table
+    function docstore.document_detail — the SAME plan runs
+    exchange-free over write_bucketed_tables output (plan-asserted
+    in tests/test_docstore_api.py)."""
     t = _docstore_tables(spark, sf_dir)
-    df = (
-        t["documents"].where(F.col("doc_id") < 20)
-        .select(
-            "doc_id", "filename", "lang", "total_chunks",
-            F.unix_micros("created_at").alias("created_at_us"),
-            F.unix_micros("updated_at").alias("updated_at_us"),
-        )
-        .join(
-            t["chunks"].select(
-                "doc_id", "chunk_index", "text_content", "token_count",
-                F.unix_micros("created_at").alias("chunk_created_at_us"),
-            ),
-            "doc_id",
-        )
+    df = docstore.document_detail(
+        t["documents"].where(F.col("doc_id") < 20), t["chunks"]
     )
     return _long(df, "total_chunks", "chunk_index", "token_count")
 
@@ -401,8 +392,11 @@ FROM chunks_f
 WHERE doc_id = 7 AND chunk_index BETWEEN 0 AND 1
 """)
 def q_chunk_range(spark, sf_dir):
+    """Chunk range scan through the store-table function
+    (docstore.chunk_range) — doc_id + index predicates push to the
+    scan; bucket-pruned on the bucketed store."""
     ch = chunking.chunk_documents(load_table(spark, sf_dir, "documents"))
-    df = ch.where((F.col("doc_id") == 7) & F.col("chunk_index").between(0, 1))
+    df = docstore.chunk_range(ch, doc_id=7, start=0, end=1)
     return _long(df, "chunk_index", "token_count")
 
 

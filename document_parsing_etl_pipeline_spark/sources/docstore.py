@@ -161,6 +161,43 @@ def read_docstore(spark: SparkSession, root: str) -> dict[str, DataFrame]:
     }
 
 
+def document_detail(documents: DataFrame, chunks: DataFrame) -> DataFrame:
+    """GET /documents/{id} parity (reference api.py:37-40,
+    repository.py:45-80): document fields + timestamps joined to the
+    doc's chunks — as a function over STORE TABLES, so the same plan
+    serves the inline pipeline and the bucketed catalog. Over tables
+    written by write_bucketed_tables the doc_id join runs with ZERO
+    exchange (both sides co-bucketed+sorted — plan-asserted in
+    tests/test_docstore_api.py); over raw frames it is one doc_id
+    shuffle."""
+    return (
+        documents.select(
+            "doc_id", "filename", "lang", "total_chunks",
+            F.unix_micros("created_at").alias("created_at_us"),
+            F.unix_micros("updated_at").alias("updated_at_us"),
+        )
+        .join(
+            chunks.select(
+                "doc_id", "chunk_index", "text_content", "token_count",
+                F.unix_micros("created_at").alias("chunk_created_at_us"),
+            ),
+            "doc_id",
+        )
+    )
+
+
+def chunk_range(chunks: DataFrame, doc_id: int, start: int,
+                end: int) -> DataFrame:
+    """GET /documents/{id}/chunks parity (reference api.py,
+    repository.py:86-105): one doc's chunk_index range. Both
+    predicates push to the parquet scan; on the bucketed store the
+    doc_id filter prunes to one bucket's files."""
+    return chunks.where(
+        (F.col("doc_id") == doc_id)
+        & F.col("chunk_index").between(start, end)
+    ).select("doc_id", "chunk_index", "text_content", "token_count")
+
+
 def upsert_documents(existing: DataFrame, updates: DataFrame,
                      key: str = "doc_id") -> DataFrame:
     """MERGE semantics: rows in ``updates`` replace same-key rows in

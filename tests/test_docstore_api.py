@@ -132,6 +132,31 @@ def test_bucketed_tables_join_without_shuffle(spark, tables):
         spark.sql("DROP DATABASE IF EXISTS store_t")
 
 
+def test_document_detail_runs_exchange_free_on_bucketed_store(spark, tables):
+    """The ACTUAL §B detail query (docstore.document_detail) over the
+    bucketed catalog: zero Exchange on the doc_id join path, and the
+    result matches the raw-frame run row for row."""
+    small = {k: v.where(F.col("doc_id") < 50) for k, v in tables.items()
+             if k in ("documents", "chunks")}
+    docstore.write_bucketed_tables(small, database="store_d", n_buckets=4)
+    try:
+        detail = docstore.document_detail(
+            spark.table("store_d.documents").hint("merge"),
+            spark.table("store_d.chunks"),
+        )
+        plan = detail._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        bucketed = sorted(map(tuple, detail.collect()))
+        raw = sorted(map(tuple, docstore.document_detail(
+            small["documents"], small["chunks"]
+        ).collect()))
+        assert bucketed == raw and len(bucketed) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS store_d.documents")
+        spark.sql("DROP TABLE IF EXISTS store_d.chunks")
+        spark.sql("DROP DATABASE IF EXISTS store_d")
+
+
 def test_upsert_merge_semantics(spark, tables):
     from datetime import datetime, timezone
 
