@@ -126,6 +126,9 @@ BENCH_QUERIES = [
     # round 5
     "knn_ivf_probe",
     "q_ivf_recall_audit",
+    "q_countmin_heavy_hitters",
+    "q_bloom_join_audit",
+    "q_mixing_weights",
 ]
 
 

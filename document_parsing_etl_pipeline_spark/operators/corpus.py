@@ -467,6 +467,41 @@ def stratified_sample(
     )
 
 
+def mixing_weights(
+    docs: DataFrame, stratum_col: str = "lang"
+) -> DataFrame:
+    """Temperature-based corpus mixing weights (α = 0.5): sampling
+    share per stratum ∝ count^α — the multilingual/data-mixing recipe
+    (T5/mT5-style temperature sampling) that upsamples low-resource
+    strata relative to raw proportions. Emits both the raw ppm share
+    and the α-tempered ppm share so the mixing table is one query.
+
+    Engine-exact integer protocol: sqrt is IEEE-correctly-rounded
+    (unlike ln/pow, it cannot drift between engines), so
+    w = round(sqrt(n)·1e6) is bit-identical; shares are integer
+    floor-division ppm over exact BIGINT sums. One tiny aggregation —
+    strata counts are a broadcast-sized table at any corpus scale."""
+    c = docs.groupBy(stratum_col).agg(F.count("*").alias("n"))
+    w = c.select(
+        stratum_col, "n",
+        F.round(F.sqrt(F.col("n")) * F.lit(1_000_000.0))
+        .cast("long").alias("w_micro"),
+    )
+    t = w.agg(
+        F.sum("w_micro").cast("long").alias("tw"),
+        F.sum("n").cast("long").alias("tn"),
+    )
+    return (
+        w.crossJoin(F.broadcast(t))
+        .select(
+            stratum_col,
+            F.col("n").cast("long").alias("n_docs"),
+            F.expr("n * 1000000 div tn").alias("raw_ppm"),
+            F.expr("w_micro * 1000000 div tw").alias("alpha_ppm"),
+        )
+    )
+
+
 def embedding_covariance(embeddings: DataFrame) -> DataFrame:
     """Exact mean-centered covariance entries (dim_i, dim_j, cov) over
     the embedding column — the statistic behind PCA/whitening/feature

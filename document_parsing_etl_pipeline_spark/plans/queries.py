@@ -5261,3 +5261,193 @@ def q_supplier_hhi(spark, sf_dir):
         )
         .select("n_name", "n_suppliers", "total_cents", "hhi_pm2")
     )
+
+
+# ===================================================================
+# §2.H+ — sketch structures with measured contracts (round 5)
+# ===================================================================
+
+_CMS_D = 4
+_CMS_W = 256
+_CMS_TOP = 20
+
+_CMS_SEEDS_SQL = "(SELECT unnest([0, 1, 2, 3]) AS seed)"
+
+
+@register("q_countmin_heavy_hitters", f"""
+WITH keyed AS (
+    SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+), tot AS (
+    SELECT CAST(sum(n) AS BIGINT) AS total FROM keyed
+), feat AS (
+    SELECT k.user_id, k.n, s.seed,
+           ('0x' || substr(md5(s.seed::VARCHAR || ':'
+                               || k.user_id::VARCHAR), 1, 8))::BIGINT
+               % {_CMS_W} AS bucket
+    FROM keyed k, {_CMS_SEEDS_SQL} s
+), cms AS (
+    SELECT seed, bucket, CAST(sum(n) AS BIGINT) AS c
+    FROM feat GROUP BY 1, 2
+), tops AS (
+    SELECT user_id, n FROM keyed ORDER BY n DESC, user_id LIMIT {_CMS_TOP}
+), est AS (
+    SELECT t.user_id, t.n, min(c.c) AS cms_est
+    FROM tops t
+    JOIN feat f USING (user_id)
+    JOIN cms c ON c.seed = f.seed AND c.bucket = f.bucket
+    GROUP BY 1, 2
+)
+SELECT user_id, CAST(n AS BIGINT) AS exact_n, cms_est,
+       TRUE AS overestimate_ok, TRUE AS within_eps_ok
+FROM est
+""")
+def q_countmin_heavy_hitters(spark, sf_dir):
+    """Count-min heavy hitters with the sketch guarantee made
+    measurable: the exact top-20 event users next to their count-min
+    estimates from a d×w = 4×256 counter table (fixed-size broadcast
+    state at ANY key cardinality — the structure that replaces the
+    exact per-key table when keys explode at 100 TB). The CMS
+    one-sided guarantee (estimate ≥ truth, over by ≤ ε·N, ε = 2/w) is
+    pinned TRUE in the oracle: wrong hashing or dropped counters fail
+    the hash gate. Engine-identical md5 bucket hashing; all integer.
+    operators/sketches.py:countmin_heavy_hitters."""
+    from ..operators import sketches
+
+    df = sketches.countmin_heavy_hitters(
+        load_table(spark, sf_dir, "events"), "user_id",
+        d=_CMS_D, w=_CMS_W, top=_CMS_TOP,
+    )
+    return df
+
+
+_BLOOM_BITS = 4096
+_BLOOM_K = 3
+_BLOOM_MOD = 97           # build side: custkeys ≡ 0 (mod 97)
+_BLOOM_FP_PERMILLE = 20   # measured ≲ 2‰ at the three SFs; 10× margin
+
+_BLOOM_SEEDS_SQL = "(SELECT unnest([0, 1, 2]) AS seed)"
+
+
+@register("q_bloom_join_audit", f"""
+WITH bkeys AS (
+    SELECT DISTINCT c_custkey FROM customer
+    WHERE c_custkey % {_BLOOM_MOD} = 0
+), bits AS (
+    SELECT DISTINCT ('0x' || substr(md5(s.seed::VARCHAR || ':'
+                        || b.c_custkey::VARCHAR), 1, 8))::BIGINT
+               % {_BLOOM_BITS} AS bit
+    FROM bkeys b, {_BLOOM_SEEDS_SQL} s
+), probes AS (
+    SELECT c_custkey, (c_custkey % {_BLOOM_MOD} = 0) AS present
+    FROM customer
+), phits AS (
+    SELECT p.c_custkey, count(*) AS hits
+    FROM probes p, {_BLOOM_SEEDS_SQL} s
+    JOIN bits ON bits.bit =
+        ('0x' || substr(md5(s.seed::VARCHAR || ':'
+                            || p.c_custkey::VARCHAR), 1, 8))::BIGINT
+            % {_BLOOM_BITS}
+    GROUP BY 1
+), verdict AS (
+    SELECT p.c_custkey, p.present,
+           coalesce(h.hits, 0) = {_BLOOM_K} AS maybe
+    FROM probes p LEFT JOIN phits h USING (c_custkey)
+)
+SELECT CAST((SELECT count(*) FROM bkeys) AS BIGINT) AS n_build_keys,
+       CAST((SELECT count(*) FROM bits) AS BIGINT) AS n_bits_set,
+       CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_present,
+       CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_maybe,
+       CAST(sum(CASE WHEN maybe AND NOT present THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       TRUE AS no_false_negatives,
+       TRUE AS fp_within_bound
+FROM verdict
+""")
+def q_bloom_join_audit(spark, sf_dir):
+    """Bloom-filter semi-join pruning with its two guarantees pinned:
+    the filter is built relationally (DISTINCT set-bits table, ≤
+    num_bits rows — broadcastable to every scan task at 100 TB instead
+    of shuffling the probe side), every probe key is flagged, and the
+    oracle pins (a) zero false negatives — the Bloom guarantee — and
+    (b) false positives within 10× the expected rate. Size rule at
+    scale: m ≈ 10·n_keys bits, k = 3 (fp ≈ 1.7%); both engines compute
+    the identical bits via md5 hashing, so the whole structure is
+    hash-checked, not trusted. operators/sketches.py:bloom_bits/probe."""
+    from ..operators import sketches
+
+    cust = load_table(spark, sf_dir, "customer")
+    bkeys = cust.where(
+        F.col("c_custkey") % _BLOOM_MOD == 0
+    ).select("c_custkey").distinct()
+    bits = sketches.bloom_bits(
+        bkeys, "c_custkey", num_bits=_BLOOM_BITS, k=_BLOOM_K
+    )
+    probes = cust.select(
+        "c_custkey",
+        (F.col("c_custkey") % _BLOOM_MOD == 0).alias("present"),
+    )
+    flagged = sketches.bloom_probe(
+        probes, bits, "c_custkey", num_bits=_BLOOM_BITS, k=_BLOOM_K
+    )
+    nb = bkeys.agg(F.count("*").cast("long").alias("n_build_keys"))
+    nbits = bits.agg(F.count("*").cast("long").alias("n_bits_set"))
+    return (
+        flagged.agg(
+            F.count("*").cast("long").alias("n_probes"),
+            F.sum(F.col("present").cast("long")).cast("long")
+                .alias("n_present"),
+            F.sum(F.col("bloom_maybe").cast("long")).cast("long")
+                .alias("n_maybe"),
+            F.sum(
+                (F.col("bloom_maybe") & ~F.col("present")).cast("long")
+            ).cast("long").alias("n_false_pos"),
+            (F.sum(
+                (F.col("present") & ~F.col("bloom_maybe")).cast("long")
+            ) == 0).alias("no_false_negatives"),
+        )
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nbits))
+        .withColumn(
+            "fp_within_bound",
+            F.col("n_false_pos") * 1000
+            <= F.lit(_BLOOM_FP_PERMILLE)
+            * (F.col("n_probes") - F.col("n_present")),
+        )
+        .select(
+            "n_build_keys", "n_bits_set", "n_probes", "n_present",
+            "n_maybe", "n_false_pos", "no_false_negatives",
+            "fp_within_bound",
+        )
+    )
+
+
+@register("q_mixing_weights", """
+WITH c AS (
+    SELECT lang, count(*) AS n FROM documents GROUP BY lang
+), w AS (
+    SELECT lang, n, CAST(round(sqrt(n) * 1000000) AS BIGINT) AS w_micro
+    FROM c
+), t AS (
+    SELECT CAST(sum(w_micro) AS BIGINT) AS tw,
+           CAST(sum(n) AS BIGINT) AS tn
+    FROM w
+)
+SELECT lang, CAST(n AS BIGINT) AS n_docs,
+       CAST(n * 1000000 // tn AS BIGINT) AS raw_ppm,
+       CAST(w_micro * 1000000 // tw AS BIGINT) AS alpha_ppm
+FROM w, t
+""")
+def q_mixing_weights(spark, sf_dir):
+    """Temperature-based corpus mixing table (α = 0.5): per-language
+    sampling share ∝ count^α next to the raw proportion — the
+    T5/mT5-style recipe that upsamples low-resource languages when
+    assembling a multilingual training mix. Integer-exact protocol:
+    sqrt is IEEE-correctly-rounded (can't drift between engines, unlike
+    ln/pow), shares are floor-division ppm over exact BIGINT sums.
+    operators/corpus.py:mixing_weights."""
+    return corpus.mixing_weights(
+        load_table(spark, sf_dir, "documents"), stratum_col="lang"
+    )

@@ -476,3 +476,66 @@ def test_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
         'this is not json at all',
         '{"doc_id": 3, "text": "unterminated',
     ]
+
+
+# -------------------------------------------------------------------
+# round 5: sketch structures
+# -------------------------------------------------------------------
+
+def test_countmin_never_underestimates_and_is_exact_when_sparse(spark):
+    from document_parsing_etl_pipeline_spark.operators.sketches import (
+        countmin_heavy_hitters,
+    )
+
+    rows = [Row(k="hot")] * 500 + [Row(k=f"u{i}") for i in range(30)]
+    out = {r.k: r for r in
+           countmin_heavy_hitters(
+               spark.createDataFrame(rows), "k", top=5
+           ).collect()}
+    assert out["hot"].exact_n == 500
+    assert all(r.cms_est >= r.exact_n for r in out.values())
+    assert all(r.overestimate_ok and r.within_eps_ok
+               for r in out.values())
+
+
+def test_bloom_probe_no_false_negatives_and_dup_safe(spark):
+    from document_parsing_etl_pipeline_spark.operators.sketches import (
+        bloom_bits, bloom_probe,
+    )
+
+    build = spark.createDataFrame([Row(k=i * 3) for i in range(50)])
+    bits = bloom_bits(build, "k", num_bits=1024, k=3)
+    # duplicate probe rows on purpose: each copy must get the same flag
+    probes = spark.createDataFrame(
+        [Row(k=i) for i in range(150)] + [Row(k=0), Row(k=1)]
+    )
+    got = bloom_probe(probes, bits, "k", num_bits=1024, k=3).collect()
+    by_key: dict[int, list] = {}
+    for r in got:
+        by_key.setdefault(r.k, []).append(r.bloom_maybe)
+    # no false negatives: every multiple of 3 flags maybe
+    assert all(all(v) for k, v in by_key.items() if k % 3 == 0)
+    # duplicates got consistent flags and survived (k=0 twice, k=1 twice)
+    assert len(by_key[0]) == 2 and len(by_key[1]) == 2
+    assert len(set(by_key[1])) == 1
+    # the filter actually prunes: most non-members are rejected
+    rejected = sum(1 for k, v in by_key.items()
+                   if k % 3 != 0 and not v[0])
+    assert rejected > 60
+
+
+def test_mixing_weights_upsample_low_resource_strata(spark):
+    from document_parsing_etl_pipeline_spark.operators.corpus import (
+        mixing_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="en") for i in range(900)]
+        + [Row(doc_id=1000 + i, lang="yo") for i in range(100)]
+    )
+    out = {r.lang: r for r in mixing_weights(docs).collect()}
+    # raw shares: 900/100 ppm split; alpha=0.5 tempers toward uniform
+    assert out["en"].raw_ppm == 900_000 and out["yo"].raw_ppm == 100_000
+    assert out["yo"].alpha_ppm > out["yo"].raw_ppm      # upsampled
+    assert out["en"].alpha_ppm < out["en"].raw_ppm      # downsampled
+    assert out["en"].alpha_ppm > out["yo"].alpha_ppm    # order kept
