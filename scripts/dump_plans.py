@@ -18,6 +18,9 @@ PICKS = {
     "q17_small_quantity_revenue": "correlated avg as exact sum+count join; inequality pushed into join condition",
     "knn_brute_cosine": "Arrow-batched cosine kernel (ArrowEvalPython), broadcast query side",
     "q21_sole_blame_suppliers": "EXISTS/NOT-EXISTS de-correlated to one agg pass; no Expand, nation-only hint",
+    "knn_ivf_probe": "one n×C centroid scoring pass feeds assignment AND probe lists; candidate join shuffles on posting-list id",
+    "q_countmin_heavy_hitters": "sketch builds over the per-key pre-agg; d×w counter table broadcast to the top-k probes",
+    "q_bloom_join_audit": "DISTINCT set-bits table broadcast to probes; probe side aggregates k rows/key, never shuffles raw",
     "q_sequence_pack": "MapInPandas recurrence over repartition(doc_id)+sort (one Arrow call per partition)",
     "q_embedding_covariance": "pair fan-out parallelized by pinned repartition; decimal partial agg per core",
     "q_unigram_logprob": "tf pre-agg shrinks the vocab join; 1-row total as broadcast NLJ",
