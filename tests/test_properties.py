@@ -217,3 +217,56 @@ def test_range_join_equivalent_to_naive_filter(
         (lk, rk) for lk in lefts for rk in rights if lk + lo <= rk < lk + hi
     )
     assert got == want
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=40), min_size=1, max_size=120
+    )
+)
+@SLOW_OK
+def test_countmin_overestimate_invariant(spark, keys):
+    """CMS guarantee on arbitrary key multisets: the estimate of every
+    heavy hitter is >= its true count, and the contract booleans the
+    oracle pins are TRUE."""
+    from document_parsing_etl_pipeline_spark.operators.sketches import (
+        countmin_heavy_hitters,
+    )
+
+    df = spark.createDataFrame([Row(k=str(k)) for k in keys])
+    rows = countmin_heavy_hitters(df, "k", d=3, w=32, top=10).collect()
+    truth = {}
+    for k in keys:
+        truth[str(k)] = truth.get(str(k), 0) + 1
+    assert rows
+    for r in rows:
+        assert r.exact_n == truth[r.k]
+        assert r.cms_est >= r.exact_n
+        assert r.overestimate_ok
+        # eps bound with w=32: est - true <= 2*N/32
+        assert r.cms_est - r.exact_n <= 2 * len(keys) // 32
+        assert r.within_eps_ok
+
+
+@given(
+    build=st.sets(st.integers(min_value=0, max_value=500),
+                  min_size=1, max_size=60),
+    probe=st.sets(st.integers(min_value=0, max_value=500),
+                  min_size=1, max_size=60),
+)
+@SLOW_OK
+def test_bloom_no_false_negatives_invariant(spark, build, probe):
+    """Bloom guarantee on arbitrary build/probe sets: every build-side
+    key that is probed flags maybe=True, whatever the collisions."""
+    from document_parsing_etl_pipeline_spark.operators.sketches import (
+        bloom_bits, bloom_probe,
+    )
+
+    bdf = spark.createDataFrame([Row(k=k) for k in sorted(build)])
+    pdf = spark.createDataFrame([Row(k=k) for k in sorted(probe)])
+    bits = bloom_bits(bdf, "k", num_bits=512, k=3)
+    got = {r.k: r.bloom_maybe
+           for r in bloom_probe(pdf, bits, "k", num_bits=512, k=3).collect()}
+    assert set(got) == probe
+    for k in probe & build:
+        assert got[k] is True
