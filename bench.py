@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "q_countmin_heavy_hitters",
     "q_bloom_join_audit",
     "q_mixing_weights",
+    "q_incremental_dedup",
 ]
 
 

@@ -568,6 +568,61 @@ def connected_components(
     )
 
 
+def incremental_lsh_matches(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Incremental ingest dedup: flag each BATCH document that
+    near-matches the STANDING corpus — without ever pairing the corpus
+    with itself. This is the production shape for continuous corpus
+    building: a daily crawl batch is tiny next to the 100 TB standing
+    corpus, so (a) the batch's (band, band_hash) key set broadcasts
+    and SEMI-JOIN-prunes the corpus bucket scan to only the buckets
+    the batch touches, and (b) pair fanout is batch×bucket, bounded by
+    the corpus-side bucket cap — never corpus×corpus. At deployment
+    the corpus buckets are the standing LSH index, materialized once
+    and appended per ingest (minhash_buckets output is the index
+    schema).
+
+    Returns one row per batch doc: (doc_id, is_dup, first_match_doc)
+    with first_match_doc = min matching corpus doc (-1 if none)."""
+    bb = minhash_buckets(batch, text_col, num_hashes, band_size)
+    cb = minhash_buckets(corpus, text_col, num_hashes, band_size)
+    keys = bb.select("band", "bh").distinct()
+    pruned = cb.join(F.broadcast(keys), ["band", "bh"], "left_semi")
+    # cap by CORPUS-side bucket population (over the pruned buckets):
+    # each batch row contributes ≤ max_bucket candidate pairs per band
+    sized = (
+        pruned.groupBy("band", "bh")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") <= max_bucket)
+    )
+    capped = pruned.join(sized.drop("n"), ["band", "bh"])
+    pairs = (
+        bb.select("band", "bh", F.col("doc_id").alias("batch_doc"))
+        .join(
+            capped.select("band", "bh", F.col("doc_id").alias("corpus_doc")),
+            ["band", "bh"],
+        )
+        .groupBy("batch_doc")
+        .agg(F.min("corpus_doc").alias("first_match_doc"))
+    )
+    return (
+        batch.select("doc_id")
+        .join(pairs, F.col("doc_id") == F.col("batch_doc"), "left")
+        .select(
+            "doc_id",
+            F.col("first_match_doc").isNotNull().alias("is_dup"),
+            F.coalesce(F.col("first_match_doc"), F.lit(-1))
+            .cast("long").alias("first_match_doc"),
+        )
+    )
+
+
 # -------------------------------------------------------------------
 # semantic dedup (SemDeDup, Abbas et al. 2023)
 # -------------------------------------------------------------------

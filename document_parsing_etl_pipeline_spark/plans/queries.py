@@ -5458,3 +5458,60 @@ def q_mixing_weights(spark, sf_dir):
     return corpus.mixing_weights(
         load_table(spark, sf_dir, "documents"), stratum_col="lang"
     )
+
+
+_INC_MOD = 10  # batch = doc_id ≡ 0 (mod 10); corpus = the rest
+
+
+@register("q_incremental_dedup", f"""
+WITH {_mh_sig_sql()}, bucketed AS (
+    SELECT doc_id, band,
+           CASE band {" ".join(
+               "WHEN {b} THEN md5({c})".format(
+                   b=b,
+                   c=" || ".join(
+                       f"mh{b * _MH_BAND + r}" for r in range(_MH_BAND)
+                   ),
+               )
+               for b in range(_MH_K // _MH_BAND)
+           )} END AS bh
+    FROM sigs CROSS JOIN (SELECT unnest([{",".join(
+        str(b) for b in range(_MH_K // _MH_BAND)
+    )}]) AS band) b
+), bb AS (
+    SELECT * FROM bucketed WHERE doc_id % {_INC_MOD} = 0
+), cbp AS (
+    SELECT c.* FROM bucketed c
+    JOIN (SELECT DISTINCT band, bh FROM bb) k USING (band, bh)
+    WHERE c.doc_id % {_INC_MOD} <> 0
+), csized AS (
+    SELECT band, bh, count(*) AS n FROM cbp GROUP BY 1, 2
+), agg AS (
+    SELECT bb.doc_id AS batch_doc, min(cbp.doc_id) AS first_match
+    FROM bb
+    JOIN cbp USING (band, bh)
+    JOIN csized s ON s.band = bb.band AND s.bh = bb.bh
+    WHERE s.n <= {_MH_MAXB}
+    GROUP BY 1
+)
+SELECT d.doc_id, (a.batch_doc IS NOT NULL) AS is_dup,
+       CAST(coalesce(a.first_match, -1) AS BIGINT) AS first_match_doc
+FROM (SELECT doc_id FROM documents WHERE doc_id % {_INC_MOD} = 0) d
+LEFT JOIN agg a ON a.batch_doc = d.doc_id
+""")
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental ingest dedup — the continuous-corpus-building
+    shape: every doc of the incoming batch (doc_id ≡ 0 mod 10 here)
+    is flagged if it near-matches the STANDING corpus, without ever
+    pairing the corpus with itself. The batch's bucket-key set
+    broadcasts and semi-join-prunes the corpus bucket scan; fanout is
+    batch×bucket bounded by the corpus-side cap. At 100 TB the corpus
+    buckets are a materialized standing LSH index (minhash_buckets IS
+    the index schema) appended per ingest.
+    operators/dedup.py:incremental_lsh_matches."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.incremental_lsh_matches(
+        docs.where(F.col("doc_id") % _INC_MOD == 0),
+        docs.where(F.col("doc_id") % _INC_MOD != 0),
+        num_hashes=_MH_K, band_size=_MH_BAND, max_bucket=_MH_MAXB,
+    )

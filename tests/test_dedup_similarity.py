@@ -156,3 +156,23 @@ def test_edit_distance_pairs_on_lsh_candidates(spark):
     pairs = dedup.edit_distance_pairs(df, max_dist=20).collect()
     assert {(p.doc_a, p.doc_b) for p in pairs} == {(0, 1)}
     assert pairs[0].edit_dist == 3  # dog -> cat: 3 substitutions
+
+
+def test_incremental_dedup_flags_only_corpus_matches(spark):
+    corpus = _docs(spark,
+                   "alpha beta gamma delta epsilon zeta",
+                   "one two three four five six")
+    # batch: doc 0 duplicates corpus doc 0; doc 1 is novel; doc 2
+    # duplicates BATCH doc 1 but nothing in the corpus — must NOT flag
+    # (incremental dedup is vs the standing corpus only)
+    batch = spark.createDataFrame([
+        Row(doc_id=10, text="alpha beta gamma delta epsilon zeta"),
+        Row(doc_id=11, text="seven eight nine ten eleven twelve"),
+        Row(doc_id=12, text="seven eight nine ten eleven twelve"),
+    ])
+    out = {r.doc_id: r for r in
+           dedup.incremental_lsh_matches(batch, corpus).collect()}
+    assert len(out) == 3
+    assert out[10].is_dup and out[10].first_match_doc == 0
+    assert not out[11].is_dup and out[11].first_match_doc == -1
+    assert not out[12].is_dup  # batch-internal dup is not a corpus dup
