@@ -4,6 +4,8 @@ repository API surface, 1:1 method names, backed by the Spark engine.
 Reference parity map (services/parser/src/engine/pdf_parser.py:32-274,
 src/database/base.py, api.py):
     process_document(s)      → parse→chunk→NER→charts → doc store
+    upload_document          → POST /documents/upload (api.py:71 —
+                               land a file for the watcher pipeline)
     get_documents            → GET /documents (key pagination)
     get_document_info        → GET /documents/{id} (doc ⋈ chunks ⋈ charts)
     get_document_chunks      → GET /documents/{id}/chunks?start&end
@@ -39,6 +41,35 @@ class DocumentProcessor:
             docstore.write_docstore(self._tables, self.store_root)
             self._tables = docstore.read_docstore(self.spark, self.store_root)
         return self._tables
+
+    def upload_document(self, doc_id: int, text: str, watch_dir: str,
+                        lang: str = "en", source: str = "upload") -> str:
+        """POST /documents/upload parity (reference api.py:71-90): land
+        one document as a JSON-lines drop file in the watcher's input
+        directory. The streaming watcher (streaming/watcher.py,
+        `maxFilesPerTrigger`-batched file source) discovers it on its
+        next micro-batch and runs the same parse→chunk→store pipeline
+        the reference's upload endpoint hands to its background worker.
+        Returns the path of the landed drop file; the filename carries
+        the doc_id so re-uploads overwrite idempotently (primary-key
+        INSERT parity — the stream_dedup stateful operator additionally
+        guards exactly-once per doc_id across batches)."""
+        import json
+        import os
+
+        os.makedirs(watch_dir, exist_ok=True)
+        path = os.path.join(watch_dir, f"upload_doc_{doc_id}.json")
+        rec = {
+            "doc_id": doc_id, "text": text, "lang": lang,
+            "source": source, "n_chars": len(text),
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(json.dumps(rec) + "\n")
+        # atomic rename: the file source must never see a half-written
+        # drop (the reference moves uploads into place the same way)
+        os.replace(tmp, path)
+        return path
 
     @property
     def tables(self) -> dict[str, DataFrame]:

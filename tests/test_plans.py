@@ -189,3 +189,43 @@ def test_cdc_latest_state_uses_partial_agg_not_window(spark):
     plan = _executed(QUERIES["q_cdc_latest_state"](spark, SF_DIR))
     assert "Window" not in plan
     assert "partial_max" in plan
+
+
+def test_round5_operators_broadcast_their_small_sides(spark):
+    # knn_ivf_probe: the C-row centroid dim joins by broadcast; the
+    # candidate pairing is a real equi join (posting-list id), never a
+    # nested loop over the full table pair
+    plan = _executed(QUERIES["knn_ivf_probe"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # count-min: the d×w counter table and the 1-row total broadcast
+    # to the top-k probes
+    plan = _executed(QUERIES["q_countmin_heavy_hitters"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # bloom: the set-bits table reaches probes as a broadcast
+    plan = _executed(QUERIES["q_bloom_join_audit"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # incremental dedup: the batch bucket-key set semi-join-prunes the
+    # corpus bucket scan (broadcast left-semi), and there is no
+    # corpus×corpus pairing path (no nested loop)
+    plan = _executed(QUERIES["q_incremental_dedup"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_materialize_collapses_embedding_scans(spark):
+    # materialize=True localCheckpoints the scored (vec_id, centroid,
+    # embedding) frame: the final plan must read the checkpoint, not
+    # re-execute the centroid-scoring subtree per branch (8 parquet
+    # scans without it)
+    from document_parsing_etl_pipeline_spark.catalog import load_table
+    from document_parsing_etl_pipeline_spark.operators.dedup import (
+        semdedup_keep,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    lazy_plan = _executed(semdedup_keep(emb, materialize=False))
+    mat_plan = _executed(semdedup_keep(emb, materialize=True))
+    assert mat_plan.count("Scan parquet") < lazy_plan.count("Scan parquet")
+    assert mat_plan.count("Scan parquet") <= 2

@@ -48,3 +48,28 @@ def test_update_and_delete(proc):
     assert proc.get_document_info(2) is None
     assert proc.get_document_chunks(2).count() == 0
     assert proc.get_document_info(1) is not None
+
+
+def test_upload_document_lands_for_watcher(tmp_path, spark):
+    """upload_document drops a file the streaming watcher ingests on
+    its next micro-batch — POST /documents/upload parity end to end."""
+    from document_parsing_etl_pipeline_spark.processor import (
+        DocumentProcessor,
+    )
+    from document_parsing_etl_pipeline_spark.streaming import watcher
+
+    proc = DocumentProcessor(spark)
+    watch = str(tmp_path / "drops")
+    path = proc.upload_document(
+        7, "uploaded text body with several words", watch
+    )
+    assert path.endswith("upload_doc_7.json")
+    q = watcher.start_pipeline(
+        spark, watch, str(tmp_path / "out"), str(tmp_path / "cp"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    chunks = spark.read.parquet(str(tmp_path / "out"))
+    assert chunks.where(chunks.doc_id == 7).count() >= 1
+    # re-upload overwrites the same drop file (idempotent landing)
+    assert proc.upload_document(7, "new body", watch) == path
