@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "q_bloom_join_audit",
     "q_mixing_weights",
     "q_incremental_dedup",
+    "q_containment_pairs",
+    "q_sparse_sim_topk",
 ]
 
 

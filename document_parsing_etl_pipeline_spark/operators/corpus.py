@@ -467,6 +467,128 @@ def stratified_sample(
     )
 
 
+def sparse_sim_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    df_min: int = 2,
+    df_max: int = 20,
+    k: int = 3,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Related documents by SPARSE lexical similarity — the inverted-
+    index sibling of embedding ANN (knn_*): idf-weighted cosine over
+    the DISTINCT word ``shingle_n``-gram sets, joined invertedly on
+    DISCRIMINATIVE shingles only (document frequency in
+    [df_min, df_max]). Shingles, not unigrams: word n-grams have the
+    Zipf vocabulary unigram spaces lack (on narrow-vocabulary corpora
+    every word is a stop word — measured: this corpus has 31 distinct
+    words, all df≈0.8n, but 27k distinct 3-shingles with df ≤ 25).
+    The df cap is the scale lever: a shingle with df ≤ c contributes
+    ≤ c·(c-1)/2 pairs, so pair fanout is bounded by vocab·c²/2 and
+    the boilerplate shingles that would go quadratic carry no signal
+    anyway. One shingle-keyed shuffle builds the pairs; norms are
+    computed over the SAME pruned shingle space (a true cosine
+    there).
+
+    Numeric protocol: idf rounds to 6 dp before use (libm ln drift —
+    the bm25 recipe); weight products are per-row IEEE doubles summed
+    in DECIMAL(28,12) (order-independent); norms via
+    correctly-rounded sqrt; final cosine rounded to 4 dp.
+
+    Output: (doc_id, neighbor_id, cos_sim, rank ≤ k) — each pair
+    reported from both endpoints' perspectives."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(r"\S+"), 0
+        ).alias("ws"),
+    )
+    # explode an index sequence + array indexing (codegen) — not a
+    # transform() HOF (interpreted, SURVEY §4); guard size < n or
+    # sequence(0, negative) would generate a DESCENDING range
+    parts = [F.expr(f"ws[i + {j}]") for j in range(shingle_n)]
+    sh = (
+        toks.where(F.size("ws") >= shingle_n)
+        .select(
+            "doc_id", "ws",
+            F.explode(
+                F.sequence(F.lit(0), F.size("ws") - shingle_n)
+            ).alias("i"),
+        )
+        .select("doc_id", F.concat_ws(" ", *parts).alias("term"))
+        .distinct()
+    )
+    dfreq = (
+        sh.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .where(F.col("df").between(df_min, df_max))
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    idf = dfreq.crossJoin(F.broadcast(n)).select(
+        "term",
+        F.round(
+            F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+            6,
+        ).alias("idf"),
+    )
+    w = sh.join(idf, "term").select(
+        "term", "doc_id", F.col("idf").alias("wt")
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum((F.col("wt") * F.col("wt")).cast("decimal(28,12)"))
+            .cast("double")
+        ).alias("nrm")
+    )
+    a = w.select("term", F.col("doc_id").alias("doc_a"),
+                 F.col("wt").alias("wa"))
+    b = w.select("term", F.col("doc_id").alias("doc_b"),
+                 F.col("wt").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum((F.col("wa") * F.col("wb")).cast("decimal(28,12)"))
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"),
+                      F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"),
+                      F.col("nrm").alias("nb"))
+    scored = (
+        dots.join(na, "doc_a").join(nb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.col("dot").cast("double") / (F.col("na") * F.col("nb")),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    sym = scored.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("neighbor_id"), "cos_sim",
+    ).unionAll(
+        scored.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("neighbor_id"), "cos_sim",
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "neighbor_id", "cos_sim",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def mixing_weights(
     docs: DataFrame, stratum_col: str = "lang"
 ) -> DataFrame:

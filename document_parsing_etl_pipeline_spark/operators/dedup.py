@@ -181,6 +181,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int = 50,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric containment verification of LSH candidates (Broder's
+    containment measure): c(A⊂B) = |T(A)∩T(B)| / |T(A)|. Symmetric
+    Jaccard goes small when a short document is embedded inside a much
+    longer one (quotes, boilerplate inclusion, page wrappers around
+    syndicated articles) — containment stays near 1 for the contained
+    side, which is exactly the near-dup class training-corpus dedup
+    must catch that jaccard-threshold pipelines miss.
+
+    Pairs where EITHER direction ≥ threshold are kept, with both
+    directions reported. Runs only on the capped LSH candidate set
+    (recall caveat: very asymmetric sizes also depress the minhash
+    band-collision probability — candidates from exact shingle-join
+    pipelines can be substituted via the same verification)."""
+    cands = minhash_lsh_candidates(
+        docs, text_col, num_hashes, band_size, max_bucket
+    )
+    toks = docs.select(
+        "doc_id", _norm_tokens(F.col(text_col)).alias("tokens")
+    )
+    joined = (
+        cands.join(
+            toks.withColumnsRenamed({"doc_id": "doc_a", "tokens": "ta"}),
+            "doc_a",
+        )
+        .join(
+            toks.withColumnsRenamed({"doc_id": "doc_b", "tokens": "tb"}),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
+    )
+    c_ab = F.round(F.col("inter") / F.size("ta"), 4)
+    c_ba = F.round(F.col("inter") / F.size("tb"), 4)
+    return (
+        joined.select(
+            "doc_a", "doc_b",
+            c_ab.alias("cont_a_in_b"), c_ba.alias("cont_b_in_a"),
+        )
+        .where(
+            F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a"))
+            >= F.lit(threshold)
+        )
+    )
+
+
 def edit_distance_pairs(
     docs: DataFrame,
     text_col: str = "text",

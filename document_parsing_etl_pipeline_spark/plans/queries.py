@@ -5515,3 +5515,103 @@ def q_incremental_dedup(spark, sf_dir):
         docs.where(F.col("doc_id") % _INC_MOD != 0),
         num_hashes=_MH_K, band_size=_MH_BAND, max_bucket=_MH_MAXB,
     )
+
+
+_CONT_TAU = 0.8
+
+
+@register("q_containment_pairs", f"""
+WITH {_mh_sig_sql()}, {_mh_buckets_sql()}, withsets AS (
+    SELECT c.doc_a, c.doc_b, ta.tokens AS ta, tb.tokens AS tb
+    FROM cand c
+    JOIN toks ta ON ta.doc_id = c.doc_a
+    JOIN toks tb ON tb.doc_id = c.doc_b
+), scored AS (
+    SELECT doc_a, doc_b,
+           round(len(list_filter(ta, t -> list_contains(tb, t)))
+                 / len(ta), 4) AS cont_a_in_b,
+           round(len(list_filter(ta, t -> list_contains(tb, t)))
+                 / len(tb), 4) AS cont_b_in_a
+    FROM withsets
+)
+SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a
+FROM scored
+WHERE greatest(cont_a_in_b, cont_b_in_a) >= {_CONT_TAU}
+""")
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric containment dedup (Broder's measure): a short doc
+    embedded inside a longer one scores near-1 containment while its
+    symmetric Jaccard goes small — the quote/boilerplate-inclusion
+    near-dup class a jaccard-threshold pipeline misses. Verified on
+    the capped LSH candidate set; both directions reported.
+    operators/dedup.py:containment_pairs."""
+    return dedup.containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=_MH_K, band_size=_MH_BAND, max_bucket=_MH_MAXB,
+        threshold=_CONT_TAU,
+    )
+
+
+_SPARSE_DF_MIN, _SPARSE_DF_MAX, _SPARSE_K = 2, 20, 3
+
+
+@register("q_sparse_sim_topk", rf"""
+WITH tk AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id,
+           ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS term
+    FROM tk, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS g(i)
+), dfreq AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1
+    HAVING count(*) BETWEEN {_SPARSE_DF_MIN} AND {_SPARSE_DF_MAX}
+), n AS (SELECT count(*) AS n_docs FROM documents),
+idf AS (
+    SELECT term, round(ln((n.n_docs + 1) / (d.df + 1)), 6) AS idf
+    FROM dfreq d, n
+), w AS (
+    SELECT s.term, s.doc_id, i.idf AS wt
+    FROM sh s JOIN idf i USING (term)
+), norms AS (
+    SELECT doc_id,
+           sqrt((sum((wt * wt)::DECIMAL(28,12)))::DOUBLE) AS nrm
+    FROM w GROUP BY 1
+), dots AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           sum((a.wt * b.wt)::DECIMAL(28,12)) AS dot
+    FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), scored AS (
+    SELECT d.doc_a, d.doc_b,
+           round((d.dot::DOUBLE) / (na.nrm * nb.nrm), 4) AS cos_sim
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.doc_a
+    JOIN norms nb ON nb.doc_id = d.doc_b
+), sym AS (
+    SELECT doc_a AS doc_id, doc_b AS neighbor_id, cos_sim FROM scored
+    UNION ALL
+    SELECT doc_b, doc_a, cos_sim FROM scored
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY cos_sim DESC, neighbor_id)
+                  AS rank
+    FROM sym
+)
+SELECT doc_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_SPARSE_K}
+""")
+def q_sparse_sim_topk(spark, sf_dir):
+    """Related documents by sparse lexical similarity — the inverted-
+    index sibling of embedding ANN: idf-weighted cosine over distinct
+    word 3-gram sets via a shingle-keyed pair join over DISCRIMINATIVE
+    shingles only (df ∈ [2, 20]; shingles because unigram spaces on
+    narrow vocabularies have no discriminative terms — measured 31
+    words vs 27k shingles on this corpus). The df cap bounds pair
+    fanout at vocab·c²/2. idf rounds to 6 dp before use;
+    weight-product sums run in DECIMAL(28,12).
+    operators/corpus.py:sparse_sim_topk."""
+    return corpus.sparse_sim_topk(
+        load_table(spark, sf_dir, "documents"),
+        df_min=_SPARSE_DF_MIN, df_max=_SPARSE_DF_MAX, k=_SPARSE_K,
+    )

@@ -176,3 +176,44 @@ def test_incremental_dedup_flags_only_corpus_matches(spark):
     assert out[10].is_dup and out[10].first_match_doc == 0
     assert not out[11].is_dup and out[11].first_match_doc == -1
     assert not out[12].is_dup  # batch-internal dup is not a corpus dup
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel "
+            "india juliet kilo lima")
+    wrapper = base + " mike november oscar papa"  # base ⊂ wrapper, J=12/16
+    df = _docs(spark, base, wrapper, "uu vv ww xx yy zz")
+    # band_size=1 → per-band collision prob = J: recall ~1-(1-J)^8 for
+    # the test (the default banding trades recall for precision)
+    got = {(r.doc_a, r.doc_b): r
+           for r in dedup.containment_pairs(
+               df, band_size=1, threshold=0.9
+           ).collect()}
+    assert (0, 1) in got
+    r = got[(0, 1)]
+    assert r.cont_a_in_b == 1.0          # base fully inside wrapper
+    assert r.cont_b_in_a < 0.9           # wrapper not inside base
+    # the symmetric jaccard pipeline at the same bar misses this pair
+    jac = {(p.doc_a, p.doc_b)
+           for p in dedup.ngram_jaccard_pairs(df, threshold=0.9).collect()}
+    assert (0, 1) not in jac
+
+
+def test_sparse_sim_ranks_by_shared_rare_shingles(spark):
+    from document_parsing_etl_pipeline_spark.operators.corpus import (
+        sparse_sim_topk,
+    )
+
+    phrase = "quantum flux capacitor alignment protocol"
+    df = _docs(
+        spark,
+        f"intro text {phrase} closing words here",
+        f"other document reusing {phrase} differently now",
+        "entirely unrelated content about cooking pasta tonight ok",
+        "more unrelated material discussing garden furniture today yes",
+    )
+    out = {(r.doc_id, r.rank): r.neighbor_id
+           for r in sparse_sim_topk(df, df_min=2, df_max=4, k=1).collect()}
+    # the two phrase-sharing docs are each other's top neighbor
+    assert out.get((0, 1)) == 1
+    assert out.get((1, 1)) == 0
