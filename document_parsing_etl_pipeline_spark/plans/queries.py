@@ -1330,7 +1330,7 @@ _JACCARD_EXPR = (
 )
 
 
-_CC_ORACLE = f"""
+_CC_CTES = f"""
 WITH RECURSIVE {_mh_sig_sql()}, {_mh_buckets_sql()}, jac AS (
     SELECT c.doc_a, c.doc_b
     FROM cand c
@@ -1357,7 +1357,9 @@ WITH RECURSIVE {_mh_sig_sql()}, {_mh_buckets_sql()}, jac AS (
     -- reachability to monotone paths (~200s -> seconds at sf0.1).
     SELECT e.b AS id, w.label FROM walk w JOIN edges e ON w.id = e.a
     WHERE w.label < e.b
-)
+)"""
+
+_CC_ORACLE = _CC_CTES + """
 SELECT id AS doc_id, min(label) AS component_id FROM walk GROUP BY id
 """
 
@@ -5614,4 +5616,41 @@ def q_sparse_sim_topk(spark, sf_dir):
     return corpus.sparse_sim_topk(
         load_table(spark, sf_dir, "documents"),
         df_min=_SPARSE_DF_MIN, df_max=_SPARSE_DF_MAX, k=_SPARSE_K,
+    )
+
+
+@register("q_neardup_materialize", _CC_CTES + """
+, comps AS (
+    SELECT id, min(label) AS component_id FROM walk GROUP BY id
+)
+SELECT d.doc_id,
+       CAST(coalesce(c.component_id, d.doc_id) AS BIGINT)
+           AS canonical_id,
+       (c.component_id IS NULL OR c.component_id = d.doc_id) AS keep
+FROM documents d LEFT JOIN comps c ON c.id = d.doc_id
+""")
+def q_neardup_materialize(spark, sf_dir):
+    """The deduped corpus after NEAR-dup clustering — the output users
+    actually run the dedup pipeline for: every document with its
+    canonical representative (component minimum) and a keep flag
+    (keeper = not near-duplicated, or the component canonical).
+    Completes the family: dedup_materialize is the exact-hash
+    survivor set; this is the LSH→jaccard→connected-components
+    survivor set. One left join of the corpus against the
+    component-sized (≪ corpus) cluster map.
+    operators/dedup.py:connected_components + this projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    comps = dedup.connected_components(
+        _jaccard_pairs(spark, sf_dir), max_iter=30
+    ).withColumnRenamed("component_id", "cid")
+    return (
+        docs.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cid"), F.col("doc_id"))
+            .cast("long").alias("canonical_id"),
+            (F.col("cid").isNull() | (F.col("cid") == F.col("doc_id")))
+            .alias("keep"),
+        )
     )
