@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "q_incremental_dedup",
     "q_containment_pairs",
     "q_sparse_sim_topk",
+    "q_rate_limit_audit",
 ]
 
 

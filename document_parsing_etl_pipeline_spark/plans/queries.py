@@ -5654,3 +5654,55 @@ def q_neardup_materialize(spark, sf_dir):
             .alias("keep"),
         )
     )
+
+
+_RL_CAP_MICRO = 3_000_000
+_RL_DIV = 3_600
+
+
+@register("q_rate_limit_audit", f"""
+WITH RECURSIVE e AS (
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id) AS rn
+    FROM events
+), walk(user_id, rn, event_id, ts_us, allowed, s_after) AS (
+    SELECT user_id, rn, event_id, ts_us,
+           TRUE, {_RL_CAP_MICRO} - 1000000
+    FROM e WHERE rn = 1
+    UNION ALL
+    SELECT e.user_id, e.rn, e.event_id, e.ts_us,
+           least({_RL_CAP_MICRO},
+                 w.s_after + (e.ts_us - w.ts_us) // {_RL_DIV})
+               >= 1000000,
+           CASE WHEN least({_RL_CAP_MICRO},
+                           w.s_after + (e.ts_us - w.ts_us) // {_RL_DIV})
+                     >= 1000000
+                THEN least({_RL_CAP_MICRO},
+                           w.s_after + (e.ts_us - w.ts_us) // {_RL_DIV})
+                     - 1000000
+                ELSE least({_RL_CAP_MICRO},
+                           w.s_after + (e.ts_us - w.ts_us) // {_RL_DIV})
+           END
+    FROM walk w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+)
+SELECT event_id, user_id, ts_us, allowed,
+       CAST(s_after AS BIGINT) AS tokens_after_micro
+FROM walk
+""")
+def q_rate_limit_audit(spark, sf_dir):
+    """Token-bucket rate-limit audit replayed over the event log
+    (cap 3 tokens, 1 token/hour refill, buckets start full): which
+    requests WOULD have been throttled — the quota-sizing/abuse pass
+    run before enabling a limiter, and the batch twin of the
+    limiter's streaming state. The clamped-accumulator recurrence is
+    non-associative (no prefix-sum window exists), so it runs as one
+    Arrow call per user-partitioned time-sorted partition; all
+    integer micro-token arithmetic, replayed exactly by the
+    recursive-CTE oracle. operators/ratelimit.py:rate_limit_audit."""
+    from ..operators.ratelimit import rate_limit_audit
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    return rate_limit_audit(ev, cap=3, refill_div=_RL_DIV)

@@ -539,3 +539,31 @@ def test_mixing_weights_upsample_low_resource_strata(spark):
     assert out["yo"].alpha_ppm > out["yo"].raw_ppm      # upsampled
     assert out["en"].alpha_ppm < out["en"].raw_ppm      # downsampled
     assert out["en"].alpha_ppm > out["yo"].alpha_ppm    # order kept
+
+
+def test_rate_limit_audit_token_bucket_semantics(spark):
+    from document_parsing_etl_pipeline_spark.operators.ratelimit import (
+        rate_limit_audit,
+    )
+
+    # cap 2 tokens; refill_div=10 => 1 micro-token per 10 us, i.e. one
+    # full token per 10^7 us. User 1: burst of 3 at t=0..2 (third
+    # rejected: bucket empty, negligible refill), then t=5*10^7
+    # (refilled ~5 tokens, clamped to cap -> allowed). User 2
+    # independent (full bucket at its first event).
+    ev = spark.createDataFrame(
+        [Row(event_id=1, user_id=1, ts_us=0),
+         Row(event_id=2, user_id=1, ts_us=1),
+         Row(event_id=3, user_id=1, ts_us=2),
+         Row(event_id=4, user_id=1, ts_us=50_000_000),
+         Row(event_id=5, user_id=2, ts_us=2)]
+    )
+    out = {r.event_id: r for r in
+           rate_limit_audit(ev, cap=2, refill_div=10).collect()}
+    assert out[1].allowed and out[1].tokens_after_micro == 1_000_000
+    assert out[2].allowed and out[2].tokens_after_micro == 0
+    assert not out[3].allowed                 # throttled mid-burst
+    assert out[4].allowed                     # refilled after the gap
+    # refill clamped at cap (2 tokens), one consumed
+    assert out[4].tokens_after_micro == 1_000_000
+    assert out[5].allowed                     # fresh bucket per user
