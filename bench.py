@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "q_containment_pairs",
     "q_sparse_sim_topk",
     "q_rate_limit_audit",
+    "q_asof_enrich",
 ]
 
 

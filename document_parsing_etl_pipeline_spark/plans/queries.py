@@ -5706,3 +5706,72 @@ def q_rate_limit_audit(spark, sf_dir):
         "event_id", "user_id", F.expr("ts div 1000").alias("ts_us")
     )
     return rate_limit_audit(ev, cap=3, refill_div=_RL_DIV)
+
+
+@register("q_asof_enrich", """
+WITH p AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+    FROM events WHERE event_type = 'purchase'
+), v AS (
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           max_by(value, event_id) AS view_value,
+           max(event_id) AS view_event_id
+    FROM events WHERE event_type = 'view'
+    GROUP BY 1, 2
+)
+SELECT p.user_id, p.event_id, p.ts_us, p.value,
+       v.view_value AS asof_view_value,
+       v.view_event_id AS asof_view_event_id,
+       v.ts_us AS asof_view_ts_us,
+       p.ts_us - v.ts_us AS asof_gap_us
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
+""")
+def q_asof_enrich(spark, sf_dir):
+    """As-of enrichment: every purchase event joined to the latest
+    view event at-or-before it for the same user (the classic
+    trade↔quote / action↔exposure attribution shape). Runs through
+    operators/asof.py's merge-scan as-of join — union both sides, one
+    shuffle on user_id, ``last(ignorenulls)`` carry-forward — linear
+    work per key versus the quadratic range-join+argmax naive plan,
+    the same shape at 100 TB. The right side is pre-aggregated per
+    (user_id, ts_us) (max event_id wins) so equal-timestamp ties are
+    deterministic in both engines; the oracle is DuckDB's native
+    ASOF LEFT JOIN. Reference parity: the repo-wide event-log
+    enrichment surface (reference api.py has no as-of; this is the
+    LLM-pipeline/event-analytics extension family)."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_us", "value"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts_us")
+        .agg(
+            F.expr("max_by(value, event_id)").alias("asof_view_value"),
+            F.max("event_id").alias("asof_view_event_id"),
+        )
+        .withColumn("asof_view_ts_us", F.col("ts_us"))
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        right_vals=["asof_view_value", "asof_view_event_id", "asof_view_ts_us"],
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "value",
+        F.col("asof_asof_view_value").alias("asof_view_value"),
+        F.col("asof_asof_view_event_id").alias("asof_view_event_id"),
+        F.col("asof_asof_view_ts_us").alias("asof_view_ts_us"),
+        (F.col("ts_us") - F.col("asof_asof_view_ts_us")).alias("asof_gap_us"),
+    )

@@ -163,6 +163,7 @@ def test_all_queries_no_rowbased_python_udf(spark):
         "dedup_embedding",
         "knn_all_topk", "q_pca_projection",
         "q_sequence_pack", "q_sequence_texts",  # packing recurrence
+        "q_rate_limit_audit",  # token-bucket recurrence (ratelimit.py)
     }
     for name, fn in QUERIES.items():
         plan = _executed(fn(spark, SF_DIR))
