@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "q_sparse_sim_topk",
     "q_rate_limit_audit",
     "q_asof_enrich",
+    "q_span_dedup",
 ]
 
 

@@ -771,3 +771,88 @@ def semdedup_keep(
             F.col("is_dup").isNull().alias("keep"),
         )
     )
+
+
+def span_dedup_profile(
+    docs: DataFrame, k: int = 12, text_col: str = "text"
+) -> DataFrame:
+    """Exact-substring duplication profile at k-token granularity
+    (Lee et al. 2021 suffix-array dedup, re-expressed as the
+    distributable rolling-hash formulation): hash every k-token
+    window, count occurrences corpus-wide, and report per document
+    the windows duplicated anywhere (>=2 occurrences) plus the
+    token-interval union they cover — the exact removal budget of a
+    substring-dedup pass.
+
+    Scale shape: explode to windows (pure JVM sequence/slice/md5 —
+    no Python), ONE shuffle on the window hash for the global count,
+    join back, and a distinct-position count for interval union.
+    Window count is n_tokens-k+1 per doc (linear, not quadratic);
+    the suffix array's single-machine build is the part that does
+    not distribute, the rolling-hash shuffle is the part that does.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.expr(f"regexp_extract_all({text_col}, '\\\\S+', 0)").alias("tk"),
+    )
+    base = toks.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.greatest(F.size("tk") - F.lit(k - 1), F.lit(0))
+        .cast("long").alias("n_windows"),
+        "tk",
+    )
+    wins = (
+        base.where(F.col("n_windows") >= 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, int(n_windows)),"
+                    f" s -> struct(s AS win_start,"
+                    f" md5(concat_ws(' ', slice(tk, s, {k}))) AS h))"
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", "w.win_start", "w.h")
+    )
+    hot = wins.groupBy("h").count().where(F.col("count") >= 2).select("h")
+    dup = wins.join(hot, "h").select("doc_id", "win_start")
+    per_doc = dup.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dup_windows")
+    )
+    cover = (
+        dup.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("win_start"), F.col("win_start") + F.lit(k - 1)
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("covered_tokens"))
+    )
+    return (
+        base.drop("tk")
+        .join(per_doc, "doc_id", "left")
+        .join(cover, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long")
+            .alias("n_dup_windows"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long")
+            .alias("covered_tokens"),
+            F.when(F.col("n_tokens") == 0, F.lit(0))
+            .otherwise(
+                F.expr(
+                    "(1000000L * coalesce(covered_tokens, 0L))"
+                    " div n_tokens"
+                )
+            )
+            .cast("long").alias("dup_coverage_ppm"),
+        )
+    )

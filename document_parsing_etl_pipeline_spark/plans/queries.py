@@ -5775,3 +5775,58 @@ def q_asof_enrich(spark, sf_dir):
         F.col("asof_asof_view_ts_us").alias("asof_view_ts_us"),
         (F.col("ts_us") - F.col("asof_asof_view_ts_us")).alias("asof_gap_us"),
     )
+
+
+_SPAN_K = 12  # exact-substring granularity (tokens), Lee et al. 2021 style
+
+
+@register("q_span_dedup", f"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk
+    FROM documents
+), base AS (
+    SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+           greatest(len(tk) - {_SPAN_K - 1}, 0)::BIGINT AS n_windows, tk
+    FROM toks
+), wins AS (
+    SELECT doc_id, s.s AS win_start,
+           md5(array_to_string(tk[s.s : s.s + {_SPAN_K - 1}], ' ')) AS h
+    FROM base, unnest(generate_series(1, n_windows)) AS s(s)
+    WHERE n_windows >= 1
+), hot AS (
+    SELECT h FROM wins GROUP BY h HAVING count(*) >= 2
+), dup AS (
+    SELECT w.doc_id, w.win_start FROM wins w JOIN hot USING (h)
+), per_doc AS (
+    SELECT doc_id, count(*)::BIGINT AS n_dup_windows FROM dup GROUP BY doc_id
+), cover AS (
+    SELECT doc_id, count(DISTINCT win_start + o.o)::BIGINT AS covered_tokens
+    FROM dup, unnest(generate_series(0, {_SPAN_K - 1})) AS o(o)
+    GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.n_windows,
+       coalesce(p.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+       coalesce(c.covered_tokens, 0)::BIGINT AS covered_tokens,
+       CASE WHEN b.n_tokens = 0 THEN 0
+            ELSE (1000000 * coalesce(c.covered_tokens, 0)) // b.n_tokens
+       END::BIGINT AS dup_coverage_ppm
+FROM base b
+LEFT JOIN per_doc p USING (doc_id)
+LEFT JOIN cover c USING (doc_id)
+""")
+def q_span_dedup(spark, sf_dir):
+    """Exact-substring duplication profile (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    {_SPAN_K}-token rolling window is hashed; a window duplicated
+    anywhere in the corpus (>= 2 occurrences, cross- or within-doc)
+    marks its token span, and each document reports how much of it is
+    covered by duplicated spans (the removal budget of the
+    suffix-array dedup pass). The single-machine suffix-array build
+    does not distribute; the rolling-hash shape is its shuffle
+    formulation — explode to windows (pure JVM: regexp tokenize +
+    sequence/transform/slice/md5), one shuffle on window hash for the
+    global occurrence count, join back, and an interval-union count
+    for coverage. All arithmetic integer; md5 is engine-identical."""
+    return dedup.span_dedup_profile(
+        load_table(spark, sf_dir, "documents"), k=_SPAN_K
+    )

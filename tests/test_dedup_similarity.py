@@ -217,3 +217,45 @@ def test_sparse_sim_ranks_by_shared_rare_shingles(spark):
     # the two phrase-sharing docs are each other's top neighbor
     assert out.get((0, 1)) == 1
     assert out.get((1, 1)) == 0
+
+
+def test_span_dedup_profile_marks_shared_spans(spark):
+    from document_parsing_etl_pipeline_spark.operators.dedup import (
+        span_dedup_profile,
+    )
+    shared = " ".join(f"w{i}" for i in range(12))  # one exact 12-gram
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " tail0 tail1 tail2"),
+            (1, "head0 head1 " + shared),
+            (2, " ".join(f"u{i}" for i in range(20))),  # unique
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in span_dedup_profile(docs, k=12).collect()}
+    # doc0: 4 windows, only window 1 (the shared span) duplicated
+    assert rows[0].n_windows == 4 and rows[0].n_dup_windows == 1
+    assert rows[0].covered_tokens == 12
+    assert rows[0].dup_coverage_ppm == 1_000_000 * 12 // 15
+    # doc1: shared span starts at token 3 of 14
+    assert rows[1].n_dup_windows == 1 and rows[1].covered_tokens == 12
+    # unique doc: nothing flagged
+    assert rows[2].n_dup_windows == 0 and rows[2].covered_tokens == 0
+    assert rows[2].dup_coverage_ppm == 0
+
+
+def test_span_dedup_overlapping_windows_union_coverage(spark):
+    from document_parsing_etl_pipeline_spark.operators.dedup import (
+        span_dedup_profile,
+    )
+    # doc0 repeated verbatim -> every window duplicated, full coverage
+    t = " ".join(f"x{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [(0, t), (1, t)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in span_dedup_profile(docs, k=12).collect()}
+    for r in rows.values():
+        assert r.n_dup_windows == r.n_windows == 5
+        # overlapping dup windows union to the whole doc, not 5*12
+        assert r.covered_tokens == 16
+        assert r.dup_coverage_ppm == 1_000_000
