@@ -135,6 +135,9 @@ BENCH_QUERIES = [
     "q_rate_limit_audit",
     "q_asof_enrich",
     "q_span_dedup",
+    "q_benford_audit",
+    "q_ks_drift",
+    "q_chi2_drift",
 ]
 
 

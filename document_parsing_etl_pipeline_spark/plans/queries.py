@@ -5830,3 +5830,231 @@ def q_span_dedup(spark, sf_dir):
     return dedup.span_dedup_profile(
         load_table(spark, sf_dir, "documents"), k=_SPAN_K
     )
+
+
+# Benford expected first-digit shares, round(log10(1+1/d)*1e6):
+# identical literal table on both sides (no engine-side log10).
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+@register("q_benford_audit", f"""
+WITH d AS (
+    SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS BIGINT) AS digit
+    FROM orders
+), obs AS (
+    SELECT digit, count(*)::BIGINT AS n_obs FROM d GROUP BY digit
+), tot AS (
+    SELECT count(*)::BIGINT AS n FROM d
+), expected(digit, exp_ppm) AS (
+    VALUES {", ".join(f"({k}, {v})" for k, v in _BENFORD_PPM.items())}
+)
+SELECT e.digit::BIGINT AS digit,
+       coalesce(o.n_obs, 0)::BIGINT AS n_obs,
+       ((1000000 * coalesce(o.n_obs, 0)) // t.n)::BIGINT AS obs_ppm,
+       e.exp_ppm::BIGINT AS exp_ppm,
+       ((1000000 * coalesce(o.n_obs, 0)) // t.n - e.exp_ppm)::BIGINT
+           AS dev_ppm
+FROM expected e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot t
+""")
+def q_benford_audit(spark, sf_dir):
+    """Benford's-law first-digit audit over order totals — the
+    fraud/data-generation screen run on any money column before
+    trusting it. Prices go to exact integer cents first (round of an
+    IEEE product is engine-identical; the operand is never an exact
+    half), the first significant digit comes from the integer's
+    decimal string (no float log10 anywhere), and observed shares are
+    integer ppm against the literal Benford table. One map-side
+    aggregation to 9 groups + a 9-row broadcast join: shuffle-free at
+    any scale. (This synthetic data is ~uniform, so the audit
+    *reports* the deviation it was built to catch.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    obs = (
+        orders.select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100)
+                .cast("long").cast("string"),
+                1, 1,
+            ).cast("long").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+    )
+    total = orders.agg(F.count("*").cast("long").alias("n"))
+    expected = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_PPM.items()], "digit long, exp_ppm long"
+    )
+    return (
+        expected.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            F.expr("(1000000 * coalesce(n_obs, 0L)) div n")
+            .cast("long").alias("obs_ppm"),
+            F.col("exp_ppm").cast("long"),
+            (F.expr("(1000000 * coalesce(n_obs, 0L)) div n")
+             - F.col("exp_ppm")).cast("long").alias("dev_ppm"),
+        )
+    )
+
+
+@register("q_ks_drift", """
+WITH a AS (
+    SELECT o_totalprice AS v FROM orders WHERE year(o_orderdate) = 1996
+), b AS (
+    SELECT o_totalprice AS v FROM orders WHERE year(o_orderdate) = 1997
+), na AS (SELECT count(*)::BIGINT AS n FROM a),
+nb AS (SELECT count(*)::BIGINT AS n FROM b),
+counts AS (
+    SELECT v,
+           sum(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS da,
+           sum(CASE WHEN src = 0 THEN 1 ELSE 0 END) AS db
+    FROM (SELECT v, 1 AS src FROM a UNION ALL SELECT v, 0 AS src FROM b)
+    GROUP BY v
+), cum AS (
+    SELECT sum(da) OVER (ORDER BY v) AS ca,
+           sum(db) OVER (ORDER BY v) AS cb
+    FROM counts
+)
+SELECT na.n AS n_a, nb.n AS n_b,
+       max(abs(ca * nb.n - cb * na.n))::BIGINT AS max_cross,
+       ((1000000 * max(abs(ca * nb.n - cb * na.n))) // (na.n * nb.n))::BIGINT
+           AS ks_ppm
+FROM cum CROSS JOIN na CROSS JOIN nb
+GROUP BY na.n, nb.n
+""")
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift check between adjacent
+    order-date years' price distributions — the distribution-shift
+    gate a training pipeline runs between data snapshots. Exact
+    integer protocol: the KS statistic max|F1-F2| is computed on
+    cross-multiplied cumulative counts (|ca·n_b − cb·n_a|), so no
+    float CDF ever exists; ks_ppm is a floor-divided ppm. The global
+    ordered window runs over per-VALUE aggregated counts (cardinality
+    ≤ distinct prices, not rows); an exact ECDF merge is inherently a
+    global sort — at 100 TB run the binned variant (bin to integer
+    cents buckets first, same protocol), or the GK-sketch rank audit
+    (q_sketch_rank_audit) for a bounded-error answer."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"),
+        F.year(F.col("o_orderdate").cast("timestamp")).alias("y"),
+    )
+    a = orders.where(F.col("y") == 1996)
+    b = orders.where(F.col("y") == 1997)
+    pooled = a.select("v", F.lit(1).alias("src")).unionAll(
+        b.select("v", F.lit(0).alias("src"))
+    )
+    counts = pooled.groupBy("v").agg(
+        F.sum(F.when(F.col("src") == 1, 1).otherwise(0)).alias("da"),
+        F.sum(F.when(F.col("src") == 0, 1).otherwise(0)).alias("db"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        F.sum("da").over(w).alias("ca"), F.sum("db").over(w).alias("cb")
+    )
+    na = a.agg(F.count("*").cast("long").alias("n_a"))
+    nb = b.agg(F.count("*").cast("long").alias("n_b"))
+    return (
+        cum.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.max(F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")))
+            .cast("long").alias("max_cross")
+        )
+        .select(
+            "n_a", "n_b", "max_cross",
+            F.expr("(1000000 * max_cross) div (n_a * n_b)")
+            .cast("long").alias("ks_ppm"),
+        )
+    )
+
+
+@register("q_chi2_drift", """
+WITH cells AS (
+    SELECT event_type,
+           CAST(floor(TRY_CAST(
+               CASE WHEN props IS NOT NULL AND json_valid(props)
+                    THEN props->>'$.k' END AS DOUBLE) / 10.0) AS BIGINT)
+               AS k_bucket,
+           count(*)::BIGINT AS n_obs
+    FROM events
+    GROUP BY 1, 2
+), rows_t AS (
+    SELECT event_type, sum(n_obs)::BIGINT AS row_n FROM cells GROUP BY 1
+), cols_t AS (
+    SELECT k_bucket, sum(n_obs)::BIGINT AS col_n FROM cells GROUP BY 1
+), tot AS (
+    SELECT sum(n_obs)::BIGINT AS n FROM cells
+)
+SELECT c.event_type, c.k_bucket, c.n_obs,
+       ((1000 * r.row_n * co.col_n) // t.n)::BIGINT AS exp_milli,
+       (1000 * c.n_obs - (1000 * r.row_n * co.col_n) // t.n)::BIGINT
+           AS dev_milli,
+       CASE WHEN (1000 * r.row_n * co.col_n) // t.n >= 1000
+            THEN ((1000 * c.n_obs - (1000 * r.row_n * co.col_n) // t.n)
+                  // 1000)
+                 * ((1000 * c.n_obs - (1000 * r.row_n * co.col_n) // t.n)
+                    // 1000)
+                 // (((1000 * r.row_n * co.col_n) // t.n) // 1000)
+            ELSE 0 END::BIGINT AS chi2_contrib
+FROM cells c
+JOIN rows_t r USING (event_type)
+JOIN cols_t co USING (k_bucket)
+CROSS JOIN tot t
+""")
+def q_chi2_drift(spark, sf_dir):
+    """Chi-square independence table between event_type and the
+    props-JSON k-bucket — the categorical-drift / feature-leak screen
+    over two discrete columns. Expected counts are integer millis
+    ((1000·row·col) div n), deviations likewise, and the per-cell
+    chi-square contribution is computed at unit-count precision with
+    floor division only (identical truncation both engines; the
+    milli-squared path would overflow BIGINT past ~3M rows, the
+    unit-count path is safe to ~3B). Marginals come from reusing the
+    ~40-cell contingency aggregate, so the plan is one shuffle to
+    cells + broadcast joins of the tiny marginals."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS double)")
+    cells = (
+        ev.select(
+            "event_type", F.floor(k / 10).cast("long").alias("k_bucket")
+        )
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+    )
+    rows_t = cells.groupBy("event_type").agg(
+        F.sum("n_obs").cast("long").alias("row_n")
+    )
+    cols_t = cells.groupBy("k_bucket").agg(
+        F.sum("n_obs").cast("long").alias("col_n")
+    )
+    tot = cells.agg(F.sum("n_obs").cast("long").alias("n"))
+    exp_milli = F.expr("(1000 * row_n * col_n) div n")
+    dev_milli = F.lit(1000) * F.col("n_obs") - exp_milli
+    return (
+        cells.join(F.broadcast(rows_t), "event_type")
+        .join(F.broadcast(cols_t), "k_bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "k_bucket",
+            "n_obs",
+            exp_milli.cast("long").alias("exp_milli"),
+            dev_milli.cast("long").alias("dev_milli"),
+            F.when(
+                exp_milli >= 1000,
+                F.expr(
+                    "((1000 * n_obs - (1000 * row_n * col_n) div n)"
+                    " div 1000)"
+                    " * ((1000 * n_obs - (1000 * row_n * col_n) div n)"
+                    " div 1000)"
+                    " div (((1000 * row_n * col_n) div n) div 1000)"
+                ),
+            ).otherwise(F.lit(0)).cast("long").alias("chi2_contrib"),
+        )
+    )
