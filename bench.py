@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "q_benford_audit",
     "q_ks_drift",
     "q_chi2_drift",
+    "q_pagerank_terms",
 ]
 
 

@@ -6058,3 +6058,90 @@ def q_chi2_drift(spark, sf_dir):
             ).otherwise(F.lit(0)).cast("long").alias("chi2_contrib"),
         )
     )
+
+
+_PR_ITERS = 3
+
+_PR_ORACLE = """
+WITH toks AS (
+    SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS ent
+    FROM documents
+), edges AS (
+    SELECT DISTINCT a.ent AS src, b.ent AS dst
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.ent <> b.ent
+), nodes AS (
+    SELECT src AS ent FROM edges UNION SELECT dst FROM edges
+), deg AS (
+    SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1
+),
+r0 AS (SELECT ent, 1000000::BIGINT AS r FROM nodes),
+r1 AS (
+    SELECT n.ent,
+           (150000 + coalesce(sum((p.r * 850000) // (1000000 * d.deg)), 0))::BIGINT AS r
+    FROM nodes n
+    LEFT JOIN edges e ON e.dst = n.ent
+    LEFT JOIN r0 p ON p.ent = e.src
+    LEFT JOIN deg d ON d.src = e.src
+    GROUP BY n.ent
+),
+r2 AS (
+    SELECT n.ent,
+           (150000 + coalesce(sum((p.r * 850000) // (1000000 * d.deg)), 0))::BIGINT AS r
+    FROM nodes n
+    LEFT JOIN edges e ON e.dst = n.ent
+    LEFT JOIN r1 p ON p.ent = e.src
+    LEFT JOIN deg d ON d.src = e.src
+    GROUP BY n.ent
+),
+r3 AS (
+    SELECT n.ent,
+           (150000 + coalesce(sum((p.r * 850000) // (1000000 * d.deg)), 0))::BIGINT AS r
+    FROM nodes n
+    LEFT JOIN edges e ON e.dst = n.ent
+    LEFT JOIN r2 p ON p.ent = e.src
+    LEFT JOIN deg d ON d.src = e.src
+    GROUP BY n.ent
+)
+SELECT n.ent, coalesce(d2.deg, 0)::BIGINT AS degree,
+       r3.r::BIGINT AS pagerank_micro
+FROM nodes n
+JOIN r3 ON r3.ent = n.ent
+LEFT JOIN deg d2 ON d2.src = n.ent
+"""
+
+
+@register("q_pagerank_terms", _PR_ORACLE)
+def q_pagerank_terms(spark, sf_dir):
+    """PageRank over the term co-occurrence graph: distinct document
+    tokens are nodes, co-occurrence in a document is a (directed both
+    ways) edge, and 3 unrolled power iterations run in exact
+    integer micro-rank fixed point (operators/graph.py — floats would
+    hash-differ across engines in accumulation order; integer
+    truncating division replays identically in the unrolled-CTE
+    oracle). The graph build is the classic co-occurrence self-join
+    (per-doc quadratic in DISTINCT terms — bounded by doc length);
+    each iteration is one shuffle on dst. The library operator
+    (pagerank_integer) takes any edge list — the term graph here is
+    the corpus's concept-importance readout."""
+    from ..operators.graph import pagerank_integer
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("regexp_extract_all(text, '\\\\S+', 0)")
+            ).alias("ent"),
+        )
+        .distinct()
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    edges = (
+        a.join(b, "doc_id")
+        .where(F.col("a.ent") != F.col("b.ent"))
+        .select(F.col("a.ent").alias("src"), F.col("b.ent").alias("dst"))
+        .distinct()
+    )
+    return pagerank_integer(edges, iterations=_PR_ITERS).select(
+        "ent", "degree", "pagerank_micro"
+    )

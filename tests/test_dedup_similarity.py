@@ -259,3 +259,32 @@ def test_span_dedup_overlapping_windows_union_coverage(spark):
         # overlapping dup windows union to the whole doc, not 5*12
         assert r.covered_tokens == 16
         assert r.dup_coverage_ppm == 1_000_000
+
+
+def test_pagerank_integer_matches_reference_recurrence(spark):
+    from document_parsing_etl_pipeline_spark.operators.graph import (
+        pagerank_integer, PPM,
+    )
+    # star: hub <-> 3 spokes, plus a chain tail  (directed both ways)
+    und = [("hub", "s1"), ("hub", "s2"), ("hub", "s3"), ("s1", "t1")]
+    pairs = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    got = {
+        r.ent: (r.degree, r.pagerank_micro)
+        for r in pagerank_integer(edges, iterations=3).collect()
+    }
+    # python replay of the exact integer recurrence
+    damp, base = 850_000, 150_000
+    out = {u: [v for (a, v) in pairs if a == u] for u, _ in pairs}
+    deg = {u: len(vs) for u, vs in out.items()}
+    r = {u: PPM for u in deg}
+    for _ in range(3):
+        nxt = {u: base for u in deg}
+        for u, vs in out.items():
+            c = (r[u] * damp) // (PPM * deg[u])
+            for v in vs:
+                nxt[v] += c
+        r = nxt
+    assert {u: (deg[u], r[u]) for u in r} == got
+    # hub outranks spokes, spokes outrank the tail
+    assert got["hub"][1] > got["s1"][1] > got["t1"][1]
