@@ -1,0 +1,99 @@
+import os
+
+import pytest
+
+from document_parsing_etl_pipeline_spark.sources import tableformat as tf
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 100).selectExpr(
+        "id AS doc_id", "concat('t', id) AS text", "id % 7 AS grp"
+    ).repartition(4, "doc_id")
+    tf.create_table(spark, df, root, stats_cols=["doc_id"])
+    return root
+
+
+def test_create_append_and_time_travel(spark, table):
+    assert tf.read(spark, table).count() == 100
+    more = spark.range(100, 150).selectExpr(
+        "id AS doc_id", "concat('t', id) AS text", "id % 7 AS grp"
+    )
+    v2 = tf.append(spark, more, table)
+    assert tf.read(spark, table).count() == 150
+    # old snapshot still intact
+    assert tf.read(spark, table, version=1).count() == 100
+    # timestamp travel: as-of v1's commit returns v1
+    h = tf.history(table)
+    assert [x["version"] for x in h] == [1, v2]
+    assert tf.read(spark, table, as_of_us=h[0]["committed_us"]).count() == 100
+
+
+def test_merge_rewrites_only_hit_files(spark, table):
+    n_before = len(tf._load_manifest(table, 1)["files"])
+    upd = spark.createDataFrame(
+        [(3, "updated", 3), (999, "new", 5)],
+        "doc_id long, text string, grp long",
+    )
+    tf.merge_into(spark, upd, table, key="doc_id")
+    head = tf._load_manifest(table, 2)
+    cur = tf.read(spark, table)
+    assert cur.count() == 101
+    rows = {r.doc_id: r.text for r in cur.where("doc_id in (3, 4, 999)").collect()}
+    assert rows[3] == "updated" and rows[999] == "new"
+    assert rows[4] == "t4"  # neighbors untouched
+    # v1 time travel still shows the original value
+    old = tf.read(spark, table, version=1)
+    assert old.where("doc_id = 3").first().text == "t3"
+    assert old.count() == 100
+    # doc_id 0..99 round-robined over 4 files -> every file holds key 3?
+    # repartition(4, doc_id) hashes: only files containing key 3 rewritten,
+    # others carried by reference (path unchanged from v1)
+    v1_paths = {e["path"] for e in tf._load_manifest(table, 1)["files"]}
+    carried = {e["path"] for e in head["files"]} & v1_paths
+    assert len(carried) == n_before - 1  # exactly one file held doc_id=3
+
+
+def test_scan_prunes_files_by_manifest_stats(spark, tmp_path):
+    root = str(tmp_path / "tbl2")
+    # range-partitioned by doc_id -> disjoint per-file key ranges
+    df = spark.range(0, 1000).selectExpr("id AS doc_id", "id * 2 AS v") \
+        .repartitionByRange(8, "doc_id")
+    tf.create_table(spark, df, root, stats_cols=["doc_id"])
+    out, files_read, files_total = tf.scan(spark, root, "doc_id", 100, 120)
+    assert files_total == 8 and files_read <= 2
+    got = sorted(r.doc_id for r in out.collect())
+    assert got == list(range(100, 121))
+    # fully out-of-range scan reads zero files
+    _, zero_read, _ = tf.scan(spark, root, "doc_id", 5000, 6000)
+    assert zero_read == 0
+
+
+def test_delete_where_drops_covered_files_without_reading(spark, tmp_path):
+    root = str(tmp_path / "tbl3")
+    df = spark.range(0, 1000).selectExpr("id AS doc_id", "id * 2 AS v") \
+        .repartitionByRange(8, "doc_id")
+    tf.create_table(spark, df, root, stats_cols=["doc_id"])
+    v1_files = {e["path"] for e in tf._load_manifest(root, 1)["files"]}
+    tf.delete_where(spark, root, "doc_id", 0, 130)
+    head = tf._load_manifest(root, 2)
+    cur = tf.read(spark, root)
+    assert cur.count() == 1000 - 131
+    assert cur.agg({"doc_id": "min"}).first()[0] == 131
+    # the wholly-covered leading file(s) vanished by reference (no
+    # rewrite artifact), boundary file rewritten under -del
+    assert any("-del" in e["path"] for e in head["files"])
+    assert len({e["path"] for e in head["files"]} & v1_files) < len(v1_files)
+    # time travel unaffected
+    assert tf.read(spark, root, version=1).count() == 1000
+
+
+def test_commit_is_atomic_per_version(spark, table):
+    # simulate a concurrent writer landing the same version number
+    import json
+    m = tf._load_manifest(table, 1)
+    with pytest.raises(FileExistsError):
+        fd = os.open(tf._manifest_path(table, 1),
+                     os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        os.write(fd, json.dumps(m).encode())
