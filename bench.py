@@ -139,16 +139,26 @@ BENCH_QUERIES = [
     "q_ks_drift",
     "q_chi2_drift",
     "q_pagerank_terms",
+    "q_tokenizer_fertility",
 ]
 
 
-def _progress_stats(query) -> tuple[int, float, float]:
-    """(input_rows, total_batch_ms, max_batch_ms) over the micro-
-    batches that actually carried rows."""
+def _progress_stats(query) -> tuple[int, float, float, dict]:
+    """(input_rows, total_batch_ms, max_batch_ms, state) over the
+    micro-batches that actually carried rows; ``state`` reports the
+    state store's high-water marks (rows held, bytes) summed across
+    stateful operators — the number that decides executor sizing for
+    a long-running stream (it grows with keys, not with throughput)."""
     rows, total_ms, max_ms = 0, 0.0, 0.0
+    state_rows, state_bytes = 0, 0
     for p in query.recentProgress:
         if isinstance(p, str):
             p = json.loads(p)
+        for op in p.get("stateOperators") or []:
+            state_rows = max(state_rows, int(op.get("numRowsTotal", 0) or 0))
+            state_bytes = max(
+                state_bytes, int(op.get("memoryUsedBytes", 0) or 0)
+            )
         n = int(p.get("numInputRows", 0) or 0)
         if n <= 0:
             continue
@@ -156,7 +166,11 @@ def _progress_stats(query) -> tuple[int, float, float]:
         rows += n
         total_ms += ms
         max_ms = max(max_ms, ms)
-    return rows, total_ms, max_ms
+    state = {}
+    if state_rows or state_bytes:
+        state = {"state_rows_max": state_rows,
+                 "state_mem_bytes_max": state_bytes}
+    return rows, total_ms, max_ms, state
 
 
 def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
@@ -197,7 +211,7 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
             t0 = time.time()
             q.awaitTermination()
             wall = time.time() - t0
-            rows, total_ms, max_ms = _progress_stats(q)
+            rows, total_ms, max_ms, state = _progress_stats(q)
             out[name] = {
                 "input_rows": rows,
                 "wall_sec": round(wall, 2),
@@ -205,6 +219,7 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
                 "batch_max_ms": round(max_ms, 0),
                 "rows_per_sec": round(rows / (total_ms / 1000.0), 0)
                 if total_ms > 0 else None,
+                **state,
             }
 
         # windowed agg with watermark (stream_events)

@@ -6145,3 +6145,62 @@ def q_pagerank_terms(spark, sf_dir):
     return pagerank_integer(edges, iterations=_PR_ITERS).select(
         "ent", "degree", "pagerank_micro"
     )
+
+
+@register("q_tokenizer_fertility", f"""
+WITH per_doc AS (
+    SELECT lang,
+           len(regexp_extract_all(text, '\\S+'))::BIGINT AS words,
+           len(regexp_extract_all(text, '{ta.RE_BPE_TOKEN}'))::BIGINT
+               AS toks,
+           length(regexp_replace(text, '\\s+', '', 'g'))::BIGINT AS chars
+    FROM documents
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(words)::BIGINT AS total_words,
+       sum(toks)::BIGINT AS total_tokens,
+       ((1000000 * sum(toks)) // greatest(sum(words), 1))::BIGINT
+           AS fertility_ppm,
+       ((1000 * sum(chars)) // greatest(sum(toks), 1))::BIGINT
+           AS chars_per_token_milli
+FROM per_doc
+GROUP BY lang
+""")
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language: subword (BPE-ish regex)
+    tokens per whitespace word, and characters per token — the
+    compression readout that decides tokenizer/vocab fit per language
+    before a training run (fertility spikes on a language mean its
+    text costs disproportionate sequence length). Map-side-combinable
+    aggregation to one row per lang; integer ppm/milli protocol.
+    Uses the same RE_BPE_TOKEN as token_count (text_analysis.py:25)
+    so the two readouts share a tokenizer definition."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.expr("size(regexp_extract_all(text, '\\\\S+', 0))")
+        .cast("long").alias("words"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(ta.RE_BPE_TOKEN), F.lit(0))
+        ).cast("long").alias("toks"),
+        F.length(F.regexp_replace("text", r"\s+", "")).cast("long")
+        .alias("chars"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("words").cast("long").alias("total_words"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+            F.sum("chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            "lang", "n_docs", "total_words", "total_tokens",
+            F.expr(
+                "(1000000 * total_tokens) div greatest(total_words, 1L)"
+            ).cast("long").alias("fertility_ppm"),
+            F.expr(
+                "(1000 * total_chars) div greatest(total_tokens, 1L)"
+            ).cast("long").alias("chars_per_token_milli"),
+        )
+    )
