@@ -140,6 +140,9 @@ BENCH_QUERIES = [
     "q_chi2_drift",
     "q_pagerank_terms",
     "q_tokenizer_fertility",
+    "q_term_assoc",
+    "q_join_cardinality_estimate",
+    "q_table_checksum",
 ]
 
 

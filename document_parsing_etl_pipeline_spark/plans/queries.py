@@ -6204,3 +6204,217 @@ def q_tokenizer_fertility(spark, sf_dir):
             ).cast("long").alias("chars_per_token_milli"),
         )
     )
+
+
+@register("q_term_assoc", """
+WITH toks AS (
+    SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t
+    FROM documents
+), n_t AS (
+    SELECT count(*)::BIGINT AS n FROM documents
+), df_t AS (
+    SELECT t, count(*)::BIGINT AS dfreq FROM toks GROUP BY t
+), pairs AS (
+    SELECT a.t AS term_a, b.t AS term_b, count(*)::BIGINT AS c_ab
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.t < b.t
+    GROUP BY 1, 2
+)
+SELECT p.term_a, p.term_b, p.c_ab, da.dfreq AS df_a, db.dfreq AS df_b,
+       ((1000 * n.n * p.c_ab) // (da.dfreq * db.dfreq))::BIGINT
+           AS lift_milli
+FROM pairs p
+JOIN df_t da ON da.t = p.term_a
+JOIN df_t db ON db.t = p.term_b
+CROSS JOIN n_t n
+WHERE p.c_ab >= 5
+""")
+def q_term_assoc(spark, sf_dir):
+    """Term-association lift over document co-occurrence:
+    lift(a,b) = P(a,b)/(P(a)P(b)) in integer millis — the log-free
+    sibling of PMI (ratios of counts need no transcendentals, so the
+    oracle replays it exactly; lift>1000 means the pair co-occurs
+    more than independence predicts). Plan: distinct per-doc terms,
+    the standard co-occurrence self-join (bounded per-doc quadratic),
+    pair counts in one shuffle, then joins against the tiny
+    doc-frequency relation. c_ab>=5 floors support. The milli product
+    1000·n·c_ab needs DECIMAL(38,0) past n~3e6 docs (documented
+    bound, same protocol as q_chi2_drift)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0))
+        ).alias("t"),
+    ).distinct()
+    n_t = docs.agg(F.count("*").cast("long").alias("n"))
+    df_t = toks.groupBy("t").agg(F.count("*").cast("long").alias("dfreq"))
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("a.t") < F.col("b.t"))
+        .groupBy(
+            F.col("a.t").alias("term_a"), F.col("b.t").alias("term_b")
+        )
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= 5)
+    )
+    return (
+        pairs.join(
+            F.broadcast(df_t.select(F.col("t").alias("term_a"),
+                                    F.col("dfreq").alias("df_a"))),
+            "term_a",
+        )
+        .join(
+            F.broadcast(df_t.select(F.col("t").alias("term_b"),
+                                    F.col("dfreq").alias("df_b"))),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            "term_a", "term_b", "c_ab", "df_a", "df_b",
+            F.expr("(1000 * n * c_ab) div (df_a * df_b)")
+            .cast("long").alias("lift_milli"),
+        )
+    )
+
+
+_JCE_BUCKETS = 256
+
+
+@register("q_join_cardinality_estimate", f"""
+WITH ha AS (
+    SELECT ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 4))::INT
+               % {_JCE_BUCKETS} AS b,
+           count(*)::BIGINT AS ca
+    FROM orders GROUP BY 1
+), hb AS (
+    SELECT ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 4))::INT
+               % {_JCE_BUCKETS} AS b,
+           count(*)::BIGINT AS cb
+    FROM lineitem GROUP BY 1
+), est AS (
+    SELECT sum(ha.ca * hb.cb)::BIGINT AS est_rows
+    FROM ha JOIN hb USING (b)
+), tru AS (
+    SELECT count(*)::BIGINT AS true_rows
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)
+SELECT {_JCE_BUCKETS}::BIGINT AS n_buckets, e.est_rows, t.true_rows,
+       ((1000000 * (e.est_rows - t.true_rows)) // t.true_rows)::BIGINT
+           AS overest_ppm
+FROM est e CROSS JOIN tru t
+""")
+def q_join_cardinality_estimate(spark, sf_dir):
+    """Histogram join-cardinality estimator, audited against the true
+    join: {_JCE_BUCKETS}-bucket md5-hash histograms of both join keys
+    (engine-identical bucketing — never the engines' internal hash),
+    estimate = Σ_b count_a(b)·count_b(b), compared to the actual
+    orders⋈lineitem row count. This is the optimizer's equi-join
+    estimate shape (and the audit shows exactly the collision-driven
+    overestimate, in ppm); the histograms are map-side-combinable
+    {_JCE_BUCKETS}-row relations — broadcastable at any fact size,
+    the true join runs once as the measured reference."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def hist(df, key):
+        return (
+            df.select(
+                (F.conv(
+                    F.substring(F.md5(F.col(key).cast("string")), 1, 4),
+                    16, 10,
+                ).cast("int") % _JCE_BUCKETS).alias("b")
+            )
+            .groupBy("b")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+    ha = hist(orders, "o_orderkey").withColumnRenamed("c", "ca")
+    hb = hist(li, "l_orderkey").withColumnRenamed("c", "cb")
+    est = (
+        ha.join(hb, "b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("est_rows"))
+    )
+    tru = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .agg(F.count("*").cast("long").alias("true_rows"))
+    )
+    return (
+        est.crossJoin(tru)
+        .select(
+            F.lit(_JCE_BUCKETS).cast("long").alias("n_buckets"),
+            "est_rows",
+            "true_rows",
+            F.expr("(1000000 * (est_rows - true_rows)) div true_rows")
+            .cast("long").alias("overest_ppm"),
+        )
+    )
+
+
+_CKSUM_MOD = 1_000_000_000_000_000_000
+
+
+@register("q_table_checksum", f"""
+WITH doc_rows AS (
+    SELECT ('0x' || substr(md5(concat_ws('|', doc_id, lang, source,
+                                         n_chars, md5(text))), 1, 15)
+           )::BIGINT AS h
+    FROM documents
+), ord_rows AS (
+    SELECT ('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey,
+                o_orderstatus,
+                CAST(round(o_totalprice * 100) AS BIGINT),
+                epoch_us(o_orderdate), o_orderpriority)), 1, 15)
+           )::BIGINT AS h
+    FROM orders
+)
+SELECT 'documents' AS table_name, count(*)::BIGINT AS n_rows,
+       (sum(h::DECIMAL(38,0)) % {_CKSUM_MOD})::BIGINT AS checksum
+FROM doc_rows
+UNION ALL
+SELECT 'orders', count(*)::BIGINT,
+       (sum(h::DECIMAL(38,0)) % {_CKSUM_MOD})::BIGINT
+FROM ord_rows
+""")
+def q_table_checksum(spark, sf_dir):
+    """Order-insensitive table content checksums — the anti-entropy /
+    replication-verification primitive (compare per-table checksums
+    across two replicas or before/after a migration without moving
+    data). Each row canonicalizes to a '|'-joined string (doubles via
+    exact integer cents, timestamps via epoch micros, text via md5),
+    hashes to a 60-bit integer (15 hex digits — BIGINT-safe), and the
+    table checksum is the modular SUM of row hashes: commutative, so
+    partition order never matters, and any single-row difference
+    changes it with probability 1-2^-60. Pure map-side aggregation,
+    zero shuffles beyond the 1-row combine."""
+    docs = load_table(spark, sf_dir, "documents")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def rowhash(cols):
+        return F.conv(
+            F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10
+        ).cast("decimal(38,0)")
+
+    d = docs.select(
+        rowhash([
+            F.col("doc_id"), F.col("lang"), F.col("source"),
+            F.col("n_chars"), F.md5("text"),
+        ]).alias("h")
+    ).agg(
+        F.lit("documents").alias("table_name"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.expr(f"CAST(sum(h) % {_CKSUM_MOD} AS BIGINT)").alias("checksum"),
+    )
+    o = orders.select(
+        rowhash([
+            F.col("o_orderkey"), F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 100).cast("long"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")),
+            F.col("o_orderpriority"),
+        ]).alias("h")
+    ).agg(
+        F.lit("orders").alias("table_name"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.expr(f"CAST(sum(h) % {_CKSUM_MOD} AS BIGINT)").alias("checksum"),
+    )
+    return d.unionAll(o)
