@@ -567,3 +567,69 @@ def test_rate_limit_audit_token_bucket_semantics(spark):
     # refill clamped at cap (2 tokens), one consumed
     assert out[4].tokens_after_micro == 1_000_000
     assert out[5].allowed                     # fresh bucket per user
+
+
+def test_rate_limit_stream_matches_batch_replay(spark, tmp_path):
+    import json
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from document_parsing_etl_pipeline_spark.operators.ratelimit import (
+        rate_limit_audit,
+    )
+    from document_parsing_etl_pipeline_spark.streaming.stateful import (
+        rate_limit_stream,
+    )
+
+    drop = tmp_path / "rl_in"
+    drop.mkdir()
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts_us", LongType()),
+    ])
+    out = str(tmp_path / "rl_out")
+
+    def run_batch():
+        stream = spark.readStream.schema(schema).json(str(drop))
+        q = (rate_limit_stream(stream, cap=2, refill_div=10)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", str(tmp_path / "rl_ck"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # burst then spaced refills for u1; u2 steady — split across two
+    # micro-batches so state genuinely carries over
+    b1 = [
+        {"event_id": 1, "user_id": 1, "ts_us": 0},
+        {"event_id": 2, "user_id": 1, "ts_us": 1},
+        {"event_id": 3, "user_id": 1, "ts_us": 2},      # denied: bucket dry
+        {"event_id": 7, "user_id": 2, "ts_us": 0},
+    ]
+    b2 = [
+        # Δt=2.5e7 µs at 1 micro-token/10 µs -> bucket refills to cap 2
+        {"event_id": 4, "user_id": 1, "ts_us": 25_000_000},
+        {"event_id": 5, "user_id": 1, "ts_us": 25_000_001},
+        {"event_id": 6, "user_id": 1, "ts_us": 25_000_002},  # denied again
+        {"event_id": 8, "user_id": 2, "ts_us": 30_000_000},
+    ]
+    (drop / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+    run_batch()
+    (drop / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+    run_batch()
+
+    got = {
+        r.event_id: (r.allowed, r.tokens_after_micro)
+        for r in spark.read.parquet(out).collect()
+    }
+    ev = spark.createDataFrame(
+        [(r["event_id"], r["user_id"], r["ts_us"]) for r in b1 + b2],
+        "event_id long, user_id long, ts_us long",
+    )
+    want = {
+        r.event_id: (r.allowed, r.tokens_after_micro)
+        for r in rate_limit_audit(ev, cap=2, refill_div=10).collect()
+    }
+    assert got == want
+    assert got[3][0] is False and got[6][0] is False
+    assert got[4][0] is True
