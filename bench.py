@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     "q_term_assoc",
     "q_join_cardinality_estimate",
     "q_table_checksum",
+    "q_trend_slope",
+    "q_value_histogram",
 ]
 
 

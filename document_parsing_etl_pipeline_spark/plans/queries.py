@@ -6418,3 +6418,98 @@ def q_table_checksum(spark, sf_dir):
         F.expr(f"CAST(sum(h) % {_CKSUM_MOD} AS BIGINT)").alias("checksum"),
     )
     return d.unionAll(o)
+
+
+_DAY_US = 86_400_000_000
+
+
+@register("q_trend_slope", f"""
+WITH daily AS (
+    SELECT event_type, epoch_us(ts) // {_DAY_US} AS day, count(*) AS y
+    FROM events GROUP BY 1, 2
+), s AS (
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           sum(day)::BIGINT AS sx,
+           sum(y)::BIGINT AS sy,
+           sum(day * y)::BIGINT AS sxy,
+           sum(day * day)::BIGINT AS sxx
+    FROM daily GROUP BY 1
+)
+SELECT event_type, n AS n_days, sy AS total_events,
+       ((1000 * sy) // n)::BIGINT AS mean_daily_milli,
+       CASE WHEN n * sxx - sx * sx = 0 THEN 0
+            ELSE (1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+       END::BIGINT AS slope_milli
+FROM s
+""")
+def q_trend_slope(spark, sf_dir):
+    """Per-event-type activity trend: ordinary-least-squares slope of
+    daily counts over epoch-day index, in milli-events/day/day — the
+    growth/decay detector a monitoring pipeline fits per segment.
+    OLS reduces to five integer sums (n, Σx, Σy, Σxy, Σx²) — all
+    map-side-combinable in one aggregation pass, so the regression
+    costs exactly one shuffle to |event_type| groups; the closed-form
+    slope (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is evaluated in pure BIGINT
+    with truncating division (engine-identical). Degenerate single-day
+    groups return slope 0 rather than dividing by zero."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type", F.expr(f"(ts div 1000) div {_DAY_US}").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("y"))
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("day").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("day") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("day") * F.col("day")).cast("long").alias("sxx"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("sy").alias("total_events"),
+        F.expr("(1000 * sy) div n").cast("long").alias("mean_daily_milli"),
+        F.when(F.expr("n * sxx - sx * sx") == 0, F.lit(0))
+        .otherwise(
+            F.expr("(1000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)")
+        )
+        .cast("long").alias("slope_milli"),
+    )
+
+
+_HIST_BIN = 50.0  # equi-width bin size for event value
+
+
+@register("q_value_histogram", f"""
+SELECT event_type,
+       CAST(floor(value / {_HIST_BIN}) AS BIGINT) AS bin,
+       count(*)::BIGINT AS n,
+       CAST(min(value * 1000000) AS BIGINT) AS min_micro,
+       CAST(max(value * 1000000) AS BIGINT) AS max_micro
+FROM events
+GROUP BY 1, 2
+""")
+def q_value_histogram(spark, sf_dir):
+    """Equi-width value histogram per event type (the profiling
+    sibling of the equi-depth percentile queries): floor-bucket the
+    double ONCE (floor of an IEEE division is engine-identical for
+    these magnitudes), count per (type, bin), carry exact min/max in
+    integer micros. Map-side-combinable single shuffle to
+    |types|×|bins| groups — the scan-speed histogram every column
+    profiler runs before choosing join/filter strategies."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / _HIST_BIN).cast("long").alias("bin"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min(F.col("value") * 1_000_000).cast("long").alias("min_micro"),
+            F.max(F.col("value") * 1_000_000).cast("long").alias("max_micro"),
+        )
+    )

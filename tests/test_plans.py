@@ -230,3 +230,30 @@ def test_semdedup_materialize_collapses_embedding_scans(spark):
     mat_plan = _executed(semdedup_keep(emb, materialize=True))
     assert mat_plan.count("Scan parquet") < lazy_plan.count("Scan parquet")
     assert mat_plan.count("Scan parquet") <= 2
+
+
+def test_session5_audit_queries_plan_shapes(spark):
+    # table checksum: pure map-side aggregation — no hash-partitioned
+    # exchange anywhere (only the 1-row final combines)
+    plan = _executed(QUERIES["q_table_checksum"](spark, SF_DIR))
+    assert "Exchange hashpartitioning" not in plan
+    # benford: 9-row expected table + 9-group obs + 1-row total all
+    # meet by broadcast; no sort-merge join
+    plan = _executed(QUERIES["q_benford_audit"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # chi-square: marginals broadcast back onto the contingency cells
+    plan = _executed(QUERIES["q_chi2_drift"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # join-cardinality estimator: the 256-row histograms must join as
+    # broadcast; only the TRUE-join reference may shuffle
+    plan = _executed(QUERIES["q_join_cardinality_estimate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # trend slope: exactly one aggregation cascade, no window/sort of
+    # the raw event stream
+    plan = _executed(QUERIES["q_trend_slope"](spark, SF_DIR))
+    assert "Window" not in plan
+    # span dedup: window-hash counts join back without any nested loop
+    plan = _executed(QUERIES["q_span_dedup"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
