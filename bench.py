@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "q_table_checksum",
     "q_trend_slope",
     "q_value_histogram",
+    "q_watermark_audit",
 ]
 
 

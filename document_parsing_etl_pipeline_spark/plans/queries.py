@@ -6513,3 +6513,84 @@ def q_value_histogram(spark, sf_dir):
             F.max(F.col("value") * 1_000_000).cast("long").alias("max_micro"),
         )
     )
+
+
+_WM_BUCKET = 1_000  # arrival-sequence bucket for the two-level prefix-max
+
+
+@register("q_watermark_audit", """
+WITH e AS (
+    SELECT event_id, epoch_us(ts) AS ts_us FROM events
+), r AS (
+    SELECT ts_us,
+           max(ts_us) OVER (ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS high_water
+    FROM e
+)
+SELECT count(*)::BIGINT AS n_events,
+       sum(CASE WHEN high_water - ts_us > 60000000
+                THEN 1 ELSE 0 END)::BIGINT AS dropped_1m,
+       sum(CASE WHEN high_water - ts_us > 300000000
+                THEN 1 ELSE 0 END)::BIGINT AS dropped_5m,
+       sum(CASE WHEN high_water - ts_us > 600000000
+                THEN 1 ELSE 0 END)::BIGINT AS dropped_10m,
+       CAST(max(greatest(high_water - ts_us, 0)) AS BIGINT)
+           AS max_lateness_us
+FROM r
+""")
+def q_watermark_audit(spark, sf_dir):
+    """Watermark sizing audit: replay the log in ARRIVAL order
+    (event_id) and count how many events a 1/5/10-minute watermark
+    would drop — each event's lateness is the running max event-time
+    of everything that arrived strictly before it, minus its own
+    event time (exactly Structured Streaming's idealized continuous
+    watermark). The batch answer you compute BEFORE turning on
+    `withWatermark`, instead of discovering the drop rate in
+    production. The global prefix-max never runs as one partition on
+    the Spark side: the q_shard_assignment two-level plan (per-bucket
+    running max + broadcast prefix over the ~n/1000 bucket maxima);
+    the oracle uses the plain global window, proving the
+    decomposition exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.expr(f"event_id div {_WM_BUCKET}").alias("bucket"),
+    )
+    w_in = (
+        Window.partitionBy("bucket").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = ev.withColumn("within_max", F.max("ts_us").over(w_in))
+    bucket_max = ev.groupBy("bucket").agg(F.max("ts_us").alias("bmax"))
+    w_b = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bucket_max.select(
+        "bucket", F.max("bmax").over(w_b).alias("prefix_max")
+    )
+    late = (
+        within.join(F.broadcast(offsets), "bucket")
+        .select(
+            "ts_us",
+            F.greatest(
+                F.coalesce("within_max", F.lit(None)),
+                F.coalesce("prefix_max", F.lit(None)),
+            ).alias("high_water"),
+        )
+        .select(
+            "ts_us",
+            (F.col("high_water") - F.col("ts_us")).alias("late_us"),
+        )
+    )
+    return late.agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("late_us") > 60_000_000, 1).otherwise(0))
+        .cast("long").alias("dropped_1m"),
+        F.sum(F.when(F.col("late_us") > 300_000_000, 1).otherwise(0))
+        .cast("long").alias("dropped_5m"),
+        F.sum(F.when(F.col("late_us") > 600_000_000, 1).otherwise(0))
+        .cast("long").alias("dropped_10m"),
+        F.max(F.greatest(F.col("late_us"), F.lit(0))).cast("long")
+        .alias("max_lateness_us"),
+    )
