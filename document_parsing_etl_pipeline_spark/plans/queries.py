@@ -6488,8 +6488,8 @@ _HIST_BIN = 50.0  # equi-width bin size for event value
 SELECT event_type,
        CAST(floor(value / {_HIST_BIN}) AS BIGINT) AS bin,
        count(*)::BIGINT AS n,
-       CAST(min(value * 1000000) AS BIGINT) AS min_micro,
-       CAST(max(value * 1000000) AS BIGINT) AS max_micro
+       CAST(round(min(value * 1000000)) AS BIGINT) AS min_micro,
+       CAST(round(max(value * 1000000)) AS BIGINT) AS max_micro
 FROM events
 GROUP BY 1, 2
 """)
@@ -6509,8 +6509,10 @@ def q_value_histogram(spark, sf_dir):
         )
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.min(F.col("value") * 1_000_000).cast("long").alias("min_micro"),
-            F.max(F.col("value") * 1_000_000).cast("long").alias("max_micro"),
+            F.round(F.min(F.col("value") * 1_000_000)).cast("long")
+            .alias("min_micro"),
+            F.round(F.max(F.col("value") * 1_000_000)).cast("long")
+            .alias("max_micro"),
         )
     )
 
