@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "q_trend_slope",
     "q_value_histogram",
     "q_watermark_audit",
+    "q_timeseries_gapfill",
 ]
 
 

@@ -6596,3 +6596,60 @@ def q_watermark_audit(spark, sf_dir):
         F.max(F.greatest(F.col("late_us"), F.lit(0))).cast("long")
         .alias("max_lateness_us"),
     )
+
+
+@register("q_timeseries_gapfill", f"""
+WITH daily AS (
+    SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT min(day) AS lo, max(day) AS hi FROM daily
+), grid AS (
+    SELECT t.event_type, g.g AS day
+    FROM (SELECT DISTINCT event_type FROM daily) t
+    CROSS JOIN bounds b, unnest(generate_series(b.lo, b.hi)) AS g(g)
+)
+SELECT grid.event_type, grid.day * {_DAY_US} AS day_start_us,
+       coalesce(d.n, 0)::BIGINT AS n_events,
+       (d.n IS NULL) AS gap_filled
+FROM grid LEFT JOIN daily d
+  ON d.event_type = grid.event_type AND d.day = grid.day
+""")
+def q_timeseries_gapfill(spark, sf_dir):
+    """Calendar densification: the (event_type × day) grid over the
+    observed date range with explicit zero rows for silent days —
+    every downstream window/trend/anomaly computation needs gap-free
+    series (a missing day reads as 'no row', not 'zero', and skews
+    moving averages). Grid = tiny dims crossJoin (|types| × |days| —
+    broadcastable at any fact size since it scales with the calendar,
+    not the data), left join back to the aggregated dailies. The
+    gap_filled flag makes imputation auditable."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type", F.expr(f"(ts div 1000) div {_DAY_US}").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    bounds = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    types = daily.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi")).alias("day"),
+        )
+    )
+    return (
+        grid.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            (F.col("day") * F.lit(_DAY_US)).alias("day_start_us"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+            F.col("n").isNull().alias("gap_filled"),
+        )
+    )
