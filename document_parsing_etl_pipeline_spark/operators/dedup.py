@@ -856,3 +856,117 @@ def span_dedup_profile(
             .cast("long").alias("dup_coverage_ppm"),
         )
     )
+
+
+def setsim_prefix_join(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT all-pairs set-similarity join via prefix filtering
+    (AllPairs, Bayardo et al. 2007; PPJoin length filter, Xiao et
+    al. 2008): every document pair whose word ``shingle_n``-gram
+    Jaccard >= threshold_num/threshold_den — ZERO recall loss,
+    unlike the capped-LSH pipelines (minhash/simhash), yet never the
+    all-pairs product either.
+
+    The filter is lossless: order each document's shingles by
+    ascending global document frequency (rarest first, ties by
+    term), keep only the first |s| - ceil(t*|s|) + 1 per document
+    ("prefix"), and join ONLY on prefix shingles. Any pair with
+    Jaccard >= t shares >= ceil(t*max(|a|,|b|)) shingles, more than
+    either suffix can hold, so some shared shingle sits in both
+    prefixes — candidates are a superset of the answer and exact
+    verification (one count per surviving pair) finishes the job.
+    The length filter den*min >= num*max prunes size-incompatible
+    pairs before verification.
+
+    Scale shape: one shuffle on shingle for df, per-DOC windows for
+    the prefix (partition = document, never global), one shuffle on
+    prefix shingle for candidates, one candidate-bounded shuffle for
+    verification. The rarest-first order is the scale lever:
+    boilerplate (high-df) shingles are pushed out of every prefix,
+    so join fanout concentrates on discriminative terms with tiny
+    posting lists. Threshold is a rational number and all
+    comparisons are integer — no float threshold drift between
+    engines.
+
+    Output: (doc_a, doc_b, inter_size, union_size, jaccard_ppm)
+    for jaccard >= t, doc_a < doc_b.
+    """
+    from pyspark.sql.window import Window
+
+    num, den = threshold_num, threshold_den
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(r"\S+"), 0
+        ).alias("ws"),
+    )
+    parts = [F.expr(f"ws[i + {j}]") for j in range(shingle_n)]
+    sh = (
+        toks.where(F.size("ws") >= shingle_n)
+        .select(
+            "doc_id", "ws",
+            F.explode(
+                F.sequence(F.lit(0), F.size("ws") - shingle_n)
+            ).alias("i"),
+        )
+        .select("doc_id", F.concat_ws(" ", *parts).alias("term"))
+        .distinct()
+    )
+    dfreq = sh.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    per_doc = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(dfreq, "term")
+        .withColumn("n", F.count("*").over(per_doc))
+        .withColumn(
+            "rn",
+            F.row_number().over(per_doc.orderBy("df", "term")),
+        )
+    )
+    # prefix length p = n - ceil(t*n) + 1, all-integer
+    pref = ranked.where(
+        F.col("rn")
+        <= F.col("n") - F.expr(f"(n * {num} + {den - 1}) div {den}") + 1
+    ).select("term", "doc_id", "n")
+    a = pref.select(
+        "term", F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+    )
+    b = pref.select(
+        "term", F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+    )
+    cands = (
+        a.join(b, "term")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.least("na", "nb") * den >= F.greatest("na", "nb") * num)
+        )
+        .select("doc_a", "doc_b", "na", "nb")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "term")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "term")
+    inter = (
+        cands.join(sa, "doc_a")
+        .join(sb, ["doc_b", "term"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return (
+        inter.where(
+            F.col("inter") * den
+            >= (F.col("na") + F.col("nb") - F.col("inter")) * num
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").alias("inter_size"),
+            (F.col("na") + F.col("nb") - F.col("inter"))
+            .cast("long").alias("union_size"),
+            F.expr("(inter * 1000000L) div (na + nb - inter)")
+            .cast("long").alias("jaccard_ppm"),
+        )
+    )

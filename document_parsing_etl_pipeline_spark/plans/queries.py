@@ -6653,3 +6653,44 @@ def q_timeseries_gapfill(spark, sf_dir):
             F.col("n").isNull().alias("gap_filled"),
         )
     )
+
+
+@register("q_setsim_prefix_join", r"""
+WITH tk AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id,
+           ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS term
+    FROM tk, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS g(i)
+), sz AS (
+    SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(p.inter AS BIGINT) AS inter_size,
+       CAST(sa.n + sb.n - p.inter AS BIGINT) AS union_size,
+       CAST((p.inter * 1000000) // (sa.n + sb.n - p.inter) AS BIGINT)
+           AS jaccard_ppm
+FROM pairs p
+JOIN sz sa ON sa.doc_id = p.doc_a
+JOIN sz sb ON sb.doc_id = p.doc_b
+WHERE p.inter * 5 >= (sa.n + sb.n - p.inter) * 3
+""")
+def q_setsim_prefix_join(spark, sf_dir):
+    """EXACT all-pairs similarity join at Jaccard >= 3/5 over word
+    3-gram shingle sets, via lossless prefix filtering (AllPairs /
+    PPJoin) — the zero-recall-loss complement to the capped-LSH
+    dedup family: same answer as the brute-force pair join (the
+    oracle IS brute force), but candidates come only from each
+    document's rarest |s|-ceil(t|s|)+1 shingles plus a length
+    filter, so the shingle-keyed shuffle never goes quadratic in
+    posting-list length. All-integer rational-threshold arithmetic.
+    operators/dedup.py:setsim_prefix_join."""
+    return dedup.setsim_prefix_join(
+        load_table(spark, sf_dir, "documents"),
+        threshold_num=3, threshold_den=5,
+    )

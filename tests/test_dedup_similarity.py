@@ -288,3 +288,54 @@ def test_pagerank_integer_matches_reference_recurrence(spark):
     assert {u: (deg[u], r[u]) for u in r} == got
     # hub outranks spokes, spokes outrank the tail
     assert got["hub"][1] > got["s1"][1] > got["t1"][1]
+
+
+def test_setsim_prefix_join_matches_brute_force(spark):
+    # 8 docs: two clone clusters + unrelated text; brute-force exact
+    # Jaccard over shingle sets is the ground truth the lossless
+    # prefix filter must reproduce bit-for-bit.
+    texts = [
+        "a b c d e f g h i j",          # 0
+        "a b c d e f g h i k",          # 1 near-dup of 0
+        "a b c d e f g h i j",          # 2 exact dup of 0
+        "p q r s t u v w x y",          # 3
+        "p q r s t u v w x z",          # 4 near-dup of 3
+        "m n o aa bb cc dd ee ff gg",   # 5 unrelated
+        "one two three",                # 6 tiny
+        "one two three",                # 7 tiny exact dup
+    ]
+    df = _docs(spark, *texts)
+    got = {
+        (r.doc_a, r.doc_b): (r.inter_size, r.union_size, r.jaccard_ppm)
+        for r in dedup.setsim_prefix_join(df).collect()
+    }
+
+    # brute force in python over the same 3-gram shingle sets
+    def sh(t):
+        ws = t.lower().split()
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    want = {}
+    sets = [sh(t) for t in texts]
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            if not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter * 5 >= union * 3:
+                want[(a, b)] = (inter, union, inter * 1_000_000 // union)
+    assert want, "fixture must produce at least one qualifying pair"
+    assert got == want
+
+
+def test_setsim_prefix_candidates_are_pruned(spark):
+    # The prefix join must NOT materialize the full pair product:
+    # with a shared boilerplate shingle across every doc, brute force
+    # pairs everything, the rarest-first prefix pairs almost nothing.
+    boiler = "common shared boilerplate header text "
+    texts = [boiler + f"unique{i} tail{i} body{i} word{i}" for i in range(12)]
+    df = _docs(spark, *texts)
+    # no pair reaches jaccard 0.6 (boilerplate overlap is small
+    # relative to union), so the exact join returns empty
+    assert dedup.setsim_prefix_join(df).count() == 0
