@@ -6842,3 +6842,120 @@ def q_triangle_count(spark, sf_dir):
         .distinct()
     )
     return triangle_counts(edges)
+
+
+def _zorder_oracle():
+    from ..operators.layout import interleave_bits_sql
+
+    zsql = interleave_bits_sql("xq", "yq", 8)
+    return f"""
+WITH o AS (
+    SELECT o_custkey AS ck, epoch_us(o_orderdate) // {_DAY_US} AS day
+    FROM orders
+), b AS (
+    SELECT min(ck) AS ckl, max(ck) AS ckh,
+           min(day) AS dl, max(day) AS dh
+    FROM o
+), n AS (
+    SELECT ck, day,
+           ((ck - ckl) * 255) // greatest(ckh - ckl, 1) AS xq,
+           ((day - dl) * 255) // greatest(dh - dl, 1) AS yq
+    FROM o, b
+), z AS (
+    SELECT ck, day, yq, {zsql} AS zv FROM n
+), assigned AS (
+    SELECT 'zorder' AS layout, zv // 1024 AS file_id, ck, day FROM z
+    UNION ALL
+    SELECT 'linear', yq // 4, ck, day FROM z
+), stats AS (
+    SELECT layout, CAST(file_id AS BIGINT) AS file_id,
+           count(*)::BIGINT AS n_rows,
+           min(ck)::BIGINT AS min_ck, max(ck)::BIGINT AS max_ck,
+           min(day)::BIGINT AS min_day, max(day)::BIGINT AS max_day
+    FROM assigned GROUP BY 1, 2
+), box AS (
+    SELECT ckl + (ckh - ckl) * 2 // 5 AS blo_ck,
+           ckl + (ckh - ckl) * 3 // 5 AS bhi_ck,
+           dl + (dh - dl) * 2 // 5 AS blo_d,
+           dl + (dh - dl) * 3 // 5 AS bhi_d
+    FROM b
+)
+SELECT layout, file_id, n_rows, min_ck, max_ck, min_day, max_day,
+       (min_ck <= bhi_ck AND max_ck >= blo_ck
+        AND min_day <= bhi_d AND max_day >= blo_d) AS scan_hit
+FROM stats, box
+"""
+
+
+@register("q_zorder_layout", _zorder_oracle())
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) layout audit — the Delta OPTIMIZE ZORDER /
+    Iceberg sort-order rewrite, as a measured operator: orders are
+    laid out into 64 files by (a) the z-interleave of 8-bit-normalized
+    (custkey, orderdate-day) and (b) the single-column date layout,
+    and for each file the min/max footer stats decide scan_hit for
+    the SAME reference box predicate (middle 20% of both dimensions).
+    The output IS the pruning comparison: z-order files are
+    approximate rectangles in key-space, so the box touches a few of
+    them; the linear layout spreads every custkey range across all
+    date files (box hits every file with a matching date). All
+    integer; the z-value expression for BOTH engines comes from one
+    generator (operators/layout.py:interleave_bits[_sql]) so the bit
+    layouts cannot drift. At scale the layout step is one
+    repartitionByRange on z + footer stats at write; file assignment
+    here is z div cell (deterministic, no global sort) so both
+    engines replay it."""
+    from ..operators.layout import interleave_bits
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.expr(f"unix_micros(cast(o_orderdate AS TIMESTAMP)) div {_DAY_US}")
+        .alias("day"),
+    )
+    b = o.agg(
+        F.min("ck").alias("ckl"), F.max("ck").alias("ckh"),
+        F.min("day").alias("dl"), F.max("day").alias("dh"),
+    )
+    n = o.crossJoin(F.broadcast(b)).select(
+        "ck", "day", "ckl", "ckh", "dl", "dh",
+        F.expr("((ck - ckl) * 255) div greatest(ckh - ckl, 1)").alias("xq"),
+        F.expr("((day - dl) * 255) div greatest(dh - dl, 1)").alias("yq"),
+    )
+    z = n.withColumn("zv", interleave_bits("xq", "yq", 8))
+    assigned = (
+        z.select(
+            F.lit("zorder").alias("layout"),
+            F.expr("zv div 1024").cast("long").alias("file_id"),
+            "ck", "day",
+        )
+        .unionAll(
+            z.select(
+                F.lit("linear").alias("layout"),
+                F.expr("yq div 4").cast("long").alias("file_id"),
+                "ck", "day",
+            )
+        )
+    )
+    stats = assigned.groupBy("layout", "file_id").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("ck").cast("long").alias("min_ck"),
+        F.max("ck").cast("long").alias("max_ck"),
+        F.min("day").cast("long").alias("min_day"),
+        F.max("day").cast("long").alias("max_day"),
+    )
+    box = b.select(
+        F.expr("ckl + (ckh - ckl) * 2 div 5").alias("blo_ck"),
+        F.expr("ckl + (ckh - ckl) * 3 div 5").alias("bhi_ck"),
+        F.expr("dl + (dh - dl) * 2 div 5").alias("blo_d"),
+        F.expr("dl + (dh - dl) * 3 div 5").alias("bhi_d"),
+    )
+    return stats.crossJoin(F.broadcast(box)).select(
+        "layout", "file_id", "n_rows",
+        "min_ck", "max_ck", "min_day", "max_day",
+        (
+            (F.col("min_ck") <= F.col("bhi_ck"))
+            & (F.col("max_ck") >= F.col("blo_ck"))
+            & (F.col("min_day") <= F.col("bhi_d"))
+            & (F.col("max_day") >= F.col("blo_d"))
+        ).alias("scan_hit"),
+    )

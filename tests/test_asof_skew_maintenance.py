@@ -158,3 +158,29 @@ def test_stateful_stream_dedup(tmp_path, spark):
     run_batch()
     got2 = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert got2 == [1, 2, 3]
+
+
+def test_interleave_bits_matches_python_morton(spark):
+    from document_parsing_etl_pipeline_spark.operators.layout import (
+        interleave_bits,
+    )
+
+    vals = [(0, 0), (255, 255), (1, 0), (0, 1), (170, 85), (37, 200)]
+    df = spark.createDataFrame(vals, ["xq", "yq"])
+    got = {
+        (r.xq, r.yq): r.z
+        for r in df.select(
+            "xq", "yq", interleave_bits("xq", "yq", 8).alias("z")
+        ).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for j in range(8):
+            z |= ((x >> j) & 1) << (2 * j)
+            z |= ((y >> j) & 1) << (2 * j + 1)
+        return z
+
+    assert got == {(x, y): morton(x, y) for x, y in vals}
+    # z-curve locality sanity: (255,255) maps to the max cell
+    assert got[(255, 255)] == 65535
