@@ -6959,3 +6959,202 @@ def q_zorder_layout(spark, sf_dir):
             & (F.col("max_day") >= F.col("blo_d"))
         ).alias("scan_hit"),
     )
+
+
+@register("q_new_vs_returning", f"""
+WITH act AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+), fd AS (
+    SELECT user_id, min(day) AS first_day FROM act GROUP BY 1
+), d AS (
+    SELECT a.day, count(*)::BIGINT AS n_active,
+           sum(CASE WHEN f.first_day = a.day THEN 1 ELSE 0 END)::BIGINT
+               AS n_new
+    FROM act a JOIN fd f USING (user_id) GROUP BY 1
+)
+SELECT day * {_DAY_US} AS day_start_us, n_active, n_new,
+       (n_active - n_new)::BIGINT AS n_returning,
+       (sum(n_new) OVER (ORDER BY day))::BIGINT AS cum_users
+FROM d
+""")
+def q_new_vs_returning(spark, sf_dir):
+    """Daily new vs returning users plus the running distinct-user
+    total — the audience-growth readout. Running COUNT(DISTINCT) over
+    an expanding window is a scale trap (state grows with users);
+    the identity that kills it: a user is DISTINCT-new exactly once,
+    so cumulative distinct users = running SUM of first-appearance
+    counts. Per-user first day is one shuffle on user_id; the only
+    window runs over the CALENDAR-sized daily frame (30 rows here,
+    bounded by days × 1 at any fact scale), never over events."""
+    ev = load_table(spark, sf_dir, "events")
+    act = (
+        ev.select(
+            "user_id", F.expr(f"(ts div 1000) div {_DAY_US}").alias("day")
+        )
+        .distinct()
+    )
+    fd = act.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    d = (
+        act.join(fd, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_active"),
+            F.sum(
+                F.when(F.col("first_day") == F.col("day"), 1).otherwise(0)
+            ).cast("long").alias("n_new"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return d.select(
+        (F.col("day") * F.lit(_DAY_US)).alias("day_start_us"),
+        "n_active", "n_new",
+        (F.col("n_active") - F.col("n_new")).cast("long")
+        .alias("n_returning"),
+        F.sum("n_new").over(w).cast("long").alias("cum_users"),
+    )
+
+
+@register("q_autocorr_daily", f"""
+WITH daily AS (
+    SELECT epoch_us(ts) // {_DAY_US} AS day, count(*)::BIGINT AS y
+    FROM events GROUP BY 1
+), lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+p AS (
+    SELECT l.lag, a.y AS x, b.y AS yl
+    FROM lags l, daily a, daily b
+    WHERE b.day = a.day + l.lag
+), s AS (
+    SELECT lag, count(*)::BIGINT AS cnt,
+           sum(x)::BIGINT AS sx, sum(yl)::BIGINT AS sy,
+           sum(x * yl)::BIGINT AS sxy,
+           sum(x * x)::BIGINT AS sxx, sum(yl * yl)::BIGINT AS syy
+    FROM p GROUP BY 1
+)
+SELECT CAST(lag AS BIGINT) AS lag, cnt,
+       CASE WHEN cnt * sxx - sx * sx = 0 OR cnt * syy - sy * sy = 0
+            THEN 0
+            ELSE (1000000 * (cnt * sxy - sx * sy))
+                 // (CAST(round(sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE)))
+                          AS BIGINT)
+                     * CAST(round(sqrt(CAST(cnt * syy - sy * sy AS DOUBLE)))
+                            AS BIGINT))
+       END AS corr_ppm
+FROM s
+""")
+def q_autocorr_daily(spark, sf_dir):
+    """Autocorrelation of the daily event-count series at lags 1-7 —
+    the weekly-seasonality / burst-persistence detector run before
+    trusting any trend fit. Pearson over (n_d, n_d+lag) pairs from
+    exact integer sums; the variance square roots go through the
+    round(sqrt(x))->BIGINT protocol (sqrt is IEEE correctly rounded,
+    unlike pow/ln, so both engines produce the identical integer) and
+    the final ratio is integer ppm with truncating division. The
+    pair join and the sums run over the CALENDAR-sized daily frame —
+    at any fact scale the heavy work is the one groupBy(day)
+    pre-aggregation; lags never touch raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.expr(f"(ts div 1000) div {_DAY_US}").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = daily.select(F.col("day").alias("da"), F.col("y").alias("x"))
+    b = daily.select(F.col("day").alias("db"), F.col("y").alias("yl"))
+    p = (
+        lags.crossJoin(a)
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+    )
+    s = p.groupBy("lag").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("yl").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("yl")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("yl") * F.col("yl")).cast("long").alias("syy"),
+    )
+    corr = F.expr(
+        "CASE WHEN cnt * sxx - sx * sx = 0 OR cnt * syy - sy * sy = 0"
+        " THEN 0"
+        " ELSE (1000000 * (cnt * sxy - sx * sy))"
+        " div (CAST(round(sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE)))"
+        " AS BIGINT)"
+        " * CAST(round(sqrt(CAST(cnt * syy - sy * sy AS DOUBLE)))"
+        " AS BIGINT)) END"
+    )
+    return s.select(
+        F.col("lag").cast("long").alias("lag"), "cnt",
+        corr.cast("long").alias("corr_ppm"),
+    )
+
+
+_SAMPLE_K = 100
+
+
+@register("q_uniform_sample_exact", f"""
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+FROM documents
+ORDER BY h LIMIT {_SAMPLE_K}
+""")
+def q_uniform_sample_exact(spark, sf_dir):
+    """EXACTLY-k uniform sample without a random seed: global top-k
+    by md5(doc_id) — hash order is uniform and reproducible, so this
+    is the deterministic distributed reservoir (every engine, every
+    run, the same k rows). sample_hash_10pct gives a FRACTION with
+    binomial size jitter; pipelines that need 'exactly 100 eval
+    docs' need top-k order statistics instead. Spark executes
+    orderBy+limit as TakeOrderedAndProject: per-partition top-k
+    heaps then a k-sized driver merge — no global sort, no shuffle
+    of the corpus (plan-asserted). The md5 hex column doubles as the
+    audit trail."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(_SAMPLE_K)
+    )
+
+
+@register("q_grouping_sets_profile", """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+            AS BIGINT) AS gid,
+       count(*)::BIGINT AS n_rows,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                        (l_returnflag), (l_linestatus), ())
+""")
+def q_grouping_sets_profile(spark, sf_dir):
+    """Multi-granularity revenue profile in ONE pass: GROUPING SETS
+    over (flag×status, flag, status, total) — the OLAP rollup surface
+    beyond CUBE (corpus_stats_cube): arbitrary set lists, with
+    GROUPING() disambiguating a real NULL group from a rolled-up
+    'ALL' row. Spark expands grouping sets in a single Expand+
+    partial-agg plan — one scan, one shuffle, identical cost shape
+    to a plain groupBy regardless of how many sets. Revenue follows
+    the exact DECIMAL(18,6) accumulation protocol."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    gs = li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"],
+         ["l_linestatus"], []],
+        "l_returnflag", "l_linestatus",
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+        .cast("long").alias("gid"),
+    )
+    return gs.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        "gid", "n_rows", "revenue",
+    )

@@ -257,3 +257,25 @@ def test_session5_audit_queries_plan_shapes(spark):
     plan = _executed(QUERIES["q_span_dedup"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_session6_new_query_plan_shapes(spark):
+    # exact uniform sample: per-partition top-k heaps + driver merge,
+    # never a global sort of the corpus
+    plan = _executed(QUERIES["q_uniform_sample_exact"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    # grouping sets: ONE Expand + one aggregation cascade — the whole
+    # 4-set profile costs a single scan
+    plan = _executed(QUERIES["q_grouping_sets_profile"](spark, SF_DIR))
+    assert plan.count("Expand") >= 1
+    assert "CartesianProduct" not in plan
+    # decayed counts: no window, no sort — two aggregations and a
+    # 1-row broadcast reference day
+    plan = _executed(QUERIES["q_decayed_counts"](spark, SF_DIR))
+    assert "Window" not in plan
+    # triangle counting / setsim prefix join: equi-joins only
+    for q in ("q_triangle_count", "q_setsim_prefix_join"):
+        plan = _executed(QUERIES[q](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
