@@ -161,7 +161,12 @@ def read(
     if not m["files"]:
         return spark.createDataFrame([], schema="doc_id long")
     paths = [os.path.join(root, e["path"]) for e in m["files"]]
-    return spark.read.parquet(*paths)
+    # mergeSchema: snapshots may mix files written before/after a
+    # column was added (schema evolution) — union-by-name semantics,
+    # old files surface the new column as NULL. Time travel to a
+    # pre-evolution snapshot naturally lacks the column because its
+    # manifest references only pre-evolution files.
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
 def scan(
@@ -292,3 +297,48 @@ def history(root: str) -> list[dict]:
             "rows": sum(e["rows"] for e in m["files"]),
         })
     return out
+
+
+def expire_snapshots(root: str, keep_last: int = 1) -> dict:
+    """Vacuum (Delta VACUUM / Iceberg expire_snapshots): drop all but
+    the newest ``keep_last`` manifests, then delete every data file
+    referenced by NO retained snapshot. Copy-on-write makes old files
+    immortal until this runs — vacuum is what bounds storage.
+
+    Safety properties: the retained snapshots are untouched (their
+    file sets are computed BEFORE anything is deleted, and a file
+    referenced by any retained manifest is never removed — files are
+    shared across snapshots by reference, so liveness is the union
+    over retained manifests); expired versions become unreadable by
+    manifest absence, not by dangling references. Driver-side file
+    listing is the manifest-bookkeeping path (KB of JSON; on a real
+    deployment this is the object-store listing Delta's VACUUM does).
+
+    Returns {expired_versions, removed_files, kept_versions}.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = _versions(root)
+    keep = versions[-keep_last:]
+    expire = [v for v in versions if v not in keep]
+    live: set[str] = set()
+    for v in keep:
+        for e in _load_manifest(root, v)["files"]:
+            live.add(os.path.normpath(os.path.join(root, e["path"])))
+    removed = 0
+    data_dir = os.path.join(root, "data")
+    for dirpath, _dirs, files in os.walk(data_dir):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            p = os.path.normpath(os.path.join(dirpath, fn))
+            if p not in live:
+                os.remove(p)
+                removed += 1
+    for v in expire:
+        os.remove(_manifest_path(root, v))
+    return {
+        "expired_versions": expire,
+        "removed_files": removed,
+        "kept_versions": keep,
+    }

@@ -97,3 +97,65 @@ def test_commit_is_atomic_per_version(spark, table):
         fd = os.open(tf._manifest_path(table, 1),
                      os.O_WRONLY | os.O_CREAT | os.O_EXCL)
         os.write(fd, json.dumps(m).encode())
+
+
+def test_expire_snapshots_vacuums_orphans_only(spark, table):
+    # build history: merge rewrites some v1 files, delete drops more —
+    # v1's original files become orphans of the head snapshot
+    upd = spark.createDataFrame(
+        [(3, "updated", 3)], "doc_id long, text string, grp long"
+    )
+    tf.merge_into(spark, upd, table, key="doc_id")
+    tf.delete_where(spark, table, "doc_id", 0, 10)
+    head_rows = tf.read(spark, table).collect()
+    head_files = {
+        os.path.normpath(os.path.join(table, e["path"]))
+        for e in tf._load_manifest(table, tf._versions(table)[-1])["files"]
+    }
+
+    out = tf.expire_snapshots(table, keep_last=1)
+    assert out["expired_versions"] == [1, 2]
+    assert out["kept_versions"] == [tf._versions(table)[-1]]
+    # retained snapshot reads identically after the vacuum
+    assert sorted(r.doc_id for r in tf.read(spark, table).collect()) == \
+        sorted(r.doc_id for r in head_rows)
+    # disk holds exactly the live file set — no orphans, nothing live
+    # was removed
+    on_disk = set()
+    for dirpath, _d, files in os.walk(os.path.join(table, "data")):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                on_disk.add(os.path.normpath(os.path.join(dirpath, fn)))
+    assert on_disk == head_files
+    assert out["removed_files"] > 0
+    # expired versions are gone (manifest absent)
+    with pytest.raises(FileNotFoundError):
+        tf._load_manifest(table, 1)
+
+
+def test_expire_keeps_shared_files_of_retained_snapshots(spark, table):
+    # append creates v2 sharing ALL of v1's files; keep_last=2 must
+    # not remove anything
+    more = spark.range(100, 120).selectExpr(
+        "id AS doc_id", "concat('t', id) AS text", "id % 7 AS grp"
+    )
+    tf.append(spark, more, table)
+    out = tf.expire_snapshots(table, keep_last=2)
+    assert out["expired_versions"] == [] and out["removed_files"] == 0
+    assert tf.read(spark, table, version=1).count() == 100
+    assert tf.read(spark, table).count() == 120
+
+
+def test_schema_evolution_append_new_column(spark, table):
+    evolved = spark.range(200, 210).selectExpr(
+        "id AS doc_id", "concat('t', id) AS text", "id % 7 AS grp",
+        "cast(id AS double) / 1000 AS quality",
+    )
+    tf.append(spark, evolved, table)
+    head = tf.read(spark, table)
+    assert "quality" in head.columns
+    rows = {r.doc_id: r.quality for r in head.collect()}
+    assert rows[205] == 0.205          # new rows carry the column
+    assert rows[5] is None             # pre-evolution rows read as NULL
+    # time travel to the pre-evolution snapshot: column absent
+    assert "quality" not in tf.read(spark, table, version=1).columns
