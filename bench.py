@@ -147,6 +147,14 @@ BENCH_QUERIES = [
     "q_value_histogram",
     "q_watermark_audit",
     "q_timeseries_gapfill",
+    "q_setsim_prefix_join",
+    "q_decayed_counts",
+    "q_triangle_count",
+    "q_zorder_layout",
+    "q_new_vs_returning",
+    "q_autocorr_daily",
+    "q_uniform_sample_exact",
+    "q_grouping_sets_profile",
 ]
 
 

@@ -192,6 +192,7 @@ def scan(
 
 def merge_into(
     spark: SparkSession, updates: DataFrame, root: str, key: str,
+    extra_meta: dict | None = None,
 ) -> int:
     """Copy-on-write MERGE (upsert on ``key``): manifest key-range
     pruning picks candidate files, a distinct-key semi-join confirms
@@ -248,6 +249,7 @@ def merge_into(
     return _commit(root, {
         "operation": "merge", "stats_cols": stats_cols,
         "files": untouched + rewritten + new_entries,
+        **(extra_meta or {}),
     })
 
 

@@ -171,3 +171,74 @@ def test_store_as_of_prunes_batches(tmp_path, spark):
     # the as-of predicate must prune partitions at the scan
     plan = asof._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(batch_id" in plan
+
+
+def test_stream_merge_into_table_exactly_once(tmp_path, spark):
+    from document_parsing_etl_pipeline_spark.sources import (
+        tableformat as tf,
+    )
+    from document_parsing_etl_pipeline_spark.streaming import table_sink
+
+    root = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 0)],
+        "user_id long, state string, seq long",
+    )
+    tf.create_table(spark, base, root, stats_cols=["user_id"])
+
+    drop = tmp_path / "cdc"
+    drop.mkdir()
+    rows = [
+        # two updates for user 1 in one batch: latest (seq 12) must win
+        {"user_id": 1, "state": "a1", "seq": 11},
+        {"user_id": 1, "state": "a2", "seq": 12},
+        {"user_id": 4, "state": "d", "seq": 10},
+    ]
+    (drop / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.format("json")
+        .schema("user_id long, state string, seq long")
+        .load(str(drop))
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = table_sink.stream_merge_into_table(
+        spark, stream, root, key="user_id", seq_col="seq",
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.user_id: (r.state, r.seq)
+        for r in tf.read(spark, root).collect()
+    }
+    assert got == {
+        1: ("a2", 12), 2: ("b", 0), 3: ("c", 0), 4: ("d", 10),
+    }
+    v_after = tf._versions(root)[-1]
+
+    # replay the SAME batch (post-crash foreachBatch retry): the sink
+    # skips it — no new snapshot, no duplicate rows
+    assert table_sink.last_committed_batch(root) == 0
+    batch = spark.createDataFrame(
+        rows, "user_id long, state string, seq long"
+    )
+    committed = table_sink.merge_batch(
+        spark, batch, root, key="user_id", seq_col="seq", batch_id=0
+    )
+    assert committed is False
+    assert tf._versions(root)[-1] == v_after
+    assert {
+        r.user_id: (r.state, r.seq) for r in tf.read(spark, root).collect()
+    } == got
+
+    # a NEW batch continues from the checkpoint and commits
+    (drop / "b2.json").write_text(json.dumps(
+        {"user_id": 2, "state": "b2", "seq": 20}
+    ))
+    q2 = table_sink.stream_merge_into_table(
+        spark, stream, root, key="user_id", seq_col="seq",
+        checkpoint_dir=ckpt,
+    )
+    q2.awaitTermination(120)
+    got2 = {r.user_id: r.state for r in tf.read(spark, root).collect()}
+    assert got2[2] == "b2" and table_sink.last_committed_batch(root) == 1
