@@ -7158,3 +7158,69 @@ def q_grouping_sets_profile(spark, sf_dir):
         F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
         "gid", "n_rows", "revenue",
     )
+
+
+@register("q_audience_overlap", """
+WITH act AS (
+    SELECT DISTINCT user_id, event_type FROM events
+), tot AS (
+    SELECT event_type, count(*)::BIGINT AS n FROM act GROUP BY 1
+), p AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*)::BIGINT AS overlap_users
+    FROM act a
+    JOIN act b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT type_a, type_b, overlap_users,
+       ta.n AS users_a, tb.n AS users_b,
+       (overlap_users * 1000000 // (ta.n + tb.n - overlap_users))
+           AS jaccard_ppm,
+       (overlap_users * 1000000 // least(ta.n, tb.n)) AS containment_ppm
+FROM p
+JOIN tot ta ON ta.event_type = p.type_a
+JOIN tot tb ON tb.event_type = p.type_b
+""")
+def q_audience_overlap(spark, sf_dir):
+    """Pairwise audience overlap between event types — the cohort
+    Venn diagram behind feature-adoption and cross-sell analyses:
+    for every type pair, the EXACT distinct-user intersection plus
+    Jaccard and smaller-side-containment in integer ppm. The scale
+    insight: the user×type matrix is the small thing — distinct
+    (user, type) is bounded by users × |types|, and the within-user
+    self-join fans out at most C(|types|, 2) pairs per user, so the
+    whole computation is two shuffles (user_id, then type pair) over
+    frames far smaller than the event log. The |types|-sized totals
+    broadcast back onto the pair rows."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select("user_id", "event_type").distinct()
+    tot = act.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    a = act.select("user_id", F.col("event_type").alias("type_a"))
+    b = act.select("user_id", F.col("event_type").alias("type_b"))
+    p = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("overlap_users"))
+    )
+    ta = tot.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("users_a")
+    )
+    tb = tot.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("users_b")
+    )
+    return (
+        p.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a", "type_b", "overlap_users", "users_a", "users_b",
+            F.expr(
+                "(overlap_users * 1000000)"
+                " div (users_a + users_b - overlap_users)"
+            ).cast("long").alias("jaccard_ppm"),
+            F.expr("(overlap_users * 1000000) div least(users_a, users_b)")
+            .cast("long").alias("containment_ppm"),
+        )
+    )
