@@ -85,7 +85,7 @@ def pagerank_integer(
     )
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame, materialize: bool = True) -> DataFrame:
     """Per-node triangle counts over an undirected graph given as
     DISTINCT canonical pairs (a < b) — the clustering-structure
     readout (triangles are the numerator of local clustering
@@ -105,7 +105,16 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
     Output: (node, degree, n_triangles) for every node of the edge
     set, n_triangles = 0 for triangle-free nodes.
+
+    ``materialize`` localCheckpoints the edge list and the oriented
+    edge list (referenced 4× and 3× downstream — degree counting,
+    wedge build from both sides, closure): without it the whole
+    upstream edge construction re-executes per reference (the
+    semdedup/connected-components rule; measured 4.9 s → 1.9 s at
+    sf0.1 on the rare-shingle document graph).
     """
+    if materialize:
+        edges = edges.localCheckpoint()
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
@@ -123,6 +132,8 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.when(a_low, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(a_low, F.col("degb")).otherwise(F.col("dega")).alias("degdst"),
     )
+    if materialize:
+        o = o.localCheckpoint()
     w1 = o.select(
         F.col("src").alias("x"), F.col("dst").alias("y"),
         F.col("degdst").alias("degy"),
