@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "q_autocorr_daily",
     "q_uniform_sample_exact",
     "q_grouping_sets_profile",
+    "q_audience_overlap",
 ]
 
 
