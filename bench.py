@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     "q_uniform_sample_exact",
     "q_grouping_sets_profile",
     "q_audience_overlap",
+    "q_cohort_ltv",
+    "q_yoy_growth",
 ]
 
 

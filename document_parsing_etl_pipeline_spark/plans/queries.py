@@ -7224,3 +7224,137 @@ def q_audience_overlap(spark, sf_dir):
             .cast("long").alias("containment_ppm"),
         )
     )
+
+
+@register("q_cohort_ltv", """
+WITH fo AS (
+    SELECT o_custkey, min(year(o_orderdate)) AS cy FROM orders GROUP BY 1
+), cs AS (
+    SELECT cy, count(*)::BIGINT AS n_cohort FROM fo GROUP BY 1
+), rev AS (
+    SELECT f.cy, year(o.o_orderdate) - f.cy AS yoff,
+           count(DISTINCT o.o_custkey)::BIGINT AS active_customers,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) * 100)
+                AS BIGINT) AS revenue_cents
+    FROM orders o JOIN fo f ON f.o_custkey = o.o_custkey
+    GROUP BY 1, 2
+)
+SELECT r.cy AS cohort_year, CAST(r.yoff AS BIGINT) AS year_offset,
+       c.n_cohort, r.active_customers, r.revenue_cents,
+       (sum(r.revenue_cents)
+            OVER (PARTITION BY r.cy ORDER BY r.yoff))::BIGINT
+           AS cum_revenue_cents,
+       ((sum(r.revenue_cents) OVER (PARTITION BY r.cy ORDER BY r.yoff))
+            // c.n_cohort)::BIGINT AS cum_cents_per_customer
+FROM rev r JOIN cs c ON c.cy = r.cy
+""")
+def q_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime value: customers cohorted by first-order year,
+    revenue accumulated along year offsets — the LTV curve that sits
+    under every acquisition-payback decision. Numeric protocol:
+    per-cell revenue goes through the exact DECIMAL accumulation and
+    lands as INTEGER CENTS before any cumulation, so the running LTV
+    sum is pure BIGINT — no float accumulation-order drift in the
+    cumulative column. Scale shape: first-order year is one shuffle
+    on custkey; the (cohort × offset) matrix is calendar-sized
+    (|years|² cells), so the window and the per-customer division
+    cost nothing regardless of order volume."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year(F.col("o_orderdate").cast("timestamp")).alias("yr"),
+        "o_totalprice",
+    )
+    fo = o.groupBy("o_custkey").agg(F.min("yr").alias("cy"))
+    cs = fo.groupBy("cy").agg(F.count("*").cast("long").alias("n_cohort"))
+    rev = (
+        o.join(fo, "o_custkey")
+        .groupBy("cy", (F.col("yr") - F.col("cy")).alias("yoff"))
+        .agg(
+            F.countDistinct("o_custkey").cast("long")
+            .alias("active_customers"),
+            F.round(F.sum(_dec(F.col("o_totalprice"))) * 100, 0)
+            .cast("long").alias("revenue_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cy").orderBy("yoff")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.join(F.broadcast(cs), "cy")
+        .select(
+            F.col("cy").alias("cohort_year"),
+            F.col("yoff").cast("long").alias("year_offset"),
+            "n_cohort", "active_customers", "revenue_cents",
+            F.sum("revenue_cents").over(w).cast("long")
+            .alias("cum_revenue_cents"),
+            F.expr(
+                "CAST(sum(revenue_cents) OVER (PARTITION BY cy ORDER BY yoff"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                " div n_cohort AS BIGINT)"
+            ).alias("cum_cents_per_customer"),
+        )
+    )
+
+
+@register("q_yoy_growth", """
+WITH m AS (
+    SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+           count(*)::BIGINT AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100)
+                AS BIGINT) AS revenue_cents
+    FROM orders GROUP BY 1, 2
+)
+SELECT cur.yr AS yr, CAST(cur.mo AS BIGINT) AS mo,
+       cur.n_orders, cur.revenue_cents,
+       prev.revenue_cents AS prev_year_cents,
+       CASE WHEN prev.revenue_cents IS NULL OR prev.revenue_cents = 0
+            THEN NULL
+            ELSE ((cur.revenue_cents - prev.revenue_cents) * 1000000)
+                 // prev.revenue_cents
+       END AS yoy_growth_ppm
+FROM m cur LEFT JOIN m prev
+  ON prev.yr = cur.yr - 1 AND prev.mo = cur.mo
+""")
+def q_yoy_growth(spark, sf_dir):
+    """Month-over-same-month-last-year revenue growth — the
+    seasonality-adjusted growth readout finance actually uses (plain
+    month-over-month confounds seasonality). Revenue lands as exact
+    integer cents (DECIMAL accumulation → ×100 → round) before the
+    ppm growth division, so the ratio is pure BIGINT. The monthly
+    matrix is calendar-sized: the self-join on (yr−1, mo) touches
+    |years|×12 rows no matter how many orders feed it — one fact
+    shuffle to months, everything after is broadcast-scale."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year(F.col("o_orderdate").cast("timestamp")).alias("yr"),
+        F.month(F.col("o_orderdate").cast("timestamp")).alias("mo"),
+        "o_totalprice",
+    )
+    m = o.groupBy("yr", "mo").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.sum(_dec(F.col("o_totalprice"))) * 100, 0)
+        .cast("long").alias("revenue_cents"),
+    )
+    prev = m.select(
+        (F.col("yr") + 1).alias("yr"), F.col("mo"),
+        F.col("revenue_cents").alias("prev_year_cents"),
+    )
+    return (
+        m.join(F.broadcast(prev), ["yr", "mo"], "left")
+        .select(
+            "yr", F.col("mo").cast("long").alias("mo"),
+            "n_orders", "revenue_cents", "prev_year_cents",
+            F.when(
+                F.col("prev_year_cents").isNull()
+                | (F.col("prev_year_cents") == 0),
+                F.lit(None).cast("long"),
+            )
+            .otherwise(
+                F.expr(
+                    "((revenue_cents - prev_year_cents) * 1000000)"
+                    " div prev_year_cents"
+                )
+            )
+            .cast("long").alias("yoy_growth_ppm"),
+        )
+    )
