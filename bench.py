@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "q_audience_overlap",
     "q_cohort_ltv",
     "q_yoy_growth",
+    "q_mad_outliers",
 ]
 
 

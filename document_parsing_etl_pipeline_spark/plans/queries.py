@@ -7358,3 +7358,65 @@ def q_yoy_growth(spark, sf_dir):
             .cast("long").alias("yoy_growth_ppm"),
         )
     )
+
+
+@register("q_mad_outliers", """
+WITH med AS (
+    SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+    FROM events GROUP BY 1
+), dev AS (
+    SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS d
+    FROM events e JOIN med m ON m.event_type = e.event_type
+), mad AS (
+    SELECT event_type, round(quantile_cont(d, 0.5), 6) AS mad
+    FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       count(*)::BIGINT AS n_events,
+       round(any_value(d.med), 4) AS median_value,
+       round(any_value(m.mad), 4) AS mad_value,
+       sum(CASE WHEN d.d > 3 * m.mad THEN 1 ELSE 0 END)::BIGINT
+           AS n_outliers,
+       (sum(CASE WHEN d.d > 3 * m.mad THEN 1 ELSE 0 END) * 1000000
+        // count(*))::BIGINT AS outlier_ppm
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+GROUP BY 1
+""")
+def q_mad_outliers(spark, sf_dir):
+    """Robust outlier profile per event type: median absolute
+    deviation, the estimator that doesn't break when the outliers it
+    hunts contaminate the statistic (unlike mean/stddev z-scores —
+    one 1e6 spike drags the mean past its own threshold). Flags
+    |x − median| > 3·MAD. Engine parity: both medians round to 6 dp
+    BEFORE re-use, so the deviation and threshold arithmetic runs on
+    identical doubles (per-row IEEE ops are engine-identical — only
+    unordered accumulation is not). Scale shape: three aggregation
+    passes to |types| groups with the tiny stats broadcast back
+    between them — the exact-median version of the approx path that
+    would swap in approx_percentile at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("d", F.lit(0.5)), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.any_value("med"), 4).alias("median_value"),
+            F.round(F.any_value("mad"), 4).alias("mad_value"),
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.expr(
+                "CAST(sum(CASE WHEN d > 3 * mad THEN 1 ELSE 0 END)"
+                " * 1000000 div count(*) AS BIGINT)"
+            ).alias("outlier_ppm"),
+        )
+    )
