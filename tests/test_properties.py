@@ -270,3 +270,47 @@ def test_bloom_no_false_negatives_invariant(spark, build, probe):
     assert set(got) == probe
     for k in probe & build:
         assert got[k] is True
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=0, max_size=12
+        ).map(lambda ws: " ".join(ws)),
+        min_size=2, max_size=8,
+    )
+)
+@SLOW_OK
+def test_setsim_prefix_filter_is_lossless(spark, docs):
+    """The AllPairs/PPJoin candidate filter must be LOSSLESS: on
+    random tiny corpora the prefix+positional-filtered join returns
+    exactly the brute-force set of pairs with shingle-set Jaccard
+    >= 3/5 — no pair ever escapes through the prefix, length, or
+    positional pruning."""
+    from document_parsing_etl_pipeline_spark.operators.dedup import (
+        setsim_prefix_join,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.inter_size, r.union_size)
+        for r in setsim_prefix_join(df, materialize=False).collect()
+    }
+
+    def sh(t):
+        ws = t.lower().split()
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    sets = [sh(t) for t in docs]
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            if not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter * 5 >= union * 3:
+                want[(a, b)] = (inter, union)
+    assert got == want
