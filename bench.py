@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "q_cohort_ltv",
     "q_yoy_growth",
     "q_mad_outliers",
+    "q_k_anonymity",
 ]
 
 

@@ -7420,3 +7420,49 @@ def q_mad_outliers(spark, sf_dir):
             ).alias("outlier_ppm"),
         )
     )
+
+
+_KANON_K = 5
+
+
+@register("q_k_anonymity", f"""
+WITH qi AS (
+    SELECT user_id, event_type,
+           (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+           CAST(floor(value / 50) AS BIGINT) AS value_band
+    FROM events
+), grp AS (
+    SELECT event_type, hour_of_day, value_band,
+           count(DISTINCT user_id)::BIGINT AS group_users,
+           count(*)::BIGINT AS group_rows
+    FROM qi GROUP BY 1, 2, 3
+)
+SELECT event_type, hour_of_day, value_band, group_users, group_rows,
+       (group_users < {_KANON_K}) AS violates_k
+FROM grp
+""")
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the quasi-identifier tuple (event_type,
+    hour-of-day, value band): a release is k-anonymous when every QI
+    combination covers >= k distinct users — the governance gate run
+    before sharing 'anonymized' event data, because small QI groups
+    re-identify people by linkage. Reports every QI cell with its
+    distinct-user count and a violates_k flag (k={_KANON_K}); the
+    violating cells are exactly what a suppression/generalization
+    pass must coarsen. One groupBy over the QI tuple — QI-cell
+    cardinality is bounded by the attribute-domain product, not the
+    event volume, so the audit costs one fact shuffle at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    qi = ev.select(
+        "user_id", "event_type",
+        (F.expr("(ts div 1000) div 3600000000") % 24).alias("hour_of_day"),
+        F.floor(F.col("value") / 50).cast("long").alias("value_band"),
+    )
+    return (
+        qi.groupBy("event_type", "hour_of_day", "value_band")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("group_users"),
+            F.count("*").cast("long").alias("group_rows"),
+        )
+        .withColumn("violates_k", F.col("group_users") < F.lit(_KANON_K))
+    )
