@@ -239,13 +239,24 @@ def test_countmin_overestimate_invariant(spark, keys):
     for k in keys:
         truth[str(k)] = truth.get(str(k), 0) + 1
     assert rows
+    n_total = len(keys)
     for r in rows:
         assert r.exact_n == truth[r.k]
+        # deterministic guarantees: never under the truth, and never
+        # over by more than everything-else's mass (subset bound)
         assert r.cms_est >= r.exact_n
         assert r.overestimate_ok
-        # eps bound with w=32: est - true <= 2*N/32
-        assert r.cms_est - r.exact_n <= 2 * len(keys) // 32
-        assert r.within_eps_ok
+        assert r.cms_est - r.exact_n <= n_total - r.exact_n
+        # the eps bound is PROBABILISTIC over the hash choice (an
+        # adversarial tiny keyset can collide in all d rows —
+        # hypothesis found one), so per-instance truth cannot be
+        # asserted; what must hold is that the reported contract
+        # boolean equals the recomputed condition. The registered
+        # query's oracle pins it TRUE for the actual dataset, where
+        # it is a measured fact.
+        assert r.within_eps_ok == (
+            r.cms_est - r.exact_n <= 2 * n_total // 32
+        )
 
 
 @given(
