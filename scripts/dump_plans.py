@@ -28,6 +28,11 @@ PICKS = {
     "q_cdc_latest_state": "struct-max partial agg: ~one row per key shuffled, no window sort",
     "q_dsir_weights": "single-pass dual bucket models; 256-row broadcast ratio dim; one (doc,bucket) shuffle",
     "q_semdedup": "broadcast centroid assign; pair join shuffles once on centroid_id, quadratic stays in-cluster",
+    "q_setsim_prefix_join": "prefix-only shingle join + positional-filter agg; verification joins the |docs|-sized array relation, not re-exploded shingles",
+    "q_triangle_count": "localCheckpointed edge/oriented lists; wedge join + closure as equi-joins, no nested loop",
+    "q_zorder_layout": "one fact scan -> z-interleave projection -> two layout aggs; bounds and box as 1-row broadcasts",
+    "q_grouping_sets_profile": "pre-agg to base cells BEFORE Expand: the 4-set rollup expands 9 rows, not the fact table",
+    "q_uniform_sample_exact": "TakeOrderedAndProject: per-partition top-k heaps, no global sort or range exchange",
 }
 
 
