@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "q_yoy_growth",
     "q_mad_outliers",
     "q_k_anonymity",
+    "q_session_paths",
 ]
 
 

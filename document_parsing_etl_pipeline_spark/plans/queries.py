@@ -7473,3 +7473,117 @@ def q_k_anonymity(spark, sf_dir):
         )
         .withColumn("violates_k", F.col("group_users") < F.lit(_KANON_K))
     )
+
+
+_PATH_STEPS = 5
+_PATH_TOPK = 20
+
+
+@register("q_session_paths", f"""
+WITH ordered AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id)
+               AS prev_us
+    FROM events
+), flagged AS (
+    SELECT *, CASE WHEN prev_us IS NULL
+                     OR ts_us - prev_us > {{gap}} THEN 1 ELSE 0 END
+               AS is_new
+    FROM ordered
+), sessions AS (
+    SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS session_id
+    FROM flagged
+), stepped AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                                 ORDER BY ts_us, event_id) AS rn
+    FROM sessions
+), paths AS (
+    SELECT user_id, session_id,
+           concat_ws('>',
+               {", ".join(f"max(CASE WHEN rn = {i} THEN event_type END)"
+                          for i in range(1, _PATH_STEPS + 1))})
+               AS path
+    FROM stepped WHERE rn <= {_PATH_STEPS}
+    GROUP BY user_id, session_id
+), counted AS (
+    SELECT path, count(*)::BIGINT AS n_sessions FROM paths GROUP BY 1
+), ranked AS (
+    SELECT path, n_sessions,
+           row_number() OVER (ORDER BY n_sessions DESC, path) AS rank
+    FROM counted
+)
+SELECT path, n_sessions, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_PATH_TOPK}
+""".replace("{gap}", str(_SESSION_GAP_US)))
+def q_session_paths(spark, sf_dir):
+    """Top navigation paths: the ordered event-type sequence of each
+    session's first 5 steps, counted corpus-wide — the
+    path-mining readout behind funnel DISCOVERY (funnels check a
+    hypothesized path; this surfaces which paths actually happen).
+    The path string is built by conditional pivot (max CASE per step
+    position) + concat_ws — pure whole-stage codegen, no interpreted
+    higher-order array functions in the per-session loop, and
+    concat_ws skips NULLs so short sessions need no special casing.
+    Scale shape: sessionization windows partition by user (the
+    standard rule: state per user, never global), the path rollup
+    shuffles once on the path string whose cardinality is bounded by
+    |event_types|^steps, and only the <= that-many distinct paths
+    reach the final top-k window."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    w_order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "prev_us", F.lag("ts_us").over(w_order)
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.col("ts_us") - F.col("prev_us") > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    stepped = sessions.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "session_id")
+            .orderBy("ts_us", "event_id")
+        ),
+    ).where(F.col("rn") <= _PATH_STEPS)
+    steps = [
+        F.max(
+            F.when(F.col("rn") == i, F.col("event_type"))
+        ).alias(f"s{i}")
+        for i in range(1, _PATH_STEPS + 1)
+    ]
+    paths = (
+        stepped.groupBy("user_id", "session_id")
+        .agg(*steps)
+        .select(
+            F.concat_ws(
+                ">", *[f"s{i}" for i in range(1, _PATH_STEPS + 1)]
+            ).alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(
+        F.count("*").cast("long").alias("n_sessions")
+    )
+    ranked = counted.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("n_sessions").desc(), "path")
+        ),
+    )
+    return ranked.where(F.col("rank") <= _PATH_TOPK).select(
+        "path", "n_sessions", F.col("rank").cast("long").alias("rank")
+    )
