@@ -344,3 +344,61 @@ def expire_snapshots(root: str, keep_last: int = 1) -> dict:
         "removed_files": removed,
         "kept_versions": keep,
     }
+
+
+def optimize_table(
+    spark: SparkSession,
+    root: str,
+    target_file_rows: int,
+    zorder: tuple[str, str] | None = None,
+) -> int:
+    """OPTIMIZE (Delta OPTIMIZE [ZORDER BY] / Iceberg rewrite_data_
+    files): rewrite the current snapshot into ~target_file_rows-sized
+    files, optionally clustered along the Morton z-curve of two
+    columns so file min/max stats become tight rectangles in BOTH
+    dimensions — small-file compaction and multi-dim data skipping in
+    one copy-on-write commit. Old snapshots stay readable (time
+    travel); expire_snapshots reclaims the pre-optimize files later.
+
+    The z path is the at-scale recipe stated in operators/layout.py,
+    executed: normalize both columns to 8-bit by the snapshot's own
+    min/max, interleave, ONE repartitionByRange on the z value (the
+    same cost as any sort-cluster pass), drop the helper column at
+    write. Stats collection stays the one input_file_name()
+    aggregation every write path uses.
+    """
+    from ..operators.layout import interleave_bits
+
+    head = _load_manifest(root, _versions(root)[-1])
+    stats_cols = head["stats_cols"]
+    df = read(spark, root)
+    total = df.count()
+    n_files = max(1, -(-total // target_file_rows))
+    tag = f"v{head['version'] + 1}-opt"
+    if zorder is not None:
+        xc, yc = zorder
+        b = df.agg(
+            F.min(xc).alias("xl"), F.max(xc).alias("xh"),
+            F.min(yc).alias("yl"), F.max(yc).alias("yh"),
+        )
+        z = (
+            df.crossJoin(F.broadcast(b))
+            .withColumn(
+                "_xq",
+                F.expr(f"(({xc} - xl) * 255) div greatest(xh - xl, 1)"),
+            )
+            .withColumn(
+                "_yq",
+                F.expr(f"(({yc} - yl) * 255) div greatest(yh - yl, 1)"),
+            )
+            .withColumn("_z", interleave_bits("_xq", "_yq", 8))
+            .drop("xl", "xh", "yl", "yh", "_xq", "_yq")
+        )
+        clustered = z.repartitionByRange(n_files, "_z").drop("_z")
+    else:
+        clustered = df.repartition(n_files)
+    entries = _write_files(spark, clustered, root, tag, stats_cols)
+    return _commit(root, {
+        "operation": "optimize", "stats_cols": stats_cols,
+        "files": entries,
+    })

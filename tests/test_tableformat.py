@@ -159,3 +159,36 @@ def test_schema_evolution_append_new_column(spark, table):
     assert rows[5] is None             # pre-evolution rows read as NULL
     # time travel to the pre-evolution snapshot: column absent
     assert "quality" not in tf.read(spark, table, version=1).columns
+
+
+def test_optimize_compacts_and_zorder_tightens_stats(spark, tmp_path):
+    root = str(tmp_path / "opt")
+    base = spark.range(0, 200).selectExpr(
+        "id AS doc_id", "concat('t', id) AS text", "(id * 37) % 100 AS grp"
+    ).repartition(10)
+    tf.create_table(spark, base, root, stats_cols=["doc_id", "grp"])
+    n_before = len(tf._load_manifest(root, 1)["files"])
+    assert n_before >= 8  # many small files
+
+    v = tf.optimize_table(
+        spark, root, target_file_rows=25, zorder=("doc_id", "grp")
+    )
+    head = tf._load_manifest(root, v)
+    assert head["operation"] == "optimize"
+    assert len(head["files"]) == 8  # 200 rows / 25 per file
+    # content identical, pre-optimize snapshot intact
+    assert sorted(r.doc_id for r in tf.read(spark, root).collect()) == \
+        list(range(200))
+    assert tf.read(spark, root, version=1).count() == 200
+
+    # z-clustering makes doc_id file ranges narrow: a 10% doc_id box
+    # must prune most files via manifest stats
+    _df, files_read, files_total = tf.scan(spark, root, "doc_id", 40, 59)
+    assert files_total == 8
+    assert files_read < files_total
+    # and grp stats are tight too (each file spans far less than the
+    # full 0..99 domain on average)
+    spans = [
+        e["stats"]["grp"][1] - e["stats"]["grp"][0] for e in head["files"]
+    ]
+    assert sum(spans) / len(spans) < 99
