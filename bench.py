@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "q_mad_outliers",
     "q_k_anonymity",
     "q_session_paths",
+    "q_psi_drift",
 ]
 
 

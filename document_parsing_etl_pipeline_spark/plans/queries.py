@@ -7587,3 +7587,117 @@ def q_session_paths(spark, sf_dir):
     return ranked.where(F.col("rank") <= _PATH_TOPK).select(
         "path", "n_sessions", F.col("rank").cast("long").alias("rank")
     )
+
+
+@register("q_psi_drift", f"""
+WITH ev AS (
+    SELECT epoch_us(ts) // {_DAY_US} AS day,
+           CAST(floor(value / 50) AS BIGINT) AS band
+    FROM events
+), b AS (SELECT min(day) AS lo FROM ev),
+halves AS (
+    SELECT CASE WHEN day < lo + 15 THEN 'ref' ELSE 'cur' END AS half,
+           band
+    FROM ev, b
+), bands AS (SELECT DISTINCT band FROM halves),
+nb AS (SELECT count(*) AS n_bands FROM bands),
+counts AS (
+    SELECT half, band, count(*)::BIGINT AS n FROM halves GROUP BY 1, 2
+), tot AS (
+    SELECT half, sum(n)::BIGINT AS total FROM counts GROUP BY 1
+), grid AS (
+    SELECT bands.band,
+           coalesce(r.n, 0)::BIGINT AS n_ref,
+           coalesce(c.n, 0)::BIGINT AS n_cur
+    FROM bands
+    LEFT JOIN counts r ON r.band = bands.band AND r.half = 'ref'
+    LEFT JOIN counts c ON c.band = bands.band AND c.half = 'cur'
+), probs AS (
+    SELECT g.band, g.n_ref, g.n_cur,
+           (g.n_ref + 1)::DOUBLE / (tr.total + nb.n_bands) AS p,
+           (g.n_cur + 1)::DOUBLE / (tc.total + nb.n_bands) AS q
+    FROM grid g, nb,
+         (SELECT total FROM tot WHERE half = 'ref') tr,
+         (SELECT total FROM tot WHERE half = 'cur') tc
+), contrib AS (
+    SELECT band, n_ref, n_cur,
+           CAST(round((p - q) * round(ln(p / q), 6) * 1000000)
+                AS BIGINT) AS contrib_micro
+    FROM probs
+)
+SELECT band, n_ref, n_cur, contrib_micro,
+       (SELECT sum(contrib_micro)::BIGINT FROM contrib) AS psi_micro_total
+FROM contrib
+""")
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index between the first and second half of
+    the event window, over value bands — the drift metric risk teams
+    actually monitor (PSI > 0.2 = significant shift), completing the
+    drift family next to exact-integer KS and chi². Laplace-smoothed
+    proportions (no ln(0)); the only libm call is ln(p/q) ROUNDED TO
+    6 DP before the multiply (the unigram-surprisal recipe: p and q
+    derive from identical integers, so the doubles, the pre-rounded
+    log, the product and the micro rounding replay bit-for-bit in
+    both engines); contributions land as BIGINT micro-units whose sum
+    is exact. Scale shape: one fact shuffle to (half, band) — band
+    cardinality is domain-bounded — then broadcast-size joins; the
+    total is a 1-row broadcast back onto the band rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(f"(ts div 1000) div {_DAY_US}").alias("day"),
+        F.floor(F.col("value") / 50).cast("long").alias("band"),
+    )
+    b = ev.agg(F.min("day").alias("lo"))
+    halves = ev.crossJoin(F.broadcast(b)).select(
+        F.when(F.col("day") < F.col("lo") + 15, "ref")
+        .otherwise("cur").alias("half"),
+        "band",
+    )
+    bands = halves.select("band").distinct()
+    nb = bands.agg(F.count("*").alias("n_bands"))
+    counts = halves.groupBy("half", "band").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = counts.groupBy("half").agg(F.sum("n").cast("long").alias("total"))
+    r = counts.where(F.col("half") == "ref").select(
+        "band", F.col("n").alias("nr")
+    )
+    c = counts.where(F.col("half") == "cur").select(
+        "band", F.col("n").alias("nc")
+    )
+    tr = tot.where(F.col("half") == "ref").select(
+        F.col("total").alias("total_ref")
+    )
+    tc = tot.where(F.col("half") == "cur").select(
+        F.col("total").alias("total_cur")
+    )
+    grid = (
+        bands.join(F.broadcast(r), "band", "left")
+        .join(F.broadcast(c), "band", "left")
+        .select(
+            "band",
+            F.coalesce("nr", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("nc", F.lit(0)).cast("long").alias("n_cur"),
+        )
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(tc))
+    )
+    probs = grid.select(
+        "band", "n_ref", "n_cur",
+        ((F.col("n_ref") + 1).cast("double")
+         / (F.col("total_ref") + F.col("n_bands"))).alias("p"),
+        ((F.col("n_cur") + 1).cast("double")
+         / (F.col("total_cur") + F.col("n_bands"))).alias("q"),
+    )
+    contrib = probs.select(
+        "band", "n_ref", "n_cur",
+        F.round(
+            (F.col("p") - F.col("q"))
+            * F.round(F.log(F.col("p") / F.col("q")), 6)
+            * 1_000_000
+        ).cast("long").alias("contrib_micro"),
+    )
+    total = contrib.agg(
+        F.sum("contrib_micro").cast("long").alias("psi_micro_total")
+    )
+    return contrib.crossJoin(F.broadcast(total))
