@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "q_k_anonymity",
     "q_session_paths",
     "q_psi_drift",
+    "q_bigram_logprob",
 ]
 
 

@@ -7701,3 +7701,91 @@ def q_psi_drift(spark, sf_dir):
         F.sum("contrib_micro").cast("long").alias("psi_micro_total")
     )
     return contrib.crossJoin(F.broadcast(total))
+
+
+@register("q_bigram_logprob", r"""
+WITH tk AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws
+    FROM documents
+), big AS (
+    SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+    FROM tk, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS g(i)
+), bc AS (
+    SELECT w1, w2, count(*)::BIGINT AS c12 FROM big GROUP BY 1, 2
+), uc AS (
+    SELECT w1, sum(c12)::BIGINT AS c1 FROM bc GROUP BY 1
+), v AS (
+    SELECT count(DISTINCT w2) AS vocab FROM bc
+), surp AS (
+    SELECT bc.w1, bc.w2,
+           round(-log2((bc.c12 + 1)::DOUBLE / (uc.c1 + v.vocab)), 6)
+               AS bits
+    FROM bc JOIN uc ON uc.w1 = bc.w1, v
+)
+SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+       (sum(s.bits::DECIMAL(18,6)) * 1000000)::BIGINT AS bits_micro_total,
+       ((sum(s.bits::DECIMAL(18,6)) * 1000000)::BIGINT
+        // count(*) // 1000)::BIGINT AS bits_milli_per_bigram
+FROM big b JOIN surp s ON s.w1 = b.w1 AND s.w2 = b.w2
+GROUP BY b.doc_id
+""")
+def q_bigram_logprob(spark, sf_dir):
+    """Per-document surprisal under a corpus BIGRAM model with
+    Laplace smoothing — the CCNet/KenLM-style LM quality filter one
+    order up from q_unigram_logprob: P(w2|w1) = (c12+1)/(c1+V), so
+    documents whose word ORDER is unusual score high even when their
+    unigram mix is normal (shuffled text, keyword stuffing — exactly
+    what the unigram filter cannot see). Same engine protocol as the
+    unigram pass: the only libm call is log2, rounded to 6 dp at the
+    model cell, then exact DECIMAL micro-bit accumulation. Scale
+    shape: bigram model = one shuffle on (w1, w2) (map-side
+    combinable, Zipf-bounded vocab²-capped), conditional totals one
+    more on w1, then the doc scoring join shuffles on the bigram key;
+    the vocab size is a 1-row broadcast."""
+    tk = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+        .alias("ws"),
+    )
+    big = (
+        tk.where(F.size("ws") >= 2)
+        .select(
+            "doc_id", "ws",
+            F.explode(F.sequence(F.lit(0), F.size("ws") - 2)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.expr("ws[i]").alias("w1"),
+            F.expr("ws[i + 1]").alias("w2"),
+        )
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    uc = bc.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    v = bc.agg(F.countDistinct("w2").alias("vocab"))
+    surp = (
+        bc.join(uc, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1", "w2",
+            F.round(
+                -F.log2(
+                    (F.col("c12") + 1).cast("double")
+                    / (F.col("c1") + F.col("vocab"))
+                ),
+                6,
+            ).alias("bits"),
+        )
+    )
+    return (
+        big.join(surp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            (F.sum(F.col("bits").cast("decimal(18,6)")) * 1_000_000)
+            .cast("long").alias("bits_micro_total"),
+            F.expr(
+                "CAST(CAST(sum(CAST(bits AS DECIMAL(18,6))) * 1000000"
+                " AS BIGINT) div count(*) div 1000 AS BIGINT)"
+            ).alias("bits_milli_per_bigram"),
+        )
+    )
