@@ -6141,10 +6141,16 @@ def q_pagerank_terms(spark, sf_dir):
         .where(F.col("a.ent") != F.col("b.ent"))
         .select(F.col("a.ent").alias("src"), F.col("b.ent").alias("dst"))
         .distinct()
+        # the co-occurrence self-join is referenced by nodes/deg/every
+        # iteration — unmaterialized, iteration k re-executes the edge
+        # build O(2^k) times through the growing lineage (measured:
+        # 10.1 s -> 2.8 s at sf0.1 with edge + per-iteration rank
+        # checkpoints; the remainder is the one honest edge build)
+        .localCheckpoint()
     )
-    return pagerank_integer(edges, iterations=_PR_ITERS).select(
-        "ent", "degree", "pagerank_micro"
-    )
+    return pagerank_integer(
+        edges, iterations=_PR_ITERS, materialize=True
+    ).select("ent", "degree", "pagerank_micro")
 
 
 @register("q_tokenizer_fertility", f"""
