@@ -520,6 +520,11 @@ def sparse_sim_topk(
         .select("doc_id", F.concat_ws(" ", *parts).alias("term"))
         .distinct()
     )
+    # NOT localCheckpointed despite the 4 downstream references: the
+    # pair join dominates here and the checkpoint write costs more
+    # than the shingle rebuilds save (measured 3.7 -> 4.3 s at sf0.1
+    # — the setsim/pagerank materialize rule applies only when the
+    # SHARED subtree is the expensive part).
     dfreq = (
         sh.groupBy("term")
         .agg(F.count("*").cast("long").alias("df"))
