@@ -163,6 +163,8 @@ BENCH_QUERIES = [
     "q_session_paths",
     "q_psi_drift",
     "q_bigram_logprob",
+    "q_revenue_gini",
+    "q_basket_lift",
 ]
 
 

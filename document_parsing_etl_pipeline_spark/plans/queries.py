@@ -7795,3 +7795,176 @@ def q_bigram_logprob(spark, sf_dir):
             ).alias("bits_milli_per_bigram"),
         )
     )
+
+
+@register("q_revenue_gini", """
+WITH cust AS (
+    SELECT o_custkey,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100)
+                AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+), ranked AS (
+    SELECT cents,
+           row_number() OVER (ORDER BY cents, o_custkey) AS i
+    FROM cust
+), s AS (
+    SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS sx,
+           sum(i * cents)::BIGINT AS sxi
+    FROM ranked
+), topd AS (
+    SELECT sum(r.cents)::BIGINT AS top_cents
+    FROM ranked r, s WHERE r.i > s.n - (s.n // 10)
+)
+SELECT s.n AS n_customers, s.sx AS total_cents,
+       ((2 * s.sxi - (s.n + 1) * s.sx)
+        // ((s.n * s.sx) // 1000000))::BIGINT AS gini_ppm,
+       ((topd.top_cents * 1000000) // s.sx)::BIGINT
+           AS top_decile_share_ppm
+FROM s, topd
+""")
+def q_revenue_gini(spark, sf_dir):
+    """Revenue concentration: Gini coefficient + top-decile share
+    over per-customer lifetime revenue — the inequality readout
+    behind 'whale' analyses and account-risk concentration limits.
+    Exact protocol: revenue lands as integer cents, the Gini closed
+    form G = (2·Σi·x_i − (n+1)·Σx) / (n·Σx) is evaluated in pure
+    BIGINT with the denominator pre-scaled to ppm (num div (den div
+    1e6)) so nothing overflows and both engines floor identically.
+    Scale shape: one fact shuffle to customers; the rank window runs
+    over the CUSTOMER aggregate relation (the ntile/deciles
+    precedent), never over orders; the two scalars meet by
+    broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.round(F.sum(_dec(F.col("o_totalprice"))) * 100, 0)
+        .cast("long").alias("cents")
+    )
+    ranked = cust.withColumn(
+        "i", F.row_number().over(Window.orderBy("cents", "o_custkey"))
+    )
+    s = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sx"),
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("sxi"),
+    )
+    topd = (
+        ranked.crossJoin(F.broadcast(s))
+        .where(F.col("i") > F.col("n") - F.expr("n div 10"))
+        .agg(F.sum("cents").cast("long").alias("top_cents"))
+    )
+    return (
+        s.crossJoin(F.broadcast(topd))
+        .select(
+            F.col("n").alias("n_customers"),
+            F.col("sx").alias("total_cents"),
+            F.expr(
+                "CAST((2 * sxi - (n + 1) * sx)"
+                " div ((n * sx) div 1000000) AS BIGINT)"
+            ).alias("gini_ppm"),
+            F.expr("CAST((top_cents * 1000000) div sx AS BIGINT)")
+            .alias("top_decile_share_ppm"),
+        )
+    )
+
+
+_BASKET_TOPK = 20
+
+
+@register("q_basket_lift", f"""
+WITH ob AS (
+    SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), n AS (SELECT count(DISTINCT okey) AS n_orders FROM ob),
+bc AS (
+    SELECT brand, count(*)::BIGINT AS n_b FROM ob GROUP BY 1
+), pairs AS (
+    SELECT a.brand AS brand_a, b.brand AS brand_b,
+           count(*)::BIGINT AS n_both
+    FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+    GROUP BY 1, 2
+), scored AS (
+    SELECT p.brand_a, p.brand_b, p.n_both,
+           ca.n_b AS n_a, cb.n_b AS n_b,
+           ((p.n_both * n.n_orders * 1000000) // (ca.n_b * cb.n_b))
+               AS lift_ppm,
+           ((p.n_both * 1000000) // n.n_orders) AS support_ppm
+    FROM pairs p
+    JOIN bc ca ON ca.brand = p.brand_a
+    JOIN bc cb ON cb.brand = p.brand_b, n
+), ranked AS (
+    SELECT *, row_number() OVER (ORDER BY n_both DESC, lift_ppm DESC,
+                                 brand_a, brand_b) AS rank
+    FROM scored
+)
+SELECT brand_a, brand_b, n_both, n_a, n_b, lift_ppm, support_ppm,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_BASKET_TOPK}
+""")
+def q_basket_lift(spark, sf_dir):
+    """Market-basket association between part brands co-purchased in
+    one order: support and LIFT (observed co-rate / independent
+    expectation) in integer ppm, top-{_BASKET_TOPK} pairs — the
+    assortment/recommendation primitive, at the brand granularity
+    where TPC-H baskets actually carry signal. Scale shape: the
+    distinct (order, brand) relation is the small thing (≤ orders ×
+    |brands|); the within-order pair join fans out ≤ C(|brands|, 2)
+    per order; brand totals and the 1-row order count broadcast onto
+    the ≤ |brands|² pair rows. The part join carries no broadcast
+    hint (part scales with SF — AQE decides, the repo rule).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    ob = (
+        li.join(part, "l_partkey")
+        .select(F.col("l_orderkey").alias("okey"),
+                F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n = ob.select("okey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    bc = ob.groupBy("brand").agg(F.count("*").cast("long").alias("n_b"))
+    a = ob.select("okey", F.col("brand").alias("brand_a"))
+    b = ob.select("okey", F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "okey")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    ca = bc.select(F.col("brand").alias("brand_a"),
+                   F.col("n_b").alias("n_a"))
+    cb = bc.select(F.col("brand").alias("brand_b"),
+                   F.col("n_b").alias("n_b"))
+    scored = (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a", "brand_b", "n_both", "n_a", "n_b",
+            F.expr(
+                "CAST((n_both * n_orders * 1000000)"
+                " div (n_a * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+            F.expr("CAST((n_both * 1000000) div n_orders AS BIGINT)")
+            .alias("support_ppm"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(
+                F.col("n_both").desc(), F.col("lift_ppm").desc(),
+                "brand_a", "brand_b",
+            )
+        ),
+    )
+    return ranked.where(F.col("rank") <= _BASKET_TOPK).select(
+        "brand_a", "brand_b", "n_both", "n_a", "n_b",
+        "lift_ppm", "support_ppm",
+        F.col("rank").cast("long").alias("rank"),
+    )
