@@ -165,6 +165,8 @@ BENCH_QUERIES = [
     "q_bigram_logprob",
     "q_revenue_gini",
     "q_basket_lift",
+    "q_dedup_cluster_sizes",
+    "q_ab_split_audit",
 ]
 
 

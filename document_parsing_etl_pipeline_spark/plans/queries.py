@@ -7968,3 +7968,124 @@ def q_basket_lift(spark, sf_dir):
         "lift_ppm", "support_ppm",
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+@register("q_dedup_cluster_sizes", _CC_CTES + """
+, comps AS (
+    SELECT id, min(label) AS component_id FROM walk GROUP BY id
+), sizes AS (
+    SELECT component_id, count(*)::BIGINT AS cluster_size
+    FROM comps GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents),
+hist AS (
+    SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+           (cluster_size * count(*))::BIGINT AS docs_covered
+    FROM sizes GROUP BY 1
+)
+SELECT h.cluster_size, h.n_clusters, h.docs_covered,
+       ((h.docs_covered * 1000000) // n.n_docs)::BIGINT
+           AS corpus_share_ppm
+FROM hist h, n
+""")
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster-size distribution — the dedup observability
+    readout that decides POLICY: a corpus whose duplicates sit in a
+    few giant clusters (template spam) needs different handling than
+    one with many pairs (true near-copies), and 'how much of the
+    corpus is inside clusters of size >= s' is exactly what this
+    histogram answers. Rolls the connected-components output up
+    twice (component -> size, size -> count) — both rollups are over
+    relations ≤ |clustered docs|, far below the corpus, and the
+    corpus total broadcasts onto the ≤ |distinct sizes| rows.
+    operators/dedup.py:connected_components + two aggregations."""
+    comps = dedup.connected_components(
+        _jaccard_pairs(spark, sf_dir), max_iter=30
+    )
+    sizes = comps.groupBy("component_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    n = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_docs")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters")
+    )
+    return (
+        hist.crossJoin(F.broadcast(n))
+        .select(
+            "cluster_size", "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long").alias("docs_covered"),
+            F.expr(
+                "CAST((cluster_size * n_clusters * 1000000)"
+                " div n_docs AS BIGINT)"
+            ).alias("corpus_share_ppm"),
+        )
+    )
+
+
+@register("q_ab_split_audit", """
+WITH assign AS (
+    SELECT user_id,
+           CASE WHEN (CAST(('0x' || substring(
+                    md5(CAST(user_id AS VARCHAR) || ':exp1'), 1, 8))
+                    AS BIGINT) % 2) = 0
+                THEN 'A' ELSE 'B' END AS arm
+    FROM (SELECT DISTINCT user_id FROM events)
+), outcomes AS (
+    SELECT a.arm,
+           count(*)::BIGINT AS n_users,
+           sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_converted
+    FROM assign a
+    LEFT JOIN (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase') p
+      ON p.user_id = a.user_id
+    GROUP BY 1
+)
+SELECT arm, n_users, n_converted,
+       ((n_converted * 1000000) // n_users)::BIGINT AS conv_ppm
+FROM outcomes
+""")
+def q_ab_split_audit(spark, sf_dir):
+    """Deterministic A/B assignment + conversion readout: users hash
+    into arms by md5(user_id || ':' || experiment_salt) — the
+    industry-standard seedless split (reproducible across engines
+    and runs, no RNG state to coordinate across 1000 executors; the
+    salt is what makes experiment assignments independent of each
+    other). The audit reports arm sizes and purchase-conversion ppm
+    — the balance check (arms ~50/50) and the primary metric read,
+    both exact integers. One distinct-users shuffle + a semi-style
+    left join against the distinct converters; everything downstream
+    is 2 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    assign = users.select(
+        "user_id",
+        F.when(
+            F.expr(
+                "conv(substring(md5(concat(CAST(user_id AS STRING),"
+                " ':exp1')), 1, 8), 16, 10) % 2"
+            ) == 0,
+            "A",
+        ).otherwise("B").alias("arm"),
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id").distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    return (
+        assign.join(conv, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum(F.coalesce("converted", F.lit(0)))
+            .cast("long").alias("n_converted"),
+        )
+        .select(
+            "arm", "n_users", "n_converted",
+            F.expr("CAST((n_converted * 1000000) div n_users AS BIGINT)")
+            .alias("conv_ppm"),
+        )
+    )
