@@ -167,6 +167,8 @@ BENCH_QUERIES = [
     "q_basket_lift",
     "q_dedup_cluster_sizes",
     "q_ab_split_audit",
+    "q_activation_time",
+    "q_activity_streaks",
 ]
 
 

@@ -8089,3 +8089,135 @@ def q_ab_split_audit(spark, sf_dir):
             .alias("conv_ppm"),
         )
     )
+
+
+@register("q_activation_time", """
+WITH firsts AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               AS f_view,
+           min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               AS f_click,
+           min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS f_purchase
+    FROM events GROUP BY 1
+), done AS (
+    SELECT user_id,
+           greatest(f_view, f_click, f_purchase)
+               - least(f_view, f_click, f_purchase) AS span_us
+    FROM firsts
+    WHERE f_view IS NOT NULL AND f_click IS NOT NULL
+      AND f_purchase IS NOT NULL
+), base AS (SELECT count(*) AS n_users FROM firsts)
+SELECT base.n_users::BIGINT AS n_users,
+       count(*)::BIGINT AS n_activated,
+       (count(*) * 1000000 // base.n_users)::BIGINT AS activation_ppm,
+       (sum(span_us) // count(*))::BIGINT AS mean_span_us,
+       round(quantile_cont(span_us, 0.5), 4) AS p50_span_us
+FROM done, base
+GROUP BY base.n_users
+""")
+def q_activation_time(spark, sf_dir):
+    """Any-order milestone activation: a user is ACTIVATED once they
+    have done all of view, click, AND purchase — no ordering
+    assumption (the ordered funnel's blind spot: users who purchase
+    first and browse later are conversions too). Reports activation
+    rate and the time-to-complete span (max first − min first) with
+    integer-floor mean and exact interpolated median (the
+    conversion-latency protocol). One shuffle to users with
+    conditional-min firsts (map-side combinable), then 1-row
+    rollups."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("event_type") == t, F.expr("ts div 1000")
+                )
+            ).alias(f"f_{t}")
+            for t in ("view", "click", "purchase")
+        ]
+    )
+    done = firsts.where(
+        F.col("f_view").isNotNull()
+        & F.col("f_click").isNotNull()
+        & F.col("f_purchase").isNotNull()
+    ).select(
+        (
+            F.greatest("f_view", "f_click", "f_purchase")
+            - F.least("f_view", "f_click", "f_purchase")
+        ).alias("span_us")
+    )
+    base = firsts.agg(F.count("*").alias("n_users"))
+    return (
+        done.crossJoin(F.broadcast(base))
+        .groupBy("n_users")
+        .agg(
+            F.count("*").cast("long").alias("n_activated"),
+            F.expr(
+                "CAST(count(*) * 1000000 div any_value(n_users) AS BIGINT)"
+            ).alias("activation_ppm"),
+            F.expr("CAST(sum(span_us) div count(*) AS BIGINT)")
+            .alias("mean_span_us"),
+            F.round(F.percentile("span_us", F.lit(0.5)), 4)
+            .alias("p50_span_us"),
+        )
+        .select(
+            F.col("n_users").cast("long").alias("n_users"),
+            "n_activated", "activation_ppm", "mean_span_us",
+            "p50_span_us",
+        )
+    )
+
+
+@register("q_activity_streaks", f"""
+WITH act AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day
+    FROM events
+), grp AS (
+    SELECT user_id, day,
+           day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+    FROM act
+), streaks AS (
+    SELECT user_id, count(*)::BIGINT AS streak_len
+    FROM grp GROUP BY user_id, island
+), best AS (
+    SELECT user_id, max(streak_len)::BIGINT AS max_streak
+    FROM streaks GROUP BY 1
+)
+SELECT max_streak, count(*)::BIGINT AS n_users
+FROM best GROUP BY 1
+""")
+def q_activity_streaks(spark, sf_dir):
+    """Longest consecutive-day activity streak per user, as a
+    distribution — the engagement metric behind habit/retention
+    scoring, via the classic gaps-and-islands identity: for
+    consecutive days, day − row_number() is CONSTANT, so grouping on
+    that difference splits each user's history into maximal runs
+    with no self-join and no recursion. The window partitions by
+    user over their distinct DAYS (≤ calendar length, never raw
+    events); everything after is two tiny rollups."""
+    ev = load_table(spark, sf_dir, "events")
+    act = (
+        ev.select(
+            "user_id", F.expr(f"(ts div 1000) div {_DAY_US}").alias("day")
+        )
+        .distinct()
+    )
+    grp = act.withColumn(
+        "island",
+        F.col("day")
+        - F.row_number().over(
+            Window.partitionBy("user_id").orderBy("day")
+        ),
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count("*").cast("long").alias("streak_len")
+    )
+    best = streaks.groupBy("user_id").agg(
+        F.max("streak_len").cast("long").alias("max_streak")
+    )
+    return best.groupBy("max_streak").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
