@@ -37,6 +37,12 @@ EDGE_QUERIES = [
     "q_repetition_ratio", "q_sequence_pack",
     "q_bm25_scores", "q_dsir_weights", "q_shard_assignment",
     "q_bpe_merge_step",
+    # session-2 additions: the exact similarity join must return the
+    # brute-force answer even on empty/whitespace/unicode docs (no
+    # shingles => no pairs, never a crash); triangle/bigram/cluster
+    # paths must agree on zero-token and repeated-token degenerates
+    "q_setsim_prefix_join", "q_triangle_count", "q_bigram_logprob",
+    "q_dedup_cluster_sizes", "q_uniform_sample_exact",
 ]
 
 
