@@ -164,11 +164,29 @@ EDGE_EVENTS = [
     (7, '2024-01-01 00:07:00', 4, 'click', 4.0, '{"k": 25.7}'),
     (8, '2024-01-01 00:08:00', 5, 'view', 5.0, '{"k": null}'),
     (9, '2024-01-01 00:09:00', 5, 'view', 6.0, '[1,2,3]'),
+    # timestamp TIES (same user, same instant, different event_id):
+    # every window ordered by (ts, event_id) must break them the same
+    # way on both engines
+    (10, '2024-01-01 00:09:00', 5, 'click', 7.0, None),
+    (11, '2024-01-01 00:09:00', 5, 'purchase', 8.0, None),
+    # exact midnight day boundary + a multi-day gap (streak break,
+    # gapfill zero-days, decay ages)
+    (12, '2024-01-02 00:00:00', 1, 'view', 1.0, None),
+    (13, '2024-01-02 23:59:59', 1, 'view', 2.0, None),
+    (14, '2024-01-05 12:00:00', 1, 'purchase', 3.0, None),
+    (15, '2024-01-05 12:00:00', 2, 'click', -4.5, None),  # negative value
 ]
 
 EDGE_EVENT_QUERIES = [
     "q_events_json_props", "q_events_windowed", "q_event_transitions",
     "q_events_gap_detection", "q_funnel_conversion", "q_events_anomaly",
+    # session-2 additions: tie-breaks, day boundaries, gap days, and
+    # negative values must replay identically
+    "q_events_sessionize", "q_session_paths", "q_rate_limit_audit",
+    "q_decayed_counts", "q_new_vs_returning", "q_autocorr_daily",
+    "q_activity_streaks", "q_timeseries_gapfill", "q_k_anonymity",
+    "q_mad_outliers", "q_audience_overlap", "q_ab_split_audit",
+    "q_events_percentiles",
 ]
 
 
