@@ -242,3 +242,58 @@ def test_edge_events_parity(spark, edge_ev_dir, name):
     want_n = _normalize(res.fetchall(), ocols)
     assert sorted(cols) == sorted(ocols)
     assert got_n == want_n
+
+
+EDGE_ORDERS = [
+    # classic double-rounding traps: x.xx5 values whose binary
+    # representation sits just above/below the decimal half — the
+    # integer-cents protocol (DECIMAL accumulate -> x100 -> round
+    # ONCE) must floor identically on both engines
+    (1, 1, 'O', 0.005, '1995-03-01', '1-URGENT'),
+    (2, 1, 'O', 1.005, '1996-03-01', '1-URGENT'),
+    (3, 2, 'O', 2.675, '1995-06-01', '2-HIGH'),
+    (4, 2, 'O', 1234.565, '1997-06-01', '2-HIGH'),
+    (5, 3, 'O', 0.015, '1995-01-01', '3-MEDIUM'),
+    (6, 3, 'O', 99999.995, '1998-01-01', '3-MEDIUM'),
+    (7, 4, 'O', 10.0, '1995-01-01', '4-NOT'),
+]
+
+EDGE_ORDER_QUERIES = ["q_cohort_ltv", "q_yoy_growth", "q_revenue_gini"]
+
+
+@pytest.fixture(scope="module")
+def edge_ord_dir(tmp_path_factory, spark):
+    import shutil
+
+    d = tmp_path_factory.mktemp("edge_ord")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "lineitem", "events", "documents", "embeddings"):
+        shutil.copyfile(f"/root/testdata/sf0.001/{t}.parquet",
+                        str(d / f"{t}.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "create table o(o_orderkey BIGINT, o_custkey BIGINT, "
+        "o_orderstatus VARCHAR, o_totalprice DOUBLE, "
+        "o_orderdate TIMESTAMP, o_orderpriority VARCHAR)"
+    )
+    con.executemany("insert into o values (?,?,?,?,?,?)", EDGE_ORDERS)
+    con.execute(f"copy o to '{d}/orders.parquet' (format parquet)")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EDGE_ORDER_QUERIES)
+def test_edge_money_rounding_parity(spark, edge_ord_dir, name):
+    got = QUERIES[name](spark, edge_ord_dir)
+    cols = got.columns
+    got_n = _normalize([tuple(r) for r in got.collect()], cols)
+
+    con = duckdb.connect()
+    con.execute(
+        "create view orders as select * from "
+        f"read_parquet('{edge_ord_dir}/orders.parquet')"
+    )
+    res = con.execute(ORACLES[name])
+    ocols = [d[0] for d in res.description]
+    want_n = _normalize(res.fetchall(), ocols)
+    assert sorted(cols) == sorted(ocols)
+    assert got_n == want_n
