@@ -7817,7 +7817,7 @@ WITH cust AS (
 )
 SELECT s.n AS n_customers, s.sx AS total_cents,
        ((2 * s.sxi - (s.n + 1) * s.sx)
-        // ((s.n * s.sx) // 1000000))::BIGINT AS gini_ppm,
+        // greatest((s.n * s.sx) // 1000000, 1))::BIGINT AS gini_ppm,
        ((topd.top_cents * 1000000) // s.sx)::BIGINT
            AS top_decile_share_ppm
 FROM s, topd
@@ -7859,7 +7859,7 @@ def q_revenue_gini(spark, sf_dir):
             F.col("sx").alias("total_cents"),
             F.expr(
                 "CAST((2 * sxi - (n + 1) * sx)"
-                " div ((n * sx) div 1000000) AS BIGINT)"
+                " div greatest((n * sx) div 1000000, 1) AS BIGINT)"
             ).alias("gini_ppm"),
             F.expr("CAST((top_cents * 1000000) div sx AS BIGINT)")
             .alias("top_decile_share_ppm"),
