@@ -280,6 +280,37 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
             os.path.join(tmp, "cp_watch"),
             available_now=True,
         ))
+
+        # exactly-once streaming MERGE into the snapshot table format
+        # (stream_table_merge): CDC events upsert user latest-state
+        # through foreachBatch + copy-on-write MERGE. Note:
+        # numInputRows counts source re-reads — merge_into evaluates
+        # the batch for key bounds AND the rewrite, so input_rows ≈
+        # 2× the drop size; rows_per_sec is rows-READ/s
+        from document_parsing_etl_pipeline_spark.sources import (
+            tableformat as tf,
+        )
+        from document_parsing_etl_pipeline_spark.streaming import (
+            table_sink,
+        )
+
+        tbl_root = os.path.join(tmp, "merge_tbl")
+        seed = load_table(spark, sf_dir, "events").groupBy(
+            "user_id"
+        ).agg(
+            F.expr("max_by(event_type, ts)").alias("state"),
+            F.max(F.expr("ts div 1000")).alias("seq"),
+        ).limit(0)  # empty table, correct schema
+        tf.create_table(spark, seed, tbl_root, stats_cols=["user_id"])
+        cdc_stream = sev.read_event_stream(spark, ev_dir).select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.unix_micros("event_time").alias("seq"),
+        )
+        run("stream_table_merge", table_sink.stream_merge_into_table(
+            spark, cdc_stream, tbl_root, key="user_id", seq_col="seq",
+            checkpoint_dir=os.path.join(tmp, "cp_merge"),
+        ))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out

@@ -127,6 +127,7 @@ def create_table(
     entries = _write_files(spark, df, root, "v1", stats_cols)
     return _commit(root, {
         "operation": "create", "stats_cols": stats_cols, "files": entries,
+        "schema": df.schema.json(),
     })
 
 
@@ -137,6 +138,7 @@ def append(spark: SparkSession, df: DataFrame, root: str) -> int:
     return _commit(root, {
         "operation": "append", "stats_cols": head["stats_cols"],
         "files": head["files"] + entries,
+        "schema": df.schema.json(),
     })
 
 
@@ -159,7 +161,16 @@ def read(
         version = versions[-1]
     m = _load_manifest(root, version)
     if not m["files"]:
-        return spark.createDataFrame([], schema="doc_id long")
+        # empty snapshot: the manifest records the table schema so an
+        # empty table is still a TYPED relation (a hardcoded fallback
+        # schema broke MERGE into freshly-created empty tables)
+        from pyspark.sql.types import StructType
+
+        if "schema" in m:
+            schema = StructType.fromJson(json.loads(m["schema"]))
+        else:
+            schema = "doc_id long"  # legacy manifests
+        return spark.createDataFrame([], schema=schema)
     paths = [os.path.join(root, e["path"]) for e in m["files"]]
     # mergeSchema: snapshots may mix files written before/after a
     # column was added (schema evolution) — union-by-name semantics,
@@ -249,6 +260,7 @@ def merge_into(
     return _commit(root, {
         "operation": "merge", "stats_cols": stats_cols,
         "files": untouched + rewritten + new_entries,
+        **({"schema": head["schema"]} if "schema" in head else {}),
         **(extra_meta or {}),
     })
 
@@ -283,6 +295,7 @@ def delete_where(
     return _commit(root, {
         "operation": "delete", "stats_cols": stats_cols,
         "files": carried + entries,
+        **({"schema": head["schema"]} if "schema" in head else {}),
     })
 
 
@@ -401,4 +414,5 @@ def optimize_table(
     return _commit(root, {
         "operation": "optimize", "stats_cols": stats_cols,
         "files": entries,
+        **({"schema": head["schema"]} if "schema" in head else {}),
     })
