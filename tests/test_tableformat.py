@@ -192,3 +192,24 @@ def test_optimize_compacts_and_zorder_tightens_stats(spark, tmp_path):
         e["stats"]["grp"][1] - e["stats"]["grp"][0] for e in head["files"]
     ]
     assert sum(spans) / len(spans) < 99
+
+
+def test_merge_into_empty_table_uses_recorded_schema(spark, tmp_path):
+    # the CDC-sink bootstrap pattern: create a typed EMPTY table, then
+    # MERGE the first batch in. Regression: read() of an empty
+    # snapshot used a hardcoded fallback schema and broke the merge.
+    root = str(tmp_path / "empty_tbl")
+    seed = spark.createDataFrame(
+        [], "user_id long, state string, seq long"
+    )
+    tf.create_table(spark, seed, root, stats_cols=["user_id"])
+    empty = tf.read(spark, root)
+    assert empty.columns == ["user_id", "state", "seq"]
+    assert empty.count() == 0
+
+    first = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 11)], "user_id long, state string, seq long"
+    )
+    tf.merge_into(spark, first, root, key="user_id")
+    got = {r.user_id: r.state for r in tf.read(spark, root).collect()}
+    assert got == {1: "a", 2: "b"}
