@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "q_ab_split_audit",
     "q_activation_time",
     "q_activity_streaks",
+    "q_forecast_backtest",
 ]
 
 

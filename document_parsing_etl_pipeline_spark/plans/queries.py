@@ -8221,3 +8221,73 @@ def q_activity_streaks(spark, sf_dir):
     return best.groupBy("max_streak").agg(
         F.count("*").cast("long").alias("n_users")
     )
+
+
+@register("q_forecast_backtest", f"""
+WITH daily AS (
+    SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2
+), joined AS (
+    SELECT cur.event_type, cur.day, cur.n,
+           s.n AS pred_seasonal, p.n AS pred_persist
+    FROM daily cur
+    JOIN daily s ON s.event_type = cur.event_type
+                AND s.day = cur.day - 7
+    JOIN daily p ON p.event_type = cur.event_type
+                AND p.day = cur.day - 1
+)
+SELECT event_type, count(*)::BIGINT AS n_eval,
+       ((1000 * sum(abs(n - pred_seasonal))) // count(*))::BIGINT
+           AS mae_seasonal_milli,
+       ((1000 * sum(abs(n - pred_persist))) // count(*))::BIGINT
+           AS mae_persist_milli,
+       (sum(abs(n - pred_seasonal)) < sum(abs(n - pred_persist)))
+           AS seasonal_wins
+FROM joined GROUP BY 1
+""")
+def q_forecast_backtest(spark, sf_dir):
+    """Baseline forecasting with an honest backtest: the two
+    baselines every real forecast must beat — seasonal naive (same
+    weekday last week) and persistence (yesterday) — scored by MAE
+    over every day where both predictions exist, plus the
+    which-baseline-wins verdict. This is the capacity-planning
+    sanity harness: if a fancy model doesn't beat these two numbers
+    it ships nothing. All-integer (milli-MAE with truncating
+    division); the lag joins and scoring run over the calendar-sized
+    per-(type, day) frame — the ONLY fact-sized work is the one
+    groupBy building it."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type", F.expr(f"(ts div 1000) div {_DAY_US}").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    s = daily.select(
+        "event_type", (F.col("day") + 7).alias("day"),
+        F.col("n").alias("pred_seasonal"),
+    )
+    p = daily.select(
+        "event_type", (F.col("day") + 1).alias("day"),
+        F.col("n").alias("pred_persist"),
+    )
+    joined = daily.join(s, ["event_type", "day"]).join(
+        p, ["event_type", "day"]
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.expr(
+            "CAST((1000 * sum(abs(n - pred_seasonal))) div count(*)"
+            " AS BIGINT)"
+        ).alias("mae_seasonal_milli"),
+        F.expr(
+            "CAST((1000 * sum(abs(n - pred_persist))) div count(*)"
+            " AS BIGINT)"
+        ).alias("mae_persist_milli"),
+        (
+            F.sum(F.abs(F.col("n") - F.col("pred_seasonal")))
+            < F.sum(F.abs(F.col("n") - F.col("pred_persist")))
+        ).alias("seasonal_wins"),
+    )
