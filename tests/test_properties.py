@@ -325,3 +325,46 @@ def test_setsim_prefix_filter_is_lossless(spark, docs):
             if inter * 5 >= union * 3:
                 want[(a, b)] = (inter, union)
     assert got == want
+
+
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(min_value=0, max_value=11),
+                  st.integers(min_value=0, max_value=11)),
+        min_size=1, max_size=30,
+    )
+)
+@SLOW_OK
+def test_triangle_counts_on_random_graphs(spark, edges):
+    """Degree-ordered triangle counting equals brute force on random
+    graphs — the orientation argument (wedges only from each node's
+    out-edges, closure under the same order) must not lose or
+    double-count triangles under any degree profile or tie layout."""
+    from itertools import combinations
+
+    from document_parsing_etl_pipeline_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    if not pairs:
+        return
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    got = {
+        r.node: (r.degree, r.n_triangles)
+        for r in triangle_counts(df, materialize=False).collect()
+    }
+
+    import collections
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b); adj[b].add(a)
+    tris = [
+        t for t in combinations(sorted(adj), 3)
+        if t[1] in adj[t[0]] and t[2] in adj[t[0]] and t[2] in adj[t[1]]
+    ]
+    want = {
+        n: (len(adj[n]), sum(1 for t in tris if n in t))
+        for n in adj
+    }
+    assert got == want
