@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "q_activation_time",
     "q_activity_streaks",
     "q_forecast_backtest",
+    "q_ship_latency_integrity",
 ]
 
 

@@ -8291,3 +8291,63 @@ def q_forecast_backtest(spark, sf_dir):
             < F.sum(F.abs(F.col("n") - F.col("pred_persist")))
         ).alias("seasonal_wins"),
     )
+
+
+@register("q_ship_latency_integrity", f"""
+WITH j AS (
+    SELECT o.o_orderpriority AS priority,
+           (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+               // {_DAY_US} AS offset_days
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)
+SELECT priority, count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN offset_days < 0 THEN 1 ELSE 0 END)::BIGINT
+           AS n_impossible,
+       ((sum(CASE WHEN offset_days < 0 THEN 1 ELSE 0 END) * 1000000)
+        // count(*))::BIGINT AS impossible_ppm,
+       round(quantile_cont(offset_days, 0.5), 4) AS p50_offset_days,
+       ((1000 * sum(offset_days)) // count(*))::BIGINT
+           AS mean_offset_milli_days
+FROM j GROUP BY 1
+""")
+def q_ship_latency_integrity(spark, sf_dir):
+    """Order-to-ship offset integrity per priority — the fact-fact
+    temporal-consistency audit: a lineitem shipped BEFORE its order
+    date is an impossible sequence (clock skew, bad backfill, join
+    corruption), and the ppm rate of impossible rows is the data-
+    quality gate before any real latency SLA is computed on top.
+    (On this synthetic data ship and order dates are uncorrelated,
+    so the violation counter is exactly what the query surfaces.)
+    Scale shape: the one fact-fact equi-join on orderkey — both
+    sides SF-scaling, no broadcast hint, AQE plans it — then a
+    five-group rollup; offsets are exact integer days (both columns
+    are midnight timestamps), the median follows the exact
+    interpolated-percentile protocol, the mean is integer
+    milli-days."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("priority"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        .alias("o_us"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+        .alias("s_us"),
+    )
+    j = o.join(li, "o_orderkey").select(
+        "priority",
+        F.expr(f"(s_us - o_us) div {_DAY_US}").alias("offset_days"),
+    )
+    return j.groupBy("priority").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("offset_days") < 0, 1).otherwise(0))
+        .cast("long").alias("n_impossible"),
+        F.expr(
+            "CAST((sum(CASE WHEN offset_days < 0 THEN 1 ELSE 0 END)"
+            " * 1000000) div count(*) AS BIGINT)"
+        ).alias("impossible_ppm"),
+        F.round(F.percentile("offset_days", F.lit(0.5)), 4)
+        .alias("p50_offset_days"),
+        F.expr("CAST((1000 * sum(offset_days)) div count(*) AS BIGINT)")
+        .alias("mean_offset_milli_days"),
+    )
