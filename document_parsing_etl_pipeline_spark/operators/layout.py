@@ -31,22 +31,43 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def interleave_bits_nd(cols: list[str], bits: int = 8) -> Column:
+    """Morton z-value of k already-normalized integer columns in
+    [0, 2^bits): column i occupies bit positions i, i+k, i+2k, ...
+    (round-robin interleave — the Delta OPTIMIZE ZORDER bit layout
+    for arbitrary dimension count). Sum of disjoint shifted bits —
+    no overlap, so + == OR. k*bits must fit a long (<= 62)."""
+    k = len(cols)
+    if k * bits > 62:
+        raise ValueError(f"{k} dims x {bits} bits overflows a long")
+    terms = []
+    for j in range(bits):
+        for i, c in enumerate(cols):
+            terms.append(
+                f"shiftleft(shiftright({c}, {j}) & 1, {j * k + i})"
+            )
+    return F.expr(" + ".join(terms)).cast("long")
+
+
+def interleave_bits_nd_sql(cols: list[str], bits: int = 8) -> str:
+    """The identical n-dim z-value as a DuckDB SQL fragment (same bit
+    layout as interleave_bits_nd — one generator, two engines)."""
+    k = len(cols)
+    terms = []
+    for j in range(bits):
+        for i, c in enumerate(cols):
+            terms.append(f"((({c} >> {j}) & 1) << {j * k + i})")
+    return "(" + " + ".join(terms) + ")"
+
+
 def interleave_bits(x: str, y: str, bits: int = 8) -> Column:
     """Morton z-value of two already-normalized integer columns in
     [0, 2^bits): x occupies even bit positions, y odd. Sum of
     disjoint shifted bits — no overlap, so + == OR."""
-    terms = []
-    for j in range(bits):
-        terms.append(f"shiftleft(shiftright({x}, {j}) & 1, {2 * j})")
-        terms.append(f"shiftleft(shiftright({y}, {j}) & 1, {2 * j + 1})")
-    return F.expr(" + ".join(terms)).cast("long")
+    return interleave_bits_nd([x, y], bits)
 
 
 def interleave_bits_sql(x: str, y: str, bits: int = 8) -> str:
     """The identical z-value as a DuckDB SQL fragment (same bit
     layout as interleave_bits — one generator, two engines)."""
-    terms = []
-    for j in range(bits):
-        terms.append(f"((({x} >> {j}) & 1) << {2 * j})")
-        terms.append(f"((({y} >> {j}) & 1) << {2 * j + 1})")
-    return "(" + " + ".join(terms) + ")"
+    return interleave_bits_nd_sql([x, y], bits)

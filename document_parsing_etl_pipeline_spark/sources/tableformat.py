@@ -131,6 +131,32 @@ def create_table(
     })
 
 
+def _carry_meta(head: dict) -> dict:
+    """Manifest metadata every commit must propagate from its parent:
+    the table schema and the streaming sink's exactly-once watermark
+    (stream_batch_id). Without the latter, a delete/optimize commit
+    followed by expire_snapshots could erase the last recorded batch
+    id and let a checkpoint replay re-apply a batch."""
+    return {k: head[k] for k in ("schema", "stream_batch_id") if k in head}
+
+
+def _merged_schema_json(head: dict, df: DataFrame) -> str:
+    """Table schema after appending ``df``: union of the recorded
+    fields and the incoming ones (head order first, new fields
+    appended). Appending a narrower DataFrame must NOT narrow the
+    recorded schema — older files still carry the missing columns."""
+    from pyspark.sql.types import StructType
+
+    if "schema" not in head:
+        return df.schema.json()
+    prior = StructType.fromJson(json.loads(head["schema"]))
+    have = {f.name for f in prior.fields}
+    merged = StructType(
+        prior.fields + [f for f in df.schema.fields if f.name not in have]
+    )
+    return merged.json()
+
+
 def append(spark: SparkSession, df: DataFrame, root: str) -> int:
     head = _load_manifest(root, _versions(root)[-1])
     tag = f"v{head['version'] + 1}"
@@ -138,7 +164,8 @@ def append(spark: SparkSession, df: DataFrame, root: str) -> int:
     return _commit(root, {
         "operation": "append", "stats_cols": head["stats_cols"],
         "files": head["files"] + entries,
-        "schema": df.schema.json(),
+        **_carry_meta(head),
+        "schema": _merged_schema_json(head, df),
     })
 
 
@@ -197,7 +224,13 @@ def scan(
     if not keep:
         empty = read(spark, root, version).limit(0)
         return empty.where(F.col(col).between(lo, hi)), 0, len(m["files"])
-    df = spark.read.parquet(*[os.path.join(root, e["path"]) for e in keep])
+    # mergeSchema for the same reason read() sets it: the surviving
+    # file subset can mix pre/post-evolution footers, and without it
+    # the picked schema is nondeterministic (and differs from the
+    # empty-prune branch above, which goes through read()).
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(root, e["path"]) for e in keep]
+    )
     return df.where(F.col(col).between(lo, hi)), len(keep), len(m["files"])
 
 
@@ -218,7 +251,14 @@ def merge_into(
     candidates, untouched = [], []
     for e in head["files"]:
         lo, hi = e["stats"].get(key, [None, None])
-        if lo is not None and not (lo > k_hi or hi < k_lo):
+        # k_lo is None <=> updates is empty (streaming foreachBatch
+        # does deliver zero-row batches): no file can match, carry
+        # everything by reference instead of comparing int to None.
+        if (
+            k_lo is not None
+            and lo is not None
+            and not (lo > k_hi or hi < k_lo)
+        ):
             candidates.append(e)
         else:
             untouched.append(e)
@@ -260,7 +300,7 @@ def merge_into(
     return _commit(root, {
         "operation": "merge", "stats_cols": stats_cols,
         "files": untouched + rewritten + new_entries,
-        **({"schema": head["schema"]} if "schema" in head else {}),
+        **_carry_meta(head),
         **(extra_meta or {}),
     })
 
@@ -295,7 +335,7 @@ def delete_where(
     return _commit(root, {
         "operation": "delete", "stats_cols": stats_cols,
         "files": carried + entries,
-        **({"schema": head["schema"]} if "schema" in head else {}),
+        **_carry_meta(head),
     })
 
 
@@ -363,24 +403,28 @@ def optimize_table(
     spark: SparkSession,
     root: str,
     target_file_rows: int,
-    zorder: tuple[str, str] | None = None,
+    zorder: tuple[str, ...] | None = None,
 ) -> int:
     """OPTIMIZE (Delta OPTIMIZE [ZORDER BY] / Iceberg rewrite_data_
     files): rewrite the current snapshot into ~target_file_rows-sized
-    files, optionally clustered along the Morton z-curve of two
-    columns so file min/max stats become tight rectangles in BOTH
-    dimensions — small-file compaction and multi-dim data skipping in
-    one copy-on-write commit. Old snapshots stay readable (time
-    travel); expire_snapshots reclaims the pre-optimize files later.
+    files, optionally clustered along the Morton z-curve of 2+
+    columns so file min/max stats become tight hyper-rectangles in
+    EVERY z dimension — small-file compaction and multi-dim data
+    skipping in one copy-on-write commit. Old snapshots stay readable
+    (time travel); expire_snapshots reclaims the pre-optimize files.
 
     The z path is the at-scale recipe stated in operators/layout.py,
-    executed: normalize both columns to 8-bit by the snapshot's own
-    min/max, interleave, ONE repartitionByRange on the z value (the
-    same cost as any sort-cluster pass), drop the helper column at
-    write. Stats collection stays the one input_file_name()
-    aggregation every write path uses.
+    executed: normalize each column to ``bits`` levels by the
+    snapshot's own min/max, interleave, ONE repartitionByRange on the
+    z value (the same cost as any sort-cluster pass), drop the helper
+    column at write. Quantization is floating-point-safe: the bucket
+    is least(2^bits-1, floor((x - lo) * 2^bits / range)) computed in
+    DOUBLE, so DOUBLE columns and sub-1.0 ranges quantize correctly
+    (the earlier integral `div` failed analysis on DOUBLE and
+    collapsed fractional ranges to one bucket). Constant columns
+    (range 0) map to bucket 0 via an epsilon floor on the range.
     """
-    from ..operators.layout import interleave_bits
+    from ..operators.layout import interleave_bits_nd
 
     head = _load_manifest(root, _versions(root)[-1])
     stats_cols = head["stats_cols"]
@@ -389,23 +433,29 @@ def optimize_table(
     n_files = max(1, -(-total // target_file_rows))
     tag = f"v{head['version'] + 1}-opt"
     if zorder is not None:
-        xc, yc = zorder
-        b = df.agg(
-            F.min(xc).alias("xl"), F.max(xc).alias("xh"),
-            F.min(yc).alias("yl"), F.max(yc).alias("yh"),
-        )
-        z = (
-            df.crossJoin(F.broadcast(b))
-            .withColumn(
-                "_xq",
-                F.expr(f"(({xc} - xl) * 255) div greatest(xh - xl, 1)"),
-            )
-            .withColumn(
-                "_yq",
-                F.expr(f"(({yc} - yl) * 255) div greatest(yh - yl, 1)"),
-            )
-            .withColumn("_z", interleave_bits("_xq", "_yq", 8))
-            .drop("xl", "xh", "yl", "yh", "_xq", "_yq")
+        zcols = list(zorder)
+        bits = 8 if len(zcols) <= 3 else 62 // len(zcols)
+        levels = 1 << bits
+        b = df.agg(*[
+            a
+            for i, c in enumerate(zcols)
+            for a in (F.min(c).alias(f"_lo{i}"), F.max(c).alias(f"_hi{i}"))
+        ])
+        z = df.crossJoin(F.broadcast(b))
+        qcols = []
+        for i, c in enumerate(zcols):
+            q = f"_q{i}"
+            z = z.withColumn(q, F.expr(
+                f"cast(least({levels - 1}, floor("
+                f"(cast({c} as double) - cast(_lo{i} as double)) * {levels}"
+                f" / greatest(cast(_hi{i} as double)"
+                f" - cast(_lo{i} as double), 1e-300))) as bigint)"
+            ))
+            qcols.append(q)
+        z = z.withColumn("_z", interleave_bits_nd(qcols, bits)).drop(
+            *qcols,
+            *[f"_lo{i}" for i in range(len(zcols))],
+            *[f"_hi{i}" for i in range(len(zcols))],
         )
         clustered = z.repartitionByRange(n_files, "_z").drop("_z")
     else:
@@ -414,5 +464,5 @@ def optimize_table(
     return _commit(root, {
         "operation": "optimize", "stats_cols": stats_cols,
         "files": entries,
-        **({"schema": head["schema"]} if "schema" in head else {}),
+        **_carry_meta(head),
     })

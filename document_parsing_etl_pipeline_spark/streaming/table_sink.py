@@ -46,6 +46,12 @@ def merge_batch(
     the latest state per key (max_by over ``seq_col``)."""
     if batch_id <= last_committed_batch(root):
         return False
+    # Structured Streaming delivers zero-row batches (no-data batches
+    # that advance watermarks, recovery retriggers): nothing to merge,
+    # and not committing is still exactly-once — a replay of this
+    # batch is empty again and lands here again.
+    if batch_df.isEmpty():
+        return False
     latest = (
         batch_df.groupBy(key)
         .agg(

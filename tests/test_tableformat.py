@@ -213,3 +213,135 @@ def test_merge_into_empty_table_uses_recorded_schema(spark, tmp_path):
     tf.merge_into(spark, first, root, key="user_id")
     got = {r.user_id: r.state for r in tf.read(spark, root).collect()}
     assert got == {1: "a", 2: "b"}
+
+
+def test_merge_into_empty_updates_is_safe(spark, table):
+    # streaming foreachBatch delivers zero-row batches; merge_into
+    # must not compare None key bounds against file stats
+    empty = spark.createDataFrame([], "doc_id long, text string, grp long")
+    v = tf.merge_into(spark, empty, table, key="doc_id")
+    head = tf._load_manifest(table, v)
+    v1_paths = {e["path"] for e in tf._load_manifest(table, 1)["files"]}
+    # every original file carried by reference, nothing rewritten
+    assert v1_paths <= {e["path"] for e in head["files"]}
+    assert tf.read(spark, table).count() == 100
+
+
+def test_merge_batch_short_circuits_empty_batch(spark, table):
+    from document_parsing_etl_pipeline_spark.streaming import table_sink as ts
+
+    empty = spark.createDataFrame([], "doc_id long, text string, grp long")
+    v_before = tf._versions(table)[-1]
+    assert ts.merge_batch(spark, empty, table, "doc_id", "grp", 0) is False
+    assert tf._versions(table)[-1] == v_before  # no commit
+    assert ts.last_committed_batch(table) == -1
+
+
+def test_stream_batch_id_survives_maintenance_commits(spark, table):
+    # exactly-once watermark must ride along delete/optimize/append
+    # commits and survive expire_snapshots of the manifest that first
+    # recorded it
+    from document_parsing_etl_pipeline_spark.streaming import table_sink as ts
+
+    upd = spark.createDataFrame(
+        [(3, "u", 3)], "doc_id long, text string, grp long"
+    )
+    assert ts.merge_batch(spark, upd, table, "doc_id", "grp", 7) is True
+    tf.delete_where(spark, table, "doc_id", 0, 10)
+    tf.optimize_table(spark, table, target_file_rows=50)
+    more = spark.range(500, 510).selectExpr(
+        "id AS doc_id", "concat('t', id) AS text", "id % 7 AS grp"
+    )
+    tf.append(spark, more, table)
+    tf.expire_snapshots(table, keep_last=1)
+    assert ts.last_committed_batch(table) == 7
+    # a checkpoint replay of batch 7 is still skipped
+    assert ts.merge_batch(spark, upd, table, "doc_id", "grp", 7) is False
+
+
+def test_scan_merges_schemas_across_evolution(spark, tmp_path):
+    root = str(tmp_path / "scan_evo")
+    base = spark.range(0, 100).selectExpr("id AS doc_id", "id * 2 AS v") \
+        .repartitionByRange(4, "doc_id")
+    tf.create_table(spark, base, root, stats_cols=["doc_id"])
+    evolved = spark.range(100, 200).selectExpr(
+        "id AS doc_id", "id * 2 AS v", "cast(id AS double) AS quality"
+    ).repartitionByRange(4, "doc_id")
+    tf.append(spark, evolved, root)
+    # a scan spanning pre- and post-evolution files must surface the
+    # evolved column (NULL for old files), same as read()
+    out, files_read, _ = tf.scan(spark, root, "doc_id", 90, 110)
+    assert "quality" in out.columns
+    rows = {r.doc_id: r.quality for r in out.collect()}
+    assert rows[95] is None and rows[105] == 105.0
+    # empty-prune branch returns the same schema
+    empty, zero, _ = tf.scan(spark, root, "doc_id", 10_000, 20_000)
+    assert zero == 0 and set(empty.columns) == set(out.columns)
+
+
+def test_append_narrower_df_does_not_narrow_recorded_schema(spark, table):
+    # table has (doc_id, text, grp); append a df lacking `grp`
+    narrow = spark.range(300, 310).selectExpr(
+        "id AS doc_id", "concat('t', id) AS text"
+    )
+    tf.append(spark, narrow, table)
+    head = tf._load_manifest(table, tf._versions(table)[-1])
+    import json as _json
+    names = [f["name"] for f in _json.loads(head["schema"])["fields"]]
+    assert names == ["doc_id", "text", "grp"]
+    got = tf.read(spark, table)
+    assert set(got.columns) == {"doc_id", "text", "grp"}
+    assert got.where("doc_id = 305").first().grp is None
+
+
+def test_zorder_on_double_and_three_dims(spark, tmp_path):
+    # DOUBLE z-column with a sub-1.0 range used to fail analysis /
+    # collapse to one bucket; 3-dim interleave is the Delta claim
+    root = str(tmp_path / "zdbl")
+    base = spark.range(0, 400).selectExpr(
+        "id AS doc_id",
+        "cast((id * 37) % 100 AS double) / 1000 AS score",  # range 0.099
+        "(id * 13) % 50 AS grp",
+    ).repartition(8)
+    tf.create_table(spark, base, root, stats_cols=["doc_id", "score", "grp"])
+    v = tf.optimize_table(
+        spark, root, target_file_rows=50,
+        zorder=("doc_id", "score", "grp"),
+    )
+    head = tf._load_manifest(root, v)
+    assert len(head["files"]) == 8
+    assert sorted(r.doc_id for r in tf.read(spark, root).collect()) == \
+        list(range(400))
+    # clustering must be real in EVERY dimension: mean per-file span
+    # well under the full domain for all three columns
+    for col, domain in (("doc_id", 399), ("score", 0.099), ("grp", 49)):
+        spans = [
+            e["stats"][col][1] - e["stats"][col][0] for e in head["files"]
+        ]
+        assert sum(spans) / len(spans) < domain, col
+
+
+def test_interleave_bits_nd_matches_sql_oracle(spark):
+    import duckdb
+
+    from document_parsing_etl_pipeline_spark.operators.layout import (
+        interleave_bits_nd, interleave_bits_nd_sql,
+    )
+
+    df = spark.range(0, 256).selectExpr(
+        "id % 16 AS a", "(id * 7) % 16 AS b", "(id * 3) % 16 AS c"
+    )
+    got = [
+        r.z for r in df.select(
+            interleave_bits_nd(["a", "b", "c"], 4).alias("z")
+        ).orderBy("z").collect()
+    ]
+    frag = interleave_bits_nd_sql(["a", "b", "c"], 4)
+    want = [
+        r[0] for r in duckdb.sql(
+            "SELECT " + frag + " AS z FROM ("
+            "SELECT i % 16 AS a, (i * 7) % 16 AS b, (i * 3) % 16 AS c "
+            "FROM range(256) t(i)) ORDER BY z"
+        ).fetchall()
+    ]
+    assert got == want
