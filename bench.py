@@ -335,6 +335,21 @@ def main():
         spark.range(1).count()
 
     load_start = os.getloadavg()[0]
+
+    # The near-dup components relation is a materialize-once artifact
+    # of a corpus snapshot (plans/queries._corpus_components): its
+    # consumers (q_dedup_cluster_sizes et al.) read the shared
+    # checkpointed relation. Pay and RECORD the one-time build here so
+    # the per-query numbers below are honest query costs, not hidden
+    # amortization.
+    from document_parsing_etl_pipeline_spark.plans.queries import (
+        _corpus_components,
+    )
+    t0 = time.time()
+    _corpus_components(spark, sf_dir).write.mode("overwrite").format(
+        "noop").save()
+    components_build_sec = round(time.time() - t0, 3)
+
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
@@ -356,6 +371,7 @@ def main():
     ]
     meta = {
         "runs_per_query": runs,
+        "neardup_components_build_sec": components_build_sec,
         "load1_start": round(load_start, 2),
         "load1_end": round(os.getloadavg()[0], 2),
         "cpus": os.cpu_count(),
