@@ -242,3 +242,119 @@ def test_stream_merge_into_table_exactly_once(tmp_path, spark):
     q2.awaitTermination(120)
     got2 = {r.user_id: r.state for r in tf.read(spark, root).collect()}
     assert got2[2] == "b2" and table_sink.last_committed_batch(root) == 1
+
+
+def test_streaming_sessionize_matches_batch_session_window(tmp_path, spark):
+    """Parity of the streaming state-merge sessionization path
+    (events.sessionize → session_window over a watermarked stream)
+    with the oracle-verified batch answer (q_session_window_native)
+    on the SAME data: identical session boundaries, event counts, and
+    (to double-sum reassociation tolerance) value sums, row for row.
+    This is the round-6 gap named by SURVEY §7 / the round-5 verdict:
+    the batch formulation is hash-checked against DuckDB; this pins
+    the streaming state merge to the batch formulation."""
+    from pyspark.sql import functions as F
+
+    from document_parsing_etl_pipeline_spark.catalog import load_table
+    from document_parsing_etl_pipeline_spark.plans.queries import (
+        _SESSION_GAP_US, QUERIES,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    drop = tmp_path / "ev_sess"
+    drop.mkdir()
+    load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format(
+            F.timestamp_micros(F.expr("ts div 1000")),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        ).alias("ts"),
+        "user_id", "event_type", "value",
+    ).repartition(4).write.mode("overwrite").json(str(drop))
+
+    stream = ev.read_event_stream(spark, str(drop))
+    q = (
+        ev.sessionize(stream, gap=f"{_SESSION_GAP_US + 1} microseconds")
+        .writeStream.format("memory").queryName("sess_parity")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r.user_id, r.start_us): (r.n_events, r.sum_value)
+        for r in spark.sql(
+            "SELECT user_id, unix_micros(session_start) AS start_us,"
+            "       n_events, sum_value FROM sess_parity"
+        ).collect()
+    }
+
+    batch = {
+        (r.user_id, r.session_start_us): (r.n_events, r.sum_value)
+        for r in QUERIES["q_session_window_native"](spark, sf_dir).collect()
+    }
+
+    assert set(streamed) == set(batch)  # same sessions, same boundaries
+    for key, (n_b, sum_b) in batch.items():
+        n_s, sum_s = streamed[key]
+        assert n_s == n_b, key
+        # batch sums via the exact-decimal money protocol, the stream
+        # via double accumulation: equal to reassociation tolerance
+        assert abs(sum_s - sum_b) < 1e-6, key
+
+
+def test_interval_join_keeps_colliding_ids_across_distinct_streams(
+    tmp_path, spark
+):
+    """Two genuinely distinct streams whose event_id spaces collide:
+    the default (exclude_same_id=False) must KEEP the matched pair
+    that happens to share an id — dropping it would silently lose a
+    legitimate cross-stream match. The opt-in exclusion is for
+    self-joins only (covered below)."""
+    left_dir, right_dir = tmp_path / "l", tmp_path / "r"
+    left_dir.mkdir(); right_dir.mkdir()
+    (left_dir / "l.json").write_text(json.dumps(
+        {"event_id": 7, "ts": "2024-01-01T00:00:30", "user_id": 1,
+         "event_type": "error", "value": 1.0}
+    ))
+    (right_dir / "r.json").write_text("\n".join(json.dumps(r) for r in [
+        {"event_id": 7, "ts": "2024-01-01T00:01:00", "user_id": 2,
+         "event_type": "view", "value": 1.0},   # id collides, in window
+        {"event_id": 8, "ts": "2024-01-01T00:01:10", "user_id": 3,
+         "event_type": "view", "value": 1.0},
+    ]))
+    joined = ev.interval_join_streams(
+        ev.read_event_stream(spark, str(left_dir)),
+        ev.read_event_stream(spark, str(right_dir)),
+        window_seconds=60,
+    )
+    q = (joined.writeStream.format("memory").queryName("ij_collide")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.l_id, r.r_id)
+           for r in spark.sql("SELECT * FROM ij_collide").collect()}
+    assert got == {(7, 7), (7, 8)}
+
+
+def test_interval_join_self_join_excludes_self_pairs_opt_in(
+    tmp_path, spark
+):
+    """Self-join of one stream against itself: with exclude_same_id
+    a row never pairs with itself, while true neighbors still match
+    in both directions."""
+    drop = tmp_path / "self"
+    drop.mkdir()
+    (drop / "e.json").write_text("\n".join(json.dumps(r) for r in [
+        {"event_id": 1, "ts": "2024-01-01T00:00:30", "user_id": 1,
+         "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T00:01:00", "user_id": 2,
+         "event_type": "click", "value": 1.0},
+    ]))
+    stream = ev.read_event_stream(spark, str(drop))
+    joined = ev.interval_join_streams(
+        stream, stream, window_seconds=60, exclude_same_id=True,
+    )
+    q = (joined.writeStream.format("memory").queryName("ij_self")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.l_id, r.r_id)
+           for r in spark.sql("SELECT * FROM ij_self").collect()}
+    assert got == {(1, 2), (2, 1)}  # no (1,1)/(2,2) self-pairs
