@@ -860,34 +860,54 @@ def pca_variance_audit(
     )
 
 
-def kmeans_lloyd(
-    embeddings: DataFrame,
-    k: int = 8,
-    max_iter: int = 5,
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """Iterative Lloyd's k-means over the embedding column →
-    (vec_id, centroid_id, cosine). Deterministic seeding (first k
-    vectors), cosine assignment, element-wise mean update.
+def _spherical_vectors(embeddings: DataFrame, id_col: str) -> DataFrame:
+    """(vec_id, ev) with ev L2-normalized (zero vectors pass through
+    unchanged — their cosine against anything is 0 by the kernel's
+    guard). Cosine is scale-invariant, so normalizing changes NO
+    assignment; it changes the MEAN UPDATE into the spherical-k-means
+    direction mean, which is what makes the sum-of-cosines objective
+    provably non-decreasing per round (see kmeans_lloyd)."""
+    from .similarity import norm
 
-    Each round is: broadcast the k centroids → assignment join (the
-    assign_nearest_centroid shape) → per-cluster element-wise mean via
-    posexplode + groupBy(cluster, dim) — two shuffles per round, both
-    on tiny keys; the full vector set is never collected. Centroid
-    lineage is truncated per round (localCheckpoint) like
-    connected_components. Non-SQL-expressible (iterative) — covered by
-    pytest, not an oracle query.
-    """
-    vecs = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col("embedding").alias("ev")
+    return (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col("embedding").alias("raw")
+        )
+        .withColumn("_n", norm(F.col("raw")))
+        .select(
+            "vec_id",
+            F.when(
+                F.col("_n") > 0, F.expr("transform(raw, x -> x / _n)")
+            ).otherwise(
+                F.expr("transform(raw, x -> cast(x as double))")
+            ).alias("ev"),
+        )
     )
+
+
+def _kmeans_rounds(
+    embeddings: DataFrame,
+    k: int,
+    max_iter: int,
+    id_col: str = "vec_id",
+):
+    """Shared spherical-k-means loop: returns (final scored relation
+    [vec_id × centroid: all cosines of the LAST assignment round],
+    final assigned relation, per-round objective DataFrames). Each
+    round is: broadcast the ≤k centroids → assignment join → per-
+    cluster element-wise mean via posexplode + groupBy(cluster, dim)
+    — two shuffles per round on tiny keys; the full vector set is
+    never collected. Centroid lineage truncated per round
+    (localCheckpoint) like connected_components."""
+    from .similarity import cosine_sim
+
+    vecs = _spherical_vectors(embeddings, id_col)
     cents = vecs.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("centroid_id"), F.col("ev").alias("cv")
     )
-    from .similarity import cosine_sim
-
-    assigned = None
-    for _ in range(max_iter):
+    scored = assigned = None
+    objectives = []
+    for rnd in range(max_iter):
         scored = vecs.join(F.broadcast(cents)).select(
             "vec_id", "ev", "centroid_id",
             cosine_sim(F.col("ev"), F.col("cv")).alias("cosine"),
@@ -899,6 +919,10 @@ def kmeans_lloyd(
             scored.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") == 1)
             .drop("rnk")
+        )
+        objectives.append(
+            assigned.agg(F.sum("cosine").alias("obj"))
+            .select(F.lit(rnd).alias("round"), "obj")
         )
         # element-wise mean per cluster: posexplode → (cluster, dim)
         # groups (k × dim keys — map-side partial, no vector collect)
@@ -916,14 +940,100 @@ def kmeans_lloyd(
             )
             .select(
                 "centroid_id",
-                F.transform(
-                    F.col("pairs"), lambda p: p["m"].cast("float")
-                ).alias("cv"),
+                F.transform(F.col("pairs"), lambda p: p["m"]).alias("cv"),
             )
         )
         cents = new_cents.localCheckpoint()
+    return scored, assigned, objectives
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 8,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Iterative spherical k-means over the embedding column →
+    (vec_id, centroid_id, cosine). Deterministic seeding (first k
+    vectors), cosine assignment, direction-mean update (element-wise
+    mean of the L2-NORMALIZED vectors).
+
+    The normalized-mean update makes this textbook spherical k-means
+    (Dhillon & Modha 2001): the assignment step maximizes each
+    vector's cosine given centroids, and the direction mean maximizes
+    the within-cluster cosine sum given assignments — so the summed
+    assignment cosine is non-decreasing every full round, the
+    contract kmeans_contract_audit pins in its oracle. (Cosine is
+    scale-invariant, so normalization changes no individual
+    assignment decision — only the update's weighting.)
+
+    The iterates' centroid VALUES are non-SQL-expressible; the
+    assignment relation here is rows-only, and the hash-gated
+    contract over the same loop is kmeans_contract_audit.
+    """
+    _scored, assigned, _objs = _kmeans_rounds(
+        embeddings, k, max_iter, id_col
+    )
     return assigned.select(
         "vec_id", "centroid_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def kmeans_contract_audit(
+    embeddings: DataFrame,
+    k: int = 8,
+    max_iter: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hash-gated k-means contract: one row per input vector with the
+    invariants a correct spherical-k-means run MUST satisfy, each a
+    theorem of the algorithm (so an oracle can pin them TRUE without
+    being able to eigen/iterate itself — the q_pca_variance_audit
+    pattern):
+
+    - ``is_argmax``: the vector's assigned cosine equals its max
+      cosine over ALL centroids of the final assignment round,
+      recomputed from the full scored relation (not read back from
+      the window that produced the assignment);
+    - ``objective_monotone``: the summed assignment cosine was
+      non-decreasing across every round (tolerance 1e-6 relative,
+      far above FP reassociation noise, far below any real
+      regression), guaranteed by the direction-mean update;
+    - exactly one row per vector (the partition property — the
+      oracle's row set is the embeddings table itself).
+    """
+    scored, assigned, objectives = _kmeans_rounds(
+        embeddings, k, max_iter, id_col
+    )
+    best = scored.groupBy("vec_id").agg(F.max("cosine").alias("best"))
+    per_vec = assigned.join(best, "vec_id").select(
+        "vec_id",
+        (F.col("cosine") >= F.col("best") - F.lit(1e-12)).alias(
+            "is_argmax"
+        ),
+    )
+    objs = objectives[0]
+    for o in objectives[1:]:
+        objs = objs.unionByName(o)
+    w = Window.orderBy("round")
+    monotone = (
+        objs.withColumn("prev", F.lag("obj").over(w))
+        .agg(
+            F.min(
+                F.when(F.col("prev").isNull(), True).otherwise(
+                    F.col("obj")
+                    >= F.col("prev")
+                    - 1e-6 * F.greatest(F.abs(F.col("prev")), F.lit(1.0))
+                )
+            ).alias("objective_monotone")
+        )
+    )
+    return per_vec.crossJoin(F.broadcast(monotone)).select(
+        "vec_id",
+        F.lit(k).cast("long").alias("k"),
+        F.lit(max_iter).cast("long").alias("n_rounds"),
+        "is_argmax",
+        "objective_monotone",
     )
 
 

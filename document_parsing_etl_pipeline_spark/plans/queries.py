@@ -2447,17 +2447,40 @@ def q_cluster_assign(spark, sf_dir):
 
 
 # ===================================================================
-# §2.G — multimodal (rows-only; no SQL oracle for binary decode)
+# §2.G — multimodal. A REAL deployment's decode (PIL/ffmpeg) has no
+# SQL oracle — but these pipelines run on deterministically
+# synthesized blobs (content = md5 bytes of the path), so the decode
+# stub's byte arithmetic IS SQL-expressible, and the oracle hash-
+# gates the entire mapInPandas plumbing end to end: Arrow batch
+# iteration delivering exactly the right bytes per row, the typed
+# output schema, the flatMap row fanout, and the stub math itself.
 # ===================================================================
 
-@register("mm_image_pipeline")
+_MM_INV_CTE = f"""{_CHARTS_CTE}, inv AS (
+    SELECT doc_id, image_path FROM charts_f WHERE doc_id < 100
+)"""
+
+
+@register("mm_image_pipeline", f"""
+WITH {_MM_INV_CTE}
+SELECT image_path, doc_id,
+       (64 + (('0x' || substr(md5(image_path), 1, 2))::INT % 8) * 32)::INT
+           AS width,
+       (64 + (('0x' || substr(md5(image_path), 31, 2))::INT % 8) * 32)::INT
+           AS height,
+       CASE WHEN substr(md5(image_path), 1, 8) = '89504e47'
+            THEN 'png' ELSE 'raw' END AS format
+FROM inv
+""")
 def q_mm_image_pipeline(spark, sf_dir):
     """Binary image columns → mapInPandas decode (stubbed) → metadata.
 
     Blobs are synthesized deterministically from the chart inventory
-    (content = md5 bytes of the path) — the Spark plumbing (binary
-    schema, Arrow batches, typed output) is the operator under test.
-    """
+    (content = md5 bytes of the path); the oracle replays the stub's
+    byte arithmetic (first/last md5 byte → dimensions, PNG magic →
+    format) in SQL, value-hash-gating the Arrow plumbing: if the
+    batches delivered wrong bytes, rows, or types, the hash breaks.
+    multimodal.py:decode_images."""
     from ..operators.multimodal import decode_images
 
     inv = charts_op.chart_inventory(
@@ -2471,12 +2494,23 @@ def q_mm_image_pipeline(spark, sf_dir):
     return decode_images(blobs).drop("feature")
 
 
-@register("mm_audio_features")
+@register("mm_audio_features", f"""
+WITH {_MM_INV_CTE}
+SELECT image_path AS audio_path,
+       CASE WHEN ('0x' || substr(md5(image_path), 1, 2))::INT % 2 = 0
+            THEN 16000 ELSE 44100 END::INT AS sample_rate,
+       64::BIGINT AS n_samples,
+       (CASE WHEN ('0x' || substr(md5(image_path), 1, 2))::INT % 2 = 0
+             THEN 0.004 ELSE 0.0015 END)::DOUBLE AS duration_s
+FROM inv
+""")
 def q_mm_audio_features(spark, sf_dir):
     """Audio binary columns → mapInPandas decode (stubbed) → typed
-    metadata + fixed-dim features. Blobs synthesized deterministically
-    like the image pipeline (rows-only: binary decode isn't
-    SQL-expressible)."""
+    metadata + fixed-dim features. Blobs synthesized
+    deterministically like the image pipeline; the oracle replays the
+    header-parse stub (first byte parity → sample rate, 16-byte blobs
+    → 64 samples → round(64/rate, 4) duration) so the audio plumbing
+    is value-hash-gated too. multimodal.py:extract_audio_features."""
     from ..operators.multimodal import extract_audio_features
 
     inv = charts_op.chart_inventory(
@@ -2546,13 +2580,27 @@ def q_pca_variance_audit(spark, sf_dir):
     return corpus.pca_variance_audit(load_table(spark, sf_dir, "embeddings"))
 
 
-@register("mm_video_frames")
+@register("mm_video_frames", f"""
+WITH {_MM_INV_CTE},
+v AS (
+    SELECT image_path,
+           (16 * 160 * (1 + (('0x' || substr(md5(image_path), 3, 2))::INT
+                             % 4))) // 256 AS n_frames
+    FROM inv
+)
+SELECT image_path AS video_path,
+       unnest(generate_series(0, n_frames - 1, 10))::BIGINT AS frame_index
+FROM v
+""")
 def q_mm_video_frames(spark, sf_dir):
-    """Video binary columns → per-frame rows (flatMap shape: one
-    output row per sampled frame index, the contract a real ffmpeg
-    frame extractor needs). Blobs synthesized deterministically;
-    rows-only (binary decode isn't SQL-expressible).
-    multimodal.py:sample_video_frames."""
+    """Video binary columns → per-frame rows (flatMap shape: variable
+    rows out per blob, the contract a real ffmpeg frame extractor
+    needs). Blobs are synthesized at VARIABLE length (md5 bytes
+    repeated 160·(1 + md5_byte₂ mod 4) times → 2.5–10 KB → 10–40
+    fake frames → 1–4 sampled rows per blob at every_n=10), so the
+    oracle replays the length arithmetic and hash-gates the fanout:
+    a mapInPandas batch that dropped, duplicated, or mis-indexed
+    frame rows breaks the hash. multimodal.py:sample_video_frames."""
     from ..operators.multimodal import sample_video_frames
 
     inv = charts_op.chart_inventory(
@@ -2560,18 +2608,38 @@ def q_mm_video_frames(spark, sf_dir):
     )
     blobs = inv.select(
         "image_path",
-        F.unhex(F.md5("image_path")).alias("content"),
+        F.unhex(
+            F.expr(
+                "repeat(md5(image_path),"
+                " 160 * (1 + cast(conv(substring(md5(image_path), 3, 2),"
+                " 16, 10) as int) % 4))"
+            )
+        ).alias("content"),
         F.lit("video/mp4").alias("content_type"),
     )
     return sample_video_frames(blobs)
 
 
-@register("q_kmeans_clusters")
+@register("q_kmeans_clusters", """
+SELECT vec_id, 8::BIGINT AS k, 3::BIGINT AS n_rounds,
+       TRUE AS is_argmax, TRUE AS objective_monotone
+FROM embeddings
+""")
 def q_kmeans_clusters(spark, sf_dir):
-    """Iterative Lloyd's k-means assignments (3 rounds, deterministic
-    first-k seeding). Iterative — non-SQL-expressible, rows-only;
-    convergence/separation asserted in pytest. corpus.py:kmeans_lloyd."""
-    return corpus.kmeans_lloyd(
+    """Iterative spherical k-means (3 rounds, deterministic first-k
+    seeding), surfaced as its hash-gated CONTRACT: SQL cannot run the
+    iteration, but it CAN pin the theorems a correct run must satisfy
+    — every vector's final assignment is the argmax over the final
+    round's centroid set (recomputed from the full scored relation),
+    the summed assignment cosine is non-decreasing across rounds
+    (guaranteed by the direction-mean update), and the output
+    partitions the embeddings table exactly (the oracle's row set IS
+    the table). A broken argmax window, a mis-ordered update, or a
+    lost/duplicated vector fails the hash gate. The assignment VALUES
+    (cluster ids) remain available via corpus.kmeans_lloyd and are
+    pytest-covered; one full Lloyd step is value-oracled by
+    cluster_assign. corpus.py:kmeans_contract_audit."""
+    return corpus.kmeans_contract_audit(
         load_table(spark, sf_dir, "embeddings"), k=8, max_iter=3
     )
 

@@ -222,3 +222,46 @@ def test_stratified_sample_rates(spark):
     assert {r.lang for r in out} == {"es"}
     assert len(out) == 20
     assert all(r.rate_permille == 1000 for r in out)
+
+
+def test_kmeans_contract_audit_all_true_and_partitioning(spark):
+    from pyspark.sql import Row
+    import random
+
+    rng = random.Random(7)
+    # three loose blobs + noise, deliberately not unit-norm and with
+    # one zero vector (the kernel defines cosine-vs-zero as 0)
+    pts = []
+    for c, base in enumerate([[5, 0, 0], [0, 3, 0], [0, 0, 9]]):
+        for _ in range(12):
+            pts.append([b + rng.uniform(-1, 1) for b in base])
+    pts.append([0.0, 0.0, 0.0])
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in enumerate(pts)]
+    )
+    out = corpus.kmeans_contract_audit(emb, k=3, max_iter=4).collect()
+    assert len(out) == len(pts)                      # exactly one row/vector
+    assert len({r.vec_id for r in out}) == len(pts)  # no dup, no loss
+    assert all(r.is_argmax for r in out)
+    assert all(r.objective_monotone for r in out)
+    assert all(r.k == 3 and r.n_rounds == 4 for r in out)
+
+
+def test_kmeans_lloyd_normalization_does_not_change_assignments(spark):
+    from pyspark.sql import Row
+    # scale-invariance: scaling any vector by a positive constant
+    # must not change its cluster (cosine assignment + direction mean)
+    pts = [[1.0, 0.05], [0.95, 0.0], [1.0, -0.05], [0.9, 0.1],
+           [0.05, 1.0], [0.0, 0.95], [-0.05, 1.0], [0.1, 0.9]]
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in enumerate(pts)]
+    )
+    scaled = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[x * (10.0 if i % 2 else 0.1) for x in v])
+         for i, v in enumerate(pts)]
+    )
+    a = {r.vec_id: r.centroid_id
+         for r in corpus.kmeans_lloyd(emb, k=2, max_iter=3).collect()}
+    b = {r.vec_id: r.centroid_id
+         for r in corpus.kmeans_lloyd(scaled, k=2, max_iter=3).collect()}
+    assert a == b
