@@ -7062,6 +7062,150 @@ def q_zorder_layout(spark, sf_dir):
     )
 
 
+def _zorder3_oracle():
+    from ..operators.layout import interleave_bits_nd_sql
+
+    z3 = interleave_bits_nd_sql(["xq", "yq", "wq"], 8)
+    z2 = interleave_bits_nd_sql(["xq", "yq"], 8)
+    return f"""
+WITH o AS (
+    SELECT o_custkey AS ck, epoch_us(o_orderdate) // {_DAY_US} AS day,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS pc
+    FROM orders
+), b AS (
+    SELECT min(ck) AS ckl, max(ck) AS ckh,
+           min(day) AS dl, max(day) AS dh,
+           min(pc) AS pl, max(pc) AS ph
+    FROM o
+), n AS (
+    SELECT ck, day, pc,
+           ((ck - ckl) * 255) // greatest(ckh - ckl, 1) AS xq,
+           ((day - dl) * 255) // greatest(dh - dl, 1) AS yq,
+           ((pc - pl) * 255) // greatest(ph - pl, 1) AS wq
+    FROM o, b
+), z AS (
+    SELECT ck, day, pc, yq, {z3} AS zv3, {z2} AS zv2 FROM n
+), assigned AS (
+    SELECT 'zorder3' AS layout, zv3 // 262144 AS file_id, ck, day, pc
+    FROM z
+    UNION ALL
+    SELECT 'zorder2', zv2 // 1024, ck, day, pc FROM z
+    UNION ALL
+    SELECT 'linear', yq // 4, ck, day, pc FROM z
+), stats AS (
+    SELECT layout, CAST(file_id AS BIGINT) AS file_id,
+           count(*)::BIGINT AS n_rows,
+           min(ck)::BIGINT AS min_ck, max(ck)::BIGINT AS max_ck,
+           min(day)::BIGINT AS min_day, max(day)::BIGINT AS max_day,
+           min(pc)::BIGINT AS min_pc, max(pc)::BIGINT AS max_pc
+    FROM assigned GROUP BY 1, 2
+), box AS (
+    SELECT ckl + (ckh - ckl) * 2 // 5 AS blo_ck,
+           ckl + (ckh - ckl) * 3 // 5 AS bhi_ck,
+           dl + (dh - dl) * 2 // 5 AS blo_d,
+           dl + (dh - dl) * 3 // 5 AS bhi_d,
+           pl + (ph - pl) * 2 // 5 AS blo_p,
+           pl + (ph - pl) * 3 // 5 AS bhi_p
+    FROM b
+)
+SELECT layout, file_id, n_rows,
+       min_ck, max_ck, min_day, max_day, min_pc, max_pc,
+       (min_ck <= bhi_ck AND max_ck >= blo_ck
+        AND min_day <= bhi_d AND max_day >= blo_d
+        AND min_pc <= bhi_p AND max_pc >= blo_p) AS scan_hit
+FROM stats, box
+"""
+
+
+@register("q_zorder3_layout", _zorder3_oracle())
+def q_zorder3_layout(spark, sf_dir):
+    """Three-dimension Z-order layout audit — the multi-column
+    OPTIMIZE ZORDER claim (Delta supports 3+ columns) executed and
+    MEASURED: orders are laid out into 64 files by (a) the 24-bit
+    Morton interleave of 8-bit-normalized (custkey, orderdate-day,
+    totalprice-cents), (b) the 2-dim interleave of (custkey, day)
+    only, and (c) the single-column date layout; each file's min/max
+    stats decide scan_hit for the SAME 3-dim box predicate (middle
+    20% of every dimension). The readout is the pruning ladder:
+    3-dim files are approximate boxes in all three dimensions, so the
+    price bound prunes them too; the 2-dim layout's files span the
+    full price range (price cannot prune); the linear layout is tight
+    in date only. All integer (price via floor-to-cents — floor, not
+    cast, because DuckDB's double→BIGINT cast rounds while Spark's
+    truncates); both engines' z values come from ONE generator
+    (operators/layout.py:interleave_bits_nd[_sql]).
+    sources/tableformat.py:optimize_table is the write path that
+    applies this layout to real files."""
+    from ..operators.layout import interleave_bits_nd
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.expr(f"unix_micros(cast(o_orderdate AS TIMESTAMP)) div {_DAY_US}")
+        .alias("day"),
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("pc"),
+    )
+    b = o.agg(
+        F.min("ck").alias("ckl"), F.max("ck").alias("ckh"),
+        F.min("day").alias("dl"), F.max("day").alias("dh"),
+        F.min("pc").alias("pl"), F.max("pc").alias("ph"),
+    )
+    n = o.crossJoin(F.broadcast(b)).select(
+        "ck", "day", "pc", "ckl", "ckh", "dl", "dh", "pl", "ph",
+        F.expr("((ck - ckl) * 255) div greatest(ckh - ckl, 1)").alias("xq"),
+        F.expr("((day - dl) * 255) div greatest(dh - dl, 1)").alias("yq"),
+        F.expr("((pc - pl) * 255) div greatest(ph - pl, 1)").alias("wq"),
+    )
+    z = n.withColumn(
+        "zv3", interleave_bits_nd(["xq", "yq", "wq"], 8)
+    ).withColumn("zv2", interleave_bits_nd(["xq", "yq"], 8))
+    assigned = (
+        z.select(
+            F.lit("zorder3").alias("layout"),
+            F.expr("zv3 div 262144").cast("long").alias("file_id"),
+            "ck", "day", "pc",
+        )
+        .unionAll(z.select(
+            F.lit("zorder2").alias("layout"),
+            F.expr("zv2 div 1024").cast("long").alias("file_id"),
+            "ck", "day", "pc",
+        ))
+        .unionAll(z.select(
+            F.lit("linear").alias("layout"),
+            F.expr("yq div 4").cast("long").alias("file_id"),
+            "ck", "day", "pc",
+        ))
+    )
+    stats = assigned.groupBy("layout", "file_id").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("ck").cast("long").alias("min_ck"),
+        F.max("ck").cast("long").alias("max_ck"),
+        F.min("day").cast("long").alias("min_day"),
+        F.max("day").cast("long").alias("max_day"),
+        F.min("pc").cast("long").alias("min_pc"),
+        F.max("pc").cast("long").alias("max_pc"),
+    )
+    box = b.select(
+        F.expr("ckl + (ckh - ckl) * 2 div 5").alias("blo_ck"),
+        F.expr("ckl + (ckh - ckl) * 3 div 5").alias("bhi_ck"),
+        F.expr("dl + (dh - dl) * 2 div 5").alias("blo_d"),
+        F.expr("dl + (dh - dl) * 3 div 5").alias("bhi_d"),
+        F.expr("pl + (ph - pl) * 2 div 5").alias("blo_p"),
+        F.expr("pl + (ph - pl) * 3 div 5").alias("bhi_p"),
+    )
+    return stats.crossJoin(F.broadcast(box)).select(
+        "layout", "file_id", "n_rows",
+        "min_ck", "max_ck", "min_day", "max_day", "min_pc", "max_pc",
+        (
+            (F.col("min_ck") <= F.col("bhi_ck"))
+            & (F.col("max_ck") >= F.col("blo_ck"))
+            & (F.col("min_day") <= F.col("bhi_d"))
+            & (F.col("max_day") >= F.col("blo_d"))
+            & (F.col("min_pc") <= F.col("bhi_p"))
+            & (F.col("max_pc") >= F.col("blo_p"))
+        ).alias("scan_hit"),
+    )
+
+
 @register("q_new_vs_returning", f"""
 WITH act AS (
     SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events

@@ -279,3 +279,32 @@ def test_session6_new_query_plan_shapes(spark):
         plan = _executed(QUERIES[q](spark, SF_DIR))
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_zorder3_pruning_ladder(spark):
+    """The 3-dim layout must (a) partition rows identically across
+    layouts, (b) prune the 3-dim box better than the single-column
+    layout, and (c) bound every file in ALL three dimensions (the
+    pruning property the 2-dim layout cannot give for price)."""
+    import collections
+
+    from document_parsing_etl_pipeline_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q_zorder3_layout"](spark, SF_DIR).collect()
+    hits = collections.Counter()
+    n_rows = collections.Counter()
+    for r in rows:
+        n_rows[r.layout] += r.n_rows
+        if r.scan_hit:
+            hits[r.layout] += 1
+    assert len(set(n_rows.values())) == 1  # same rows in every layout
+    assert hits["zorder3"] < hits["linear"]
+    # zorder3 files are boxes in price too: mean price span well under
+    # the full price domain, while the linear layout's files span ~all
+    spans = collections.defaultdict(list)
+    for r in rows:
+        spans[r.layout].append(r.max_pc - r.min_pc)
+    domain = max(max(s) for s in spans.values())
+    mean3 = sum(spans["zorder3"]) / len(spans["zorder3"])
+    mean_lin = sum(spans["linear"]) / len(spans["linear"])
+    assert mean3 < 0.8 * domain < mean_lin
