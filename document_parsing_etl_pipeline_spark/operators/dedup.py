@@ -964,17 +964,27 @@ def setsim_prefix_join(
         "term", F.col("doc_id").alias("doc_b"),
         F.col("n").alias("nb"), F.col("rn").alias("ib"),
     )
-    # PPJoin positional filter (lossless): let w* be the ORDER-MINIMAL
-    # shared prefix shingle of a pair — any shared shingle preceding
-    # w* would itself be a shared prefix shingle (positions are
-    # order-consistent within each doc), contradicting minimality, so
-    # no shared shingle precedes w* and the overlap is bounded by
-    # 1 + min(na - ia*, nb - ib*) (everything else must come from the
-    # two suffixes). Jaccard >= t needs overlap >= ceil(t(na+nb)/(1+t));
-    # pairs whose bound can't reach it are dropped BEFORE verification
-    # (measured at sf0.1: 193k prefix candidates -> 69k verified,
-    # identical result set). w* per pair = min_by over ia (the rank
-    # within doc_a IS the global order restricted to doc_a's set).
+    # PPJoin positional filter, generalized to EVERY shared prefix
+    # shingle (lossless): order the pair's shared prefix shingles
+    # w_1 < w_2 < ... by the global (df, term) order — within each
+    # doc their ranks ia_j / ib_j ascend together (order-consistent).
+    # For each j, any shared shingle at or before w_j in the global
+    # order has ia <= ia_j <= pa and ib <= ib_j <= pb, so it IS one
+    # of w_1..w_j (at most j of them); every other shared shingle
+    # sits after position ia_j in a AND after ib_j in b. Hence
+    # overlap <= j + min(na - ia_j, nb - ib_j) for EVERY j, and the
+    # bound is the minimum over j — subsuming the classic single-w*
+    # PPJoin bound (j=1). Jaccard >= t needs overlap >=
+    # ceil(t(na+nb)/(1+t)); pairs whose bound can't reach it are
+    # dropped BEFORE the verification join (measured at sf0.1:
+    # 193k prefix candidates -> 68.7k with the j=1 bound -> 66.4k
+    # with the min-over-j bound; result set identical — the oracle
+    # is brute force). The published PPJoin+ SUFFIX filter is
+    # deliberately NOT here: it needs the two token arrays joined to
+    # the pair, which is exactly what exact verification below
+    # consumes — in this join topology the suffix filter would run at
+    # the same place with the same inputs while computing strictly
+    # less than array_intersect, so it cannot cut any cost.
     cands = (
         a.join(b, "term")
         .where(
@@ -983,12 +993,13 @@ def setsim_prefix_join(
         )
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(
-            F.expr(
-                "min_by(1 + least(na - ia, nb - ib), ia)"
-            ).alias("ub")
+            F.sort_array(F.collect_list(F.struct("ia", "ib"))).alias("ps")
         )
         .where(
-            F.col("ub")
+            F.expr(
+                "array_min(transform(ps,"
+                " (p, j) -> j + 1 + least(na - p.ia, nb - p.ib)))"
+            )
             >= F.expr(
                 f"({num} * (na + nb) + {num + den - 1}) div {num + den}"
             )
