@@ -876,6 +876,124 @@ def span_dedup_profile(
     )
 
 
+def _shingle_prefixes(
+    docs: DataFrame,
+    text_col: str,
+    num: int,
+    den: int,
+    shingle_n: int,
+    materialize: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared AllPairs machinery: (sh, pref) where ``sh`` is the
+    distinct (doc_id, term) shingle relation and ``pref`` is each
+    document's prefix — its |s| - ceil(t|s|) + 1 globally-rarest
+    shingles, with set size ``n`` and within-doc global rank ``rn``.
+    The (df, term) order is computed over the WHOLE input relation;
+    any consistent global order keeps the prefix filter lossless,
+    which is what lets the incremental variant reuse this unchanged.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(r"\S+"), 0
+        ).alias("ws"),
+    )
+    parts = [F.expr(f"ws[i + {j}]") for j in range(shingle_n)]
+    sh = (
+        toks.where(F.size("ws") >= shingle_n)
+        .select(
+            "doc_id", "ws",
+            F.explode(
+                F.sequence(F.lit(0), F.size("ws") - shingle_n)
+            ).alias("i"),
+        )
+        .select("doc_id", F.concat_ws(" ", *parts).alias("term"))
+        .distinct()
+    )
+    if materialize:
+        # sh feeds df-counting, prefix ranking, AND both verification
+        # sides (4 references) — checkpoint the shingle relation once
+        # instead of re-running the explode+distinct per reference
+        sh = sh.localCheckpoint()
+    dfreq = sh.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    per_doc = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(dfreq, "term")
+        .withColumn("n", F.count("*").over(per_doc))
+        .withColumn(
+            "rn",
+            F.row_number().over(per_doc.orderBy("df", "term")),
+        )
+    )
+    # prefix length p = n - ceil(t*n) + 1, all-integer
+    pref = ranked.where(
+        F.col("rn")
+        <= F.col("n") - F.expr(f"(n * {num} + {den - 1}) div {den}") + 1
+    ).select("term", "doc_id", "n", "rn")
+    return sh, pref
+
+
+def _positional_bound_filter(grouped: DataFrame, num: int, den: int):
+    """The min-over-j positional bound condition (see
+    setsim_prefix_join): ``grouped`` carries na, nb and ``ps``, the
+    pair's shared prefix positions sorted by global order."""
+    return grouped.where(
+        F.expr(
+            "array_min(transform(ps,"
+            " (p, j) -> j + 1 + least(na - p.ia, nb - p.ib)))"
+        )
+        >= F.expr(
+            f"({num} * (na + nb) + {num + den - 1}) div {num + den}"
+        )
+    ).select("doc_a", "doc_b", "na", "nb")
+
+
+def _verify_pairs(cands: DataFrame, sh: DataFrame, num: int, den: int):
+    """Exact verification of candidate pairs by per-doc shingle
+    ARRAYS (array_intersect in codegen) — see setsim_prefix_join."""
+    docsets = sh.groupBy("doc_id").agg(
+        F.collect_list("term").alias("terms")
+    )
+    inter = (
+        cands.join(
+            docsets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("terms").alias("ta"),
+            ),
+            "doc_a",
+        )
+        .join(
+            docsets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("terms").alias("tb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a", "doc_b", "na", "nb",
+            F.size(F.array_intersect("ta", "tb")).cast("long")
+            .alias("inter"),
+        )
+    )
+    return (
+        inter.where(
+            F.col("inter") * den
+            >= (F.col("na") + F.col("nb") - F.col("inter")) * num
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").alias("inter_size"),
+            (F.col("na") + F.col("nb") - F.col("inter"))
+            .cast("long").alias("union_size"),
+            F.expr("(inter * 1000000L) div (na + nb - inter)")
+            .cast("long").alias("jaccard_ppm"),
+        )
+    )
+
+
 def setsim_prefix_join(
     docs: DataFrame,
     text_col: str = "text",
@@ -915,47 +1033,10 @@ def setsim_prefix_join(
     Output: (doc_a, doc_b, inter_size, union_size, jaccard_ppm)
     for jaccard >= t, doc_a < doc_b.
     """
-    from pyspark.sql.window import Window
-
     num, den = threshold_num, threshold_den
-    toks = docs.select(
-        "doc_id",
-        F.regexp_extract_all(
-            F.lower(F.col(text_col)), F.lit(r"\S+"), 0
-        ).alias("ws"),
+    sh, pref = _shingle_prefixes(
+        docs, text_col, num, den, shingle_n, materialize
     )
-    parts = [F.expr(f"ws[i + {j}]") for j in range(shingle_n)]
-    sh = (
-        toks.where(F.size("ws") >= shingle_n)
-        .select(
-            "doc_id", "ws",
-            F.explode(
-                F.sequence(F.lit(0), F.size("ws") - shingle_n)
-            ).alias("i"),
-        )
-        .select("doc_id", F.concat_ws(" ", *parts).alias("term"))
-        .distinct()
-    )
-    if materialize:
-        # sh feeds df-counting, prefix ranking, AND both verification
-        # sides (4 references) — checkpoint the shingle relation once
-        # instead of re-running the explode+distinct per reference
-        sh = sh.localCheckpoint()
-    dfreq = sh.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    per_doc = Window.partitionBy("doc_id")
-    ranked = (
-        sh.join(dfreq, "term")
-        .withColumn("n", F.count("*").over(per_doc))
-        .withColumn(
-            "rn",
-            F.row_number().over(per_doc.orderBy("df", "term")),
-        )
-    )
-    # prefix length p = n - ceil(t*n) + 1, all-integer
-    pref = ranked.where(
-        F.col("rn")
-        <= F.col("n") - F.expr(f"(n * {num} + {den - 1}) div {den}") + 1
-    ).select("term", "doc_id", "n", "rn")
     a = pref.select(
         "term", F.col("doc_id").alias("doc_a"),
         F.col("n").alias("na"), F.col("rn").alias("ia"),
@@ -985,7 +1066,7 @@ def setsim_prefix_join(
     # consumes — in this join topology the suffix filter would run at
     # the same place with the same inputs while computing strictly
     # less than array_intersect, so it cannot cut any cost.
-    cands = (
+    grouped = (
         a.join(b, "term")
         .where(
             (F.col("doc_a") < F.col("doc_b"))
@@ -995,59 +1076,147 @@ def setsim_prefix_join(
         .agg(
             F.sort_array(F.collect_list(F.struct("ia", "ib"))).alias("ps")
         )
-        .where(
-            F.expr(
-                "array_min(transform(ps,"
-                " (p, j) -> j + 1 + least(na - p.ia, nb - p.ib)))"
-            )
-            >= F.expr(
-                f"({num} * (na + nb) + {num + den - 1}) div {num + den}"
-            )
-        )
-        .select("doc_a", "doc_b", "na", "nb")
     )
+    cands = _positional_bound_filter(grouped, num, den)
     # verification by per-doc shingle ARRAYS (array_intersect in
     # codegen), not by re-exploding shingles through the candidate
     # pairs: candidates ≫ true pairs on high-overlap corpora
     # (measured 193k candidates → ~250 pairs at sf0.1) and the
     # exploded join would shuffle |cands| × |shingles/doc| rows;
     # the doc-sized array relation joins in at |docs| rows instead.
-    docsets = sh.groupBy("doc_id").agg(
-        F.collect_list("term").alias("terms")
+    return _verify_pairs(cands, sh, num, den)
+
+
+def setsim_incremental_pairs(
+    docs: DataFrame,
+    batch_col: str = "is_batch",
+    text_col: str = "text",
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    shingle_n: int = 3,
+    materialize: bool = True,
+) -> DataFrame:
+    """EXACT similarity pairs with at least one side in the ingest
+    BATCH (``batch_col`` boolean on ``docs``): the quadratic half of
+    continuous corpus building. The candidate join is batch-prefix ×
+    corpus-prefix — posting lists fan out as |batch| × bucket, never
+    corpus × corpus — while the linear passes (shingling, document
+    frequency, prefix ranking) run over the full corpus exactly as a
+    standing, incrementally-appendable index would provide them. The
+    prefix/positional/length filters are the same LOSSLESS ones as
+    setsim_prefix_join (any consistent global term order preserves
+    exactness), so standing-pairs ∪ these pairs ≡ the from-scratch
+    all-pairs join — the equality q_incremental_components'
+    oracle pins. Output shape matches setsim_prefix_join with
+    doc_a < doc_b."""
+    num, den = threshold_num, threshold_den
+    sh, pref = _shingle_prefixes(
+        docs, text_col, num, den, shingle_n, materialize
     )
-    inter = (
-        cands.join(
-            docsets.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("terms").alias("ta"),
-            ),
-            "doc_a",
-        )
-        .join(
-            docsets.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("terms").alias("tb"),
-            ),
-            "doc_b",
+    flags = docs.select("doc_id", F.col(batch_col).alias("_fb"))
+    preff = pref.join(flags, "doc_id")
+    a = preff.where(F.col("_fb")).select(
+        "term", F.col("doc_id").alias("doc_x"),
+        F.col("n").alias("nx"), F.col("rn").alias("ix"),
+    )
+    b = preff.select(
+        "term", F.col("doc_id").alias("doc_y"),
+        F.col("n").alias("ny"), F.col("rn").alias("iy"),
+        F.col("_fb").alias("y_batch"),
+    )
+    # batch×corpus candidates: batch-batch pairs once via doc_x <
+    # doc_y; batch-standing pairs once because only batch docs sit on
+    # the x side. Canonicalize to (doc_a < doc_b) BEFORE grouping so
+    # the positional bound sees consistent sides (the bound itself is
+    # symmetric in the pair).
+    joined = (
+        a.join(b, "term")
+        .where(
+            (F.col("doc_x") != F.col("doc_y"))
+            & (~F.col("y_batch") | (F.col("doc_x") < F.col("doc_y")))
+            & (F.least("nx", "ny") * den >= F.greatest("nx", "ny") * num)
         )
         .select(
-            "doc_a", "doc_b", "na", "nb",
-            F.size(F.array_intersect("ta", "tb")).cast("long")
-            .alias("inter"),
+            F.least("doc_x", "doc_y").alias("doc_a"),
+            F.greatest("doc_x", "doc_y").alias("doc_b"),
+            F.when(F.col("doc_x") < F.col("doc_y"), F.col("nx"))
+            .otherwise(F.col("ny")).alias("na"),
+            F.when(F.col("doc_x") < F.col("doc_y"), F.col("ny"))
+            .otherwise(F.col("nx")).alias("nb"),
+            F.when(F.col("doc_x") < F.col("doc_y"), F.col("ix"))
+            .otherwise(F.col("iy")).alias("ia"),
+            F.when(F.col("doc_x") < F.col("doc_y"), F.col("iy"))
+            .otherwise(F.col("ix")).alias("ib"),
         )
+    )
+    grouped = joined.groupBy("doc_a", "doc_b", "na", "nb").agg(
+        F.sort_array(F.collect_list(F.struct("ia", "ib"))).alias("ps")
+    )
+    cands = _positional_bound_filter(grouped, num, den)
+    return _verify_pairs(cands, sh, num, den)
+
+
+def incremental_components(
+    standing_pairs: DataFrame,
+    batch_pairs: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Incremental connected-components maintenance under corpus
+    growth: given the STANDING component map's pair relation and the
+    new batch's pairs (≥1 side in the batch), produce the component
+    map of the grown corpus WITHOUT re-running components over the
+    standing corpus — the graph is CONTRACTED first (every standing
+    doc collapses to its existing component label), components run
+    only over the contracted batch edges (|batch pairs| nodes, not
+    |corpus|), and labels expand back through the standing map.
+
+    Exactness: standing labels are component minima; contracted-CC
+    labels are minima over contracted node ids (standing minima and
+    batch doc ids), so expanded labels are the TRUE global minima —
+    the output is row-for-row identical to from-scratch components
+    over standing_pairs ∪ batch_pairs, which is what the oracle
+    checks. At 100 TB the standing map is a materialized table (see
+    _corpus_components); each ingest touches only batch-sized
+    relations plus one broadcast-ish join against the map."""
+    comps0 = connected_components(standing_pairs, max_iter=max_iter)
+    # contract batch-pair endpoints through the standing map
+    m_a = comps0.select(
+        F.col("doc_id").alias("doc_a"), F.col("component_id").alias("ca")
+    )
+    m_b = comps0.select(
+        F.col("doc_id").alias("doc_b"), F.col("component_id").alias("cb")
+    )
+    contracted = (
+        batch_pairs.select("doc_a", "doc_b")
+        .join(m_a, "doc_a", "left")
+        .join(m_b, "doc_b", "left")
+        .select(
+            F.coalesce("ca", "doc_a").alias("doc_a"),
+            F.coalesce("cb", "doc_b").alias("doc_b"),
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+    )
+    cc1 = connected_components(contracted, max_iter=max_iter).select(
+        F.col("doc_id").alias("node"), F.col("component_id").alias("nl")
+    )
+    # expand: every vertex v maps through node(v) = standing label or
+    # itself, then through the contracted result if present
+    verts = (
+        standing_pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(standing_pairs.select(F.col("doc_b").alias("doc_id")))
+        .unionByName(batch_pairs.select(F.col("doc_a").alias("doc_id")))
+        .unionByName(batch_pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
     return (
-        inter.where(
-            F.col("inter") * den
-            >= (F.col("na") + F.col("nb") - F.col("inter")) * num
-        )
+        verts.join(comps0, "doc_id", "left")
         .select(
-            "doc_a",
-            "doc_b",
-            F.col("inter").alias("inter_size"),
-            (F.col("na") + F.col("nb") - F.col("inter"))
-            .cast("long").alias("union_size"),
-            F.expr("(inter * 1000000L) div (na + nb - inter)")
-            .cast("long").alias("jaccard_ppm"),
+            "doc_id",
+            F.coalesce("component_id", "doc_id").alias("node"),
+        )
+        .join(cc1, "node", "left")
+        .select(
+            "doc_id",
+            F.coalesce("nl", "node").cast("long").alias("component_id"),
         )
     )

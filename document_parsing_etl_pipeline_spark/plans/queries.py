@@ -6797,6 +6797,71 @@ def q_setsim_prefix_join(spark, sf_dir):
     )
 
 
+@register("q_incremental_components", r"""
+WITH RECURSIVE tk AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id,
+           ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS term
+    FROM tk, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS g(i)
+), sz AS (
+    SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), raw_pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), pairs AS MATERIALIZED (
+    SELECT p.doc_a, p.doc_b
+    FROM raw_pairs p
+    JOIN sz sa ON sa.doc_id = p.doc_a
+    JOIN sz sb ON sb.doc_id = p.doc_b
+    WHERE p.inter * 5 >= (sa.n + sb.n - p.inter) * 3
+), edges AS MATERIALIZED (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+), verts AS (
+    SELECT DISTINCT a AS id FROM edges
+), walk(id, label) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT e.b AS id, w.label FROM walk w JOIN edges e ON w.id = e.a
+    WHERE w.label < e.b
+)
+SELECT id AS doc_id, min(label) AS component_id FROM walk GROUP BY id
+""")
+def q_incremental_components(spark, sf_dir):
+    """Incremental near-dup component maintenance under corpus growth
+    — the 100 TB continuous-ingest path, hash-gated by FROM-SCRATCH
+    equality: the corpus is split deterministically into a standing
+    80% and a 20% ingest batch (doc_id % 5); standing pairs come from
+    the exact prefix-filter join WITHIN the standing corpus, batch
+    pairs from the batch×corpus incremental join (posting-list fanout
+    = batch × bucket, never corpus×corpus), and the component map is
+    updated by CONTRACTING standing docs to their existing labels and
+    running components only over the contracted batch edges. The
+    oracle recomputes components over the FULL corpus brute-force —
+    so the hash passes only if incremental maintenance is EXACTLY
+    equivalent to recomputation (pair exactness through a different
+    global term order, contraction/expansion label algebra, minimum
+    preservation). operators/dedup.py:setsim_incremental_pairs,
+    incremental_components."""
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = docs.withColumn("is_batch", F.expr("doc_id % 5 = 0"))
+    standing_pairs = dedup.setsim_prefix_join(
+        flagged.where(~F.col("is_batch")),
+        threshold_num=3, threshold_den=5,
+    )
+    batch_pairs = dedup.setsim_incremental_pairs(
+        flagged, batch_col="is_batch",
+        threshold_num=3, threshold_den=5,
+    )
+    return dedup.incremental_components(
+        standing_pairs, batch_pairs, max_iter=30
+    )
+
+
 _DECAY_H = 29  # max age with non-zero weight; weights 2^0 .. 2^29
 
 

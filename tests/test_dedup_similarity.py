@@ -379,3 +379,73 @@ def test_triangle_counts_by_brute_force(spark):
     assert got == want
     # K4 nodes sit in 3 triangles each; pendant and isolated-edge in 0
     assert got[0] == (4, 3) and got[9] == (1, 0) and got[10] == (1, 0)
+
+
+def test_incremental_components_merges_standing_components(spark):
+    """The hard incremental case: a batch document bridges TWO
+    existing standing components — the contracted graph must merge
+    them and every member must relabel to the global minimum."""
+    from pyspark.sql import Row
+
+    from document_parsing_etl_pipeline_spark.operators import dedup
+
+    # standing comps {1,2} and {10,11}; batch doc 20 similar to 2 and
+    # 10; batch doc 25 isolated-similar to nothing; batch pair (20,21)
+    standing_pairs = spark.createDataFrame(
+        [Row(doc_a=1, doc_b=2), Row(doc_a=10, doc_b=11)]
+    )
+    batch_pairs = spark.createDataFrame(
+        [Row(doc_a=2, doc_b=20), Row(doc_a=10, doc_b=20),
+         Row(doc_a=20, doc_b=21)]
+    )
+    out = {
+        r.doc_id: r.component_id
+        for r in dedup.incremental_components(
+            standing_pairs, batch_pairs
+        ).collect()
+    }
+    # everything reachable through doc 20 collapses to min id 1
+    assert out == {1: 1, 2: 1, 10: 1, 11: 1, 20: 1, 21: 1}
+
+
+def test_setsim_incremental_union_equals_from_scratch(spark):
+    """standing-pairs ∪ incremental batch pairs must equal the
+    from-scratch all-pairs join exactly (the losslessness of the
+    prefix/positional filters is order-independent)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from document_parsing_etl_pipeline_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = {
+        0: base,
+        1: base + " extra",
+        2: base.replace("gamma", "lambda"),
+        3: "totally different words nothing shared here at all ok",
+        4: base,                      # batch: exact dup of 0
+        5: base + " extra tail",      # batch: near 1
+        9: "unrelated content again completely disjoint tokens yes",
+    }
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in texts.items()]
+    )
+    flagged = docs.withColumn("is_batch", F.expr("doc_id >= 4"))
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard_ppm)
+        for r in dedup.setsim_prefix_join(docs).collect()
+    }
+    standing = {
+        (r.doc_a, r.doc_b, r.jaccard_ppm)
+        for r in dedup.setsim_prefix_join(
+            flagged.where("NOT is_batch")
+        ).collect()
+    }
+    batch = {
+        (r.doc_a, r.doc_b, r.jaccard_ppm)
+        for r in dedup.setsim_incremental_pairs(
+            flagged, batch_col="is_batch"
+        ).collect()
+    }
+    assert standing | batch == full
+    assert standing & batch == set()  # no pair produced twice
