@@ -145,6 +145,37 @@ def extract_audio_features(blobs: DataFrame, dim: int = 8) -> DataFrame:
     )
 
 
+def _fake_phash(content: bytes) -> int:
+    """STUB: deterministic fake perceptual hash (no PIL/scipy DCT in
+    this container): the top 60 bits of the content prefix. A real
+    deployment swaps in DCT pHash over the decoded image; 60 bits
+    keeps the value inside a signed 64-bit long for engine parity."""
+    if not content:
+        return 0
+    return int.from_bytes(content[:8].ljust(8, b"\0"), "big") >> 4
+
+
+def phash_images(blobs: DataFrame) -> DataFrame:
+    """image blobs → 60-bit perceptual hash (image_path, phash):
+    the binary-modality twin of the text content_hash — identical
+    media bytes (or, with a real pHash, perceptually-identical
+    images) collide, so exact media dedup is a linear groupBy on
+    phash downstream. Same Arrow-batched mapInPandas shape as
+    decode_images; the binary column never leaves the JVM except as
+    Arrow batches."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "image_path": pdf["image_path"],
+                "phash": pdf["content"].map(_fake_phash).astype("int64"),
+            })
+
+    return blobs.mapInPandas(
+        _hash, schema="image_path string, phash bigint"
+    )
+
+
 def decode_images(blobs: DataFrame) -> DataFrame:
     """binary blobs → typed media metadata + feature vector.
 

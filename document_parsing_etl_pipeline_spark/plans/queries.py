@@ -2620,6 +2620,59 @@ def q_mm_video_frames(spark, sf_dir):
     return sample_video_frames(blobs)
 
 
+@register("q_mm_phash_dedup", f"""
+WITH {_CHARTS_CTE},
+h AS (
+    SELECT image_path,
+           ('0x' || substr(md5(chart_type || '#' || chart_index::VARCHAR
+                           || '#' || (doc_id % 7)::VARCHAR), 1, 15))::BIGINT
+               AS phash
+    FROM charts_f WHERE doc_id < 100
+), g AS (
+    SELECT phash, min(image_path) AS canon, count(*)::BIGINT AS group_size
+    FROM h GROUP BY 1
+)
+SELECT h.image_path, h.phash, g.group_size,
+       (h.image_path = g.canon) AS is_canonical
+FROM h JOIN g USING (phash)
+""")
+def q_mm_phash_dedup(spark, sf_dir):
+    """Exact BINARY-media dedup via perceptual hash — the multimodal
+    twin of dedup_exact/dedup_materialize: image blobs hash through
+    the Arrow-batched pHash stub (multimodal.py:phash_images), then a
+    linear groupBy(phash) marks each image's group size and one
+    canonical keeper (min path) per duplicate group — no pair join at
+    any scale. Blobs are synthesized so that charts sharing
+    (type, index, doc_id mod 7) carry IDENTICAL bytes: real duplicate
+    groups exist and the keeper choice is exercised. The oracle
+    replays the 60-bit digest-prefix arithmetic in SQL, hash-gating
+    the binary Arrow plumbing like the other mm_* oracles."""
+    from ..operators.multimodal import phash_images
+
+    inv = charts_op.chart_inventory(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    )
+    blobs = inv.select(
+        "image_path",
+        F.unhex(F.md5(F.concat_ws(
+            "#",
+            F.col("chart_type"),
+            F.col("chart_index").cast("string"),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        ))).alias("content"),
+        F.lit("image/png").alias("content_type"),
+    )
+    hashed = phash_images(blobs)
+    groups = hashed.groupBy("phash").agg(
+        F.min("image_path").alias("canon"),
+        F.count("*").cast("long").alias("group_size"),
+    )
+    return hashed.join(groups, "phash").select(
+        "image_path", "phash", "group_size",
+        (F.col("image_path") == F.col("canon")).alias("is_canonical"),
+    )
+
+
 @register("q_kmeans_clusters", """
 SELECT vec_id, 8::BIGINT AS k, 3::BIGINT AS n_rounds,
        TRUE AS is_argmax, TRUE AS objective_monotone
