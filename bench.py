@@ -171,6 +171,12 @@ BENCH_QUERIES = [
     "q_activity_streaks",
     "q_forecast_backtest",
     "q_ship_latency_integrity",
+    # round 6
+    "q_zorder3_layout",
+    "q_mm_phash_dedup",
+    "q_incremental_components",
+    "q_kmeans_clusters",
+    "mm_video_frames",
 ]
 
 
