@@ -358,7 +358,7 @@ def main():
 
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         durations = []
@@ -371,9 +371,17 @@ def main():
 
     total = round(sum(timings.values()), 3)
     # run metadata: attributes round-over-round deltas to machine load
-    # vs plan changes (the round-4 vs round-2 ambiguity)
+    # vs plan changes (the round-4 vs round-2 ambiguity). Spread is
+    # computed over the WARM runs only (run 1 always pays plan
+    # compilation/codegen, so including it measures cold-start, not
+    # load noise — the thing this metric exists to detect); with
+    # fewer than 3 runs there is only one warm run and the all-runs
+    # spread is reported as before.
     spreads = [
-        (max(d) - min(d)) / min(d) for d in all_runs.values() if min(d) > 0
+        (max(w) - min(w)) / min(w)
+        for d in all_runs.values()
+        for w in [d[1:] if len(d) >= 3 else d]
+        if min(w) > 0
     ]
     meta = {
         "runs_per_query": runs,

@@ -644,9 +644,27 @@ def incremental_lsh_matches(
     with first_match_doc = min matching corpus doc (-1 if none)."""
     bb = minhash_buckets(batch, text_col, num_hashes, band_size)
     cb = minhash_buckets(corpus, text_col, num_hashes, band_size)
-    keys = bb.select("band", "bh").distinct()
-    pruned = cb.join(F.broadcast(keys), ["band", "bh"], "left_semi")
-    # cap by CORPUS-side bucket population (over the pruned buckets):
+    return lsh_flag_against_index(
+        batch.select("doc_id"), bb, cb, max_bucket
+    )
+
+
+def lsh_flag_against_index(
+    batch_ids: DataFrame,
+    batch_buckets: DataFrame,
+    index_buckets: DataFrame,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """The core of incremental ingest dedup, against a MATERIALIZED
+    standing index (minhash_buckets schema: doc_id, band, bh) — the
+    shape the streaming ingest sink reuses, where the index is a
+    snapshot-manifest table appended per micro-batch. Batch bucket
+    keys broadcast and semi-join-prune the index scan; fanout is
+    batch×bucket under the index-side cap. Returns one row per batch
+    doc: (doc_id, is_dup, first_match_doc, -1 if none)."""
+    keys = batch_buckets.select("band", "bh").distinct()
+    pruned = index_buckets.join(F.broadcast(keys), ["band", "bh"], "left_semi")
+    # cap by INDEX-side bucket population (over the pruned buckets):
     # each batch row contributes ≤ max_bucket candidate pairs per band
     sized = (
         pruned.groupBy("band", "bh")
@@ -655,7 +673,8 @@ def incremental_lsh_matches(
     )
     capped = pruned.join(sized.drop("n"), ["band", "bh"])
     pairs = (
-        bb.select("band", "bh", F.col("doc_id").alias("batch_doc"))
+        batch_buckets
+        .select("band", "bh", F.col("doc_id").alias("batch_doc"))
         .join(
             capped.select("band", "bh", F.col("doc_id").alias("corpus_doc")),
             ["band", "bh"],
@@ -664,7 +683,7 @@ def incremental_lsh_matches(
         .agg(F.min("corpus_doc").alias("first_match_doc"))
     )
     return (
-        batch.select("doc_id")
+        batch_ids.select("doc_id")
         .join(pairs, F.col("doc_id") == F.col("batch_doc"), "left")
         .select(
             "doc_id",

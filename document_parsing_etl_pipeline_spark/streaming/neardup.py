@@ -1,0 +1,142 @@
+"""Streaming incremental near-dup ingest: every document micro-batch
+is flagged against the STANDING LSH index, then its own buckets join
+the index — so each batch dedups against everything ingested before
+it, the continuous-corpus-building loop running as a stream.
+
+The standing index is a snapshot-manifest table
+(sources/tableformat.py) holding minhash_buckets rows
+(doc_id, band, bh): the batch's bucket keys broadcast and
+semi-join-prune the index scan, pair fanout is batch×bucket under the
+index-side cap — the corpus is never paired with itself
+(operators/dedup.py:lsh_flag_against_index, the same core the batch
+query q_incremental_dedup verifies against its oracle).
+
+Exactly-once: the index MERGE records stream_batch_id in the
+committed manifest (the table_sink recipe) and replayed batches are
+skipped; the per-batch flag output writes to a batch_id-keyed
+directory with overwrite, so replays rewrite identical bytes instead
+of duplicating rows.
+
+Within-batch duplicates are also caught: a batch doc matches earlier
+ingested docs AND smaller-id docs of its own batch (the batch's own
+buckets stand in as a second index restricted to corpus_doc <
+batch_doc), so two copies arriving in ONE micro-batch still dedup.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import lsh_flag_against_index, minhash_buckets
+from ..sources import tableformat as tf
+from .table_sink import last_committed_batch
+
+
+def ingest_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    index_root: str,
+    flags_root: str,
+    batch_id: int,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int = 50,
+) -> bool:
+    """Flag one micro-batch against the standing index, write the
+    flags, and MERGE the batch's buckets into the index exactly once.
+    Returns False for replayed or empty batches."""
+    if batch_id <= last_committed_batch(index_root):
+        return False
+    if batch_df.isEmpty():
+        return False
+    bb = minhash_buckets(
+        batch_df, num_hashes=num_hashes, band_size=band_size
+    ).localCheckpoint()  # feeds flagging (2 sides) + the index MERGE
+    index = tf.read(spark, index_root)
+    vs_index = lsh_flag_against_index(
+        batch_df.select("doc_id"), bb, index, max_bucket
+    )
+    vs_batch = lsh_flag_against_index(
+        batch_df.select("doc_id"),
+        bb,
+        bb,  # own batch as a second index...
+        max_bucket,
+    ).where(  # ...restricted to strictly-smaller ids (no self-match;
+        # -1 means "no match" and must not count as one)
+        (F.col("first_match_doc") >= 0)
+        & (F.col("first_match_doc") < F.col("doc_id"))
+    )
+    flags = (
+        vs_index.alias("i")
+        .join(
+            vs_batch.select(
+                F.col("doc_id").alias("doc_id_b"),
+                F.col("first_match_doc").alias("fm_b"),
+            ),
+            F.col("doc_id") == F.col("doc_id_b"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            (F.col("is_dup") | F.col("fm_b").isNotNull()).alias("is_dup"),
+            F.when(
+                F.col("first_match_doc") >= 0,
+                F.least(
+                    F.col("first_match_doc"),
+                    F.coalesce(F.col("fm_b"), F.col("first_match_doc")),
+                ),
+            ).otherwise(F.coalesce(F.col("fm_b"), F.lit(-1)))
+            .cast("long").alias("first_match_doc"),
+        )
+    )
+    flags.write.mode("overwrite").parquet(
+        os.path.join(flags_root, f"batch_id={batch_id}")
+    )
+    tf.merge_into(
+        spark, bb, index_root, key="doc_id",
+        extra_meta={"stream_batch_id": batch_id},
+    )
+    return True
+
+
+def create_index(spark: SparkSession, index_root: str) -> int:
+    """Create an empty standing LSH index table (minhash_buckets
+    schema) ready for streaming ingest."""
+    seed = spark.createDataFrame(
+        [], "doc_id long, band int, bh string"
+    )
+    return tf.create_table(spark, seed, index_root, stats_cols=["doc_id"])
+
+
+def stream_neardup_ingest(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    index_root: str,
+    flags_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int = 50,
+):
+    """Start the foreachBatch near-dup ingest over a document stream
+    (needs doc_id + text columns). The index table must exist
+    (create_index). Returns the StreamingQuery."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_batch(
+            spark, batch_df, index_root, flags_root, batch_id,
+            num_hashes=num_hashes, band_size=band_size,
+            max_bucket=max_bucket,
+        )
+
+    writer = (
+        doc_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

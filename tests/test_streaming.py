@@ -358,3 +358,73 @@ def test_interval_join_self_join_excludes_self_pairs_opt_in(
     got = {(r.l_id, r.r_id)
            for r in spark.sql("SELECT * FROM ij_self").collect()}
     assert got == {(1, 2), (2, 1)}  # no (1,1)/(2,2) self-pairs
+
+
+def test_stream_neardup_ingest_flags_and_exactly_once(tmp_path, spark):
+    """Streaming incremental near-dup: batch 2 docs flag against
+    batch 1's standing index; within-batch copies flag against the
+    smaller id; checkpoint replays of a committed batch are no-ops."""
+    import time as _time
+
+    from document_parsing_etl_pipeline_spark.sources import tableformat as tf
+    from document_parsing_etl_pipeline_spark.streaming import neardup
+
+    drop = tmp_path / "docs_in"
+    drop.mkdir()
+    index_root = str(tmp_path / "lsh_index")
+    flags_root = str(tmp_path / "flags")
+    a_text = "the quick brown fox jumps over the lazy dog " * 8
+    b_text = "completely different content about spark shuffles " * 8
+    c_text = "a third unique document discussing parquet footers " * 8
+    (drop / "a.json").write_text("\n".join([
+        json.dumps({"doc_id": 1, "text": a_text}),
+        json.dumps({"doc_id": 2, "text": b_text}),
+    ]))
+    _time.sleep(1.1)  # file-source batches order by mod time
+    (drop / "b.json").write_text("\n".join([
+        json.dumps({"doc_id": 10, "text": a_text}),   # dup of ingested 1
+        json.dumps({"doc_id": 11, "text": c_text}),   # unique
+        json.dumps({"doc_id": 12,
+                    "text": "fresh pair of copies inside one batch " * 8}),
+        json.dumps({"doc_id": 13,                       # dup of 12
+                    "text": "fresh pair of copies inside one batch " * 8}),
+    ]))
+
+    neardup.create_index(spark, index_root)
+    stream = (
+        spark.readStream.format("json")
+        .schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(drop))
+    )
+    q = neardup.stream_neardup_ingest(
+        spark, stream, index_root, flags_root,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    flags = {
+        r.doc_id: (r.is_dup, r.first_match_doc)
+        for r in spark.read.parquet(flags_root).collect()
+    }
+    assert flags[1] == (False, -1) and flags[2] == (False, -1)
+    assert flags[10] == (True, 1)      # cross-batch dup
+    assert flags[11] == (False, -1)
+    assert flags[12] == (False, -1)    # first copy keeps
+    assert flags[13] == (True, 12)     # within-batch dup
+    # index holds every ingested doc's buckets exactly once
+    idx = tf.read(spark, index_root)
+    assert set(
+        r.doc_id for r in idx.select("doc_id").distinct().collect()
+    ) == {1, 2, 10, 11, 12, 13}
+    n_rows = idx.count()
+    # replaying the last committed batch is a no-op
+    last_batch = spark.read.json(str(drop / "b.json"))
+    from document_parsing_etl_pipeline_spark.streaming.table_sink import (
+        last_committed_batch,
+    )
+    bid = last_committed_batch(index_root)
+    assert neardup.ingest_batch(
+        spark, last_batch, index_root, flags_root, bid
+    ) is False
+    assert tf.read(spark, index_root).count() == n_rows
