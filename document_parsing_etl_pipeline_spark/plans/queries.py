@@ -6915,6 +6915,51 @@ def q_incremental_components(spark, sf_dir):
     )
 
 
+_DOMAIN_CAP = 20
+
+
+@register("q_domain_cap_sample", f"""
+SELECT doc_id, source,
+       rk::BIGINT AS sample_rank,
+       rk <= {_DOMAIN_CAP} AS keep
+FROM (
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR), doc_id
+           ) AS rk
+    FROM documents
+)
+""")
+def q_domain_cap_sample(spark, sf_dir):
+    """Per-domain document cap (the CCNet / RefinedWeb 'head domains
+    dominate the crawl' mitigation): every source keeps at most
+    _DOMAIN_CAP (20) documents, chosen by a seedless deterministic order
+    (md5 of the doc id — a uniform permutation within each domain,
+    reproducible in both engines), the rest are flagged out. The
+    output keeps every row with its sample_rank so downstream can
+    re-cap at any threshold <= the computed ranks without re-ranking.
+
+    Scale shape: ONE hash shuffle on source; each window partition is
+    domain-sized. Web corpora have millions of domains, so partitions
+    are small and numerous — the good case for windows. A degenerate
+    mega-domain (one domain = 10% of the corpus) is the q_top_customers
+    salting scenario; the fix there (pre-aggregate + re-rank or
+    sampled cutoff) applies unchanged because rank order is a pure
+    function of (md5, doc_id), not of row position."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return docs.select("doc_id", "source").select(
+        "doc_id", "source",
+        F.row_number().over(w).cast("long").alias("sample_rank"),
+    ).select(
+        "doc_id", "source", "sample_rank",
+        (F.col("sample_rank") <= _DOMAIN_CAP).alias("keep"),
+    )
+
+
 _DECAY_H = 29  # max age with non-zero weight; weights 2^0 .. 2^29
 
 
