@@ -6915,6 +6915,171 @@ def q_incremental_components(spark, sf_dir):
     )
 
 
+@register("q_spearman_rank_corr", """
+WITH m AS (
+    SELECT doc_id, n_chars,
+           len(list_distinct(regexp_extract_all(lower(text), '\\S+')))
+               AS n_distinct
+    FROM documents
+), r AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY n_chars, doc_id) AS ra,
+           row_number() OVER (ORDER BY n_distinct, doc_id) AS rb
+    FROM m
+), d AS (
+    SELECT count(*)::BIGINT AS n,
+           sum((ra - rb) * (ra - rb))::BIGINT AS d2
+    FROM r
+)
+SELECT n AS n_docs, d2 AS sum_d2,
+       (1000000 - (6000000 * d2) // (n * (n * n - 1)))::BIGINT AS rho_ppm
+FROM d
+""")
+def q_spearman_rank_corr(spark, sf_dir):
+    """Spearman rank agreement between two document orderings — the
+    ranker-agreement audit (does the cheap signal order the corpus
+    like the expensive one? run BEFORE swapping a quality scorer at
+    100 TB). Demonstrated on (n_chars rank) vs (distinct-token-count
+    rank); ties broken by doc_id so both engines rank identically.
+    ALL-INTEGER: rho = 1 - 6Σd²/(n(n²-1)) emitted as floor ppm — no
+    float enters the computation, the hash gate is exact by
+    construction. NO corpus-sized global sort: each rank decomposes
+    as (count of docs with a smaller key value — a running sum over
+    the VALUE-DOMAIN-sized per-value counts) + (row_number within
+    the equal-value group — value-partitioned, group-sized windows),
+    the q_shard_assignment two-level prefix-sum shape. The oracle
+    uses the plain global row_number: the decomposition is proven
+    equal by the hash gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id", "n_chars",
+        F.size(F.array_distinct(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+        )).alias("n_distinct"),
+    )
+
+    def perm_rank(df, key, out):
+        cnts = df.groupBy(key).agg(F.count("*").alias("_c"))
+        wv = Window.orderBy(key).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offs = cnts.select(
+            key, F.coalesce(F.sum("_c").over(wv), F.lit(0)).alias("_off")
+        )
+        wi = Window.partitionBy(key).orderBy("doc_id")
+        return (
+            df.join(offs, key)
+            .withColumn(
+                out,
+                (F.col("_off") + F.row_number().over(wi)).cast("long"),
+            )
+            .drop("_off")
+        )
+
+    r = perm_rank(m, "n_chars", "ra")
+    r = perm_rank(r, "n_distinct", "rb").select("doc_id", "ra", "rb")
+    return (
+        r.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
+            ).cast("long").alias("d2"),
+        )
+        .select(
+            F.col("n").alias("n_docs"),
+            F.col("d2").alias("sum_d2"),
+            F.expr(
+                "cast(1000000 - (6000000 * d2) div (n * (n * n - 1))"
+                " as bigint)"
+            ).alias("rho_ppm"),
+        )
+    )
+
+
+_ZIPF_TOP = 500
+
+
+@register("q_zipf_slope", f"""
+WITH toks AS (
+    SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+    FROM documents
+), freq AS (
+    SELECT tok, count(*)::BIGINT AS cnt FROM toks GROUP BY 1
+), ranked AS (
+    SELECT tok, cnt,
+           row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+    FROM freq
+), top AS (
+    SELECT round(ln(rnk), 6) AS x, round(ln(cnt), 6) AS y
+    FROM ranked WHERE rnk <= {_ZIPF_TOP}
+), s AS (
+    SELECT count(*)::BIGINT AS n,
+           sum(x::DECIMAL(18,6)) AS sx, sum(y::DECIMAL(18,6)) AS sy,
+           sum((x * x)::DECIMAL(28,12)) AS sxx,
+           sum((x * y)::DECIMAL(28,12)) AS sxy
+    FROM top
+)
+SELECT n AS n_terms,
+       round((n * (sxy::DOUBLE) - (sx::DOUBLE) * (sy::DOUBLE))
+             / (n * (sxx::DOUBLE) - (sx::DOUBLE) * (sx::DOUBLE)), 6)
+           AS zipf_slope,
+       (round((n * (sxy::DOUBLE) - (sx::DOUBLE) * (sy::DOUBLE))
+              / (n * (sxx::DOUBLE) - (sx::DOUBLE) * (sx::DOUBLE)), 6)
+        BETWEEN -10 AND 0) AS slope_negative_ok
+FROM s
+""")
+def q_zipf_slope(spark, sf_dir):
+    """Zipf-law fit over the corpus vocabulary — the corpus-health
+    readout LLM data work leans on (natural text shows log-freq ≈
+    a + s·log-rank with s near −1; template spam, boilerplate floods,
+    or synthetic junk bend the slope). OLS of round(ln cnt, 6) on
+    round(ln rank, 6) over the top {_ZIPF_TOP} terms: the libm logs
+    are 6-dp pre-rounded and summed as exact decimals (the
+    unigram_logprob protocol), the closed-form slope is one double
+    division rounded to 6 dp — engine-exact. One token explode +
+    one groupBy; the regression runs over a {_ZIPF_TOP}-row
+    relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+        ).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), "tok")
+    top = (
+        freq.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _ZIPF_TOP)
+        .select(
+            F.round(F.log("rnk"), 6).alias("x"),
+            F.round(F.log("cnt"), 6).alias("y"),
+        )
+    )
+    s = top.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(18,6)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(18,6)")).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,12)")).alias("sxy"),
+    )
+    slope = F.round(
+        (
+            F.col("n") * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double")
+        )
+        / (
+            F.col("n") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        ),
+        6,
+    )
+    return s.select(
+        F.col("n").alias("n_terms"),
+        slope.alias("zipf_slope"),
+        slope.between(-10.0, 0.0).alias("slope_negative_ok"),
+    )
+
+
 _DOMAIN_CAP = 20
 
 
