@@ -7080,6 +7080,106 @@ def q_zipf_slope(spark, sf_dir):
     )
 
 
+@register("q_event_pattern_match", """
+WITH seqs AS (
+    SELECT user_id,
+           count(*)::BIGINT AS n_events,
+           string_agg(substr(event_type, 1, 1), ''
+                      ORDER BY ts, event_id) AS seq
+    FROM events GROUP BY 1
+)
+SELECT user_id, n_events, seq,
+       len(regexp_extract_all(seq, 'cvp'))::BIGINT AS n_cvp,
+       len(regexp_extract_all(seq, 'ce'))::BIGINT AS n_click_error
+FROM seqs
+""")
+def q_event_pattern_match(spark, sf_dir):
+    """MATCH_RECOGNIZE-lite: per-user event-PATTERN occurrence counts
+    over the time-ordered event sequence — the row-pattern feature
+    Flink/Trino expose as MATCH_RECOGNIZE, expressed relationally:
+    each user's events collapse to one ordered initial-letter string
+    (c/v/p/s/e), and patterns are regexes over it (here the strictly
+    CONSECUTIVE click→view→purchase run, which funnel queries with
+    their any-gap firsts cannot express, plus click→error friction).
+    Non-overlapping left-to-right match counts — identical regex
+    semantics in both engines — and the FULL sequence string rides in
+    the output, so the oracle hash pins the entire ordering, not just
+    the counts. Per-user collect is user-history-sized (the
+    sessionize/paths bound); ordering ties break on event_id."""
+    ev = load_table(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(ts, event_id, substring(event_type, 1, 1) AS ch)"
+            ")), x -> x.ch), '')"
+        ).alias("seq"),
+    )
+    return seqs.select(
+        "user_id", "n_events", "seq",
+        F.size(F.regexp_extract_all(F.col("seq"), F.lit("cvp"), 0))
+        .cast("long").alias("n_cvp"),
+        F.size(F.regexp_extract_all(F.col("seq"), F.lit("ce"), 0))
+        .cast("long").alias("n_click_error"),
+    )
+
+
+_WSAMPLE_K = 50
+_U52 = float(1 << 52)
+
+
+@register("q_weighted_sample", f"""
+WITH keyed AS (
+    SELECT doc_id,
+           greatest(n_chars, 1)::BIGINT AS weight,
+           round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT
+                     + 1) / {_U52})
+                 / greatest(n_chars, 1), 9) AS skey
+    FROM documents
+), top AS (
+    SELECT doc_id, weight, skey
+    FROM keyed ORDER BY skey DESC, doc_id LIMIT {_WSAMPLE_K}
+)
+SELECT doc_id, weight, skey,
+       row_number() OVER (ORDER BY skey DESC, doc_id)::BIGINT
+           AS sample_rank
+FROM top
+""")
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    2006, the one-pass exponential-keys algorithm): every doc gets
+    key = ln(u)/w with u a seedless md5-derived uniform (52-bit
+    rational, exact in both engines) and w its weight (n_chars —
+    sample long documents preferentially); the top-k by key IS an
+    exact weighted sample without replacement — the standard
+    distributed recipe because it needs ONE pass and a k-sized
+    top-k, no sequential draws. Spark plans the top-k as
+    TakeOrderedAndProject (per-partition heaps + k-row merge — no
+    global sort); the rank window runs over the k-row result. Keys
+    are 9-dp-rounded before ranking (libm ln ulp can't flip an
+    order), ties break on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.expr("cast(greatest(n_chars, 1) as bigint)")
+    u = (
+        F.expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 13),"
+            " 16, 10) as bigint)"
+        )
+        + F.lit(1)
+    ) / F.lit(_U52)
+    keyed = docs.select(
+        "doc_id",
+        w.alias("weight"),
+        F.round(F.log(u) / w, 9).alias("skey"),
+    )
+    top = keyed.orderBy(F.col("skey").desc(), "doc_id").limit(_WSAMPLE_K)
+    rw = Window.orderBy(F.col("skey").desc(), "doc_id")
+    return top.select(
+        "doc_id", "weight", "skey",
+        F.row_number().over(rw).cast("long").alias("sample_rank"),
+    )
+
+
 _DOMAIN_CAP = 20
 
 
