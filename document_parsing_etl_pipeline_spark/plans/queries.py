@@ -7124,6 +7124,93 @@ def q_event_pattern_match(spark, sf_dir):
     )
 
 
+# Wilson 95% interval, z = 1.96: ONE formula string parsed by BOTH
+# engines (Spark via F.expr, DuckDB verbatim) — identical expression
+# tree, and +,*,/,sqrt are all IEEE-correctly-rounded, so the doubles
+# match bit for bit before the final 6-dp presentation rounding.
+# Every literal is CAST to DOUBLE explicitly: both engines type bare
+# decimal literals as DECIMAL, with DIFFERENT promotion rules —
+# decimal intermediate rounding diverged at the 5th decimal place
+# until the whole tree was forced into IEEE doubles.
+_D = "cast({} as double)".format
+_WILSON_Z2 = _D("3.8416")  # z² for z = 1.96
+_WILSON_P = f"(x * {_D('1.0')} / n)"
+_WILSON_RATE = f"round({_WILSON_P}, 6)"
+_WILSON_SQ = (
+    f"sqrt({_WILSON_P} * ({_D('1.0')} - {_WILSON_P}) / n"
+    f" + {_WILSON_Z2} / ({_D('4.0')} * n * n))"
+)
+_WILSON_LO = (
+    f"round(({_WILSON_P} + {_WILSON_Z2} / ({_D('2.0')} * n)"
+    f" - {_D('1.96')} * {_WILSON_SQ})"
+    f" / ({_D('1.0')} + {_WILSON_Z2} / n), 6)"
+)
+_WILSON_HI = (
+    f"round(({_WILSON_P} + {_WILSON_Z2} / ({_D('2.0')} * n)"
+    f" + {_D('1.96')} * {_WILSON_SQ})"
+    f" / ({_D('1.0')} + {_WILSON_Z2} / n), 6)"
+)
+
+
+@register("q_conversion_wilson", f"""
+WITH d AS (
+    SELECT epoch_us(ts) // {{day_us}} AS day,
+           count(*)::BIGINT AS n,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS x
+    FROM events GROUP BY 1
+)
+SELECT day, n AS n_events, x AS n_purchases,
+       {_WILSON_RATE} AS rate,
+       {_WILSON_LO} AS wilson_lo,
+       {_WILSON_HI} AS wilson_hi,
+       ({_WILSON_LO} <= {_WILSON_RATE}
+        AND {_WILSON_RATE} <= {_WILSON_HI}) AS bound_order_ok
+FROM d WHERE n > 0
+""".replace("{day_us}", str(86_400_000_000)))
+def q_conversion_wilson(spark, sf_dir):
+    """Per-day purchase share (of all events) with Wilson 95%
+    confidence bounds — the statistical-audit family's uncertainty
+    readout (a day with 3/5 purchases is NOT better than one with
+    300/1000; the Wilson interval says so where the raw share lies).
+    Successes are a SUBSET of trials by construction (purchases ⊂
+    all events), so p ∈ [0,1] and the sqrt argument is non-negative.
+    The Wilson formula is ONE shared expression string parsed by both
+    engines (the interleave_bits generator pattern): every operator
+    in it (+, *, /, sqrt) is IEEE-correctly-rounded, so the unrounded
+    doubles agree bit-for-bit and the 6-dp rounding is presentation,
+    not reconciliation. The contract boolean pins lo <= rate <= hi.
+    One groupBy(day); the formula runs over the calendar-sized
+    relation."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            F.expr(f"(ts div 1000) div {86_400_000_000}").alias("day"),
+            "event_type",
+        )
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("long").alias("x"),
+        )
+        .where(F.col("n") > 0)
+    )
+    return d.select(
+        "day",
+        F.col("n").alias("n_events"),
+        F.col("x").alias("n_purchases"),
+        F.expr(_WILSON_RATE).alias("rate"),
+        F.expr(_WILSON_LO).alias("wilson_lo"),
+        F.expr(_WILSON_HI).alias("wilson_hi"),
+        F.expr(
+            f"{_WILSON_LO} <= {_WILSON_RATE}"
+            f" AND {_WILSON_RATE} <= {_WILSON_HI}"
+        ).alias("bound_order_ok"),
+    )
+
+
 _WSAMPLE_K = 50
 _U52 = float(1 << 52)
 
