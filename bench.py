@@ -177,6 +177,12 @@ BENCH_QUERIES = [
     "q_incremental_components",
     "q_kmeans_clusters",
     "mm_video_frames",
+    "q_domain_cap_sample",
+    "q_spearman_rank_corr",
+    "q_zipf_slope",
+    "q_event_pattern_match",
+    "q_weighted_sample",
+    "q_conversion_wilson",
 ]
 
 

@@ -160,6 +160,7 @@ def test_all_queries_no_rowbased_python_udf(spark):
     # multimodal pipeline and the block-matrix embedding kernel.
     arrow_ok = {
         "mm_image_pipeline", "mm_audio_features", "mm_video_frames",
+        "q_mm_phash_dedup",  # binary pHash is Arrow-batched by design
         "dedup_embedding",
         "knn_all_topk", "q_pca_projection",
         "q_sequence_pack", "q_sequence_texts",  # packing recurrence
