@@ -356,11 +356,21 @@ def main():
     # amortization.
     from document_parsing_etl_pipeline_spark.plans.queries import (
         _corpus_components,
+        _standing_setsim_components,
+        _standing_setsim_pairs,
     )
     t0 = time.time()
     _corpus_components(spark, sf_dir).write.mode("overwrite").format(
         "noop").save()
     components_build_sec = round(time.time() - t0, 3)
+    # same story for the standing setsim pair relation (the previous
+    # snapshot's artifact that q_incremental_components consumes)
+    t0 = time.time()
+    _standing_setsim_pairs(spark, sf_dir).write.mode("overwrite").format(
+        "noop").save()
+    _standing_setsim_components(spark, sf_dir).write.mode(
+        "overwrite").format("noop").save()
+    standing_pairs_build_sec = round(time.time() - t0, 3)
 
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
@@ -392,6 +402,7 @@ def main():
     meta = {
         "runs_per_query": runs,
         "neardup_components_build_sec": components_build_sec,
+        "standing_setsim_pairs_build_sec": standing_pairs_build_sec,
         "load1_start": round(load_start, 2),
         "load1_end": round(os.getloadavg()[0], 2),
         "cpus": os.cpu_count(),
