@@ -33,6 +33,11 @@ PICKS = {
     "q_zorder_layout": "one fact scan -> z-interleave projection -> two layout aggs; bounds and box as 1-row broadcasts",
     "q_grouping_sets_profile": "pre-agg to base cells BEFORE Expand: the 4-set rollup expands 9 rows, not the fact table",
     "q_uniform_sample_exact": "TakeOrderedAndProject: per-partition top-k heaps, no global sort or range exchange",
+    "q_weighted_sample": "Efraimidis-Spirakis keys in codegen; exact top-k as TakeOrderedAndProject, rank window over the k-row result",
+    "q_zorder3_layout": "one fact scan -> 24-bit interleave projection -> three layout aggs; bounds/box as 1-row broadcasts",
+    "q_incremental_components": "batch-prefix x corpus-prefix candidate join (never corpus x corpus); contraction joins against the checkpointed standing map",
+    "q_spearman_rank_corr": "rank = value-partitioned row_number + value-domain running offset; no corpus-sized global sort",
+    "q_event_pattern_match": "one groupBy(user) collect -> codegen regexp counts; no window, no join",
 }
 
 
