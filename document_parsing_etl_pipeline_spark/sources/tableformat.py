@@ -339,6 +339,83 @@ def delete_where(
     })
 
 
+def table_changes(
+    spark: SparkSession, root: str, from_version: int, to_version: int,
+    key: str | None = None,
+) -> DataFrame:
+    """Change data feed (Delta CDF / Iceberg changelog parity):
+    row-level changes between two snapshots, derived from the
+    copy-on-write file sets — no change log is stored, the diff IS
+    computable from the manifests because every write path rewrites
+    whole files:
+
+    - files present in both manifests are UNCHANGED by construction
+      (copy-on-write never edits a file in place) and are never read;
+    - rows in to-only files are ``insert`` candidates, rows in
+      from-only files ``delete`` candidates;
+    - a row present in both sides (same full row, or same ``key``
+      when given) was merely REWRITTEN into a new file (e.g. a MERGE
+      rewrote its neighbor rows, or OPTIMIZE re-clustered it) and is
+      not a logical change. With ``key``, rows whose key survives on
+      both sides but whose content changed surface as
+      ``update_preimage`` / ``update_postimage`` (the Delta CDF
+      convention).
+
+    Only the DELTA files are scanned — the cost scales with the
+    changed data, not the table size (manifest set-difference is
+    driver-side KB of JSON)."""
+    mf = _load_manifest(root, from_version)
+    mt = _load_manifest(root, to_version)
+    pf = {e["path"] for e in mf["files"]}
+    pt = {e["path"] for e in mt["files"]}
+    only_f = sorted(pf - pt)
+    only_t = sorted(pt - pf)
+    cols = read(spark, root, to_version).columns
+
+    def _read(paths):
+        if not paths:
+            return (
+                read(spark, root, to_version).limit(0).select(*cols)
+            )
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(root, p) for p in paths]
+        ).select(*cols)
+
+    old = _read(only_f)
+    new = _read(only_t)
+    if key is None:
+        # full-row identity: rewritten-but-identical rows cancel out
+        ins = new.exceptAll(old).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        dels = old.exceptAll(new).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return ins.unionByName(dels)
+    ko = old.select(F.col(key).alias("_k")).distinct()
+    kn = new.select(F.col(key).alias("_k")).distinct()
+    ins = new.join(ko, new[key] == ko["_k"], "anti").withColumn(
+        "_change_type", F.lit("insert")
+    )
+    dels = old.join(kn, old[key] == kn["_k"], "anti").withColumn(
+        "_change_type", F.lit("delete")
+    )
+    # keys on both sides: emit pre/post images only when the row
+    # content actually differs (pure rewrites cancel)
+    both_old = old.join(kn, old[key] == kn["_k"], "semi")
+    both_new = new.join(ko, new[key] == ko["_k"], "semi")
+    pre = both_old.exceptAll(both_new).withColumn(
+        "_change_type", F.lit("update_preimage")
+    )
+    post = both_new.exceptAll(both_old).withColumn(
+        "_change_type", F.lit("update_postimage")
+    )
+    return (
+        ins.drop("_k").unionByName(dels.drop("_k"))
+        .unionByName(pre).unionByName(post)
+    )
+
+
 def history(root: str) -> list[dict]:
     """Commit log: (version, operation, committed_us, n_files, rows)."""
     out = []

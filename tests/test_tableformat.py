@@ -345,3 +345,39 @@ def test_interleave_bits_nd_matches_sql_oracle(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_table_changes_merge_update_and_insert(spark, table):
+    upd = spark.createDataFrame(
+        [(3, "updated", 3), (999, "new", 5)],
+        "doc_id long, text string, grp long",
+    )
+    v2 = tf.merge_into(spark, upd, table, key="doc_id")
+    ch = tf.table_changes(spark, table, 1, v2, key="doc_id")
+    got = {(r._change_type, r.doc_id) for r in ch.collect()}
+    # neighbors rewritten into new files are NOT logical changes
+    assert got == {
+        ("insert", 999),
+        ("update_preimage", 3),
+        ("update_postimage", 3),
+    }
+    pre = {r.text for r in ch.where("_change_type = 'update_preimage'").collect()}
+    post = {r.text for r in ch.where("_change_type = 'update_postimage'").collect()}
+    assert pre == {"t3"} and post == {"updated"}
+
+
+def test_table_changes_delete_and_pure_rewrite(spark, tmp_path):
+    root = str(tmp_path / "cdf")
+    df = spark.range(0, 200).selectExpr(
+        "id AS doc_id", "concat('t', id) AS text"
+    ).repartitionByRange(4, "doc_id")
+    tf.create_table(spark, df, root, stats_cols=["doc_id"])
+    v2 = tf.delete_where(spark, root, "doc_id", 0, 9)
+    ch = tf.table_changes(spark, root, 1, v2)
+    got = {(r._change_type, r.doc_id) for r in ch.collect()}
+    assert got == {("delete", i) for i in range(10)}
+    # OPTIMIZE rewrites every row into new files: zero logical changes
+    v3 = tf.optimize_table(spark, root, target_file_rows=100)
+    assert tf.table_changes(spark, root, v2, v3).count() == 0
+    # and across the whole history, deletes still surface
+    assert tf.table_changes(spark, root, 1, v3).count() == 10
