@@ -368,3 +368,49 @@ def test_triangle_counts_on_random_graphs(spark, edges):
         for n in adj
     }
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=0, max_size=30,
+    ),
+    batch_mod=st.integers(2, 5),
+)
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_incremental_components_equals_from_scratch(spark, edges, batch_mod):
+    """Property: contract-then-expand incremental components over ANY
+    edge split (standing = both endpoints standing; batch = at least
+    one batch endpoint) equals connected components over all edges."""
+    from document_parsing_etl_pipeline_spark.operators.dedup import (
+        connected_components, incremental_components,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    is_batch = lambda v: v % batch_mod == 0  # noqa: E731
+    standing = [e for e in edges if not is_batch(e[0]) and not is_batch(e[1])]
+    batch = [e for e in edges if is_batch(e[0]) or is_batch(e[1])]
+    all_df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    schema = "doc_a long, doc_b long"
+    st_df = (
+        spark.createDataFrame(standing, schema)
+        if standing else spark.createDataFrame([], schema)
+    )
+    ba_df = (
+        spark.createDataFrame(batch, schema)
+        if batch else spark.createDataFrame([], schema)
+    )
+    want = {
+        (r.doc_id, r.component_id)
+        for r in connected_components(all_df, max_iter=30).collect()
+    }
+    got = {
+        (r.doc_id, r.component_id)
+        for r in incremental_components(st_df, ba_df, max_iter=30).collect()
+    }
+    assert got == want
