@@ -416,6 +416,69 @@ def table_changes(
     )
 
 
+def validate_expectations(
+    df: DataFrame, expectations: dict[str, str],
+) -> tuple[DataFrame, DataFrame]:
+    """Delta CHECK-constraint / DLT-expectations split: evaluate every
+    named SQL predicate against each row and return (clean, violations)
+    — clean rows satisfy ALL expectations; violating rows carry a
+    ``_violated`` array naming every failed expectation (DLT's
+    quarantine shape, so one bad row surfaces all its problems at
+    once). One projection, no shuffle; NULL predicate results count
+    as violations (a CHECK that can't evaluate true is not satisfied
+    — the SQL-standard CHECK treats NULL as pass, but a data
+    EXPECTATION must not wave unknowns through)."""
+    flags = F.array(*[
+        F.when(
+            ~F.coalesce(F.expr(pred), F.lit(False)), F.lit(name)
+        ).otherwise(F.lit(None))
+        for name, pred in expectations.items()
+    ])
+    tagged = df.withColumn(
+        "_violated", F.filter(flags, lambda x: x.isNotNull())
+    )
+    clean = tagged.where(F.size("_violated") == 0).drop("_violated")
+    violations = tagged.where(F.size("_violated") > 0)
+    return clean, violations
+
+
+def append_with_expectations(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    expectations: dict[str, str],
+    quarantine_root: str | None = None,
+) -> dict:
+    """Gated append: rows satisfying every expectation commit to the
+    table; violating rows are quarantined (appended, with their
+    ``_violated`` reasons, to a side table created on first use) —
+    never silently dropped, never poisoning the main table. Returns
+    {version, n_clean, n_quarantined}. At 100 TB this is the DLT
+    expect_or_drop + quarantine-table pattern on the same
+    copy-on-write commits as every other write."""
+    clean, violations = validate_expectations(df, expectations)
+    viol = violations.withColumn(
+        "_violated", F.array_join("_violated", ",")
+    )
+    n_q = viol.count()
+    if n_q and quarantine_root:
+        if not _versions(quarantine_root):
+            create_table(
+                spark, viol, quarantine_root,
+                stats_cols=_load_manifest(
+                    root, _versions(root)[-1]
+                )["stats_cols"],
+            )
+        else:
+            append(spark, viol, quarantine_root)
+    version = append(spark, clean, root)
+    return {
+        "version": version,
+        "n_clean": df.count() - n_q,
+        "n_quarantined": n_q,
+    }
+
+
 def history(root: str) -> list[dict]:
     """Commit log: (version, operation, committed_us, n_files, rows)."""
     out = []

@@ -381,3 +381,43 @@ def test_table_changes_delete_and_pure_rewrite(spark, tmp_path):
     assert tf.table_changes(spark, root, v2, v3).count() == 0
     # and across the whole history, deletes still surface
     assert tf.table_changes(spark, root, 1, v3).count() == 10
+
+
+def test_expectations_split_and_quarantined_append(spark, table, tmp_path):
+    q_root = str(tmp_path / "quarantine")
+    batch = spark.createDataFrame(
+        [
+            (500, "fine text", 2),
+            (501, "", 3),            # fails nonempty_text
+            (502, "ok", None),       # fails grp_present (NULL != pass)
+            (503, "", None),         # fails both
+        ],
+        "doc_id long, text string, grp long",
+    )
+    out = tf.append_with_expectations(
+        spark, batch, table,
+        expectations={
+            "nonempty_text": "length(text) > 0",
+            "grp_present": "grp IS NOT NULL",
+        },
+        quarantine_root=q_root,
+    )
+    assert out["n_clean"] == 1 and out["n_quarantined"] == 3
+    cur = tf.read(spark, table)
+    assert cur.where("doc_id >= 500").count() == 1  # only 500 landed
+    q = {r.doc_id: r._violated for r in tf.read(spark, q_root).collect()}
+    assert q[501] == "nonempty_text"
+    assert q[502] == "grp_present"
+    assert q[503] == "nonempty_text,grp_present"
+    # second gated append APPENDS to the existing quarantine table
+    out2 = tf.append_with_expectations(
+        spark,
+        spark.createDataFrame(
+            [(504, "", 1)], "doc_id long, text string, grp long"
+        ),
+        table,
+        expectations={"nonempty_text": "length(text) > 0"},
+        quarantine_root=q_root,
+    )
+    assert out2["n_quarantined"] == 1
+    assert tf.read(spark, q_root).count() == 4
