@@ -1039,6 +1039,96 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+_DAY_US = 86_400_000_000  # also (re)defined later; identical value
+
+
+@register("q_session_conversion", f"""
+WITH ordered AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id)
+               AS prev_us
+    FROM events
+), flagged AS (
+    SELECT *, CASE WHEN prev_us IS NULL
+                     OR ts_us - prev_us > {_SESSION_GAP_US} THEN 1 ELSE 0 END
+               AS is_new
+    FROM ordered
+), sessions AS (
+    SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+    FROM flagged
+), per_session AS (
+    SELECT user_id, session_id,
+           min(ts_us) // {_DAY_US} AS day,
+           max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS has_purchase
+    FROM sessions GROUP BY 1, 2
+)
+SELECT day, count(*)::BIGINT AS n_sessions,
+       sum(has_click)::BIGINT AS n_with_click,
+       sum(has_click * has_purchase)::BIGINT AS n_converted,
+       CASE WHEN sum(has_click) > 0
+            THEN (sum(has_click * has_purchase) * 1000000)
+                 // sum(has_click)
+            ELSE 0 END::BIGINT AS conversion_ppm
+FROM per_session GROUP BY 1
+""")
+def q_session_conversion(spark, sf_dir):
+    """SESSION-scoped funnel conversion — the product metric the
+    user-level funnel can't give: a click and a purchase in the same
+    SESSION (same visit, gap rule = q_events_sessionize's) vs merely
+    the same lifetime. Daily rollup of sessions (day of session
+    start): sessions, click-sessions, converted click-sessions, and
+    the integer-ppm conversion rate. Same shuffle shape as
+    sessionize (per-user windows) plus one calendar-sized rollup —
+    and the session relation here is per-user-window derived, the
+    formulation that streams via session_window (parity proven by
+    q_session_window_native + the streaming test)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    w_order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "prev_us", F.lag("ts_us").over(w_order)
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.col("ts_us") - F.col("prev_us") > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.expr(f"min(ts_us) div {_DAY_US}").alias("day"),
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("has_click"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("has_purchase"),
+    )
+    return per_session.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("has_click").cast("long").alias("n_with_click"),
+        F.sum(F.col("has_click") * F.col("has_purchase"))
+        .cast("long").alias("n_converted"),
+        F.expr(
+            "cast(CASE WHEN sum(has_click) > 0"
+            " THEN (sum(has_click * has_purchase) * 1000000)"
+            " div sum(has_click) ELSE 0 END as bigint)"
+        ).alias("conversion_ppm"),
+    )
+
+
 @register("q_events_attribution", f"""
 WITH tagged AS (
     SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
