@@ -479,6 +479,111 @@ def append_with_expectations(
     }
 
 
+# ------------------------------------------------- write-audit-publish
+
+_STAGE_DIR = "_staged"
+
+
+def _stage_path(root: str, stage: str) -> str:
+    return os.path.join(root, _STAGE_DIR, f"{stage}.json")
+
+
+def stage_append(
+    spark: SparkSession, df: DataFrame, root: str, stage: str,
+) -> dict:
+    """Write-Audit-Publish, step 1 (the Iceberg WAP pattern): write
+    the data files and a CANDIDATE snapshot manifest under _staged/ —
+    the main version chain is untouched, so readers never see the
+    rows. The staged manifest records the base version it was built
+    on; publish_stage refuses if main has advanced since (optimistic
+    concurrency — re-stage on the new head instead of silently
+    dropping the interleaved commit's files). Returns
+    {stage, base_version, n_new_files}."""
+    head = _load_manifest(root, _versions(root)[-1])
+    entries = _write_files(
+        spark, df, root, f"stage-{stage}", head["stats_cols"]
+    )
+    os.makedirs(os.path.join(root, _STAGE_DIR), exist_ok=True)
+    staged = {
+        "operation": "append",
+        "stats_cols": head["stats_cols"],
+        "files": head["files"] + entries,
+        "new_files": [e["path"] for e in entries],
+        "base_version": head["version"],
+        **_carry_meta(head),
+        "schema": _merged_schema_json(head, df),
+    }
+    fd = os.open(
+        _stage_path(root, stage), os.O_WRONLY | os.O_CREAT | os.O_EXCL
+    )
+    with os.fdopen(fd, "w") as f:
+        json.dump(staged, f)
+    return {
+        "stage": stage,
+        "base_version": head["version"],
+        "n_new_files": len(entries),
+    }
+
+
+def read_staged(spark: SparkSession, root: str, stage: str) -> DataFrame:
+    """Audit view: the candidate snapshot (base + staged rows) as a
+    DataFrame — run expectations/row counts/drift checks against it
+    BEFORE anything is published. Pass the staged-delta files only
+    via read_staged_delta for checks scoped to the new rows."""
+    with open(_stage_path(root, stage)) as f:
+        m = json.load(f)
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(root, e["path"]) for e in m["files"]]
+    )
+
+
+def read_staged_delta(
+    spark: SparkSession, root: str, stage: str,
+) -> DataFrame:
+    """Only the rows this stage would add."""
+    with open(_stage_path(root, stage)) as f:
+        m = json.load(f)
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(root, p) for p in m["new_files"]]
+    )
+
+
+def publish_stage(root: str, stage: str) -> int:
+    """Write-Audit-Publish, step 3: atomically promote the audited
+    candidate to the next main version. Raises if main advanced past
+    the staged base_version (the candidate no longer contains the
+    interleaved commit's rows — re-stage on the new head)."""
+    with open(_stage_path(root, stage)) as f:
+        m = json.load(f)
+    head_v = _versions(root)[-1]
+    if head_v != m["base_version"]:
+        raise RuntimeError(
+            f"stage {stage!r} was built on v{m['base_version']} but main"
+            f" is at v{head_v}; re-stage on the current head"
+        )
+    m.pop("base_version")
+    m.pop("new_files")
+    version = _commit(root, m)
+    os.remove(_stage_path(root, stage))
+    return version
+
+
+def discard_stage(root: str, stage: str) -> int:
+    """Drop a staged candidate: remove its data files and manifest
+    (they were never referenced by any published snapshot). Returns
+    the number of files removed."""
+    with open(_stage_path(root, stage)) as f:
+        m = json.load(f)
+    removed = 0
+    for p in m["new_files"]:
+        full = os.path.join(root, p)
+        if os.path.exists(full):
+            os.remove(full)
+            removed += 1
+    os.remove(_stage_path(root, stage))
+    return removed
+
+
 def history(root: str) -> list[dict]:
     """Commit log: (version, operation, committed_us, n_files, rows)."""
     out = []

@@ -421,3 +421,49 @@ def test_expectations_split_and_quarantined_append(spark, table, tmp_path):
     )
     assert out2["n_quarantined"] == 1
     assert tf.read(spark, q_root).count() == 4
+
+
+def test_write_audit_publish_flow(spark, table):
+    good = spark.createDataFrame(
+        [(600, "staged row", 1)], "doc_id long, text string, grp long"
+    )
+    out = tf.stage_append(spark, good, table, stage="nightly")
+    # main is untouched while staged
+    assert tf.read(spark, table).where("doc_id = 600").count() == 0
+    # audit sees the candidate snapshot AND the delta alone
+    assert tf.read_staged(spark, table, "nightly").count() == 101
+    delta = tf.read_staged_delta(spark, table, "nightly")
+    assert [r.doc_id for r in delta.collect()] == [600]
+    clean, viol = tf.validate_expectations(
+        delta, {"nonempty": "length(text) > 0"}
+    )
+    assert viol.count() == 0
+    v = tf.publish_stage(table, "nightly")
+    assert tf.read(spark, table).where("doc_id = 600").count() == 1
+    assert tf.read(spark, table, version=out["base_version"]).count() == 100
+
+
+def test_publish_refuses_on_base_drift_and_discard_removes_files(
+    spark, table
+):
+    import os as _os
+
+    import pytest as _pytest
+
+    staged = spark.createDataFrame(
+        [(700, "candidate", 1)], "doc_id long, text string, grp long"
+    )
+    tf.stage_append(spark, staged, table, stage="wap")
+    # main advances underneath the stage
+    tf.append(spark, spark.createDataFrame(
+        [(701, "interleaved", 2)], "doc_id long, text string, grp long"
+    ), table)
+    with _pytest.raises(RuntimeError, match="re-stage"):
+        tf.publish_stage(table, "wap")
+    removed = tf.discard_stage(table, "wap")
+    assert removed >= 1
+    assert not _os.path.exists(tf._stage_path(table, "wap"))
+    # the interleaved commit is intact; candidate rows never published
+    cur = tf.read(spark, table)
+    assert cur.where("doc_id = 701").count() == 1
+    assert cur.where("doc_id = 700").count() == 0
