@@ -98,25 +98,33 @@ def interval_join_streams(
     window_seconds: int = 60,
     watermark: str = "10 minutes",
     exclude_same_id: bool = False,
+    join_type: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each left event pairs with right
     events whose event_time lies in [left - w, left + w] — the
     streaming twin of operators/rangejoin.py, and it needs the SAME
     bucketing trick: Spark rejects stream-stream joins without an
-    equality predicate, so the join key is a window-width time bucket
-    (left explodes into its 2-3 overlapping buckets, right stays
-    single-bucket → every matched pair meets in exactly one bucket,
-    no duplicates). The exact time-range condition rides along as the
+    equality predicate, so the join key is a window-width time
+    bucket. The LEFT side keeps its single bucket and the RIGHT side
+    explodes into its 2-3 overlapping buckets — any |l−r| ≤ w pair
+    meets in exactly the left row's bucket (floor(l/w) always lies in
+    [floor((r−w)/w), floor((r+w)/w)]), so no duplicates, and —
+    crucially for ``join_type='left_outer'`` — every left row exists
+    exactly ONCE in the join input, so an unmatched left emits
+    exactly one null-extended row when the watermark closes its
+    match window (exploding the left instead would emit one null row
+    per bucket). The exact time-range condition rides along as the
     join residual over both watermarked event_time columns, which is
     what lets the state store evict buffered rows that can no longer
     match (without the range bound, join state grows without limit).
 
     Inputs need (event_id, event_time, event_type); output is one row
-    per matched pair. Set ``exclude_same_id=True`` ONLY when both
-    sides are filtered views of the same stream (self-join): it drops
-    pairs sharing an event_id so a row can't match itself. Leave it
-    off for genuinely distinct streams — their id spaces may collide,
-    and the exclusion would silently drop legitimate matches."""
+    per matched pair (plus null-extended unmatched lefts for
+    left_outer). Set ``exclude_same_id=True`` ONLY when both sides
+    are filtered views of the same stream (self-join): it drops pairs
+    sharing an event_id so a row can't match itself. Leave it off for
+    genuinely distinct streams — their id spaces may collide, and the
+    exclusion would silently drop legitimate matches."""
     w = int(window_seconds)
     lw = (
         left.withWatermark("event_time", watermark)
@@ -125,15 +133,7 @@ def interval_join_streams(
             F.col("event_time").alias("l_time"),
             F.col("event_type").alias("l_type"),
         )
-        .withColumn(
-            "bucket",
-            F.explode(
-                F.sequence(
-                    F.expr(f"(unix_seconds(l_time) - {w}) div {w}"),
-                    F.expr(f"(unix_seconds(l_time) + {w}) div {w}"),
-                )
-            ),
-        )
+        .withColumn("bucket", F.expr(f"unix_seconds(l_time) div {w}"))
     )
     rw = (
         right.withWatermark("event_time", watermark)
@@ -142,7 +142,15 @@ def interval_join_streams(
             F.col("event_time").alias("r_time"),
             F.col("event_type").alias("r_type"),
         )
-        .withColumn("bucket", F.expr(f"unix_seconds(r_time) div {w}"))
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"(unix_seconds(r_time) - {w}) div {w}"),
+                    F.expr(f"(unix_seconds(r_time) + {w}) div {w}"),
+                )
+            ),
+        )
     )
     cond = (
         (lw["bucket"] == rw["bucket"])
@@ -151,4 +159,4 @@ def interval_join_streams(
     )
     if exclude_same_id:
         cond = cond & (F.col("l_id") != F.col("r_id"))
-    return lw.join(rw, cond).drop("bucket")
+    return lw.join(rw, cond, join_type).drop("bucket")

@@ -428,3 +428,43 @@ def test_stream_neardup_ingest_flags_and_exactly_once(tmp_path, spark):
         spark, last_batch, index_root, flags_root, bid
     ) is False
     assert tf.read(spark, index_root).count() == n_rows
+
+
+def test_interval_join_left_outer_emits_unmatched_after_watermark(
+    tmp_path, spark
+):
+    """left_outer: matched pairs emit as usual; a left event with no
+    right partner emits exactly ONE null-extended row once the
+    watermark closes its match window (the single-bucket-left design:
+    an exploded left would emit one null row per bucket)."""
+    left_dir, right_dir = tmp_path / "lo_l", tmp_path / "lo_r"
+    left_dir.mkdir(); right_dir.mkdir()
+    (left_dir / "l.json").write_text("\n".join(json.dumps(r) for r in [
+        {"event_id": 1, "ts": "2024-01-01T00:00:30", "user_id": 1,
+         "event_type": "error", "value": 1.0},   # matched by 100
+        {"event_id": 2, "ts": "2024-01-01T00:05:00", "user_id": 2,
+         "event_type": "error", "value": 1.0},   # unmatched, old
+        # late sentinel to push the watermark far past event 2
+        {"event_id": 3, "ts": "2024-01-01T03:00:00", "user_id": 3,
+         "event_type": "error", "value": 1.0},
+    ]))
+    (right_dir / "r.json").write_text("\n".join(json.dumps(r) for r in [
+        {"event_id": 100, "ts": "2024-01-01T00:01:00", "user_id": 9,
+         "event_type": "view", "value": 1.0},
+        {"event_id": 101, "ts": "2024-01-01T03:00:00", "user_id": 9,
+         "event_type": "view", "value": 1.0},    # watermark pusher
+    ]))
+    joined = ev.interval_join_streams(
+        ev.read_event_stream(spark, str(left_dir)),
+        ev.read_event_stream(spark, str(right_dir)),
+        window_seconds=60,
+        watermark="1 minute",
+        join_type="left_outer",
+    )
+    q = (joined.writeStream.format("memory").queryName("ij_lo")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT l_id, r_id FROM ij_lo").collect()
+    got = sorted((r.l_id, r.r_id) for r in rows)
+    # 1 matched; 2 unmatched -> exactly one (2, None); 3 matched 101
+    assert got == [(1, 100), (2, None), (3, 101)]
