@@ -1313,6 +1313,105 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
 
 
+@register("q_source_dup_rates", """
+WITH hashed AS (
+    SELECT doc_id, source,
+           md5(coalesce(array_to_string(
+                   regexp_extract_all(lower(text), '\\S+'), ' '), ''))
+               AS content_hash
+    FROM documents
+), ranked AS (
+    SELECT source,
+           CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY content_hash)
+                THEN 0 ELSE 1 END AS is_dup
+    FROM hashed
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(is_dup)::BIGINT AS n_dups,
+       ((sum(is_dup) * 1000000) // count(*))::BIGINT AS dup_ppm
+FROM ranked GROUP BY 1
+""")
+def q_source_dup_rates(spark, sf_dir):
+    """Per-source duplicate rates — dedup OBSERVABILITY by origin:
+    which domains/feeds produce the duplicates (a crawl source
+    re-serving syndicated content shows up here long before it skews
+    training mixes). A doc is a dup if its exact content hash has a
+    smaller-id twin ANYWHERE in the corpus (cross-source duplication
+    charges the re-server, not the first server). One hash groupBy-
+    window (hash-partitioned, group-sized) + one source rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", "source",
+        F.md5(
+            F.coalesce(
+                F.array_join(
+                    F.regexp_extract_all(
+                        F.lower(F.col("text")), F.lit(r"\S+"), 0
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            )
+        ).alias("content_hash"),
+    )
+    w = Window.partitionBy("content_hash")
+    ranked = hashed.select(
+        "source",
+        F.when(
+            F.col("doc_id") == F.min("doc_id").over(w), 0
+        ).otherwise(1).alias("is_dup"),
+    )
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_dups"),
+        F.expr(
+            "cast((sum(is_dup) * 1000000) div count(*) as bigint)"
+        ).alias("dup_ppm"),
+    )
+
+
+_TREND_K = 10
+
+
+@register("q_trending_terms", f"""
+WITH toks AS (
+    SELECT epoch_us(ts) // {{day_us}} AS day, event_type AS term
+    FROM events
+), daily AS (
+    SELECT day, term, count(*)::BIGINT AS cnt
+    FROM toks GROUP BY 1, 2
+), ranked AS (
+    SELECT day, term, cnt,
+           row_number() OVER (PARTITION BY day
+                              ORDER BY cnt DESC, term) AS rnk
+    FROM daily
+)
+SELECT day, term, cnt, rnk::BIGINT AS rnk
+FROM ranked WHERE rnk <= {_TREND_K}
+""".replace("{day_us}", str(86_400_000_000)))
+def q_trending_terms(spark, sf_dir):
+    """Per-day top-k trending terms (the daily-leaderboard shape
+    every analytics surface ships): day × term counts, then a rank
+    window PARTITIONED BY DAY — partitions are day-sized term
+    vocabularies, so the window never sees a corpus-sized sort; at
+    any scale the pre-aggregation shrinks the ranked relation to
+    |days| × |terms|. Deterministic ties (count desc, term)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr(f"(ts div 1000) div {86_400_000_000}").alias("day"),
+            F.col("event_type").alias("term"),
+        )
+        .groupBy("day", "term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("day").orderBy(F.col("cnt").desc(), "term")
+    return (
+        daily.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= _TREND_K)
+    )
+
+
 @register("dedup_minhash_lsh",
           f"WITH {_mh_sig_sql()}, {_mh_buckets_sql()} SELECT * FROM cand")
 def q_dedup_minhash_lsh(spark, sf_dir):
