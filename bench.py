@@ -183,6 +183,9 @@ BENCH_QUERIES = [
     "q_event_pattern_match",
     "q_weighted_sample",
     "q_conversion_wilson",
+    "q_session_conversion",
+    "q_source_dup_rates",
+    "q_trending_terms",
 ]
 
 

@@ -4048,6 +4048,78 @@ def q_unigram_logprob(spark, sf_dir):
     return corpus.unigram_logprob(load_table(spark, sf_dir, "documents"))
 
 
+@register("q_ccnet_buckets", r"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+    FROM documents
+), vocab AS (
+    SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+), tot AS (
+    SELECT count(*) AS n_total FROM toks
+), surp AS (
+    SELECT tok, round(-log2(cnt / n_total), 6) AS surprisal
+    FROM vocab, tot
+), agg AS (
+    SELECT t.doc_id, count(*) AS n_tokens,
+           (sum(s.surprisal::DECIMAL(18,6)) * 1000000)::BIGINT
+               AS bits_micro_total
+    FROM toks t JOIN surp s USING (tok)
+    GROUP BY t.doc_id
+), scored AS (
+    SELECT d.doc_id, d.lang,
+           a.bits_micro_total // a.n_tokens // 1000
+               AS bits_milli_per_token
+    FROM documents d JOIN agg a USING (doc_id)
+), ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY bits_milli_per_token, doc_id) AS rk,
+           count(*) OVER (PARTITION BY lang) AS nl
+    FROM scored
+)
+SELECT doc_id, lang, bits_milli_per_token,
+       CASE ((rk - 1) * 3) // nl
+            WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+       END AS bucket
+FROM ranked
+""")
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail buckets (Wenzek 2020): every document
+    is placed into a PER-LANGUAGE surprisal tercile — head = most
+    fluent third under the corpus LM, tail = most perplexing. The
+    per-language split is the point: raw perplexity thresholds
+    transfer badly across languages (different scripts, tokenization
+    densities), so CCNet cuts each language by its own distribution.
+    Ranks and terciles are all-integer (((rk-1)*3) div n_lang) with
+    doc_id ties, so the bucket boundary is engine-exact; the
+    surprisal column reuses the q_unigram_logprob protocol
+    (per-token 6-dp pre-round, exact decimal sums). Windows are
+    language-partitioned — group-sized, never a global sort.
+    operators/corpus.py:unigram_logprob + this bucketing."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        corpus.unigram_logprob(docs)
+        .select("doc_id", "bits_milli_per_token")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    wr = Window.partitionBy("lang").orderBy(
+        "bits_milli_per_token", "doc_id"
+    )
+    wn = Window.partitionBy("lang")
+    ranked = scored.select(
+        "doc_id", "lang", "bits_milli_per_token",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wn).alias("nl"),
+    )
+    return ranked.select(
+        "doc_id", "lang", "bits_milli_per_token",
+        F.expr(
+            "CASE ((rk - 1) * 3) div nl"
+            " WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END"
+        ).alias("bucket"),
+    )
+
+
 @register("q_embedding_quantize", """
 WITH vals AS (
     SELECT e.vec_id, (e.embedding[i.i])::DOUBLE AS v

@@ -48,6 +48,27 @@ def dedup_stream(stream: DataFrame) -> DataFrame:
     )
 
 
+def dedup_within_watermark_stream(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermark-bounded streaming dedup via the built-in
+    dropDuplicatesWithinWatermark (Spark 3.5+): a key's dedup state
+    lives only until the watermark passes its event time, so state is
+    BOUNDED by the watermark horizon — the production default for
+    at-least-once sources (Kafka redeliveries arrive within seconds,
+    not hours). Contrast with dedup_stream above, whose
+    applyInPandasWithState keeps every doc_id forever (exactly-once
+    across the stream's whole lifetime, unbounded state): same-key
+    rows WITHIN the horizon dedup; a recurrence after the watermark
+    has passed is emitted again by design. The stream needs an
+    ``event_time`` timestamp column."""
+    return stream.withWatermark(
+        "event_time", watermark
+    ).dropDuplicatesWithinWatermark(list(keys))
+
+
 # -------------------------------------------------------------------
 # streaming CDC latest-state compaction (the stream twin of the batch
 # q_cdc_latest_state query)

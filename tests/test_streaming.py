@@ -468,3 +468,72 @@ def test_interval_join_left_outer_emits_unmatched_after_watermark(
     got = sorted((r.l_id, r.r_id) for r in rows)
     # 1 matched; 2 unmatched -> exactly one (2, None); 3 matched 101
     assert got == [(1, 100), (2, None), (3, 101)]
+
+
+def test_dedup_within_watermark_bounds_state_by_horizon(tmp_path, spark):
+    """dropDuplicatesWithinWatermark: redeliveries inside the
+    watermark horizon dedup; a recurrence after the watermark passed
+    is emitted again (state is bounded by the horizon — the contrast
+    with the lifetime-exactly-once applyInPandasWithState dedup)."""
+    import time as _time
+
+    from document_parsing_etl_pipeline_spark.streaming import stateful
+
+    drop = tmp_path / "wmdd"
+    drop.mkdir()
+    (drop / "a.json").write_text("\n".join(json.dumps(r) for r in [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1,
+         "event_type": "click", "value": 1.0},
+        {"event_id": 1, "ts": "2024-01-01T00:00:20", "user_id": 1,
+         "event_type": "click", "value": 1.0},   # redelivery, same batch
+        {"event_id": 2, "ts": "2024-01-01T00:00:40", "user_id": 2,
+         "event_type": "view", "value": 1.0},
+    ]))
+    _time.sleep(1.1)
+    (drop / "b.json").write_text("\n".join(json.dumps(r) for r in [
+        {"event_id": 2, "ts": "2024-01-01T00:01:00", "user_id": 2,
+         "event_type": "view", "value": 1.0},    # redelivery, next batch
+        # watermark pusher: completing this batch advances the
+        # watermark to 01:59, evicting both keys' dedup state
+        {"event_id": 3, "ts": "2024-01-01T02:00:00", "user_id": 3,
+         "event_type": "view", "value": 1.0},
+    ]))
+    _time.sleep(1.1)
+    # a second pusher batch: state eviction applies the watermark as
+    # of the PREVIOUS batch's commit, so the horizon must have passed
+    # one full batch before the recurrence arrives
+    (drop / "c.json").write_text(json.dumps(
+        {"event_id": 4, "ts": "2024-01-01T04:00:00", "user_id": 4,
+         "event_type": "view", "value": 1.0}
+    ))
+    _time.sleep(1.1)
+    # same key resurfacing HOURS later, in a batch that runs AFTER
+    # the watermark advanced — state evicted, fresh row by design
+    (drop / "d.json").write_text(json.dumps(
+        {"event_id": 1, "ts": "2024-01-01T05:00:00", "user_id": 1,
+         "event_type": "click", "value": 1.0}
+    ))
+    stream = (
+        spark.readStream.format("json")
+        .schema("event_id long, ts string, user_id long,"
+                " event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(drop))
+        .withColumn("event_time", __import__("pyspark").sql.functions
+                    .to_timestamp("ts"))
+    )
+    out = stateful.dedup_within_watermark_stream(
+        stream, keys=("event_id",), watermark="1 minute"
+    )
+    q = (out.writeStream.format("memory").queryName("wmdd")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT event_id, ts FROM wmdd").collect()
+    got = sorted((r.event_id, r.ts) for r in rows)
+    assert got == [
+        (1, "2024-01-01T00:00:00"),
+        (1, "2024-01-01T05:00:00"),   # post-watermark recurrence emits
+        (2, "2024-01-01T00:00:40"),
+        (3, "2024-01-01T02:00:00"),
+        (4, "2024-01-01T04:00:00"),
+    ]
