@@ -186,6 +186,8 @@ BENCH_QUERIES = [
     "q_session_conversion",
     "q_source_dup_rates",
     "q_trending_terms",
+    "q_ccnet_buckets",
+    "q_l_diversity",
 ]
 
 

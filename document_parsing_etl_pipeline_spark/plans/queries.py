@@ -8527,6 +8527,54 @@ def q_k_anonymity(spark, sf_dir):
     )
 
 
+_LDIV_L = 3
+
+
+@register("q_l_diversity", f"""
+WITH qi AS (
+    SELECT event_type,
+           (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+           user_id,
+           CAST(floor(value / 50) AS BIGINT) AS sensitive_band
+    FROM events
+), grp AS (
+    SELECT event_type, hour_of_day,
+           count(DISTINCT user_id)::BIGINT AS group_users,
+           count(DISTINCT sensitive_band)::BIGINT AS l_distinct
+    FROM qi GROUP BY 1, 2
+)
+SELECT event_type, hour_of_day, group_users, l_distinct,
+       (l_distinct < {_LDIV_L}) AS violates_l
+FROM grp
+""")
+def q_l_diversity(spark, sf_dir):
+    """l-diversity audit (Machanavajjhala 2007) — the attack
+    k-anonymity misses: a QI group can cover many users yet expose
+    everyone if they all share ONE sensitive value (homogeneity
+    attack: 'every user active in that cell bought the same thing').
+    Each quasi-identifier cell (event_type, hour-of-day) reports its
+    distinct-sensitive-value count (value band as the sensitive
+    attribute) and a violates_l flag at l={_LDIV_L}. Same shuffle
+    shape as q_k_anonymity: one groupBy over the QI tuple, cell
+    count bounded by the attribute domain, not event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    qi = ev.select(
+        "event_type",
+        (F.expr("(ts div 1000) div 3600000000") % 24).alias("hour_of_day"),
+        "user_id",
+        F.floor(F.col("value") / 50).cast("long").alias("sensitive_band"),
+    )
+    return (
+        qi.groupBy("event_type", "hour_of_day")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("group_users"),
+            F.countDistinct("sensitive_band").cast("long")
+            .alias("l_distinct"),
+        )
+        .withColumn("violates_l", F.col("l_distinct") < F.lit(_LDIV_L))
+    )
+
+
 _PATH_STEPS = 5
 _PATH_TOPK = 20
 
