@@ -188,6 +188,9 @@ BENCH_QUERIES = [
     "q_trending_terms",
     "q_ccnet_buckets",
     "q_l_diversity",
+    "q_quality_quantile_norm",
+    "q_equi_depth_histogram",
+    "q_seasonal_anomaly",
 ]
 
 

@@ -2016,6 +2016,173 @@ def q_quality(spark, sf_dir):
     return _long(df, "char_count", "word_count")
 
 
+@register("q_quality_quantile_norm", r"""
+WITH scored AS (
+    SELECT doc_id, lang,
+           (len(list_distinct(regexp_extract_all(text, '\S+'))) * 1000000)
+               // greatest(len(regexp_extract_all(text, '\S+')), 1)
+               AS ur_ppm
+    FROM documents
+), ranked AS (
+    SELECT doc_id, lang, ur_ppm,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY ur_ppm, doc_id) AS rk,
+           count(*) OVER (PARTITION BY lang) AS nl
+    FROM scored
+)
+SELECT doc_id, lang, ur_ppm,
+       ((rk - 1) * 1000000 // greatest(nl - 1, 1))::BIGINT
+           AS quantile_ppm
+FROM ranked
+""")
+def q_quality_quantile_norm(spark, sf_dir):
+    """Per-language quantile normalization of a quality signal (the
+    CCNet companion to q_ccnet_buckets): each document's uniqueness
+    score becomes its within-language quantile (ppm), so ONE global
+    threshold compares fairly across languages whose raw score
+    distributions differ. ALL-INTEGER: the score itself is integer
+    ppm (distinct*1e6 div words — no rounded float re-scaled), the
+    quantile is (rank-1)*1e6 div (n_lang-1), ranks tie-broken by
+    doc_id. Language-partitioned windows — group-sized, never a
+    corpus-wide sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    scored = docs.select(
+        "doc_id", "lang",
+        (
+            F.size(F.array_distinct(toks)).cast("long")
+            * F.lit(1_000_000)
+        ).alias("_num"),
+        F.greatest(F.size(toks), F.lit(1)).cast("long").alias("_den"),
+    ).select(
+        "doc_id", "lang",
+        F.expr("_num div _den").alias("ur_ppm"),
+    )
+    wr = Window.partitionBy("lang").orderBy("ur_ppm", "doc_id")
+    wn = Window.partitionBy("lang")
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .withColumn("nl", F.count("*").over(wn))
+        .select(
+            "doc_id", "lang", "ur_ppm",
+            F.expr(
+                "cast((rk - 1) * 1000000 div greatest(nl - 1, 1)"
+                " as bigint)"
+            ).alias("quantile_ppm"),
+        )
+    )
+
+
+_EQD_B = 16
+
+
+@register("q_equi_depth_histogram", f"""
+WITH v AS (
+    SELECT CAST(floor(o_totalprice) AS BIGINT) AS val FROM orders
+), pv AS (
+    SELECT val, count(*)::BIGINT AS c FROM v GROUP BY 1
+), off AS (
+    SELECT val, c,
+           coalesce(sum(c) OVER (ORDER BY val
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS cum_before,
+           sum(c) OVER () AS n
+    FROM pv
+), assigned AS (
+    SELECT val, c, (cum_before * {_EQD_B}) // n AS bucket FROM off
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       min(val) AS lo_value, max(val) AS hi_value,
+       sum(c)::BIGINT AS n_rows
+FROM assigned GROUP BY 1
+""")
+def q_equi_depth_histogram(spark, sf_dir):
+    """Equi-DEPTH histogram over order totals — the optimizer
+    statistics structure (equal row mass per bucket, so selectivity
+    estimates stay accurate in skewed regions where equi-WIDTH
+    buckets collapse; q_value_histogram is the equi-width twin).
+    Buckets are assigned at the VALUE level — bucket(v) =
+    (rows-before-v · B) div n — via per-value counts plus a running
+    offset over the DISTINCT-VALUE relation, whose size is bounded by
+    the price domain (fixed), not the row count: the fact table is
+    touched by one groupBy, never a global row sort. ALL-INTEGER
+    (floor to whole dollars, cross-multiplied rank cuts) —
+    engine-exact boundaries."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("cast(floor(o_totalprice) as bigint)").alias("val")
+    )
+    pv = o.groupBy("val").agg(F.count("*").cast("long").alias("c"))
+    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, -1)
+    wn = Window.partitionBy()
+    off = pv.select(
+        "val", "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("cum_before"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    assigned = off.select(
+        "val", "c",
+        F.expr(f"(cum_before * {_EQD_B}) div n").alias("bucket"),
+    )
+    return assigned.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.min("val").alias("lo_value"),
+        F.max("val").alias("hi_value"),
+        F.sum("c").cast("long").alias("n_rows"),
+    )
+
+
+@register("q_seasonal_anomaly", f"""
+WITH daily AS (
+    SELECT event_type, epoch_us(ts) // {{day_us}} AS day,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2
+), prof AS (
+    SELECT event_type, day % 7 AS dow,
+           sum(n)::BIGINT AS s, count(*)::BIGINT AS c
+    FROM daily GROUP BY 1, 2
+)
+SELECT d.event_type, d.day, d.n,
+       (d.day % 7)::BIGINT AS dow,
+       ((p.s * 1000) // p.c)::BIGINT AS dow_mean_milli,
+       (d.n * p.c > 2 * p.s) AS spike,
+       (2 * d.n * p.c < p.s) AS drop_
+FROM daily d JOIN prof p
+  ON p.event_type = d.event_type AND p.dow = d.day % 7
+""".replace("{day_us}", str(86_400_000_000)))
+def q_seasonal_anomaly(spark, sf_dir):
+    """Seasonality-ADJUSTED anomaly flags: every (type, day) count is
+    compared to its own day-of-week profile mean — a quiet Sunday is
+    not a drop and a busy Monday is not a spike (the plain z-score
+    anomaly query, q_events_anomaly, can't tell those apart). Flags
+    are ALL-INTEGER cross-multiplications (n·c > 2·s ⟺ n > 2·mean)
+    so no division touches the hash; the reported dow mean is
+    integer-milli. Calendar-sized relations throughout: daily counts,
+    then a ≤ 7·|types|-row profile joined back."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(f"(ts div 1000) div {86_400_000_000}").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    prof = (
+        daily.withColumn("dow", F.expr("day % 7"))
+        .groupBy("event_type", "dow")
+        .agg(
+            F.sum("n").cast("long").alias("s"),
+            F.count("*").cast("long").alias("c"),
+        )
+    )
+    d = daily.withColumn("dow", F.expr("day % 7").cast("long"))
+    return d.join(F.broadcast(prof), ["event_type", "dow"]).select(
+        "event_type", "day", "n", "dow",
+        F.expr("cast((s * 1000) div c as bigint)").alias("dow_mean_milli"),
+        (F.col("n") * F.col("c") > 2 * F.col("s")).alias("spike"),
+        (2 * F.col("n") * F.col("c") < F.col("s")).alias("drop_"),
+    )
+
+
 @register("token_count", f"""
 SELECT doc_id,
        len(regexp_extract_all(text, '\\S+')) AS ws_tokens,
