@@ -191,6 +191,8 @@ BENCH_QUERIES = [
     "q_quality_quantile_norm",
     "q_equi_depth_histogram",
     "q_seasonal_anomaly",
+    "q_orders_open_backlog",
+    "q_ship_sla_attainment",
 ]
 
 

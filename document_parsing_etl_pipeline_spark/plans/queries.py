@@ -2073,6 +2073,129 @@ def q_quality_quantile_norm(spark, sf_dir):
     )
 
 
+@register("q_orders_open_backlog", f"""
+WITH spans AS (
+    SELECT o.o_orderkey,
+           epoch_us(o.o_orderdate) // {{day_us}} AS start_day,
+           max(epoch_us(l.l_shipdate) // {{day_us}}) AS end_day
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+), deltas AS (
+    SELECT start_day AS day, count(*)::BIGINT AS d FROM spans GROUP BY 1
+    UNION ALL
+    SELECT end_day + 1, -count(*)::BIGINT FROM spans GROUP BY end_day + 1
+), byday AS (
+    SELECT day, sum(d)::BIGINT AS d FROM deltas GROUP BY 1
+)
+SELECT day,
+       sum(d) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ::BIGINT AS open_orders
+FROM byday
+""".replace("{day_us}", str(86_400_000_000)))
+def q_orders_open_backlog(spark, sf_dir):
+    """Open-order backlog per day — interval STABBING by sweep line:
+    how many orders were in flight (placed, not yet fully received)
+    on each calendar day. The naive form is a day×order interval
+    join (quadratic-ish and the classic warehouse anti-pattern); the
+    sweep line reduces it to +1/−1 deltas at each interval's
+    endpoints and ONE running sum over the CALENDAR-sized day
+    relation — the same islands/sweep family as q_span_dedup's
+    interval union, here as stabbing counts. Fact tables are touched
+    by one join + one groupBy; the window runs over |days| rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            f"unix_micros(cast(o_orderdate as timestamp))"
+            f" div {86_400_000_000}"
+        ).alias("start_day"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            f"unix_micros(cast(l_shipdate as timestamp))"
+            f" div {86_400_000_000}"
+        ).alias("rday"),
+    )
+    spans = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "start_day")
+        .agg(F.max("rday").alias("end_day"))
+    )
+    deltas = (
+        spans.groupBy(F.col("start_day").alias("day"))
+        .agg(F.count("*").cast("long").alias("d"))
+        .unionByName(
+            spans.groupBy((F.col("end_day") + 1).alias("day"))
+            .agg((-F.count("*")).cast("long").alias("d"))
+        )
+    )
+    byday = deltas.groupBy("day").agg(F.sum("d").cast("long").alias("d"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return byday.select(
+        "day", F.sum("d").over(w).cast("long").alias("open_orders")
+    )
+
+
+_SLA_DAYS = 10
+
+
+@register("q_ship_sla_attainment", f"""
+WITH li AS (
+    SELECT date_trunc('month', l_shipdate) AS month_start,
+           CASE WHEN epoch_us(l_shipdate) // {{day_us}}
+                     - epoch_us(o_orderdate) // {{day_us}}
+                     <= {_SLA_DAYS} THEN 1 ELSE 0 END AS within
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+)
+SELECT epoch_us(month_start) AS month_start_us,
+       count(*)::BIGINT AS n_lineitems,
+       sum(within)::BIGINT AS n_within_sla,
+       ((sum(within) * 1000000) // count(*))::BIGINT AS sla_ppm
+FROM li GROUP BY 1
+""".replace("{day_us}", str(86_400_000_000)))
+def q_ship_sla_attainment(spark, sf_dir):
+    """Monthly shipping-SLA attainment: share of line items shipped
+    within _SLA_DAYS (10) days of order placement, as integer ppm —
+    the ops KPI complement to q_ship_latency_integrity (which audits
+    impossible orderings; this measures how fast the possible ones
+    are). One fact-fact equi-join + one month rollup; the SLA test is
+    integer day arithmetic on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            f"unix_micros(cast(l_shipdate as timestamp))"
+            f" div {86_400_000_000}"
+        ).alias("sday"),
+        F.expr(
+            "unix_micros(cast(date_trunc('month', l_shipdate)"
+            " as timestamp))"
+        ).alias("month_start_us"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            f"unix_micros(cast(o_orderdate as timestamp))"
+            f" div {86_400_000_000}"
+        ).alias("oday"),
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).withColumn(
+        "within",
+        F.when(
+            F.col("sday") - F.col("oday") <= _SLA_DAYS, 1
+        ).otherwise(0),
+    )
+    return j.groupBy("month_start_us").agg(
+        F.count("*").cast("long").alias("n_lineitems"),
+        F.sum("within").cast("long").alias("n_within_sla"),
+        F.expr(
+            "cast((sum(within) * 1000000) div count(*) as bigint)"
+        ).alias("sla_ppm"),
+    )
+
+
 _EQD_B = 16
 
 
