@@ -37,37 +37,52 @@ _DEFER: list[str] = []
 # Names whose oracle was ADDED or materially changed after a prior
 # rows-only / hash-pass record: treat as fresh so the driver's
 # 50-entry window re-verifies them under the new (stronger) oracle.
+# The recheck EXPIRES once a CORRECTNESS round >= _RECHECK_SINCE
+# records a hash pass — without the expiry these names would consume
+# fresh-verification slots in every future round forever.
 _RECHECK: list[str] = [
     "mm_image_pipeline",
     "mm_audio_features",
     "mm_video_frames",
     "q_kmeans_clusters",
 ]
+_RECHECK_SINCE = 6  # round in which the oracles changed
 
 
 def _checked_before() -> set[str]:
     """Names with a PASSING driver-correctness entry in any prior
     round: hash-verified, or rows-only with a recorded row count.
     Entries that errored or hash-mismatched rotate back to the front
-    so the next driver check re-verifies the fix."""
+    so the next driver check re-verifies the fix. _RECHECK names count
+    as checked only once a round >= _RECHECK_SINCE recorded their pass
+    (i.e. a pass under the upgraded oracle)."""
     import glob
+    import re
 
-    seen: set[str] = set()
+    last_pass: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 data = json.load(f)
         except (OSError, ValueError):
             continue
         for name, rec in data.items():
-            if not isinstance(rec, dict):
-                seen.add(name)
-            elif rec.get("hash_match") is True or (
-                rec.get("err") == "no_oracle"
-                and rec.get("spark_rows") is not None
-            ):
-                seen.add(name)
-    return seen
+            ok = not isinstance(rec, dict) or (
+                rec.get("hash_match") is True
+                or (
+                    rec.get("err") == "no_oracle"
+                    and rec.get("spark_rows") is not None
+                )
+            )
+            if ok:
+                last_pass[name] = max(last_pass.get(name, 0), rnd)
+    return {
+        name
+        for name, rnd in last_pass.items()
+        if name not in _RECHECK or rnd >= _RECHECK_SINCE
+    }
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -76,7 +91,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    checked = _checked_before() - set(_RECHECK)
+    checked = _checked_before()
     defer = set(_DEFER)
     fresh = [n for n in QUERIES if n not in checked and n not in defer]
     deferred = [n for n in QUERIES if n in defer and n not in checked]

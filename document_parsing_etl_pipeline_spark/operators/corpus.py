@@ -915,10 +915,16 @@ def _kmeans_rounds(
         w = Window.partitionBy("vec_id").orderBy(
             F.col("cosine").desc(), F.col("centroid_id")
         )
+        # truncate the assignment's lineage per round: it feeds the
+        # objective relation, the centroid update, AND (final round)
+        # the audit's argmax recompute — without the checkpoint every
+        # later evaluation re-runs the broadcast-assignment join
+        # (measured ~2x the whole k-means cost in the contract audit)
         assigned = (
             scored.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") == 1)
             .drop("rnk")
+            .localCheckpoint()
         )
         objectives.append(
             assigned.agg(F.sum("cosine").alias("obj"))

@@ -51,8 +51,12 @@ def interleave_bits_nd(cols: list[str], bits: int = 8) -> Column:
 
 def interleave_bits_nd_sql(cols: list[str], bits: int = 8) -> str:
     """The identical n-dim z-value as a DuckDB SQL fragment (same bit
-    layout as interleave_bits_nd — one generator, two engines)."""
+    layout as interleave_bits_nd — one generator, two engines,
+    including the overflow guard: the pair must accept and reject the
+    same inputs or the parity they exist for is void)."""
     k = len(cols)
+    if k * bits > 62:
+        raise ValueError(f"{k} dims x {bits} bits overflows a long")
     terms = []
     for j in range(bits):
         for i, c in enumerate(cols):

@@ -1340,18 +1340,13 @@ def q_source_dup_rates(spark, sf_dir):
     charges the re-server, not the first server). One hash groupBy-
     window (hash-partitioned, group-sized) + one source rollup."""
     docs = load_table(spark, sf_dir, "documents")
+    # the SAME normalization dedup_exact hashes — one helper, so a
+    # future normalization change cannot silently diverge the two
+    # queries' duplicate definitions
     hashed = docs.select(
         "doc_id", "source",
         F.md5(
-            F.coalesce(
-                F.array_join(
-                    F.regexp_extract_all(
-                        F.lower(F.col("text")), F.lit(r"\S+"), 0
-                    ),
-                    " ",
-                ),
-                F.lit(""),
-            )
+            F.coalesce(dedup.normalized_text(F.col("text")), F.lit(""))
         ).alias("content_hash"),
     )
     w = Window.partitionBy("content_hash")
@@ -7514,7 +7509,11 @@ WITH m AS (
     FROM r
 )
 SELECT n AS n_docs, d2 AS sum_d2,
-       (1000000 - (6000000 * d2) // (n * (n * n - 1)))::BIGINT AS rho_ppm
+       round(cast(1.0 as double)
+             - cast(6.0 as double) * cast(d2 as double)
+               / (cast(n as double)
+                  * (cast(n as double) * cast(n as double)
+                     - cast(1.0 as double))), 6) AS rho
 FROM d
 """)
 def q_spearman_rank_corr(spark, sf_dir):
@@ -7523,9 +7522,11 @@ def q_spearman_rank_corr(spark, sf_dir):
     like the expensive one? run BEFORE swapping a quality scorer at
     100 TB). Demonstrated on (n_chars rank) vs (distinct-token-count
     rank); ties broken by doc_id so both engines rank identically.
-    ALL-INTEGER: rho = 1 - 6Σd²/(n(n²-1)) emitted as floor ppm — no
-    float enters the computation, the hash gate is exact by
-    construction. NO corpus-sized global sort: each rank decomposes
+    Ranks and Σd² are exact integers; rho = 1 − 6Σd²/(n(n²−1)) is one
+    shared double expression with every literal cast (the Wilson
+    protocol — int64→double casts round identically, so it is
+    engine-exact at any n, where the earlier integer-ppm form
+    overflowed int64 at n≈17k). NO corpus-sized global sort: each rank decomposes
     as (count of docs with a smaller key value — a running sum over
     the VALUE-DOMAIN-sized per-value counts) + (row_number within
     the equal-value group — value-partitioned, group-sized windows),
@@ -7570,10 +7571,20 @@ def q_spearman_rank_corr(spark, sf_dir):
         .select(
             F.col("n").alias("n_docs"),
             F.col("d2").alias("sum_d2"),
+            # rho in DOUBLE with every literal cast (the Wilson-bound
+            # protocol): the earlier all-integer ppm form overflowed
+            # int64 once 6e6·Σd² passed 2^63 (n ≈ 17k docs) — Spark
+            # would wrap silently, DuckDB would error. int64→double
+            # casts round identically in both engines, so parity
+            # holds at any n; Σd² itself fits int64 to n ≈ 2.1M docs
+            # (switch its accumulator to DECIMAL(38,0) beyond that).
             F.expr(
-                "cast(1000000 - (6000000 * d2) div (n * (n * n - 1))"
-                " as bigint)"
-            ).alias("rho_ppm"),
+                "round(cast(1.0 as double)"
+                " - cast(6.0 as double) * cast(d2 as double)"
+                " / (cast(n as double)"
+                "    * (cast(n as double) * cast(n as double)"
+                "       - cast(1.0 as double))), 6)"
+            ).alias("rho"),
         )
     )
 

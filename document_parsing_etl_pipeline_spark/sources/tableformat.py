@@ -471,10 +471,21 @@ def append_with_expectations(
             )
         else:
             append(spark, viol, quarantine_root)
+    # n_clean comes from the committed manifests' per-file row counts
+    # (delta of total rows across the append), not another full pass
+    # over df — the write already counted every row, and a
+    # non-deterministic df can't disagree with what actually landed
+    prev_rows = sum(
+        e["rows"]
+        for e in _load_manifest(root, _versions(root)[-1])["files"]
+    )
     version = append(spark, clean, root)
+    new_rows = sum(
+        e["rows"] for e in _load_manifest(root, version)["files"]
+    )
     return {
         "version": version,
-        "n_clean": df.count() - n_q,
+        "n_clean": new_rows - prev_rows,
         "n_quarantined": n_q,
     }
 
@@ -500,8 +511,13 @@ def stage_append(
     dropping the interleaved commit's files). Returns
     {stage, base_version, n_new_files}."""
     head = _load_manifest(root, _versions(root)[-1])
+    # the data dir is keyed by (stage, base version): a published
+    # stage's files live on under the old dir, and a discarded+
+    # re-staged attempt on a NEW head writes a fresh dir — no
+    # mode("error") collision on the retry path
     entries = _write_files(
-        spark, df, root, f"stage-{stage}", head["stats_cols"]
+        spark, df, root, f"stage-{stage}-v{head['version']}",
+        head["stats_cols"],
     )
     os.makedirs(os.path.join(root, _STAGE_DIR), exist_ok=True)
     staged = {
@@ -550,36 +566,57 @@ def read_staged_delta(
 
 def publish_stage(root: str, stage: str) -> int:
     """Write-Audit-Publish, step 3: atomically promote the audited
-    candidate to the next main version. Raises if main advanced past
-    the staged base_version (the candidate no longer contains the
-    interleaved commit's rows — re-stage on the new head)."""
+    candidate to the next main version. The commit is PINNED at
+    base_version + 1 — the O_EXCL manifest create itself is the
+    concurrency check, so a commit interleaved between any head
+    inspection and the write COLLIDES and raises instead of being
+    silently dropped (a floating max+1 version number would happily
+    publish a file list missing the interleaved commit's files).
+    On conflict: re-stage on the new head."""
     with open(_stage_path(root, stage)) as f:
         m = json.load(f)
-    head_v = _versions(root)[-1]
-    if head_v != m["base_version"]:
-        raise RuntimeError(
-            f"stage {stage!r} was built on v{m['base_version']} but main"
-            f" is at v{head_v}; re-stage on the current head"
-        )
-    m.pop("base_version")
+    base = m.pop("base_version")
     m.pop("new_files")
-    version = _commit(root, m)
+    version = base + 1
+    m["version"] = version
+    m["committed_us"] = time.time_ns() // 1_000
+    os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+    try:
+        fd = os.open(
+            _manifest_path(root, version),
+            os.O_WRONLY | os.O_CREAT | os.O_EXCL,
+        )
+    except FileExistsError:
+        raise RuntimeError(
+            f"stage {stage!r} was built on v{base} but main has advanced"
+            f" past it; re-stage on the current head"
+        ) from None
+    with os.fdopen(fd, "w") as f:
+        json.dump(m, f)
     os.remove(_stage_path(root, stage))
     return version
 
 
 def discard_stage(root: str, stage: str) -> int:
-    """Drop a staged candidate: remove its data files and manifest
-    (they were never referenced by any published snapshot). Returns
-    the number of files removed."""
+    """Drop a staged candidate: remove its data files, their stage
+    directory (leaving it would make a re-stage on the SAME base
+    collide with mode('error')), and the staged manifest — none were
+    ever referenced by a published snapshot. Returns the number of
+    files removed."""
+    import shutil
+
     with open(_stage_path(root, stage)) as f:
         m = json.load(f)
     removed = 0
+    dirs = set()
     for p in m["new_files"]:
         full = os.path.join(root, p)
+        dirs.add(os.path.dirname(full))
         if os.path.exists(full):
             os.remove(full)
             removed += 1
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
     os.remove(_stage_path(root, stage))
     return removed
 
