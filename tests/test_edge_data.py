@@ -43,6 +43,14 @@ EDGE_QUERIES = [
     # paths must agree on zero-token and repeated-token degenerates
     "q_setsim_prefix_join", "q_triangle_count", "q_bigram_logprob",
     "q_dedup_cluster_sizes", "q_uniform_sample_exact",
+    # round-6 additions: degenerate docs must rank/sample/bucket
+    # identically — zero-token docs vanish from the CCNet buckets on
+    # BOTH engines (no surprisal row), appear in quantile norm with
+    # the greatest(...,1) guard, and the weighted sample's k exceeds
+    # the corpus (top-k returns everything, ranked)
+    "q_domain_cap_sample", "q_spearman_rank_corr", "q_zipf_slope",
+    "q_weighted_sample", "q_quality_quantile_norm", "q_ccnet_buckets",
+    "q_source_dup_rates", "q_incremental_components",
 ]
 
 
@@ -187,6 +195,12 @@ EDGE_EVENT_QUERIES = [
     "q_activity_streaks", "q_timeseries_gapfill", "q_k_anonymity",
     "q_mad_outliers", "q_audience_overlap", "q_ab_split_audit",
     "q_events_percentiles",
+    # round-6 additions: sequence-pattern counts, session-scoped
+    # funnels, leaderboard ties, dow profiles, and the l-diversity
+    # cells must replay identically on ties/negatives/day boundaries
+    "q_event_pattern_match", "q_session_conversion",
+    "q_trending_terms", "q_seasonal_anomaly", "q_l_diversity",
+    "q_conversion_wilson",
 ]
 
 
@@ -258,7 +272,12 @@ EDGE_ORDERS = [
     (7, 4, 'O', 10.0, '1995-01-01', '4-NOT'),
 ]
 
-EDGE_ORDER_QUERIES = ["q_cohort_ltv", "q_yoy_growth", "q_revenue_gini"]
+EDGE_ORDER_QUERIES = [
+    "q_cohort_ltv", "q_yoy_growth", "q_revenue_gini",
+    # round 6: equi-depth cuts must floor the x.xx5 double traps
+    # identically (floor-to-dollars, integer rank cuts)
+    "q_equi_depth_histogram",
+]
 
 
 @pytest.fixture(scope="module")
