@@ -414,3 +414,52 @@ def test_incremental_components_equals_from_scratch(spark, edges, batch_mod):
         for r in incremental_components(st_df, ba_df, max_iter=30).collect()
     }
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+            min_size=0, max_size=8,
+        ).map(" ".join),
+        min_size=2, max_size=8,
+    ),
+    batch_mod=st.integers(2, 3),
+)
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_setsim_incremental_union_is_from_scratch(spark, texts, batch_mod):
+    """Property: on random small-vocabulary corpora (heavy shingle
+    collisions, zero-shingle docs, exact dups), standing-pairs ∪
+    incremental batch pairs == the from-scratch all-pairs join,
+    disjointly — the losslessness of the prefix/positional filters is
+    independent of the global term order each run derives."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from document_parsing_etl_pipeline_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    flagged = docs.withColumn(
+        "is_batch", F.expr(f"doc_id % {batch_mod} = 0")
+    )
+    key = lambda r: (r.doc_a, r.doc_b, r.inter_size, r.union_size)  # noqa
+    full = {key(r) for r in dedup.setsim_prefix_join(docs).collect()}
+    standing = {
+        key(r)
+        for r in dedup.setsim_prefix_join(
+            flagged.where("NOT is_batch")
+        ).collect()
+    }
+    batch = {
+        key(r)
+        for r in dedup.setsim_incremental_pairs(
+            flagged, batch_col="is_batch"
+        ).collect()
+    }
+    assert standing | batch == full
+    assert standing & batch == set()
