@@ -1,0 +1,137 @@
+"""Scaling-behavior probe: measure the heavy operator families at
+sf0.001 / sf0.01 / sf0.1 / sf1-equivalent and report per-step scaling
+factors against the 10x data factor.
+
+The sf1-equivalent corpus is DERIVED (never written into
+/root/testdata): documents replicated 10x with offset doc_ids and a
+per-replica suffix token ("repK") appended to the text — the suffix
+keeps replicas of one document NEAR-duplicates of each other (the
+realistic structure) instead of exact duplicates, whose giant
+equality classes would quadratically distort the pair joins; events
+replicated 10x with offset user_ids/event_ids (10x users, same
+per-user history length — the realistic growth axis).
+
+Usage: python scripts/scaling_probe.py [out.json]
+Writes one JSON dict {query: {sf: seconds}} plus derived factors.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from document_parsing_etl_pipeline_spark.plans.queries import QUERIES
+from document_parsing_etl_pipeline_spark.session import get_spark
+
+from pyspark.sql import functions as F
+
+DOC_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "q_setsim_prefix_join",
+    "q_span_dedup",
+    "q_sparse_sim_topk",
+    "dedup_components",
+    "q_unigram_logprob",
+    "tfidf_top_terms",
+]
+EVENT_QUERIES = [
+    "q_events_sessionize",
+    "q_session_window_native",
+    "q_events_percentiles",
+    "q_cdc_latest_state",
+    "q_dau_wau_stickiness",
+    "q_event_pattern_match",
+]
+
+
+def build_sf1eq(spark, base_sf: str, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(base_sf, "documents.parquet"))
+    n_docs = docs.count()
+    reps = docs.crossJoin(
+        spark.range(10).withColumnRenamed("id", "rep")
+    ).select(
+        (F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" rep"), F.col("rep").cast("string")
+        ).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    reps.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+    ev = spark.read.parquet(os.path.join(base_sf, "events.parquet"))
+    n_users = 1 + (ev.agg(F.max("user_id")).first()[0] or 0)
+    n_events = 1 + (ev.agg(F.max("event_id")).first()[0] or 0)
+    reps_ev = ev.crossJoin(
+        spark.range(10).withColumnRenamed("id", "rep")
+    ).select(
+        (F.col("event_id") + F.col("rep") * n_events).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("rep") * n_users).alias("user_id"),
+        "event_type", "value", "props",
+    )
+    reps_ev.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
+    # the remaining tables are only touched by the probe queries via
+    # the catalog loader's existence checks — link them through
+    import shutil
+
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "embeddings"):
+        src = os.path.join(base_sf, f"{t}.parquet")
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            shutil.copyfile(src, dst)
+
+
+def main():
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING.json"
+    spark = get_spark("scaling")
+    sf1eq = "/tmp/sf1eq"
+    t0 = time.time()
+    build_sf1eq(spark, "/root/testdata/sf0.1", sf1eq)
+    build_sec = round(time.time() - t0, 1)
+
+    dirs = [
+        ("0.001", "/root/testdata/sf0.001"),
+        ("0.01", "/root/testdata/sf0.01"),
+        ("0.1", "/root/testdata/sf0.1"),
+        ("1eq", sf1eq),
+    ]
+    results: dict[str, dict[str, float]] = {}
+    for name in DOC_QUERIES + EVENT_QUERIES:
+        results[name] = {}
+        for label, d in dirs:
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                QUERIES[name](spark, d).write.mode("overwrite").format(
+                    "noop").save()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            results[name][label] = round(best, 3)
+            print(f"{name} sf{label}: {best:.2f}s", flush=True)
+    out = {
+        "build_sf1eq_sec": build_sec,
+        "load1_start": round(os.getloadavg()[0], 2),
+        "results": results,
+        "factors_01_to_1eq": {
+            n: round(r["1eq"] / r["0.1"], 2)
+            for n, r in results.items()
+            if r.get("0.1", 0) > 0
+        },
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out["factors_01_to_1eq"], indent=1))
+
+
+if __name__ == "__main__":
+    main()
