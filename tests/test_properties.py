@@ -463,3 +463,67 @@ def test_setsim_incremental_union_is_from_scratch(spark, texts, batch_mod):
     }
     assert standing | batch == full
     assert standing & batch == set()
+
+
+def test_weighted_sample_matches_bruteforce_keys(spark):
+    """The Spark top-k by Efraimidis–Spirakis keys must equal a pure-
+    Python recomputation of the same seedless keys over the same
+    docs — rank order, weights, and the 9-dp rounding included."""
+    import hashlib
+    import math
+
+    from conftest import SF_DIR
+    from document_parsing_etl_pipeline_spark.catalog import load_table
+    from document_parsing_etl_pipeline_spark.plans.queries import (
+        _U52, _WSAMPLE_K, QUERIES,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "n_chars"
+    ).collect()
+    keys = []
+    for r in docs:
+        u = (int(hashlib.md5(str(r.doc_id).encode())
+                 .hexdigest()[:13], 16) + 1) / _U52
+        w = max(r.n_chars, 1)
+        keys.append((round(math.log(u) / w, 9), -r.doc_id, r.doc_id, w))
+    keys.sort(reverse=True)
+    want = [
+        (doc_id, w, skey, i + 1)
+        for i, (skey, _nd, doc_id, w) in enumerate(keys[:_WSAMPLE_K])
+    ]
+    got = [
+        (r.doc_id, r.weight, r.skey, r.sample_rank)
+        for r in QUERIES["q_weighted_sample"](spark, SF_DIR)
+        .orderBy("sample_rank").collect()
+    ]
+    assert got == want
+
+
+def test_equi_depth_buckets_cover_and_order(spark):
+    """Equi-depth invariants: buckets partition all rows, value
+    ranges are disjoint and ordered, and no bucket exceeds ~2x the
+    ideal depth unless a single value's tie mass forces it."""
+    from conftest import SF_DIR
+    from document_parsing_etl_pipeline_spark.catalog import load_table
+    from document_parsing_etl_pipeline_spark.plans.queries import (
+        _EQD_B, QUERIES,
+    )
+
+    rows = sorted(
+        QUERIES["q_equi_depth_histogram"](spark, SF_DIR).collect(),
+        key=lambda r: r.bucket,
+    )
+    total = load_table(spark, SF_DIR, "orders").count()
+    assert sum(r.n_rows for r in rows) == total
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi_value < b.lo_value  # disjoint, ordered ranges
+    ideal = total / _EQD_B
+    import duckdb
+    max_tie = duckdb.sql(
+        "SELECT max(c) FROM (SELECT count(*) AS c FROM "
+        f"'{SF_DIR}/orders.parquet' "
+        "GROUP BY CAST(floor(o_totalprice) AS BIGINT))"
+    ).fetchone()[0]
+    for r in rows:
+        assert r.n_rows <= 2 * ideal + max_tie
