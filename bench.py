@@ -193,6 +193,8 @@ BENCH_QUERIES = [
     "q_seasonal_anomaly",
     "q_orders_open_backlog",
     "q_ship_sla_attainment",
+    "q_ab_lift_test",
+    "q_median_ci",
 ]
 
 

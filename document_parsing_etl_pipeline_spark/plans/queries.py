@@ -9417,6 +9417,172 @@ def q_dedup_cluster_sizes(spark, sf_dir):
     )
 
 
+# order-statistic rank bounds for the distribution-free median CI
+# (normal approximation to the binomial(n, 1/2) order ranks) — the
+# same cast-everything shared-string protocol
+_MCI_LO = (
+    "cast(greatest(floor((cast(n as double)"
+    " - cast(1.96 as double) * sqrt(cast(n as double)))"
+    " / cast(2.0 as double)), cast(1.0 as double)) as bigint)"
+)
+_MCI_HI = (
+    "cast(least(ceil(cast(1.0 as double) + (cast(n as double)"
+    " + cast(1.96 as double) * sqrt(cast(n as double)))"
+    " / cast(2.0 as double)), cast(n as double)) as bigint)"
+)
+
+
+@register("q_median_ci", f"""
+WITH v AS (
+    SELECT event_type, value, event_id FROM events
+    WHERE value IS NOT NULL
+), r AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM v
+)
+SELECT event_type, max(n)::BIGINT AS n,
+       max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS median_lo_stat,
+       max(CASE WHEN rn = {_MCI_LO} THEN value END) AS ci_lo,
+       max(CASE WHEN rn = {_MCI_HI} THEN value END) AS ci_hi
+FROM r GROUP BY 1
+""")
+def q_median_ci(spark, sf_dir):
+    """Distribution-free 95% confidence interval for the MEDIAN via
+    order statistics (the binomial rank bounds, normal-approximated)
+    — no bootstrap, no distributional assumption: the CI endpoints
+    are the sample values at ranks (n ∓ 1.96√n)/2, which bracket the
+    true median with ~95% coverage for any continuous distribution.
+    The uncertainty readout q_events_percentiles stops short of: a
+    median from 50 rows and one from 50k rows stop looking equally
+    trustworthy. Rank selection by type-partitioned windows
+    (group-sized); the rank-bound arithmetic is one cast-everything
+    shared formula string per endpoint; value ties make the selected
+    VALUE deterministic under any tie permutation because ranks
+    order by value first."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type", "value",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("value"))
+        ).alias("median_lo_stat"),
+        F.max(
+            F.when(F.col("rn") == F.expr(_MCI_LO), F.col("value"))
+        ).alias("ci_lo"),
+        F.max(
+            F.when(F.col("rn") == F.expr(_MCI_HI), F.col("value"))
+        ).alias("ci_hi"),
+    )
+
+
+# two-proportion z statistic: ONE cast-everything double formula
+# string parsed by both engines (the Wilson protocol — bare decimal
+# literals type as DECIMAL with engine-specific promotion)
+_ABZ = (
+    "round((xa * cast(1.0 as double) / na"
+    " - xb * cast(1.0 as double) / nb)"
+    " / sqrt(((xa + xb) * cast(1.0 as double) / (na + nb))"
+    "        * (cast(1.0 as double)"
+    "           - (xa + xb) * cast(1.0 as double) / (na + nb))"
+    "        * (cast(1.0 as double) / na + cast(1.0 as double) / nb)"
+    "        + cast(1e-300 as double)), 6)"
+)
+
+
+@register("q_ab_lift_test", f"""
+WITH assign AS (
+    SELECT user_id,
+           CASE WHEN (CAST(('0x' || substring(
+                    md5(CAST(user_id AS VARCHAR) || ':exp1'), 1, 8))
+                    AS BIGINT) % 2) = 0
+                THEN 'A' ELSE 'B' END AS arm
+    FROM (SELECT DISTINCT user_id FROM events)
+), conv AS (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+), arms AS (
+    SELECT a.arm, count(*)::BIGINT AS n,
+           sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS x
+    FROM assign a LEFT JOIN conv c ON c.user_id = a.user_id
+    GROUP BY 1
+), wide AS (
+    SELECT max(CASE WHEN arm = 'A' THEN n END) AS na,
+           max(CASE WHEN arm = 'A' THEN x END) AS xa,
+           max(CASE WHEN arm = 'B' THEN n END) AS nb,
+           max(CASE WHEN arm = 'B' THEN x END) AS xb
+    FROM arms
+)
+SELECT na, xa, nb, xb,
+       ((xa * 1000000) // na)::BIGINT AS conv_a_ppm,
+       ((xb * 1000000) // nb)::BIGINT AS conv_b_ppm,
+       {_ABZ} AS z_stat,
+       (abs({_ABZ}) >= 1.959964) AS significant_95
+FROM wide
+""")
+def q_ab_lift_test(spark, sf_dir):
+    """Two-proportion z-test over the seedless md5 experiment split —
+    the readout q_ab_split_audit (balance) stops short of: is the
+    conversion LIFT between arms statistically significant? Pooled-
+    proportion z with the cast-everything shared formula string (the
+    Wilson protocol: identical expression tree → bit-identical
+    doubles → 6-dp presentation rounding), an epsilon under the sqrt
+    so a degenerate all-convert/none-convert split yields z = 0
+    rather than a 0/0, and the 95% cut at |z| ≥ 1.959964. Counts are
+    distinct-user aggregations; the whole statistic runs on a 2-row
+    relation pivoted to one row."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    assign = users.select(
+        "user_id",
+        F.when(
+            F.expr(
+                "cast(conv(substring(md5(concat(cast(user_id as string),"
+                " ':exp1')), 1, 8), 16, 10) as bigint) % 2"
+            ) == 0,
+            "A",
+        ).otherwise("B").alias("arm"),
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id").distinct().withColumn("_c", F.lit(1))
+    )
+    arms = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.coalesce(F.col("_c"), F.lit(0)))
+            .cast("long").alias("x"),
+        )
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("x"))).alias("xa"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("x"))).alias("xb"),
+    )
+    return wide.select(
+        "na", "xa", "nb", "xb",
+        F.expr("cast((xa * 1000000) div na as bigint)")
+        .alias("conv_a_ppm"),
+        F.expr("cast((xb * 1000000) div nb as bigint)")
+        .alias("conv_b_ppm"),
+        F.expr(_ABZ).alias("z_stat"),
+        F.expr(f"abs({_ABZ}) >= 1.959964").alias("significant_95"),
+    )
+
+
 @register("q_ab_split_audit", """
 WITH assign AS (
     SELECT user_id,
