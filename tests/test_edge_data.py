@@ -200,7 +200,7 @@ EDGE_EVENT_QUERIES = [
     # cells must replay identically on ties/negatives/day boundaries
     "q_event_pattern_match", "q_session_conversion",
     "q_trending_terms", "q_seasonal_anomaly", "q_l_diversity",
-    "q_conversion_wilson",
+    "q_conversion_wilson", "q_ab_lift_test", "q_median_ci",
 ]
 
 
