@@ -387,7 +387,7 @@ def main():
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     # default 2 keeps the driver's per-round run inside its time
-    # budget at 167 queries; the committed BENCH_LOCAL_r06.json was
+    # budget at 169 queries; the committed BENCH_LOCAL_r06.json was
     # produced with SPARK_GRAFT_BENCH_RUNS=3 for the warm-run spread
     # evidence (spread falls back to all-runs when runs < 3)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))

@@ -9417,6 +9417,58 @@ def q_dedup_cluster_sizes(spark, sf_dir):
     )
 
 
+# Shared experiment-split pipeline (ONE definition per engine): the
+# md5(user_id || ':exp1') arm assignment and per-arm (n, x) counts
+# consumed by BOTH q_ab_split_audit (balance) and q_ab_lift_test
+# (significance) — the lift test must measure exactly the arms the
+# audit balances, so the split lives in one place per engine.
+_AB_ARMS_SQL = """assign AS (
+    SELECT user_id,
+           CASE WHEN (CAST(('0x' || substring(
+                    md5(CAST(user_id AS VARCHAR) || ':exp1'), 1, 8))
+                    AS BIGINT) % 2) = 0
+                THEN 'A' ELSE 'B' END AS arm
+    FROM (SELECT DISTINCT user_id FROM events)
+), conv AS (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+), arms AS (
+    SELECT a.arm, count(*)::BIGINT AS n,
+           sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS x
+    FROM assign a LEFT JOIN conv c ON c.user_id = a.user_id
+    GROUP BY 1
+)"""
+
+
+def _ab_arms(spark, sf_dir):
+    """The Spark twin of _AB_ARMS_SQL: (arm, n, x) per experiment arm."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    assign = users.select(
+        "user_id",
+        F.when(
+            F.expr(
+                "cast(conv(substring(md5(concat(cast(user_id as string),"
+                " ':exp1')), 1, 8), 16, 10) as bigint) % 2"
+            ) == 0,
+            "A",
+        ).otherwise("B").alias("arm"),
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id").distinct().withColumn("_c", F.lit(1))
+    )
+    return (
+        assign.join(conv, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.coalesce(F.col("_c"), F.lit(0)))
+            .cast("long").alias("x"),
+        )
+    )
+
+
 # order-statistic rank bounds for the distribution-free median CI
 # (normal approximation to the binomial(n, 1/2) order ranks) — the
 # same cast-everything shared-string protocol
@@ -9501,22 +9553,7 @@ _ABZ = (
 
 
 @register("q_ab_lift_test", f"""
-WITH assign AS (
-    SELECT user_id,
-           CASE WHEN (CAST(('0x' || substring(
-                    md5(CAST(user_id AS VARCHAR) || ':exp1'), 1, 8))
-                    AS BIGINT) % 2) = 0
-                THEN 'A' ELSE 'B' END AS arm
-    FROM (SELECT DISTINCT user_id FROM events)
-), conv AS (
-    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
-), arms AS (
-    SELECT a.arm, count(*)::BIGINT AS n,
-           sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
-               AS x
-    FROM assign a LEFT JOIN conv c ON c.user_id = a.user_id
-    GROUP BY 1
-), wide AS (
+WITH {_AB_ARMS_SQL}, wide AS (
     SELECT max(CASE WHEN arm = 'A' THEN n END) AS na,
            max(CASE WHEN arm = 'A' THEN x END) AS xa,
            max(CASE WHEN arm = 'B' THEN n END) AS nb,
@@ -9541,32 +9578,7 @@ def q_ab_lift_test(spark, sf_dir):
     rather than a 0/0, and the 95% cut at |z| ≥ 1.959964. Counts are
     distinct-user aggregations; the whole statistic runs on a 2-row
     relation pivoted to one row."""
-    ev = load_table(spark, sf_dir, "events")
-    users = ev.select("user_id").distinct()
-    assign = users.select(
-        "user_id",
-        F.when(
-            F.expr(
-                "cast(conv(substring(md5(concat(cast(user_id as string),"
-                " ':exp1')), 1, 8), 16, 10) as bigint) % 2"
-            ) == 0,
-            "A",
-        ).otherwise("B").alias("arm"),
-    )
-    conv = (
-        ev.where(F.col("event_type") == "purchase")
-        .select("user_id").distinct().withColumn("_c", F.lit(1))
-    )
-    arms = (
-        assign.join(conv, "user_id", "left")
-        .groupBy("arm")
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            F.sum(F.coalesce(F.col("_c"), F.lit(0)))
-            .cast("long").alias("x"),
-        )
-    )
-    wide = arms.agg(
+    wide = _ab_arms(spark, sf_dir).agg(
         F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
         F.max(F.when(F.col("arm") == "A", F.col("x"))).alias("xa"),
         F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("nb"),
@@ -9583,28 +9595,11 @@ def q_ab_lift_test(spark, sf_dir):
     )
 
 
-@register("q_ab_split_audit", """
-WITH assign AS (
-    SELECT user_id,
-           CASE WHEN (CAST(('0x' || substring(
-                    md5(CAST(user_id AS VARCHAR) || ':exp1'), 1, 8))
-                    AS BIGINT) % 2) = 0
-                THEN 'A' ELSE 'B' END AS arm
-    FROM (SELECT DISTINCT user_id FROM events)
-), outcomes AS (
-    SELECT a.arm,
-           count(*)::BIGINT AS n_users,
-           sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
-               AS n_converted
-    FROM assign a
-    LEFT JOIN (SELECT DISTINCT user_id FROM events
-               WHERE event_type = 'purchase') p
-      ON p.user_id = a.user_id
-    GROUP BY 1
-)
-SELECT arm, n_users, n_converted,
-       ((n_converted * 1000000) // n_users)::BIGINT AS conv_ppm
-FROM outcomes
+@register("q_ab_split_audit", f"""
+WITH {_AB_ARMS_SQL}
+SELECT arm, n AS n_users, x AS n_converted,
+       ((x * 1000000) // n)::BIGINT AS conv_ppm
+FROM arms
 """)
 def q_ab_split_audit(spark, sf_dir):
     """Deterministic A/B assignment + conversion readout: users hash
@@ -9617,36 +9612,11 @@ def q_ab_split_audit(spark, sf_dir):
     both exact integers. One distinct-users shuffle + a semi-style
     left join against the distinct converters; everything downstream
     is 2 rows."""
-    ev = load_table(spark, sf_dir, "events")
-    users = ev.select("user_id").distinct()
-    assign = users.select(
-        "user_id",
-        F.when(
-            F.expr(
-                "conv(substring(md5(concat(CAST(user_id AS STRING),"
-                " ':exp1')), 1, 8), 16, 10) % 2"
-            ) == 0,
-            "A",
-        ).otherwise("B").alias("arm"),
-    )
-    conv = (
-        ev.where(F.col("event_type") == "purchase")
-        .select("user_id").distinct()
-        .withColumn("converted", F.lit(1))
-    )
-    return (
-        assign.join(conv, "user_id", "left")
-        .groupBy("arm")
-        .agg(
-            F.count("*").cast("long").alias("n_users"),
-            F.sum(F.coalesce("converted", F.lit(0)))
-            .cast("long").alias("n_converted"),
-        )
-        .select(
-            "arm", "n_users", "n_converted",
-            F.expr("CAST((n_converted * 1000000) div n_users AS BIGINT)")
-            .alias("conv_ppm"),
-        )
+    return _ab_arms(spark, sf_dir).select(
+        "arm",
+        F.col("n").alias("n_users"),
+        F.col("x").alias("n_converted"),
+        F.expr("CAST((x * 1000000) div n AS BIGINT)").alias("conv_ppm"),
     )
 
 

@@ -52,7 +52,11 @@ EVENT_QUERIES = [
 def build_sf1eq(spark, base_sf: str, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     docs = spark.read.parquet(os.path.join(base_sf, "documents.parquet"))
-    n_docs = docs.count()
+    # offset by max(doc_id)+1, not count(): non-dense ids would make
+    # count-based offsets collide across replicas, creating the giant
+    # exact-equality classes this derivation exists to avoid (the
+    # events branch below already used max+1)
+    n_docs = 1 + (docs.agg(F.max("doc_id")).first()[0] or 0)
     reps = docs.crossJoin(
         spark.range(10).withColumnRenamed("id", "rep")
     ).select(
@@ -94,6 +98,7 @@ def build_sf1eq(spark, base_sf: str, out_dir: str) -> None:
 def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING.json"
     spark = get_spark("scaling")
+    load1_start = round(os.getloadavg()[0], 2)  # BEFORE any work
     sf1eq = "/tmp/sf1eq"
     t0 = time.time()
     build_sf1eq(spark, "/root/testdata/sf0.1", sf1eq)
@@ -120,7 +125,8 @@ def main():
             print(f"{name} sf{label}: {best:.2f}s", flush=True)
     out = {
         "build_sf1eq_sec": build_sec,
-        "load1_start": round(os.getloadavg()[0], 2),
+        "load1_start": load1_start,
+        "load1_end": round(os.getloadavg()[0], 2),
         "results": results,
         "factors_01_to_1eq": {
             n: round(r["1eq"] / r["0.1"], 2)
