@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "q_ship_sla_attainment",
     "q_ab_lift_test",
     "q_median_ci",
+    "q_dedup_threshold_curve",
 ]
 
 

@@ -7860,6 +7860,74 @@ def q_weighted_sample(spark, sf_dir):
     )
 
 
+@register("q_dedup_threshold_curve", f"""
+WITH {_mh_sig_sql()}, {_mh_buckets_sql()}, jac AS (
+    SELECT c.doc_a, c.doc_b,
+           round({_JACCARD_EXPR}, 4) AS jaccard
+    FROM cand c
+    JOIN toks ta ON ta.doc_id = c.doc_a
+    JOIN toks tb ON tb.doc_id = c.doc_b
+), th(threshold_pct) AS (VALUES (50), (70), (90)),
+flags AS (
+    SELECT t.threshold_pct, j.doc_b AS flagged_doc
+    FROM jac j JOIN th t
+      ON j.jaccard * 100 >= t.threshold_pct
+    GROUP BY 1, 2
+), n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+SELECT t.threshold_pct::BIGINT AS threshold_pct,
+       n.n_docs,
+       count(f.flagged_doc)::BIGINT AS n_flagged,
+       ((count(f.flagged_doc) * 1000000) // n.n_docs)::BIGINT
+           AS flagged_ppm
+FROM th t CROSS JOIN n
+LEFT JOIN flags f ON f.threshold_pct = t.threshold_pct
+GROUP BY 1, 2
+""")
+def q_dedup_threshold_curve(spark, sf_dir):
+    """Dedup POLICY sensitivity curve: how much of the corpus would
+    be dropped at Jaccard thresholds 0.5 / 0.7 / 0.9 under the
+    greedy smaller-id-keeper rule — the tuning readout run BEFORE
+    committing a threshold at 100 TB (a knee in this curve is the
+    difference between trimming boilerplate and deleting a tenth of
+    the corpus). One verified pair relation (computed once at the
+    loosest threshold) serves every point: a doc is flagged at t iff
+    it is the LARGER id of some pair with jaccard ≥ t, so the curve
+    is a threshold-join + distinct over the pair set — no re-running
+    the LSH pipeline per point, and the curve is monotone by
+    construction. Thresholds compare as integer percents against the
+    4-dp jaccard both engines already round identically."""
+    pairs = _jaccard_pairs(spark, sf_dir)  # jaccard >= 0.5, 4-dp
+    th = spark.createDataFrame(
+        [(50,), (70,), (90,)], "threshold_pct int"
+    )
+    flags = (
+        pairs.join(
+            F.broadcast(th),
+            pairs["jaccard"] * 100 >= F.col("threshold_pct"),
+        )
+        .select("threshold_pct", F.col("doc_b").alias("flagged_doc"))
+        .distinct()
+    )
+    n = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    return (
+        th.crossJoin(F.broadcast(n))
+        .join(flags, "threshold_pct", "left")
+        .groupBy(
+            F.col("threshold_pct").cast("long").alias("threshold_pct"),
+            "n_docs",
+        )
+        .agg(
+            F.count("flagged_doc").cast("long").alias("n_flagged"),
+            F.expr(
+                "cast((count(flagged_doc) * 1000000) div n_docs"
+                " as bigint)"
+            ).alias("flagged_ppm"),
+        )
+    )
+
+
 _DOMAIN_CAP = 20
 
 

@@ -51,6 +51,7 @@ EDGE_QUERIES = [
     "q_domain_cap_sample", "q_spearman_rank_corr", "q_zipf_slope",
     "q_weighted_sample", "q_quality_quantile_norm", "q_ccnet_buckets",
     "q_source_dup_rates", "q_incremental_components",
+    "q_dedup_threshold_curve",
 ]
 
 
