@@ -216,3 +216,100 @@ def rate_limit_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -------------------------------------------------------------------
+# timeout-flushed custom sessionization (the applyInPandasWithState
+# counterpart of session_window: same gap rule, but the SESSION CLOSE
+# is driven by a processing-time timeout instead of the watermark —
+# the shape custom session logic needs when the built-in aggregation
+# can't express the per-session payload)
+# -------------------------------------------------------------------
+
+SESS_OUT_SCHEMA = (
+    "user_id bigint, session_start_us bigint, session_end_us bigint, "
+    "n_events bigint, sum_value double"
+)
+SESS_STATE_SCHEMA = (
+    "start_us bigint, end_us bigint, n bigint, sv double"
+)
+
+
+def session_timeout_stream(
+    stream: DataFrame,
+    gap_us: int = 30 * 60 * 1_000_000,
+    idle_timeout_ms: int = 2_000,
+) -> DataFrame:
+    """Custom stateful sessionization with PROCESSING-TIME timeout
+    flushing (needs columns user_id, ts_us, value): events extend the
+    user's open session while their event-time gap stays within
+    ``gap_us``; an event beyond the gap EMITS the closed session and
+    opens a new one; and a user who simply goes quiet has the open
+    session flushed by the ProcessingTimeTimeout — the piece the
+    batch formulation cannot express and session_window handles via
+    watermark instead. This is the applyInPandasWithState shape for
+    session payloads the built-in aggregation can't carry (custom
+    per-session reductions, first/last event payloads, ...); state is
+    one fixed-size tuple per OPEN session: O(|active users|).
+
+    In-order caveat (same contract as rate_limit_stream): events are
+    folded in (ts_us) sort order WITHIN each batch, but a row arriving
+    batches late re-opens or extends sessions by arrival order — the
+    oracle for event-time-perfect sessionization is the batch
+    q_session_window_native; this operator is the low-latency
+    enforcement path."""
+
+    def sess_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            if state.exists:
+                st = state.get
+                state.remove()
+                yield pd.DataFrame([{
+                    "user_id": key[0],
+                    "session_start_us": int(st[0]),
+                    "session_end_us": int(st[1]),
+                    "n_events": int(st[2]),
+                    "sum_value": float(st[3]),
+                }])
+            return
+        cur = list(state.get) if state.exists else None
+        closed = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            for _, row in pdf.sort_values("ts_us").iterrows():
+                ts = int(row["ts_us"])
+                v = float(row["value"]) if row["value"] is not None else 0.0
+                if cur is None:
+                    cur = [ts, ts, 1, v]
+                elif ts - cur[1] <= gap_us:
+                    cur[1] = max(cur[1], ts)
+                    cur[2] += 1
+                    cur[3] += v
+                else:
+                    closed.append(cur)
+                    cur = [ts, ts, 1, v]
+        if cur is not None:
+            state.update(tuple(cur))
+            state.setTimeoutDuration(idle_timeout_ms)
+        if closed:
+            yield pd.DataFrame([
+                {
+                    "user_id": key[0],
+                    "session_start_us": int(c[0]),
+                    "session_end_us": int(c[1]),
+                    "n_events": int(c[2]),
+                    "sum_value": float(c[3]),
+                }
+                for c in closed
+            ])
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        sess_fn,
+        outputStructType=SESS_OUT_SCHEMA,
+        stateStructType=SESS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -537,3 +537,60 @@ def test_dedup_within_watermark_bounds_state_by_horizon(tmp_path, spark):
         (3, "2024-01-01T02:00:00"),
         (4, "2024-01-01T04:00:00"),
     ]
+
+
+def test_session_timeout_stream_gap_close_and_idle_flush(tmp_path, spark):
+    """Custom stateful sessionization: an over-gap event CLOSES the
+    previous session (emitted with its stats) and opens a new one;
+    a user who goes quiet has the open session flushed by the
+    ProcessingTimeTimeout without any further input."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from document_parsing_etl_pipeline_spark.streaming import stateful
+
+    drop = tmp_path / "sess_to"
+    drop.mkdir()
+    gap_us = 30 * 60 * 1_000_000
+    (drop / "a.json").write_text("\n".join(json.dumps(r) for r in [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1,
+         "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T00:10:00", "user_id": 1,
+         "event_type": "click", "value": 2.0},
+        # > 30 min gap: closes session 1 (2 events), opens session 2
+        {"event_id": 3, "ts": "2024-01-01T02:00:00", "user_id": 1,
+         "event_type": "click", "value": 4.0},
+    ]))
+    stream = (
+        ev.read_event_stream(spark, str(drop))
+        .select(
+            "user_id",
+            F.unix_micros("event_time").alias("ts_us"),
+            "value",
+        )
+    )
+    out = stateful.session_timeout_stream(
+        stream, gap_us=gap_us, idle_timeout_ms=1_000
+    )
+    # processing-time trigger so the timeout fires on later (empty)
+    # micro-batches; stop once the flush arrives
+    q = (out.writeStream.format("memory").queryName("sess_to")
+         .outputMode("append").trigger(processingTime="1 second").start())
+    deadline = _time.time() + 90
+    while _time.time() < deadline:
+        if spark.sql("SELECT count(*) c FROM sess_to").first().c >= 2:
+            break
+        _time.sleep(1)
+    q.stop()
+    rows = sorted(
+        spark.sql("SELECT * FROM sess_to").collect(),
+        key=lambda r: r.session_start_us,
+    )
+    assert len(rows) == 2
+    s1, s2 = rows
+    assert s1.n_events == 2 and s1.sum_value == 3.0
+    assert (s1.session_end_us - s1.session_start_us) == 10 * 60 * 1_000_000
+    # the idle-flushed open session: single event, zero width
+    assert s2.n_events == 1 and s2.sum_value == 4.0
+    assert s2.session_start_us == s2.session_end_us
