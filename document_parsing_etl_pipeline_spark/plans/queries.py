@@ -7871,7 +7871,7 @@ WITH {_mh_sig_sql()}, {_mh_buckets_sql()}, jac AS (
 flags AS (
     SELECT t.threshold_pct, j.doc_b AS flagged_doc
     FROM jac j JOIN th t
-      ON j.jaccard * 100 >= t.threshold_pct
+      ON round(j.jaccard * 10000)::BIGINT >= t.threshold_pct * 100
     GROUP BY 1, 2
 ), n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
 SELECT t.threshold_pct::BIGINT AS threshold_pct,
@@ -7894,8 +7894,9 @@ def q_dedup_threshold_curve(spark, sf_dir):
     it is the LARGER id of some pair with jaccard ≥ t, so the curve
     is a threshold-join + distinct over the pair set — no re-running
     the LSH pipeline per point, and the curve is monotone by
-    construction. Thresholds compare as integer percents against the
-    4-dp jaccard both engines already round identically."""
+    construction. Thresholds compare as INTEGER basis points
+    (round(jaccard*10000) >= pct*100) so boundary values like 0.7000
+    are included on both engines regardless of double rounding."""
     pairs = _jaccard_pairs(spark, sf_dir)  # jaccard >= 0.5, 4-dp
     th = spark.createDataFrame(
         [(50,), (70,), (90,)], "threshold_pct int"
@@ -7903,7 +7904,11 @@ def q_dedup_threshold_curve(spark, sf_dir):
     flags = (
         pairs.join(
             F.broadcast(th),
-            pairs["jaccard"] * 100 >= F.col("threshold_pct"),
+            # integer compare: a 4-dp jaccard of exactly 0.7000 has a
+            # double *100 that lands one ulp below 70 — round to basis
+            # points first so "jaccard >= t" holds at bucket boundaries
+            F.round(pairs["jaccard"] * 10000).cast("long")
+            >= F.col("threshold_pct") * 100,
         )
         .select("threshold_pct", F.col("doc_b").alias("flagged_doc"))
         .distinct()

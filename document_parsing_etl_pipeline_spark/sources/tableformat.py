@@ -37,6 +37,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 _MANIFEST_DIR = "_manifests"
 
@@ -371,13 +372,29 @@ def table_changes(
     only_f = sorted(pf - pt)
     only_t = sorted(pt - pf)
     cols = read(spark, root, to_version).columns
+    # Read delta files with the to-version's MANIFEST-recorded schema,
+    # not mergeSchema over the delta subset: if every from-only file
+    # predates a schema-evolution append, the merged subset schema
+    # would lack the added column and .select(*cols) would raise.
+    # The recorded schema fills pre-evolution files' missing columns
+    # with typed nulls, matching what read() gets from whole-snapshot
+    # mergeSchema.
+    rec = (
+        StructType.fromJson(json.loads(mt["schema"]))
+        if "schema" in mt else None
+    )
 
     def _read(paths):
         if not paths:
             return (
                 read(spark, root, to_version).limit(0).select(*cols)
             )
-        return spark.read.option("mergeSchema", "true").parquet(
+        reader = spark.read
+        if rec is not None:
+            reader = reader.schema(rec)
+        else:  # legacy manifests without a recorded schema
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(
             *[os.path.join(root, p) for p in paths]
         ).select(*cols)
 

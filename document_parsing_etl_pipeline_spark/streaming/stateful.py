@@ -276,10 +276,16 @@ def session_timeout_stream(
             return
         cur = list(state.get) if state.exists else None
         closed = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            for _, row in pdf.sort_values("ts_us").iterrows():
+        # Materialize the whole micro-batch group before sorting: Arrow
+        # delivers the group as multiple chunks (~10k rows each), and a
+        # later chunk can hold earlier timestamps — sorting per-chunk
+        # would fold those out of order and mis-split sessions.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        batch = (
+            pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        )
+        if len(batch):
+            for _, row in batch.sort_values("ts_us").iterrows():
                 ts = int(row["ts_us"])
                 v = float(row["value"]) if row["value"] is not None else 0.0
                 if cur is None:

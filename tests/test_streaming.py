@@ -594,3 +594,63 @@ def test_session_timeout_stream_gap_close_and_idle_flush(tmp_path, spark):
     # the idle-flushed open session: single event, zero width
     assert s2.n_events == 1 and s2.sum_value == 4.0
     assert s2.session_start_us == s2.session_end_us
+
+
+def test_session_timeout_stream_sorts_across_arrow_chunks(tmp_path, spark):
+    """Regression (round-7 advisor): a group's micro-batch arrives as
+    MULTIPLE Arrow chunks; a later chunk holding EARLIER timestamps
+    must still fold in (ts_us) order within the batch. With per-chunk
+    sorting, [02:00] then [00:00] would merge into one 2-event session
+    pinned at 02:00; the correct fold sees 00:00 first, gap-closes it,
+    and leaves 02:00 as the open session."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from document_parsing_etl_pipeline_spark.streaming import stateful
+
+    drop = tmp_path / "sess_chunks"
+    drop.mkdir()
+    # out-of-order WITHIN one micro-batch file: later ts first
+    (drop / "a.json").write_text("\n".join(json.dumps(r) for r in [
+        {"event_id": 1, "ts": "2024-01-01T02:00:00", "user_id": 1,
+         "event_type": "click", "value": 4.0},
+        {"event_id": 2, "ts": "2024-01-01T00:00:00", "user_id": 1,
+         "event_type": "click", "value": 1.0},
+    ]))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        stream = (
+            ev.read_event_stream(spark, str(drop))
+            .coalesce(1)  # both rows in ONE group batch, 2 Arrow chunks
+            .select(
+                "user_id",
+                F.unix_micros("event_time").alias("ts_us"),
+                "value",
+            )
+        )
+        out = stateful.session_timeout_stream(
+            stream, gap_us=30 * 60 * 1_000_000, idle_timeout_ms=1_000
+        )
+        q = (out.writeStream.format("memory").queryName("sess_chunks")
+             .outputMode("append").trigger(processingTime="1 second")
+             .start())
+        deadline = _time.time() + 90
+        while _time.time() < deadline:
+            if spark.sql(
+                "SELECT count(*) c FROM sess_chunks"
+            ).first().c >= 2:
+                break
+            _time.sleep(1)
+        q.stop()
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    rows = sorted(
+        spark.sql("SELECT * FROM sess_chunks").collect(),
+        key=lambda r: r.session_start_us,
+    )
+    assert [r.n_events for r in rows] == [1, 1]
+    assert [r.sum_value for r in rows] == [1.0, 4.0]

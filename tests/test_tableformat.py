@@ -467,3 +467,30 @@ def test_publish_refuses_on_base_drift_and_discard_removes_files(
     cur = tf.read(spark, table)
     assert cur.where("doc_id = 701").count() == 1
     assert cur.where("doc_id = 700").count() == 0
+
+
+def test_table_changes_across_schema_evolution_boundary(spark, tmp_path):
+    """Regression (round-7 advisor): a change feed whose from-only
+    files ALL predate a schema-evolution append must not raise — the
+    delta files are read with the manifest-recorded schema, so
+    pre-evolution files surface the added column as typed NULLs."""
+    root = str(tmp_path / "cdf_evo")
+    df = spark.range(0, 20).selectExpr(
+        "id AS doc_id", "concat('t', id) AS text"
+    ).coalesce(1)
+    tf.create_table(spark, df, root, stats_cols=["doc_id"])        # v1
+    evolved = spark.range(100, 110).selectExpr(
+        "id AS doc_id", "concat('t', id) AS text",
+        "cast(id AS double) / 1000 AS quality",
+    )
+    v2 = tf.append(spark, evolved, root)                            # v2
+    # delete rewrites the PRE-evolution v1 file; post-rewrite survivors
+    # carry the evolved schema, so only_f = pre-evolution files only
+    v3 = tf.delete_where(spark, root, "doc_id", 0, 4)
+    ch = tf.table_changes(spark, root, v2, v3)
+    assert "quality" in ch.columns
+    got = {(r._change_type, r.doc_id, r.quality) for r in ch.collect()}
+    assert got == {("delete", i, None) for i in range(5)}
+    # keyed variant across the same boundary also reads clean
+    chk = tf.table_changes(spark, root, v2, v3, key="doc_id")
+    assert {r.doc_id for r in chk.collect()} == set(range(5))
