@@ -750,8 +750,18 @@ def pca_project(
     mean = s / n
     cov = (ss - np.outer(mean, s)) / (n - 1)
     eigvals, eigvecs = np.linalg.eigh(cov)
-    order = np.argsort(eigvals)[::-1][:k]
-    components = eigvecs[:, order]  # d × k
+    # CANONICAL eigenbasis: eigh's sign/degenerate-order choices are
+    # implementation details, so pin them — components ordered by
+    # descending eigenvalue with INDEX tiebreak (stable sort), and
+    # each component's largest-|loading| coordinate made positive
+    # (first index on ties). Makes the projection VALUES deterministic
+    # and therefore oracle-able, not just the spanned subspace.
+    order = np.argsort(-eigvals, kind="stable")[:k]
+    components = eigvecs[:, order].copy()  # d × k
+    for j in range(components.shape[1]):
+        i = int(np.argmax(np.abs(components[:, j])))
+        if components[i, j] < 0:
+            components[:, j] = -components[:, j]
     explained = eigvals[order]
 
     comp_b = components.copy()

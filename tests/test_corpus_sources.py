@@ -265,3 +265,40 @@ def test_kmeans_lloyd_normalization_does_not_change_assignments(spark):
     b = {r.vec_id: r.centroid_id
          for r in corpus.kmeans_lloyd(scaled, k=2, max_iter=3).collect()}
     assert a == b
+
+
+def test_pca_canonical_basis_deterministic(spark):
+    """Round 7: pca_project pins a CANONICAL eigenbasis — components
+    ordered by descending eigenvalue (stable index tiebreak) and each
+    component's largest-|loading| coordinate positive — so projection
+    VALUES are deterministic, not just the spanned subspace. Feeding
+    the NEGATED data must reproduce the identical basis (eigh's raw
+    sign choice would differ), and a dominant negative loading must
+    come out flipped positive."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    rs = np.random.RandomState(11)
+    # dominant direction mostly along -e0 (forces a sign flip), clear
+    # eigengap so the basis is tie-free
+    X = np.outer(rs.normal(0, 5, 60), [-0.9, 0.3, 0.3]) \
+        + rs.normal(0, 0.5, (60, 3))
+
+    def basis(M):
+        emb = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(a) for a in row])
+             for i, row in enumerate(M)]
+        )
+        return np.asarray(corpus.pca_project(emb, k=3).components)
+
+    V = basis(X)
+    # largest-|loading| coordinate positive, per component
+    for j in range(3):
+        i = int(np.argmax(np.abs(V[:, j])))
+        assert V[i, j] > 0, (j, V[:, j])
+    # the dominant component's big coordinate is dim 0 (flipped to +)
+    assert np.argmax(np.abs(V[:, 0])) == 0 and V[0, 0] > 0
+    # negating the data leaves the covariance — and hence the
+    # CANONICAL basis — unchanged bit-for-bit up to fp roundoff
+    V2 = basis(-X)
+    assert np.allclose(V, V2, atol=1e-9)

@@ -162,7 +162,7 @@ def test_all_queries_no_rowbased_python_udf(spark):
         "mm_image_pipeline", "mm_audio_features", "mm_video_frames",
         "q_mm_phash_dedup",  # binary pHash is Arrow-batched by design
         "dedup_embedding",
-        "knn_all_topk", "q_pca_projection",
+        "knn_all_topk",
         "q_sequence_pack", "q_sequence_texts",  # packing recurrence
         "q_rate_limit_audit",  # token-bucket recurrence (ratelimit.py)
     }
