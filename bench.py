@@ -198,6 +198,46 @@ BENCH_QUERIES = [
     "q_dedup_threshold_curve",
 ]
 
+# Round 7: the bench IS the full-registry regression guard — every
+# registered query runs, so a plan regression in any entry (including
+# the sub-second §A/§B doc-store surface) is visible per-round, not
+# only when a CORRECTNESS rotation happens to cover it. The literal
+# list above preserves the historical (baseline-comparable) order;
+# everything else registered appends in sorted order.
+BENCH_QUERIES += sorted(n for n in QUERIES if n not in set(BENCH_QUERIES))
+assert set(BENCH_QUERIES) == set(QUERIES), "bench must cover the registry"
+
+
+def _stage_metrics_reader(spark):
+    """Reader over the JVM AppStatusStore: stageId → (shuffle_read,
+    shuffle_write, mem_spilled, disk_spilled) bytes. Wall-time at the
+    bench SF can hide a shuffle-VOLUME regression that only bites at
+    100 TB; these counters make volume a per-round, per-query metric
+    (the plan lint checks shape, this checks bytes). py4j + scala
+    default-arg plumbing; returns None-reader if the internals move."""
+    try:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        empty = sc._gateway.jvm.java.util.ArrayList()
+        dflt = [getattr(store, f"stageList$default${i}")() for i in
+                (2, 3, 4, 5)]
+
+        def read() -> dict[int, tuple[int, int, int, int]]:
+            out = {}
+            it = store.stageList(empty, *dflt).iterator()
+            while it.hasNext():
+                s = it.next()
+                out[s.stageId()] = (
+                    s.shuffleReadBytes(), s.shuffleWriteBytes(),
+                    s.memoryBytesSpilled(), s.diskBytesSpilled(),
+                )
+            return out
+
+        read()  # probe once so failures disable the feature up front
+        return read
+    except Exception:
+        return None
+
 
 def _progress_stats(query) -> tuple[int, float, float, dict]:
     """(input_rows, total_batch_ms, max_batch_ms, state) over the
@@ -338,6 +378,55 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
             spark, cdc_stream, tbl_root, key="user_id", seq_col="seq",
             checkpoint_dir=os.path.join(tmp, "cp_merge"),
         ))
+
+        # token-bucket admission control (stream_rate_limit): one
+        # fixed-size state pair per user across the whole event drop
+        rl_in = sev.read_event_stream(spark, ev_dir).select(
+            "event_id", "user_id",
+            F.unix_micros("event_time").alias("ts_us"),
+        )
+        run("stream_rate_limit", (
+            stateful.rate_limit_stream(rl_in)
+            .writeStream.format("noop").outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "cp_rl"))
+            .trigger(availableNow=True).start()
+        ))
+
+        # stream-stream interval join (stream_interval_join):
+        # errors ⋈ views within ±60 s via the time-bucket equi-key;
+        # watermarked both sides so join state stays evictable
+        errors = sev.read_event_stream(spark, ev_dir).where(
+            F.col("event_type") == "error"
+        )
+        views = sev.read_event_stream(spark, ev_dir).where(
+            F.col("event_type") == "view"
+        )
+        run("stream_interval_join", (
+            sev.interval_join_streams(errors, views, window_seconds=60)
+            .writeStream.format("noop").outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "cp_ij"))
+            .trigger(availableNow=True).start()
+        ))
+
+        # streaming incremental near-dup (stream_neardup): documents
+        # MERGE their LSH buckets into a standing index exactly once
+        # per micro-batch; 48 input files → several batches
+        from document_parsing_etl_pipeline_spark.streaming import neardup
+
+        nd_index = os.path.join(tmp, "nd_index")
+        neardup.create_index(spark, nd_index)
+        nd_stream = (
+            spark.readStream.format("json")
+            .schema("doc_id long, text string, lang string,"
+                    " source string, n_chars long")
+            .option("maxFilesPerTrigger", "16")
+            .load(doc_dir)
+            .select("doc_id", "text")
+        )
+        run("stream_neardup", neardup.stream_neardup_ingest(
+            spark, nd_stream, nd_index, os.path.join(tmp, "nd_flags"),
+            os.path.join(tmp, "cp_nd"),
+        ))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -387,20 +476,44 @@ def main():
 
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
+    stage_metrics: dict[str, dict] = {}
+    read_stages = _stage_metrics_reader(spark)
     # default 2 keeps the driver's per-round run inside its time
     # budget at 169 queries; the committed BENCH_LOCAL_r06.json was
     # produced with SPARK_GRAFT_BENCH_RUNS=3 for the warm-run spread
     # evidence (spread falls back to all-runs when runs < 3)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    for name in BENCH_QUERIES:
+    # smoke-mode filter (comma-separated names) for iterating on the
+    # bench harness itself; official runs leave it unset
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    names = (
+        [n for n in BENCH_QUERIES if n in set(only.split(","))]
+        if only else BENCH_QUERIES
+    )
+    for name in names:
         fn = QUERIES[name]
         durations = []
-        for _ in range(runs):  # best-of-N: steady state, not load noise
+        pre_max = -1
+        for i in range(runs):  # best-of-N: steady state, not load noise
+            if read_stages is not None and i == runs - 1:
+                pre_max = max(read_stages(), default=-1)
             t0 = time.time()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             durations.append(round(time.time() - t0, 3))
         timings[name] = min(durations)
         all_runs[name] = durations
+        if read_stages is not None:
+            # volume of the LAST (warm) run only: stage ids are
+            # monotone, so everything above the pre-run high-water
+            # mark belongs to this query
+            new = [v for sid, v in read_stages().items() if sid > pre_max]
+            stage_metrics[name] = {
+                "shuffle_read_bytes": sum(v[0] for v in new),
+                "shuffle_write_bytes": sum(v[1] for v in new),
+                "spill_memory_bytes": sum(v[2] for v in new),
+                "spill_disk_bytes": sum(v[3] for v in new),
+                "n_stages": len(new),
+            }
 
     total = round(sum(timings.values()), 3)
     # run metadata: attributes round-over-round deltas to machine load
@@ -416,6 +529,11 @@ def main():
         for w in [d[1:] if len(d) >= 3 else d]
         if min(w) > 0
     ]
+    # self-describing load taint (round 7): per-query seconds from a
+    # loaded machine must not be read against idle anchors — the
+    # driver leg keeps landing on busy hosts, so the artifact itself
+    # says which kind it is (and STRICT mode only enforces when clean)
+    load_tainted = load_start >= 1.5
     meta = {
         "runs_per_query": runs,
         "neardup_components_build_sec": components_build_sec,
@@ -426,7 +544,43 @@ def main():
         "median_run_spread_pct": round(
             100 * sorted(spreads)[len(spreads) // 2], 1
         ) if spreads else None,
+        "load_tainted": load_tainted,
+        "shuffle_write_mb_total": round(
+            sum(m["shuffle_write_bytes"] for m in stage_metrics.values())
+            / 1e6, 1,
+        ) if stage_metrics else None,
+        "spill_disk_mb_total": round(
+            sum(m["spill_disk_bytes"] for m in stage_metrics.values())
+            / 1e6, 1,
+        ) if stage_metrics else None,
     }
+
+    # shuffle-volume regression guard: bytes are load-independent, so
+    # this guard works even on a tainted leg. Flag when a query's
+    # shuffle write grows >1.5x its committed baseline AND by >16 MB
+    # (absolute floor kills AQE/stats jitter on small queries).
+    shuffle_base_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SHUFFLE_BASELINE.json"
+    )
+    shuffle_regressions: dict[str, dict] = {}
+    if stage_metrics and os.path.exists(shuffle_base_path):
+        sbase = json.load(open(shuffle_base_path)).get("queries", {})
+        for n, m in stage_metrics.items():
+            b = sbase.get(n, {}).get("shuffle_write_bytes")
+            now = m["shuffle_write_bytes"]
+            if b is not None and now > 1.5 * b and now - b > 16 * 1024**2:
+                shuffle_regressions[n] = {
+                    "now_bytes": now, "baseline_bytes": b,
+                    "ratio": round(now / b, 2) if b else None,
+                }
+        if shuffle_regressions:
+            meta["n_shuffle_regressions"] = len(shuffle_regressions)
+    elif stage_metrics and str(sf) == "0.1":
+        try:
+            with open(shuffle_base_path, "w") as f:
+                json.dump({"sf": 0.1, "queries": stage_metrics}, f, indent=1)
+        except OSError:
+            pass
 
     streaming: dict[str, dict] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
@@ -500,12 +654,19 @@ def main():
                        "unit": "sec", "sf": out["sf"], "queries": timings,
                        "runs_detail": all_runs, "meta": meta,
                        "streaming": streaming,
+                       "stage_metrics": stage_metrics,
+                       "shuffle_regressions": shuffle_regressions,
                        "regressions": regressions}, f, indent=1)
     except OSError:
         pass  # read-only checkout: the printed line is still complete
 
     print(json.dumps(out))
-    if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
+    # STRICT wall-time enforcement only makes sense from an idle start
+    # (the shuffle-volume guard above is load-independent and always
+    # reported); a tainted leg points readers at BENCH_LOCAL instead
+    if (
+        (regressions and not load_tainted) or shuffle_regressions
+    ) and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
         sys.exit(1)
 
 
