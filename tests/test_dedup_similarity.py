@@ -449,3 +449,39 @@ def test_setsim_incremental_union_equals_from_scratch(spark):
     }
     assert standing | batch == full
     assert standing & batch == set()  # no pair produced twice
+
+
+def test_setsim_suffix_filter_is_lossless_for_any_bucket_count(spark):
+    """Round 7 (PPJoin+ suffix filter): the vectorized suffix filter
+    (_suffix_histogram_filter) is a pure candidate cut — the final
+    pair relation must be IDENTICAL with the filter off, at the
+    default 128 buckets, and at an aliasing-heavy 4 buckets (hash
+    collisions only weaken the bound upward, never below the true
+    overlap). Randomized near/far pairs straddle the 0.6 threshold."""
+    import random
+
+    rng = random.Random(73)
+    vocab = [f"w{i}" for i in range(400)]
+    texts = []
+    # base docs + mutated copies at varying edit fractions so some
+    # pairs land just above and some just below threshold
+    for _ in range(10):
+        base = [rng.choice(vocab) for _ in range(30)]
+        texts.append(" ".join(base))
+        for frac in (0.05, 0.2, 0.5):
+            mut = list(base)
+            for _ in range(max(1, int(len(mut) * frac))):
+                mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            texts.append(" ".join(mut))
+    df = _docs(spark, *texts)
+
+    def pairs(**kw):
+        return {
+            (r.doc_a, r.doc_b): (r.inter_size, r.union_size)
+            for r in dedup.setsim_prefix_join(df, **kw).collect()
+        }
+
+    base = pairs(suffix_buckets=None)
+    assert base, "fixture must produce qualifying pairs"
+    assert pairs(suffix_buckets=128) == base
+    assert pairs(suffix_buckets=4) == base
