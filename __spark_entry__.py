@@ -3,14 +3,12 @@
 entry(spark)  — flagship pipeline on sf0.001 (parse → chunk → NER →
                 doc-store rollup).
 queries()     — one entry per implemented operator from SURVEY.md §2.
-oracle_sql()  — DuckDB-equivalent SQL per query (omitted only for the
-                single remaining non-SQL-expressible entry,
-                q_pca_projection — the eigensolve's VALUES; its
-                invariants are oracled by q_pca_variance_audit. The
-                multimodal decoders run on synthesized md5-byte blobs
-                whose stub arithmetic IS SQL-expressible, and k-means
-                is surfaced as its hash-gated contract — all four
-                left the rows-only list in round 6).
+oracle_sql()  — DuckDB-equivalent SQL per EVERY query. The rows-only
+                list is EMPTY as of round 7: q_pca_projection (the
+                last holdout) now carries a full value oracle — the
+                canonical 2-D eigenbasis has a closed form both
+                engines derive bit-identically from the decimal-exact
+                covariance (see plans/queries.py:q_pca_projection).
 """
 
 from __future__ import annotations
@@ -35,18 +33,20 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _DEFER: list[str] = []
 
 # Names whose oracle was ADDED or materially changed after a prior
-# rows-only / hash-pass record: treat as fresh so the driver's
-# 50-entry window re-verifies them under the new (stronger) oracle.
-# The recheck EXPIRES once a CORRECTNESS round >= _RECHECK_SINCE
-# records a hash pass — without the expiry these names would consume
-# fresh-verification slots in every future round forever.
-_RECHECK: list[str] = [
-    "mm_image_pipeline",
-    "mm_audio_features",
-    "mm_video_frames",
-    "q_kmeans_clusters",
-]
-_RECHECK_SINCE = 6  # round in which the oracles changed
+# rows-only / hash-pass record, mapped to the round the new oracle
+# landed: treat as fresh so the driver's 50-entry window re-verifies
+# them under the stronger oracle. The recheck EXPIRES once a
+# CORRECTNESS round >= the mapped round records a hash pass — without
+# the expiry these names would consume fresh-verification slots in
+# every future round forever.
+_RECHECK: dict[str, int] = {
+    "mm_image_pipeline": 6,
+    "mm_audio_features": 6,
+    "mm_video_frames": 6,
+    "q_kmeans_clusters": 6,
+    # round 7: rows-only -> full closed-form value oracle
+    "q_pca_projection": 7,
+}
 
 
 def _checked_before() -> set[str]:
@@ -81,7 +81,7 @@ def _checked_before() -> set[str]:
     return {
         name
         for name, rnd in last_pass.items()
-        if name not in _RECHECK or rnd >= _RECHECK_SINCE
+        if rnd >= _RECHECK.get(name, 0)
     }
 
 

@@ -49,7 +49,7 @@ EVENT_QUERIES = [
 ]
 
 
-def build_sf1eq(spark, base_sf: str, out_dir: str) -> None:
+def build_sf1eq(spark, base_sf: str, out_dir: str, n_reps: int = 10) -> None:
     os.makedirs(out_dir, exist_ok=True)
     docs = spark.read.parquet(os.path.join(base_sf, "documents.parquet"))
     # offset by max(doc_id)+1, not count(): non-dense ids would make
@@ -58,7 +58,7 @@ def build_sf1eq(spark, base_sf: str, out_dir: str) -> None:
     # events branch below already used max+1)
     n_docs = 1 + (docs.agg(F.max("doc_id")).first()[0] or 0)
     reps = docs.crossJoin(
-        spark.range(10).withColumnRenamed("id", "rep")
+        spark.range(n_reps).withColumnRenamed("id", "rep")
     ).select(
         (F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
         F.concat(
@@ -73,7 +73,7 @@ def build_sf1eq(spark, base_sf: str, out_dir: str) -> None:
     n_users = 1 + (ev.agg(F.max("user_id")).first()[0] or 0)
     n_events = 1 + (ev.agg(F.max("event_id")).first()[0] or 0)
     reps_ev = ev.crossJoin(
-        spark.range(10).withColumnRenamed("id", "rep")
+        spark.range(n_reps).withColumnRenamed("id", "rep")
     ).select(
         (F.col("event_id") + F.col("rep") * n_events).alias("event_id"),
         "ts",
@@ -123,6 +123,42 @@ def main():
                 best = dt if best is None or dt < best else best
             results[name][label] = round(best, 3)
             print(f"{name} sf{label}: {best:.2f}s", flush=True)
+    # ---- second derived decade (round 7): 100× documents for the
+    # super-linear families SCALING.md flags (setsim output-driven,
+    # token-explode) plus the cap-policy readouts. Events queries are
+    # not flagged, so the sf10-equivalent corpus only needs the doc
+    # axis rebuilt; the pair-count evidence shows the setsim curve
+    # keeps tracking its OUTPUT, not an input blowup.
+    decade2: dict[str, dict] = {}
+    if os.environ.get("SPARK_GRAFT_SCALING_DECADE2", "1") != "0":
+        sf10eq = "/tmp/sf10eq"
+        t0 = time.time()
+        build_sf1eq(spark, "/root/testdata/sf0.1", sf10eq, n_reps=100)
+        build10_sec = round(time.time() - t0, 1)
+        d2_queries = [
+            "q_setsim_prefix_join",   # ~10× flagged: output-driven?
+            "q_unigram_logprob",      # ~4× flagged: token explode
+            "tfidf_top_terms",        # Zipf-bounded vocab claim
+            "dedup_minhash_lsh",      # cap policy under 100×
+            "dedup_simhash",
+            "q_lsh_bucket_stats",     # cap-policy readout
+            "q_dedup_threshold_curve",  # policy knee at scale
+        ]
+        for name in d2_queries:
+            t0 = time.time()
+            QUERIES[name](spark, sf10eq).write.mode("overwrite").format(
+                "noop").save()
+            dt = round(time.time() - t0, 3)
+            decade2[name] = {"10eq": dt}
+            print(f"{name} sf10eq: {dt:.2f}s", flush=True)
+        # output-driven evidence: the true pair count at each scale
+        decade2["_setsim_output_rows"] = {
+            lbl: QUERIES["q_setsim_prefix_join"](spark, d).count()
+            for lbl, d in [("0.1", "/root/testdata/sf0.1"),
+                           ("1eq", sf1eq), ("10eq", sf10eq)]
+        }
+        decade2["_build_sf10eq_sec"] = build10_sec
+
     out = {
         "build_sf1eq_sec": build_sec,
         "load1_start": load1_start,
@@ -133,10 +169,18 @@ def main():
             for n, r in results.items()
             if r.get("0.1", 0) > 0
         },
+        "decade2": decade2,
+        "factors_1eq_to_10eq": {
+            n: round(d["10eq"] / results[n]["1eq"], 2)
+            for n, d in decade2.items()
+            if isinstance(d, dict) and "10eq" in d
+            and results.get(n, {}).get("1eq", 0) > 0
+        },
     }
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out["factors_01_to_1eq"], indent=1))
+    print(json.dumps(out["factors_1eq_to_10eq"], indent=1))
 
 
 if __name__ == "__main__":
