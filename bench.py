@@ -209,28 +209,45 @@ assert set(BENCH_QUERIES) == set(QUERIES), "bench must cover the registry"
 
 
 def _stage_metrics_reader(spark):
-    """Reader over the JVM AppStatusStore: stageId → (shuffle_read,
-    shuffle_write, mem_spilled, disk_spilled) bytes. Wall-time at the
-    bench SF can hide a shuffle-VOLUME regression that only bites at
-    100 TB; these counters make volume a per-round, per-query metric
-    (the plan lint checks shape, this checks bytes). py4j + scala
-    default-arg plumbing; returns None-reader if the internals move."""
+    """Reader for per-stage (shuffle_read, shuffle_write, mem_spilled,
+    disk_spilled) bytes. Wall-time at the bench SF can hide a
+    shuffle-VOLUME regression that only bites at 100 TB; these
+    counters make volume a per-round, per-query metric (the plan lint
+    checks shape, this checks bytes).
+
+    Reads the local status REST API in ONE http call per read — the
+    py4j route (AppStatusStore.stageList) costs ~5 gateway round
+    trips per retained stage, and that driver churn measurably bled
+    into the timed section of sub-second queries (token_count
+    0.27 → 0.42 s); bounding retained stages instead traded it for
+    per-stage-eviction cleanup churn (knn_ivf_bucketed 0.52 → 0.71 s).
+    One JSON GET has neither problem. Returns None (feature off) if
+    the UI/REST server isn't up."""
+    import urllib.request
+
     try:
         sc = spark.sparkContext
-        store = sc._jsc.sc().statusStore()
-        empty = sc._gateway.jvm.java.util.ArrayList()
-        dflt = [getattr(store, f"stageList$default${i}")() for i in
-                (2, 3, 4, 5)]
+        base = sc.uiWebUrl
+        if not base:
+            return None
+        url = (f"{base}/api/v1/applications/{sc.applicationId}"
+               f"/stages?details=false")
 
         def read() -> dict[int, tuple[int, int, int, int]]:
+            with urllib.request.urlopen(url, timeout=30) as r:
+                stages = json.load(r)
             out = {}
-            it = store.stageList(empty, *dflt).iterator()
-            while it.hasNext():
-                s = it.next()
-                out[s.stageId()] = (
-                    s.shuffleReadBytes(), s.shuffleWriteBytes(),
-                    s.memoryBytesSpilled(), s.diskBytesSpilled(),
+            for s in stages:
+                sid = s["stageId"]
+                rec = (
+                    s.get("shuffleReadBytes", 0),
+                    s.get("shuffleWriteBytes", 0),
+                    s.get("memoryBytesSpilled", 0),
+                    s.get("diskBytesSpilled", 0),
                 )
+                # keep the latest attempt's numbers for a stage id
+                if sid not in out:
+                    out[sid] = rec
             return out
 
         read()  # probe once so failures disable the feature up front
@@ -434,7 +451,12 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("bench")
+    # the stage-metrics reader uses the status REST endpoint (one
+    # http call per read — see _stage_metrics_reader), so the bench
+    # session enables the UI server the engine default disables
+    spark = get_spark("bench", extra_conf={
+        "spark.ui.enabled": "true",
+    })
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     # steady-state measurement: warm JIT/codegen/parquet paths with a
@@ -575,7 +597,7 @@ def main():
                 }
         if shuffle_regressions:
             meta["n_shuffle_regressions"] = len(shuffle_regressions)
-    elif stage_metrics and str(sf) == "0.1":
+    elif stage_metrics and str(sf) == "0.1" and not only:
         try:
             with open(shuffle_base_path, "w") as f:
                 json.dump({"sf": 0.1, "queries": stage_metrics}, f, indent=1)
@@ -649,6 +671,8 @@ def main():
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
     try:
+        if only:
+            raise OSError  # smoke mode must not clobber the artifact
         with open(full_path, "w") as f:
             json.dump({"metric": out["metric"], "value": total,
                        "unit": "sec", "sf": out["sf"], "queries": timings,
