@@ -95,6 +95,55 @@ def build_sf1eq(spark, base_sf: str, out_dir: str, n_reps: int = 10) -> None:
             shutil.copyfile(src, dst)
 
 
+def build_sf10eq(spark, base_sf: str, out_dir: str) -> None:
+    """100× documents with CONSTANT dup-group size: 100 replicas per
+    base doc as 10 salted groups of 10. Group salt = ceil(0.5·n_tok)
+    distinct md5-derived tokens appended to the text, so within-group
+    pairs stay near-dups (~(n)/(n+3) Jaccard) while cross-group pairs
+    of the same base doc land at ~1/(1+2·0.5) = 0.5 < the 0.6
+    threshold — the dup RATE stays that of sf1eq while the corpus
+    grows another 10×."""
+    os.makedirs(out_dir, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(base_sf, "documents.parquet"))
+    n_docs = 1 + (docs.agg(F.max("doc_id")).first()[0] or 0)
+    reps = (
+        docs.crossJoin(spark.range(100).withColumnRenamed("id", "rep"))
+        .select(
+            (F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
+            F.col("doc_id").alias("base_id"),
+            (F.col("rep") / 10).cast("long").alias("grp"),
+            (F.col("rep") % 10).alias("mem"),
+            "text", "lang", "source", "n_chars",
+        )
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" "),
+                F.concat_ws(" ", F.expr(
+                    "transform(sequence(1, int(greatest(1,"
+                    " size(split(text, ' ')) / 2))),"
+                    " i -> substr(md5(concat(base_id, '#', grp, '#', i)),"
+                    " 1, 10))"
+                )),
+                F.lit(" rep"), F.col("mem").cast("string"),
+            ).alias("text"),
+            "lang", "source", "n_chars",
+        )
+    )
+    reps.repartition(64).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+    import shutil
+
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        src = os.path.join(base_sf, f"{t}.parquet")
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            shutil.copyfile(src, dst)
+
+
 def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING.json"
     spark = get_spark("scaling")
@@ -129,11 +178,21 @@ def main():
     # not flagged, so the sf10-equivalent corpus only needs the doc
     # axis rebuilt; the pair-count evidence shows the setsim curve
     # keeps tracking its OUTPUT, not an input blowup.
+    #
+    # Crucially the 100× corpus keeps the REALISTIC near-dup
+    # structure: dup-GROUP size stays ~10 (as in sf1eq) while the
+    # number of groups grows 10× — 100 replicas per base doc split
+    # into 10 groups of 10, each group salted with its own ~0.5·n
+    # distinct filler shingles so cross-group Jaccard lands ~0.5,
+    # under the 0.6 threshold (naive 100-wide groups would grow the
+    # TRUE pair set quadratically in the replica count — a corpus
+    # whose every document has 99 near-copies is not a bigger corpus,
+    # it is a different, pathological one).
     decade2: dict[str, dict] = {}
     if os.environ.get("SPARK_GRAFT_SCALING_DECADE2", "1") != "0":
         sf10eq = "/tmp/sf10eq"
         t0 = time.time()
-        build_sf1eq(spark, "/root/testdata/sf0.1", sf10eq, n_reps=100)
+        build_sf10eq(spark, "/root/testdata/sf0.1", sf10eq)
         build10_sec = round(time.time() - t0, 1)
         d2_queries = [
             "q_setsim_prefix_join",   # ~10× flagged: output-driven?

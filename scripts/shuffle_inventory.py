@@ -36,12 +36,22 @@ FAMILIES = {
 }
 
 
-def n_exchanges(df) -> int:
+def exchange_profile(df) -> tuple[int, int, int]:
+    """(shuffle_exchanges, distinct_shuffle_keys, broadcast_exchanges)
+    in the physical plan. A two-sided shuffle join plans one Exchange
+    PER SIDE and a broadcast dim plans a BroadcastExchange, so the
+    node counts sit above the §4 table's per-family 'shuffle rounds
+    of the scaling relation'; distinct partitioning keys is the
+    number that maps to the logical claim."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # ReusedExchange re-reads an existing shuffle — not a new one
-    return len(re.findall(r"^(?:[^\n]*?)Exchange ", plan, re.M)) - len(
-        re.findall(r"ReusedExchange", plan)
+    shuffles = re.findall(
+        r"\bExchange (hashpartitioning\([^)]*\)|rangepartitioning\([^\]]*\]"
+        r"|SinglePartition)", plan,
     )
+    # strip expr ids (#123) so a=al#5 and a=al#9 count as one key
+    keys = {re.sub(r"#\d+L?", "", s) for s in shuffles}
+    n_bcast = len(re.findall(r"\bBroadcastExchange\b", plan))
+    return len(shuffles), len(keys), n_bcast
 
 
 def main():
@@ -59,27 +69,17 @@ def main():
     for fam, (claimed, reps) in FAMILIES.items():
         for q in reps:
             df = QUERIES[q](spark, sf_dir)
-            nx = n_exchanges(df)
+            nx, nkeys, nb = exchange_profile(df)
             m = bench.get(q, {})
-            rows.append((fam, q, claimed, nx,
+            rows.append((fam, q, claimed, nx, nkeys, nb,
                          m.get("shuffle_write_bytes"),
                          m.get("spill_disk_bytes")))
     w = max(len(r[1]) for r in rows)
-    print(f"{'family':24} {'query':{w}} claimed planned "
+    print(f"{'family':24} {'query':{w}} claimed exch keys bcast "
           "write_bytes spill")
-    ok = True
-    for fam, q, claimed, nx, wb, sp in rows:
-        flag = ""
-        # planned Exchanges may exceed the per-family claim by the
-        # small-dim broadcast-prep / AQE bookkeeping exchanges; flag
-        # only when the plan has MORE THAN DOUBLE the claimed count
-        # (+1 slack for the final agg/topk exchange)
-        if nx > 2 * claimed + 1:
-            flag = "  <-- over claim"
-            ok = False
-        print(f"{fam:24} {q:{w}} {claimed:7} {nx:7} "
-              f"{str(wb):>11} {str(sp):>5}{flag}")
-    print("PASS" if ok else "MISMATCH")
+    for fam, q, claimed, nx, nkeys, nb, wb, sp in rows:
+        print(f"{fam:24} {q:{w}} {claimed:7} {nx:4} {nkeys:4} {nb:5} "
+              f"{str(wb):>11} {str(sp):>5}")
 
 
 if __name__ == "__main__":
