@@ -50,9 +50,13 @@ def main():
     spark = get_spark("validate")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # driver testdata ships single parquet FILES; derived corpora
+        # (scaling_probe's /tmp/sf1eq etc.) are Spark-written parquet
+        # DIRECTORIES — glob those for DuckDB
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     qs, oracles = queries(), oracle_sql()
     failed = []
     results: dict[str, dict] = {}
