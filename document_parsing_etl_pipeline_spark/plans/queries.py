@@ -10141,3 +10141,319 @@ def q_ship_latency_integrity(spark, sf_dir):
         F.expr("CAST((1000 * sum(offset_days)) div count(*) AS BIGINT)")
         .alias("mean_offset_milli_days"),
     )
+
+
+# ===================================================================
+# §2.C continuation (round-7 session 2) — survival / changepoint /
+# information-theoretic / robust-statistics primitives
+# ===================================================================
+
+
+@register("q_survival_hazard", f"""
+WITH ship AS (
+    SELECT l_orderkey AS o_orderkey,
+           max(epoch_us(l_shipdate)) AS s_us
+    FROM lineitem GROUP BY 1
+), horizon AS (
+    SELECT max(epoch_us(l_shipdate)) AS h_us FROM lineitem
+), subj AS (
+    SELECT o.o_orderkey,
+           greatest((coalesce(s.s_us, h.h_us)
+                     - epoch_us(o.o_orderdate)) // {_DAY_US}, 0)
+               AS dur,
+           CASE WHEN s.s_us IS NULL THEN 0 ELSE 1 END AS ev
+    FROM orders o LEFT JOIN ship s USING (o_orderkey), horizon h
+), by_t AS (
+    SELECT dur AS t_days, sum(ev)::BIGINT AS d_events,
+           sum(1 - ev)::BIGINT AS n_censored
+    FROM subj GROUP BY 1
+), risk AS (
+    SELECT t_days, d_events, n_censored,
+           sum(d_events + n_censored)
+               OVER (ORDER BY t_days DESC)::BIGINT AS n_at_risk
+    FROM by_t
+), haz AS (
+    SELECT t_days, n_at_risk, d_events, n_censored,
+           (d_events * 1000000) // n_at_risk AS hazard_step_ppm
+    FROM risk WHERE d_events > 0
+)
+SELECT t_days, n_at_risk, d_events, n_censored, hazard_step_ppm,
+       sum(hazard_step_ppm) OVER (ORDER BY t_days)::BIGINT
+           AS cum_hazard_ppm
+FROM haz
+""")
+def q_survival_hazard(spark, sf_dir):
+    """Nelson-Aalen cumulative-hazard estimate of order-to-last-ship
+    latency with RIGHT CENSORING — the survival-analysis primitive
+    (time-to-event with subjects still open at the horizon) that
+    plain latency percentiles get wrong: an order with no shipment
+    yet is not 'missing', it is censored at the observation horizon,
+    and dropping it biases every estimate downward. Nelson-Aalen is
+    chosen over Kaplan-Meier deliberately: H(t) = SIGMA d_i/n_i is a
+    SUM, so each step can be an exact integer ppm ratio and the
+    cumulative sum is order-independent — KM's running PRODUCT of
+    doubles has no engine-portable accumulation order. Scale shape:
+    the per-order max-shipdate rollup is the only fact-sized pass
+    (map-side partial agg); the at-risk reverse cumulative sum and
+    the hazard windows run over the ≤|distinct durations| relation
+    (calendar-bounded, hundreds of rows), and the 1-row horizon
+    broadcasts. Durations clamp at 0 (synthetic ship dates are
+    uncorrelated with order dates; documented in
+    q_ship_latency_integrity)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+        .alias("s_us"),
+    )
+    ship = li.groupBy("o_orderkey").agg(F.max("s_us").alias("s_us"))
+    horizon = li.agg(F.max("s_us").alias("h_us"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        .alias("o_us"),
+    )
+    subj = (
+        o.join(ship, "o_orderkey", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.greatest(
+                F.expr(f"(coalesce(s_us, h_us) - o_us) div {_DAY_US}"),
+                F.lit(0),
+            ).alias("dur"),
+            F.when(F.col("s_us").isNull(), 0).otherwise(1).alias("ev"),
+        )
+    )
+    by_t = subj.groupBy(F.col("dur").alias("t_days")).agg(
+        F.sum("ev").cast("long").alias("d_events"),
+        F.sum(1 - F.col("ev")).cast("long").alias("n_censored"),
+    )
+    # windows over the calendar-bounded per-duration relation
+    risk = by_t.withColumn(
+        "n_at_risk",
+        F.sum(F.col("d_events") + F.col("n_censored"))
+        .over(Window.orderBy(F.col("t_days").desc()))
+        .cast("long"),
+    )
+    haz = risk.where(F.col("d_events") > 0).withColumn(
+        "hazard_step_ppm",
+        F.expr("(d_events * 1000000) div n_at_risk"),
+    )
+    return haz.select(
+        "t_days", "n_at_risk", "d_events", "n_censored",
+        "hazard_step_ppm",
+        F.sum("hazard_step_ppm")
+        .over(Window.orderBy("t_days")).cast("long")
+        .alias("cum_hazard_ppm"),
+    )
+
+
+@register("q_changepoint_cusum", f"""
+WITH daily AS (
+    SELECT epoch_us(ts) // {_DAY_US} AS day, count(*)::BIGINT AS n
+    FROM events GROUP BY 1
+), tot AS (
+    SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS n_days
+    FROM daily
+), walk AS (
+    SELECT day, n,
+           sum(n) OVER (ORDER BY day)::BIGINT AS prefix,
+           row_number() OVER (ORDER BY day)::BIGINT AS k
+    FROM daily
+), cusum AS (
+    SELECT w.day, w.n,
+           (t.n_days * w.prefix - w.k * t.total)::BIGINT
+               AS cusum_scaled
+    FROM walk w, tot t
+)
+SELECT day, n, cusum_scaled,
+       (row_number() OVER (ORDER BY abs(cusum_scaled) DESC, day)
+            = 1) AS is_changepoint
+FROM cusum
+""")
+def q_changepoint_cusum(spark, sf_dir):
+    """Offline CUSUM changepoint detection on the daily event-count
+    series: S_k = SIGMA_(i<=k) (x_i - mean), and the day maximizing
+    |S_k| is the single most likely level-shift point (Page's
+    statistic / binary-segmentation step 1). ALL-INTEGER parity: the
+    mean is never materialized — S_k is reported scaled by n_days
+    (n_days*prefix_k - k*total), an exact integer identity, so no
+    division or double touches the hash. Scale shape: one fact pass
+    to daily counts (map-side partial agg), then every window runs
+    over the ≤|days| calendar-bounded relation; the 1-row total
+    broadcasts onto it."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr(f"(ts div 1000) div {_DAY_US}").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = daily.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    w = Window.orderBy("day")
+    walk = daily.select(
+        "day", "n",
+        F.sum("n").over(w).cast("long").alias("prefix"),
+        F.row_number().over(w).cast("long").alias("k"),
+    )
+    cusum = walk.crossJoin(F.broadcast(tot)).select(
+        "day", "n",
+        (F.col("n_days") * F.col("prefix") - F.col("k") * F.col("total"))
+        .cast("long").alias("cusum_scaled"),
+    )
+    return cusum.withColumn(
+        "is_changepoint",
+        F.row_number().over(
+            Window.orderBy(F.abs(F.col("cusum_scaled")).desc(), "day")
+        ) == 1,
+    )
+
+
+@register("q_mutual_information", f"""
+WITH cells AS (
+    SELECT event_type, (epoch_us(ts) // {_DAY_US}) % 7 AS dow,
+           count(*)::BIGINT AS n_xy
+    FROM events GROUP BY 1, 2
+), mx AS (
+    SELECT event_type, sum(n_xy)::BIGINT AS n_x FROM cells GROUP BY 1
+), my AS (
+    SELECT dow, sum(n_xy)::BIGINT AS n_y FROM cells GROUP BY 1
+), tot AS (
+    SELECT sum(n_xy)::BIGINT AS n FROM cells
+), scored AS (
+    SELECT c.event_type, c.dow, c.n_xy, x.n_x, y.n_y,
+           round(ln((c.n_xy::DOUBLE * t.n) / (x.n_x::DOUBLE * y.n_y)),
+                 6) AS pmi_nats,
+           t.n
+    FROM cells c
+    JOIN mx x USING (event_type) JOIN my y USING (dow), tot t
+)
+SELECT event_type, dow, n_xy, n_x, n_y, pmi_nats,
+       (CAST(sum(n_xy * pmi_nats::DECIMAL(18,6)) OVER () * 1000000
+             AS BIGINT) // max(n) OVER ())::BIGINT
+           AS mi_total_micro_nats
+FROM scored
+""")
+def q_mutual_information(spark, sf_dir):
+    """Mutual information between event type and day-of-week — the
+    categorical dependence screen (feature selection / leakage
+    detection: MI ~ 0 means the column pair is safe to treat as
+    independent; high MI flags a confound). Emits the full PMI cell
+    table (the interpretable artifact: WHICH (type, dow) cell drives
+    the dependence) plus the corpus MI in integer micro-nats. Parity
+    protocol: ln is rounded to 6dp PER CELL, the MI total is an
+    exact decimal sum of (integer count x 6dp decimal) — order-
+    independent — and dow is pure integer epoch-day arithmetic (no
+    engine weekday convention involved). Scale shape: one fact pass
+    to the |types| x 7 contingency table; margins and the 1-row
+    total broadcast; the window total runs over the ≤35-row cell
+    relation."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            F.expr(f"((ts div 1000) div {_DAY_US}) % 7").alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count("*").cast("long").alias("n_xy"))
+    )
+    mx = cells.groupBy("event_type").agg(
+        F.sum("n_xy").cast("long").alias("n_x"))
+    my = cells.groupBy("dow").agg(
+        F.sum("n_xy").cast("long").alias("n_y"))
+    tot = cells.agg(F.sum("n_xy").cast("long").alias("n"))
+    scored = (
+        cells.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(my), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type", "dow", "n_xy", "n_x", "n_y",
+            F.round(
+                F.log(
+                    (F.col("n_xy").cast("double") * F.col("n"))
+                    / (F.col("n_x").cast("double") * F.col("n_y"))
+                ),
+                6,
+            ).alias("pmi_nats"),
+            "n",
+        )
+    )
+    wall = Window.partitionBy()
+    return scored.select(
+        "event_type", "dow", "n_xy", "n_x", "n_y", "pmi_nats",
+        F.expr(
+            "CAST(sum(n_xy * CAST(pmi_nats AS DECIMAL(18,6)))"
+            " OVER () * 1000000 AS BIGINT)"
+        ).cast("long").alias("_num"),
+        F.max("n").over(wall).alias("_den"),
+    ).select(
+        "event_type", "dow", "n_xy", "n_x", "n_y", "pmi_nats",
+        F.expr("_num div _den").cast("long")
+        .alias("mi_total_micro_nats"),
+    )
+
+
+@register("q_winsorized_stats", """
+WITH bounds AS (
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.05), 4) AS p05,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           count(*)::BIGINT AS n
+    FROM lineitem GROUP BY 1
+), clamped AS (
+    SELECT l.l_returnflag, b.p05, b.p95, b.n,
+           least(greatest(l.l_extendedprice::DECIMAL(18,6),
+                          b.p05::DECIMAL(18,6)),
+                 b.p95::DECIMAL(18,6)) AS v,
+           l.l_extendedprice::DECIMAL(18,6) AS raw
+    FROM lineitem l JOIN bounds b USING (l_returnflag)
+)
+SELECT l_returnflag, n, p05, p95,
+       (CAST(sum(raw) * 10000 AS BIGINT) // n)::BIGINT
+           AS mean_raw_e4,
+       (CAST(sum(v) * 10000 AS BIGINT) // n)::BIGINT
+           AS mean_winsor_e4
+FROM clamped GROUP BY 1, 2, 3, 4
+""")
+def q_winsorized_stats(spark, sf_dir):
+    """Winsorized (5%-95% clamped) vs raw mean of extended price per
+    return flag — the robust-statistics primitive that makes heavy-
+    tail metrics reportable: one fat-finger row moves the raw mean,
+    not the winsorized one, and the delta between the two columns IS
+    the tail-influence readout. Parity: the exact interpolated
+    percentile bounds are rounded to 4dp FIRST (both engines round
+    the same double), clamping then happens in exact DECIMAL domain,
+    and means are integer 1e-4 units via decimal sums — the repo's
+    accumulation-order-free protocol. Scale shape: two fact passes
+    (percentile agg, then clamp+sum agg) with the ≤|flags|-row
+    bounds broadcast between them; at 100 TB pass 1 swaps to the
+    t-digest sketch the same way q_events_percentiles documents."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    bounds = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.05)), 4)
+        .alias("p05"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4)
+        .alias("p95"),
+        F.count("*").cast("long").alias("n"),
+    )
+    clamped = li.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag", "n", "p05", "p95",
+        F.least(
+            F.greatest(
+                F.col("l_extendedprice").cast("decimal(18,6)"),
+                F.col("p05").cast("decimal(18,6)"),
+            ),
+            F.col("p95").cast("decimal(18,6)"),
+        ).alias("v"),
+        F.col("l_extendedprice").cast("decimal(18,6)").alias("raw"),
+    )
+    return clamped.groupBy("l_returnflag", "n", "p05", "p95").agg(
+        F.expr("CAST(sum(raw) * 10000 AS BIGINT) div n").cast("long")
+        .alias("mean_raw_e4"),
+        F.expr("CAST(sum(v) * 10000 AS BIGINT) div n").cast("long")
+        .alias("mean_winsor_e4"),
+    )
