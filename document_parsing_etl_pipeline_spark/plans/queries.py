@@ -10457,3 +10457,306 @@ def q_winsorized_stats(spark, sf_dir):
         F.expr("CAST(sum(v) * 10000 AS BIGINT) div n").cast("long")
         .alias("mean_winsor_e4"),
     )
+
+
+# ===================================================================
+# §2.F continuation (round-7 session 2) — corpus information metrics
+# ===================================================================
+
+
+@register("q_term_entropy_by_source", r"""
+WITH toks AS (
+    SELECT d.source, unnest(regexp_extract_all(lower(d.text), '\S+'))
+               AS tok
+    FROM documents d
+), tc AS (
+    SELECT source, tok, count(*)::BIGINT AS c
+    FROM toks GROUP BY 1, 2
+), tot AS (
+    SELECT source, sum(c)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS n_terms
+    FROM tc GROUP BY 1
+), surp AS (
+    SELECT tc.source, tc.c,
+           round(-ln(tc.c / t.n_tokens), 6) AS s6,
+           t.n_tokens, t.n_terms
+    FROM tc JOIN tot t USING (source)
+)
+SELECT source, max(n_tokens) AS n_tokens, max(n_terms) AS n_terms,
+       (CAST(sum(c * s6::DECIMAL(18,6)) * 1000000 AS BIGINT)
+            // max(n_tokens))::BIGINT AS entropy_micro_nats
+FROM surp GROUP BY source
+""")
+def q_term_entropy_by_source(spark, sf_dir):
+    """Shannon entropy of the token distribution per source — the
+    corpus-diversity readout that catches template farms before any
+    pair-wise dedup runs: a source whose entropy sits far below its
+    peers is emitting near-identical boilerplate (low lexical
+    diversity), and mixing-weight decisions (q_mixing_weights) read
+    exactly this signal. Parity: the per-term surprisal -ln(c/N) is
+    rounded to 6dp, the entropy is the exact decimal sum of
+    (integer count x 6dp surprisal) scaled to integer micro-nats —
+    order-independent. Scale shape: one explode pass to (source,
+    term) counts with map-side partial agg; per-source totals are a
+    ≤|sources|-row broadcast; nothing downstream exceeds the vocab
+    relation (Zipf-bounded, the repo's standing argument)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")),
+                                 F.lit(r"\S+"), 0)
+        ).alias("tok"),
+    )
+    tc = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("long").alias("c"))
+    tot = tc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+    surp = tc.join(F.broadcast(tot), "source").select(
+        "source", "c", "n_tokens", "n_terms",
+        F.round(-F.log(F.col("c") / F.col("n_tokens")), 6).alias("s6"),
+    )
+    return surp.groupBy("source").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.max("n_terms").alias("n_terms"),
+        F.expr(
+            "CAST(sum(c * CAST(s6 AS DECIMAL(18,6))) * 1000000"
+            " AS BIGINT) div max(n_tokens)"
+        ).cast("long").alias("entropy_micro_nats"),
+    )
+
+
+_OOV_V = 1000
+
+
+@register("q_oov_rate", r"""
+WITH toks AS (
+    SELECT d.doc_id, d.lang,
+           unnest(regexp_extract_all(lower(d.text), '\S+')) AS tok
+    FROM documents d
+), vocab AS (
+    SELECT tok FROM (
+        SELECT tok, count(*) AS tf,
+               row_number() OVER (ORDER BY count(*) DESC, tok) AS r
+        FROM toks GROUP BY tok
+    ) WHERE r <= {v}
+), flagged AS (
+    SELECT t.doc_id, t.lang,
+           CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+    FROM toks t LEFT JOIN vocab v USING (tok)
+)
+SELECT lang, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_tokens,
+       sum(oov)::BIGINT AS n_oov,
+       ((sum(oov) * 1000000) // count(*))::BIGINT AS oov_ppm
+FROM flagged GROUP BY lang
+""".replace("{v}", str(_OOV_V)))
+def q_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate per language against the corpus top-V
+    vocabulary — the tokenizer-coverage audit run before committing a
+    vocab size: a language whose OOV ppm spikes under the shared
+    vocab is under-served (its text will shatter into bytes/UNKs),
+    and this is the per-language readout that decision reads.
+    Deterministic vocab: top-{v} by frequency with lexicographic
+    tiebreak (TakeOrderedAndProject — no global sort materialized).
+    Scale shape: one explode pass to term counts (vocab-sized), the
+    {v}-row vocab broadcasts onto the token stream for the OOV flag,
+    then one rollup per language. At 100 TB the vocab pass and the
+    flag pass stay two linear scans with a broadcast hash join —
+    no shuffle of the token stream itself.""".replace(
+        "{v}", str(_OOV_V))
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")),
+                                 F.lit(r"\S+"), 0)
+        ).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok").agg(F.count("*").alias("tf"))
+        .orderBy(F.col("tf").desc(), "tok")
+        .limit(_OOV_V)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id", "lang",
+        F.when(F.col("in_vocab").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    return flagged.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("oov").cast("long").alias("n_oov"),
+        F.expr("CAST((sum(oov) * 1000000) div count(*) AS BIGINT)")
+        .alias("oov_ppm"),
+    )
+
+
+_BURST_TOPK = 50
+
+
+@register("q_burstiness", r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+    FROM documents
+), n AS (
+    SELECT count(*)::BIGINT AS n_docs FROM documents
+), percell AS (
+    SELECT tok, doc_id, count(*)::BIGINT AS c
+    FROM toks GROUP BY 1, 2
+), stats AS (
+    SELECT tok, sum(c)::BIGINT AS tf, count(*)::BIGINT AS df,
+           sum(c * c)::BIGINT AS sum_c2
+    FROM percell GROUP BY tok
+), scored AS (
+    SELECT s.tok, s.tf, s.df, s.sum_c2,
+           ((1000 * (n.n_docs * s.sum_c2 - s.tf * s.tf))
+                // (n.n_docs * s.tf))::BIGINT AS vmr_milli
+    FROM stats s, n WHERE s.df >= 3
+)
+SELECT tok, tf, df, sum_c2, vmr_milli,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (ORDER BY vmr_milli DESC, tok) AS rank
+    FROM scored
+) WHERE rank <= {k}
+""".replace("{k}", str(_BURST_TOPK)))
+def q_burstiness(spark, sf_dir):
+    """Term burstiness (variance-to-mean ratio of per-document counts,
+    zeros included) — the corpus statistic that separates TOPICAL
+    terms (bursty: absent from most docs, dense where they appear)
+    from FUNCTION words (Poisson-like, VMR~1); content-term
+    extraction, keyword weighting and the tfidf sanity-check all
+    read it. ALL-INTEGER identity: with mu = tf/N, VMR = var/mu =
+    (N*SIGMA c^2 - tf^2)/(N*tf) — reported in exact integer milli
+    (zeros of absent docs enter through the identity without being
+    materialized). Scale shape: explode -> (term, doc) cell counts
+    (map-side partial agg) -> vocab-sized stats relation; the 1-row
+    corpus count broadcasts; top-k via row_number on the vocab-sized
+    scored relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")),
+                                 F.lit(r"[a-z]+"), 0)
+        ).alias("tok"),
+    )
+    n = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    percell = toks.groupBy("tok", "doc_id").agg(
+        F.count("*").cast("long").alias("c"))
+    stats = percell.groupBy("tok").agg(
+        F.sum("c").cast("long").alias("tf"),
+        F.count("*").cast("long").alias("df"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+    )
+    scored = (
+        stats.where(F.col("df") >= 3)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok", "tf", "df", "sum_c2",
+            F.expr(
+                "CAST((1000 * (n_docs * sum_c2 - tf * tf))"
+                " div (n_docs * tf) AS BIGINT)"
+            ).alias("vmr_milli"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("vmr_milli").desc(), "tok")),
+    )
+    return ranked.where(F.col("rank") <= _BURST_TOPK).select(
+        "tok", "tf", "df", "sum_c2", "vmr_milli",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@register("q_flesch_readability", r"""
+WITH sents AS (
+    SELECT doc_id,
+           greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS n_sentences
+    FROM documents
+), words AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents
+), syl AS (
+    SELECT doc_id, count(*)::BIGINT AS n_words,
+           sum(greatest(len(regexp_extract_all(w, '[aeiouy]+')),
+                        1))::BIGINT AS n_syllables
+    FROM words GROUP BY doc_id
+), scored AS (
+    SELECT s.doc_id, s.n_sentences::BIGINT AS n_sentences,
+           y.n_words, y.n_syllables,
+           (206835 - (1015 * y.n_words) // s.n_sentences
+                   - (84600 * y.n_syllables) // y.n_words)::BIGINT
+               AS flesch_milli
+    FROM sents s JOIN syl y USING (doc_id)
+)
+SELECT doc_id, n_sentences, n_words, n_syllables, flesch_milli,
+       CASE WHEN flesch_milli >= 70000 THEN 'easy'
+            WHEN flesch_milli >= 50000 THEN 'standard'
+            WHEN flesch_milli >= 30000 THEN 'difficult'
+            ELSE 'very_difficult' END AS band
+FROM scored
+""")
+def q_flesch_readability(spark, sf_dir):
+    """Flesch reading-ease per document with a vowel-group syllable
+    heuristic — the classical readability gate in web-corpus
+    curation stacks (a quality signal orthogonal to q_gopher_filters'
+    structural ratios: boilerplate can pass length checks yet score
+    as unreadable). ALL-INTEGER parity: sentence / word / vowel-group
+    counts are integers and the score is computed in floor-divided
+    milli-points (206.835 - 1.015 W/S - 84.6 Syl/W, x1000) — no
+    double touches the hash; both guards (>=1 sentence, words>0 via
+    the syl join dropping wordless docs... kept: docs with zero
+    alpha words drop out of the join, deliberately) are identical in
+    both engines. Scale shape: one doc-level regexp pass for
+    sentences, one explode pass for words/syllables folded map-side
+    per doc; the join is doc-keyed (co-partitioned by the same
+    groupBy key), output is one row per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    sents = docs.select(
+        "doc_id",
+        F.greatest(
+            F.size(F.regexp_extract_all(
+                F.col("text"), F.lit(r"[.!?]+"), 0)),
+            F.lit(1),
+        ).cast("long").alias("n_sentences"),
+    )
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")),
+                                 F.lit(r"[a-z]+"), 0)
+        ).alias("w"),
+    )
+    syl = words.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(
+            F.greatest(
+                F.size(F.regexp_extract_all(
+                    F.col("w"), F.lit(r"[aeiouy]+"), 0)),
+                F.lit(1),
+            )
+        ).cast("long").alias("n_syllables"),
+    )
+    scored = sents.join(syl, "doc_id").select(
+        "doc_id", "n_sentences", "n_words", "n_syllables",
+        F.expr(
+            "CAST(206835 - (1015 * n_words) div n_sentences"
+            " - (84600 * n_syllables) div n_words AS BIGINT)"
+        ).alias("flesch_milli"),
+    )
+    return scored.withColumn(
+        "band",
+        F.when(F.col("flesch_milli") >= 70000, "easy")
+        .when(F.col("flesch_milli") >= 50000, "standard")
+        .when(F.col("flesch_milli") >= 30000, "difficult")
+        .otherwise("very_difficult"),
+    )
