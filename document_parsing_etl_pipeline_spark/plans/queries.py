@@ -10760,3 +10760,347 @@ def q_flesch_readability(spark, sf_dir):
         .when(F.col("flesch_milli") >= 30000, "difficult")
         .otherwise("very_difficult"),
     )
+
+
+# ===================================================================
+# §2.C/F continuation (round-7 session 2, batch C) — distribution
+# divergence / seasonality strength / bounce / elasticity
+# ===================================================================
+
+
+@register("q_js_source_divergence", r"""
+WITH toks AS (
+    SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+    FROM documents
+), tc AS (
+    SELECT source, tok, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2
+), tot AS (
+    SELECT source, sum(c)::BIGINT AS n FROM tc GROUP BY 1
+), shared AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           a.c AS ca, b.c AS cb, ta.n AS na, tb.n AS nb
+    FROM tc a JOIN tc b ON a.tok = b.tok AND a.source < b.source
+    JOIN tot ta ON ta.source = a.source
+    JOIN tot tb ON tb.source = b.source
+), scored AS (
+    SELECT source_a, source_b, na, nb, ca, cb,
+           round(0.5 * (
+               (ca::DOUBLE / na)
+                   * ln((2.0 * (ca::DOUBLE / na))
+                        / (ca::DOUBLE / na + cb::DOUBLE / nb))
+             + (cb::DOUBLE / nb)
+                   * ln((2.0 * (cb::DOUBLE / nb))
+                        / (ca::DOUBLE / na + cb::DOUBLE / nb))
+           ), 6) AS c6
+    FROM shared
+), agg AS (
+    SELECT source_a, source_b, max(na) AS n_a, max(nb) AS n_b,
+           sum(ca)::BIGINT AS shared_a, sum(cb)::BIGINT AS shared_b,
+           sum(c6::DECIMAL(18,6)) AS shared_contrib
+    FROM scored GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_a, n_b, shared_a, shared_b,
+       CAST((shared_contrib + CAST(round(
+                0.5 * ln(2.0) * ((n_a - shared_a)::DOUBLE / n_a
+                                 + (n_b - shared_b)::DOUBLE / n_b),
+                6) AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+           AS jsd_micro_nats
+FROM agg
+""")
+def q_js_source_divergence(spark, sf_dir):
+    """Jensen-Shannon divergence between every source pair's token
+    distribution — the symmetric, bounded (≤ ln 2) corpus-drift
+    metric that answers 'are these two feeds the same kind of
+    text?' before mixing them (KL explodes on disjoint support; JSD
+    doesn't, which is exactly the web-corpus case). Decomposition
+    for exactness: shared-term contributions are 6dp-rounded per
+    term and decimal-summed; the EXCLUSIVE-term mass contributes a
+    closed-form 0.5·ln2·((1-Sa)+(1-Sb)) term computed from exact
+    integer shared-mass sums — so absent terms are never
+    materialized as zero rows. Scale shape: one explode pass to
+    per-source term counts (vocab x |sources|); the pair self-join
+    on term is vocab-bounded x C(|sources|,2); totals broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")),
+                                 F.lit(r"\S+"), 0)
+        ).alias("tok"),
+    )
+    tc = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("long").alias("c"))
+    tot = tc.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    a = tc.select(F.col("source").alias("source_a"), "tok",
+                  F.col("c").alias("ca"))
+    b = tc.select(F.col("source").alias("source_b"), "tok",
+                  F.col("c").alias("cb"))
+    ta_ = tot.select(F.col("source").alias("source_a"),
+                     F.col("n").alias("na"))
+    tb_ = tot.select(F.col("source").alias("source_b"),
+                     F.col("n").alias("nb"))
+    shared = (
+        a.join(b, "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(ta_), "source_a")
+        .join(F.broadcast(tb_), "source_b")
+    )
+    scored = shared.select(
+        "source_a", "source_b", "na", "nb", "ca", "cb",
+        F.round(
+            0.5 * (
+                (F.col("ca").cast("double") / F.col("na"))
+                * F.log(
+                    (2.0 * (F.col("ca").cast("double") / F.col("na")))
+                    / (F.col("ca").cast("double") / F.col("na")
+                       + F.col("cb").cast("double") / F.col("nb"))
+                )
+                + (F.col("cb").cast("double") / F.col("nb"))
+                * F.log(
+                    (2.0 * (F.col("cb").cast("double") / F.col("nb")))
+                    / (F.col("ca").cast("double") / F.col("na")
+                       + F.col("cb").cast("double") / F.col("nb"))
+                )
+            ),
+            6,
+        ).alias("c6"),
+    )
+    agg = scored.groupBy("source_a", "source_b").agg(
+        F.max("na").alias("n_a"), F.max("nb").alias("n_b"),
+        F.sum("ca").cast("long").alias("shared_a"),
+        F.sum("cb").cast("long").alias("shared_b"),
+        F.sum(F.col("c6").cast("decimal(18,6)")).alias("shared_contrib"),
+    )
+    return agg.select(
+        "source_a", "source_b", "n_a", "n_b", "shared_a", "shared_b",
+        F.expr(
+            "CAST((shared_contrib + CAST(round("
+            " 0.5 * ln(2.0) * ((CAST(n_a - shared_a AS DOUBLE) / n_a)"
+            " + (CAST(n_b - shared_b AS DOUBLE) / n_b)),"
+            " 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT)"
+        ).alias("jsd_micro_nats"),
+    )
+
+
+@register("q_seasonality_strength", f"""
+WITH daily AS (
+    SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+           count(*)::BIGINT AS x
+    FROM events GROUP BY 1, 2
+), grp AS (
+    SELECT event_type, day % 7 AS dow,
+           sum(x)::BIGINT AS s_g, count(*)::BIGINT AS c_g,
+           sum(x * x)::BIGINT AS ss_g
+    FROM daily GROUP BY 1, 2
+), tot AS (
+    SELECT event_type, sum(s_g)::BIGINT AS t,
+           sum(c_g)::BIGINT AS n_days, sum(ss_g)::BIGINT AS ssq
+    FROM grp GROUP BY 1
+), parts AS (
+    SELECT g.event_type,
+           sum((g.s_g * g.s_g * 1000000) // g.c_g)::BIGINT AS term_e6
+    FROM grp g GROUP BY 1
+)
+SELECT t.event_type, t.n_days,
+       (p.term_e6 - (t.t * t.t * 1000000) // t.n_days)::BIGINT
+           AS ss_between_e6,
+       (t.ssq * 1000000 - (t.t * t.t * 1000000) // t.n_days)::BIGINT
+           AS ss_total_e6,
+       ((p.term_e6 - (t.t * t.t * 1000000) // t.n_days) * 1000000
+            // (t.ssq * 1000000 - (t.t * t.t * 1000000) // t.n_days)
+       )::BIGINT AS eta2_ppm
+FROM tot t JOIN parts p USING (event_type)
+""")
+def q_seasonality_strength(spark, sf_dir):
+    """Weekday-seasonality STRENGTH per event type — one-way ANOVA
+    eta-squared (SS_between/SS_total over day-of-week groups) on the
+    daily count series, in integer ppm: 'how much of this metric's
+    daily variance is just the weekly rhythm?' is the question every
+    anomaly threshold and forecast-model choice starts with, and
+    eta^2~0 vs ~1 decides whether q_seasonal_anomaly's dow-profile
+    adjustment is even needed. ALL-INTEGER parity: group terms
+    S_g^2/c_g are floor-divided at 1e6 scale (deterministic both
+    engines), SST uses the same scaled identity N*SSQ-like form —
+    no double anywhere. Scale shape: one fact pass to daily counts,
+    then everything runs on the ≤ 7·|types|-row group relation; dow
+    is integer epoch-day arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(f"(ts div 1000) div {_DAY_US}").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    grp = (
+        daily.withColumn("dow", F.expr("day % 7"))
+        .groupBy("event_type", "dow")
+        .agg(
+            F.sum("x").cast("long").alias("s_g"),
+            F.count("*").cast("long").alias("c_g"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("ss_g"),
+        )
+    )
+    tot = grp.groupBy("event_type").agg(
+        F.sum("s_g").cast("long").alias("t"),
+        F.sum("c_g").cast("long").alias("n_days"),
+        F.sum("ss_g").cast("long").alias("ssq"),
+    )
+    parts = grp.groupBy("event_type").agg(
+        F.sum(F.expr("(s_g * s_g * 1000000) div c_g"))
+        .cast("long").alias("term_e6")
+    )
+    return tot.join(parts, "event_type").select(
+        "event_type", "n_days",
+        F.expr("term_e6 - (t * t * 1000000) div n_days")
+        .cast("long").alias("ss_between_e6"),
+        F.expr("ssq * 1000000 - (t * t * 1000000) div n_days")
+        .cast("long").alias("ss_total_e6"),
+        F.expr(
+            "(term_e6 - (t * t * 1000000) div n_days) * 1000000"
+            " div (ssq * 1000000 - (t * t * 1000000) div n_days)"
+        ).cast("long").alias("eta2_ppm"),
+    )
+
+
+@register("q_sessionized_bounce", f"""
+WITH ordered AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id)
+               AS prev_us
+    FROM events
+), flagged AS (
+    SELECT *, CASE WHEN prev_us IS NULL
+                     OR ts_us - prev_us > {_SESSION_GAP_US}
+                   THEN 1 ELSE 0 END AS is_new
+    FROM ordered
+), sessions AS (
+    SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS session_id
+    FROM flagged
+), per_sess AS (
+    SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+           (min(ts_us) // {_DAY_US}) % 7 AS dow
+    FROM sessions GROUP BY 1, 2
+)
+SELECT dow::BIGINT AS dow, count(*)::BIGINT AS n_sessions,
+       sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT
+           AS n_bounces,
+       ((sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000)
+            // count(*))::BIGINT AS bounce_ppm,
+       ((sum(n_events) * 1000) // count(*))::BIGINT
+           AS mean_events_milli
+FROM per_sess GROUP BY 1
+""")
+def q_sessionized_bounce(spark, sf_dir):
+    """Bounce rate by day-of-week over gap-sessionized activity — the
+    engagement-quality readout (a 'bounce' is a single-event
+    session) that raw event counts hide: identical traffic volume
+    with doubling bounce rate is a product regression, and weekday
+    stratification separates weekend browsing from weekday intent.
+    Reuses the repo's canonical 30-min-gap sessionization (the same
+    windows as q_events_sessionize — per-user partitions, no global
+    window on the fact), then rolls sessions up to the 7-row dow
+    relation with integer ppm/milli metrics. Scale shape: the
+    per-user lag+cumsum windows shuffle once on user_id; session
+    rollup rides the same partitioning (partial agg); final 7-row
+    rollup is trivial."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000"))
+    w_order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "prev_us", F.lag("ts_us").over(w_order)
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.col("ts_us") - F.col("prev_us") > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w_order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_sess = sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.expr(f"(min(ts_us) div {_DAY_US}) % 7").alias("dow"),
+    )
+    return per_sess.groupBy(F.col("dow").cast("long").alias("dow")).agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long").alias("n_bounces"),
+        F.expr(
+            "CAST((sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)"
+            " * 1000000) div count(*) AS BIGINT)"
+        ).alias("bounce_ppm"),
+        F.expr("CAST((sum(n_events) * 1000) div count(*) AS BIGINT)")
+        .alias("mean_events_milli"),
+    )
+
+
+@register("q_discount_elasticity", """
+WITH pts AS (
+    SELECT p.p_brand,
+           CAST(round(l.l_discount * 10000) AS BIGINT) AS x_bp,
+           CAST(l.l_quantity AS BIGINT) AS y
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), sums AS (
+    SELECT p_brand, count(*)::BIGINT AS n,
+           sum(x_bp)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+           sum(x_bp * y)::BIGINT AS sxy,
+           sum(x_bp * x_bp)::BIGINT AS sxx
+    FROM pts GROUP BY 1
+)
+SELECT p_brand, n, sx, sy,
+       ((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx))::BIGINT
+           AS slope_micro_qty_per_bp
+FROM sums WHERE n * sxx - sx * sx > 0
+""")
+def q_discount_elasticity(spark, sf_dir):
+    """Per-brand discount elasticity of demand: the OLS slope of
+    ordered quantity on discount basis points — the pricing-team
+    readout ('does a deeper discount actually move volume for THIS
+    brand?') that q_trend_slope's global time-trend can't answer.
+    ALL-INTEGER closed form: discounts become exact integer basis
+    points (round of a 2dp-scaled double — same double, same round
+    both engines), quantities are integral, and the slope is the
+    scaled integer identity (n·Σxy − ΣxΣy)·1e6 / (n·Σxx − Σx²) with
+    zero-variance brands filtered by the same integer predicate.
+    Scale shape: one fact⋈dim join (part is SF-scaling — no
+    broadcast hint, AQE decides, the repo rule), map-side partial
+    sums, output ≤ |brands| rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("CAST(round(l_discount * 10000) AS BIGINT)")
+        .alias("x_bp"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    sums = (
+        li.join(part, "l_partkey")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x_bp").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x_bp") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x_bp") * F.col("x_bp")).cast("long")
+            .alias("sxx"),
+        )
+    )
+    return sums.where(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0
+    ).select(
+        "p_brand", "n", "sx", "sy",
+        F.expr(
+            "(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)"
+        ).cast("long").alias("slope_micro_qty_per_bp"),
+    )
