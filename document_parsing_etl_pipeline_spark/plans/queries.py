@@ -11104,3 +11104,274 @@ def q_discount_elasticity(spark, sf_dir):
             "(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)"
         ).cast("long").alias("slope_micro_qty_per_bp"),
     )
+
+
+# ===================================================================
+# §2.D/F continuation (round-7 session 2, batch D) — graph degree /
+# diversity / vocabulary growth / novelty
+# ===================================================================
+
+
+@register("q_degree_distribution", _CC_CTES + """
+, deg AS (
+    SELECT a AS doc_id, count(*)::BIGINT AS degree
+    FROM edges GROUP BY a
+), n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+nz AS (SELECT count(*)::BIGINT AS n_with_edges FROM deg),
+hist AS (
+    SELECT degree, count(*)::BIGINT AS n_docs_at_degree FROM deg
+    GROUP BY 1
+    UNION ALL
+    SELECT 0, n.n_docs - nz.n_with_edges FROM n, nz
+)
+SELECT degree, n_docs_at_degree,
+       (SELECT (sum(degree * n_docs_at_degree) / 2)::BIGINT
+        FROM hist) AS n_edges_total
+FROM hist
+""")
+def q_degree_distribution(spark, sf_dir):
+    """Degree distribution of the near-dup graph (including the
+    degree-0 mass) — the graph-shape readout that VALIDATES the
+    dedup pipeline's scaling assumptions: the LSH bucket caps and
+    the components contraction both rely on near-dup degrees being
+    small and flat, and a heavy-tailed degree histogram (one doc
+    matching thousands) is the template-spam signature that shows up
+    HERE before it blows up a pair join. Consumes the memoized
+    verified-pair relation (the corpus snapshot artifact — same as
+    components/cluster-sizes, computed once per session); the degree
+    rollup, the 1-row totals, and the histogram are all
+    ≤|clustered-docs|-sized. Degree-0 docs enter by arithmetic
+    (n_docs − n_with_edges), never materialized."""
+    pairs = _jaccard_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("doc_id")
+    ).unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+    deg = edges.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("degree"))
+    n = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").cast("long").alias("n_docs"))
+    nz = deg.agg(F.count("*").cast("long").alias("n_with_edges"))
+    hist = deg.groupBy("degree").agg(
+        F.count("*").cast("long").alias("n_docs_at_degree")
+    ).unionAll(
+        F.broadcast(n).crossJoin(F.broadcast(nz)).select(
+            F.lit(0).cast("long").alias("degree"),
+            (F.col("n_docs") - F.col("n_with_edges")).cast("long")
+            .alias("n_docs_at_degree"),
+        )
+    )
+    tot = hist.agg(
+        F.expr("CAST(sum(degree * n_docs_at_degree) / 2 AS BIGINT)")
+        .alias("n_edges_total"))
+    return hist.crossJoin(F.broadcast(tot))
+
+
+@register("q_simpson_diversity", r"""
+WITH toks AS (
+    SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+    FROM documents
+), tc AS (
+    SELECT source, tok, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2
+), agg AS (
+    SELECT source, sum(c)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS n_terms,
+           sum(c * (c - 1))::BIGINT AS coll
+    FROM tc GROUP BY 1
+)
+SELECT source, n_tokens, n_terms,
+       ((coll * 1000000) // (n_tokens * (n_tokens - 1)))::BIGINT
+           AS simpson_ppm,
+       (1000000 - (coll * 1000000) // (n_tokens * (n_tokens - 1)))::BIGINT
+           AS diversity_ppm
+FROM agg
+""")
+def q_simpson_diversity(spark, sf_dir):
+    """Simpson's concentration index per source — the probability two
+    random tokens from a source are the SAME type, with its
+    complement (Gini-Simpson diversity). The all-integer companion
+    to q_term_entropy_by_source: entropy weights rare types
+    logarithmically, Simpson squares the heavy hitters, so a source
+    that looks fine on entropy but spikes Simpson's lambda is
+    dominated by a handful of boilerplate tokens — the exact failure
+    the mixing-weight pass needs to see. Parity: lambda =
+    Σc(c−1)/(N(N−1)) is integer-exact in ppm (no double anywhere).
+    Scale shape: identical to the entropy query — one explode pass,
+    vocab-bounded per-source counts, |sources|-row output."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "source",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")),
+                                     F.lit(r"\S+"), 0)
+            ).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    agg = tc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("coll"),
+    )
+    return agg.select(
+        "source", "n_tokens", "n_terms",
+        F.expr(
+            "CAST((coll * 1000000) div (n_tokens * (n_tokens - 1))"
+            " AS BIGINT)"
+        ).alias("simpson_ppm"),
+        F.expr(
+            "CAST(1000000 - (coll * 1000000)"
+            " div (n_tokens * (n_tokens - 1)) AS BIGINT)"
+        ).alias("diversity_ppm"),
+    )
+
+
+_HEAPS_CHECKPOINTS = 10
+
+
+@register("q_heaps_law", r"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+    FROM documents
+), firsts AS (
+    SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok
+), n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+marks AS (
+    SELECT unnest(generate_series(1, {k})) AS i
+), cuts AS (
+    SELECT m.i, (n.n_docs * m.i) // {k} AS cut_doc
+    FROM marks m, n
+), vocab_at AS (
+    SELECT c.i, c.cut_doc,
+           (SELECT count(*) FROM firsts f
+            WHERE f.first_doc < c.cut_doc)::BIGINT AS vocab_size,
+           (SELECT count(*) FROM toks t
+            WHERE t.doc_id < c.cut_doc)::BIGINT AS corpus_tokens
+    FROM cuts c
+)
+SELECT i::BIGINT AS checkpoint, cut_doc::BIGINT AS cut_doc,
+       corpus_tokens, vocab_size
+FROM vocab_at
+""".replace("{k}", str(_HEAPS_CHECKPOINTS)))
+def q_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth curve: distinct-type count vs
+    corpus-token count at {k} doc-ordered checkpoints — the readout
+    that sizes a tokenizer vocab and detects corpus exhaustion (a
+    flattening curve means new data stops bringing new language;
+    still-linear growth means the vocab budget is under-provisioned).
+    Distributed trick: NO prefix re-scan per checkpoint — each
+    term's FIRST document (min doc_id, one vocab-sized agg) places
+    it on the curve, and each checkpoint's vocab is 'terms whose
+    first_doc precedes the cut', a broadcast theta-join of {k} cut
+    rows onto the vocab-sized firsts relation (same for token
+    counts, doc-sized). Everything after the explode is one pass +
+    two small joins; no window, no iteration.""".replace(
+        "{k}", str(_HEAPS_CHECKPOINTS))
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")),
+                                 F.lit(r"\S+"), 0)
+        ).alias("tok"),
+    )
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    n = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    cuts = (
+        spark.range(1, _HEAPS_CHECKPOINTS + 1)
+        .withColumnRenamed("id", "i")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            F.expr(f"(n_docs * i) div {_HEAPS_CHECKPOINTS}")
+            .alias("cut_doc"),
+        )
+    )
+    vocab_at = (
+        firsts.crossJoin(F.broadcast(cuts))
+        .where(F.col("first_doc") < F.col("cut_doc"))
+        .groupBy("i", "cut_doc")
+        .agg(F.count("*").cast("long").alias("vocab_size"))
+    )
+    toks_at = (
+        toks.select("doc_id").crossJoin(F.broadcast(cuts))
+        .where(F.col("doc_id") < F.col("cut_doc"))
+        .groupBy("i", "cut_doc")
+        .agg(F.count("*").cast("long").alias("corpus_tokens"))
+    )
+    return (
+        vocab_at.join(toks_at, ["i", "cut_doc"])
+        .select(
+            F.col("i").cast("long").alias("checkpoint"),
+            F.col("cut_doc").cast("long"),
+            "corpus_tokens", "vocab_size",
+        )
+    )
+
+
+_NOVEL_N = 5
+
+
+@register("q_shingle_novelty", r"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           md5(list_aggregate(ws[i:i+{n}-1], 'string_agg', ' ')) AS h
+    FROM toks, unnest(generate_series(1, greatest(len(ws) - {n} + 1, 1)))
+         AS t(i)
+    WHERE len(ws) >= 1
+), df AS (
+    SELECT h, count(DISTINCT doc_id)::BIGINT AS df FROM sh GROUP BY h
+), per_doc AS (
+    SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
+           sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique
+    FROM sh s JOIN df d USING (h) GROUP BY s.doc_id
+)
+SELECT doc_id, n_shingles, n_unique,
+       ((n_unique * 1000000) // n_shingles)::BIGINT AS novelty_ppm
+FROM per_doc
+""".replace("{n}", str(_NOVEL_N)))
+def q_shingle_novelty(spark, sf_dir):
+    """Per-document novelty: the fraction of a doc's word {n}-gram
+    shingles that appear NOWHERE else in the corpus — the
+    document-granular complement to pairwise dedup (a doc can evade
+    every pairwise threshold yet be 95% recombined boilerplate; its
+    novelty ppm says so directly), and the metric data-mixing
+    recipes weight 'fresh' content by. Shingle identity is the md5
+    of the space-joined window (the repo's shingle convention), df
+    comes from one vocab-style rollup, and each doc's unique-share
+    joins back shingle-keyed — explode, two aggs, one join, integer
+    ppm. Docs shorter than {n} words contribute their whole text as
+    one truncated shingle (both engines, same rule).""".replace(
+        "{n}", str(_NOVEL_N))
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")),
+                             F.lit(r"\S+"), 0).alias("ws"),
+    ).where(F.size("ws") >= 1)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(ws) - {_NOVEL_N}"
+                f" + 1, 1)), i -> md5(array_join(slice(ws, i,"
+                f" {_NOVEL_N}), ' ')))"
+            )
+        ).alias("h"),
+    )
+    df = sh.groupBy("h").agg(
+        F.countDistinct("doc_id").cast("long").alias("df"))
+    per_doc = sh.join(df, "h").groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+        .cast("long").alias("n_unique"),
+    )
+    return per_doc.select(
+        "doc_id", "n_shingles", "n_unique",
+        F.expr("CAST((n_unique * 1000000) div n_shingles AS BIGINT)")
+        .alias("novelty_ppm"),
+    )
