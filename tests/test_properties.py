@@ -527,3 +527,111 @@ def test_equi_depth_buckets_cover_and_order(spark):
     ).fetchone()[0]
     for r in rows:
         assert r.n_rows <= 2 * ideal + max_tie
+
+
+def test_survival_hazard_invariants(spark):
+    """Nelson-Aalen structure on real data: at-risk counts strictly
+    decrease in t, cumulative hazard is nondecreasing, every step is
+    the exact integer ppm of its (d, n_at_risk) pair, and the
+    at-risk count at the earliest event time covers every subject
+    with duration >= that time."""
+    from document_parsing_etl_pipeline_spark.plans.queries import QUERIES
+
+    rows = (QUERIES["q_survival_hazard"](spark, "/root/testdata/sf0.001")
+            .orderBy("t_days").collect())
+    assert rows
+    prev_risk, prev_cum = None, 0
+    for r in rows:
+        assert r.hazard_step_ppm == (r.d_events * 1_000_000) // r.n_at_risk
+        assert r.cum_hazard_ppm >= prev_cum
+        prev_cum = r.cum_hazard_ppm
+        if prev_risk is not None:
+            assert r.n_at_risk < prev_risk
+        prev_risk = r.n_at_risk
+
+
+def test_cusum_flags_injected_level_shift(spark):
+    """A constructed series with a known level shift: the CUSUM
+    argmax lands exactly on the last day of the low regime."""
+    import pandas as pd
+
+    from document_parsing_etl_pipeline_spark.plans import queries as Q
+
+    # 10 days at 100/day then 10 days at 200/day -> |S_k| peaks at k=10
+    counts = [100] * 10 + [200] * 10
+    day_us = 86_400_000_000
+    recs = []
+    eid = 0
+    for d, c in enumerate(counts):
+        for i in range(c):
+            recs.append((eid, (d * day_us + i) * 1000, 1, "click", 1.0,
+                         "{}"))
+            eid += 1
+    import os
+    import tempfile
+    tmp = tempfile.mkdtemp()
+    pdf = pd.DataFrame(
+        recs, columns=["event_id", "ts", "user_id", "event_type",
+                       "value", "props"])
+    # write with ts as int64 nanos — the long branch of catalog.load_table
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        os.path.join(tmp, "events.parquet"))
+    out = Q.QUERIES["q_changepoint_cusum"](spark, tmp).collect()
+    cp = [r.day for r in out if r.is_changepoint]
+    assert cp == [9]  # 0-indexed day 9 = last low-regime day
+
+
+def test_burstiness_matches_python_recompute(spark):
+    """VMR identity vs a direct python recompute on the corpus."""
+    import re
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from document_parsing_etl_pipeline_spark.plans.queries import QUERIES
+
+    got = {r.tok: (r.tf, r.df, r.sum_c2, r.vmr_milli)
+           for r in QUERIES["q_burstiness"](
+               spark, "/root/testdata/sf0.001").collect()}
+    docs = duckdb.sql(
+        "SELECT doc_id, text FROM"
+        " '/root/testdata/sf0.001/documents.parquet'").fetchall()
+    n_docs = len(docs)
+    cells = defaultdict(Counter)
+    for doc_id, text in docs:
+        for tok in re.findall(r"[a-z]+", text.lower()):
+            cells[tok][doc_id] += 1
+    for tok, (tf, df, sum_c2, vmr) in got.items():
+        c = cells[tok]
+        assert sum(c.values()) == tf and len(c) == df
+        s2 = sum(v * v for v in c.values())
+        assert s2 == sum_c2
+        assert vmr == (1000 * (n_docs * s2 - tf * tf)) // (n_docs * tf)
+
+
+def test_heaps_law_monotone_and_exhaustive(spark):
+    """Vocab and token counts are nondecreasing across checkpoints
+    and the final checkpoint equals the full-corpus vocabulary."""
+    import re
+
+    import duckdb
+
+    from document_parsing_etl_pipeline_spark.plans.queries import QUERIES
+
+    rows = (QUERIES["q_heaps_law"](spark, "/root/testdata/sf0.001")
+            .orderBy("checkpoint").collect())
+    assert len(rows) == 10
+    for a, b in zip(rows, rows[1:]):
+        assert b.vocab_size >= a.vocab_size
+        assert b.corpus_tokens >= a.corpus_tokens
+    docs = duckdb.sql(
+        "SELECT text FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    vocab = set()
+    n_toks = 0
+    for (text,) in docs:
+        toks = re.findall(r"\S+", text.lower())
+        vocab.update(toks)
+        n_toks += len(toks)
+    assert rows[-1].vocab_size == len(vocab)
+    assert rows[-1].corpus_tokens == n_toks

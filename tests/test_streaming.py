@@ -654,3 +654,133 @@ def test_session_timeout_stream_sorts_across_arrow_chunks(tmp_path, spark):
     )
     assert [r.n_events for r in rows] == [1, 1]
     assert [r.sum_value for r in rows] == [1.0, 4.0]
+
+
+def _drop_items(path, items, start_id=0, ts0=0):
+    rows = [
+        {"item": it, "ts_us": ts0 + i, "event_id": start_id + i}
+        for i, it in enumerate(items)
+    ]
+    path.write_text("\n".join(json.dumps(r) for r in rows))
+
+
+def test_topk_stream_space_saving_bounds(tmp_path, spark):
+    """Space-Saving guarantees under capacity pressure: every item
+    with true count > n/m is tracked, and true <= count <= true+err
+    for every tracked item; state stays bounded at m counters."""
+    from collections import Counter
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from document_parsing_etl_pipeline_spark.streaming import topk
+
+    drop = tmp_path / "items"
+    drop.mkdir()
+    items = (["a"] * 50 + ["b"] * 20 + ["c"] * 6
+             + list("defghijk"))  # 8 singletons force evictions
+    _drop_items(drop / "x.json", items)
+    schema = StructType([
+        StructField("item", StringType()),
+        StructField("ts_us", LongType()),
+        StructField("event_id", LongType()),
+    ])
+    stream = spark.readStream.format("json").schema(schema).load(str(drop))
+    out = topk.topk_stream(stream, m=3, shards=1)
+    q = (out.writeStream.format("memory").queryName("topk1")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck1"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT * FROM topk1 WHERE seq = (SELECT max(seq) FROM topk1)"
+    ).collect()
+    true = Counter(items)
+    n = len(items)
+    emitted = {r.item: (r["count"], r.err) for r in got}
+    assert len(emitted) <= 3
+    assert all(r.n_processed == n for r in got)
+    # guarantee 1: every item above the n/m frequency bar is tracked
+    for it, c in true.items():
+        if c > n / 3:
+            assert it in emitted, f"heavy hitter {it} lost"
+    # guarantee 2: overestimate bounded by err
+    for it, (cnt, err) in emitted.items():
+        assert true[it] <= cnt <= true[it] + err, (it, cnt, err)
+
+
+def test_topk_stream_state_carries_across_runs(tmp_path, spark):
+    """The shard summary persists in keyed state across restarts
+    (same checkpoint): a second availableNow run folds new arrivals
+    onto the prior counters instead of starting from zero."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from document_parsing_etl_pipeline_spark.streaming import topk
+
+    drop = tmp_path / "items2"
+    drop.mkdir()
+    schema = StructType([
+        StructField("item", StringType()),
+        StructField("ts_us", LongType()),
+        StructField("event_id", LongType()),
+    ])
+    _drop_items(drop / "a.json", ["x"] * 5 + ["y"] * 2)
+
+    sink = str(tmp_path / "out2")
+
+    def run():
+        stream = (spark.readStream.format("json").schema(schema)
+                  .load(str(drop)))
+        out = topk.topk_stream(stream, m=4, shards=1)
+        q = (out.writeStream.format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", str(tmp_path / "ck2"))
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()
+    _drop_items(drop / "b.json", ["x"] * 3 + ["z"] * 4, start_id=100)
+    run()
+    res = spark.read.parquet(sink)
+    res.createOrReplaceTempView("topk2_out")
+    got = {r.item: r["count"] for r in spark.sql(
+        "SELECT * FROM topk2_out"
+        " WHERE seq = (SELECT max(seq) FROM topk2_out)"
+    ).collect()}
+    assert got == {"x": 8, "y": 2, "z": 4}
+
+
+def test_topk_stream_shards_partition_items_disjointly(tmp_path, spark):
+    """Hash-sharding routes each item to exactly one shard: the union
+    of shard summaries never double-counts an item."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from document_parsing_etl_pipeline_spark.streaming import topk
+
+    drop = tmp_path / "items3"
+    drop.mkdir()
+    _drop_items(drop / "a.json",
+                [f"t{i}" for i in range(20)] * 3)
+    schema = StructType([
+        StructField("item", StringType()),
+        StructField("ts_us", LongType()),
+        StructField("event_id", LongType()),
+    ])
+    stream = spark.readStream.format("json").schema(schema).load(str(drop))
+    out = topk.topk_stream(stream, m=50, shards=4)
+    q = (out.writeStream.format("memory").queryName("topk3")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck3"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM topk3").collect()
+    seen = [r.item for r in rows]
+    assert len(seen) == len(set(seen)) == 20
+    # ample capacity -> exact counts, zero err
+    assert all(r["count"] == 3 and r.err == 0 for r in rows)
