@@ -11375,3 +11375,356 @@ def q_shingle_novelty(spark, sf_dir):
         F.expr("CAST((n_unique * 1000000) div n_shingles AS BIGINT)")
         .alias("novelty_ppm"),
     )
+
+
+# ===================================================================
+# §2.C/F continuation (round-7 session 2, batch F) — rank fusion /
+# robust trend / graph assortativity / windowed funnel
+# ===================================================================
+
+_RRF_K = 60       # Cormack et al.'s constant
+_RRF_LIST = 200   # per-list depth (RRF is defined over top-k lists)
+_RRF_TOPK = 50
+
+
+@register("q_reciprocal_rank_fusion", rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+    FROM documents
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dl AS (
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+), totals AS (
+    SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl
+), qtf AS (
+    SELECT doc_id, term, tf FROM tf
+    WHERE term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+), idf AS (
+    SELECT d.term,
+           round(ln(((t.n_docs - d.df)::DOUBLE + 0.5)
+                    / (d.df::DOUBLE + 0.5) + 1.0), 6) AS idf
+    FROM (SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM qtf GROUP BY term) d, totals t
+), bm AS (
+    SELECT q.doc_id,
+           sum(round(i.idf * (q.tf::DOUBLE * {BM25_K1 + 1.0})
+                 / (q.tf::DOUBLE + {BM25_K1}
+                    * ({1.0 - BM25_B} + {BM25_B} * l.dl::DOUBLE
+                       / (t.total_dl::DOUBLE / t.n_docs))), 6)
+               ::DECIMAL(18,6))::DOUBLE AS bm25
+    FROM qtf q JOIN idf i USING (term) JOIN dl l USING (doc_id), totals t
+    GROUP BY q.doc_id
+), list_a AS (
+    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+               AS rank_bm25
+    FROM bm ORDER BY bm25 DESC, doc_id LIMIT {_RRF_LIST}
+), vocab AS (
+    SELECT term, count(*) AS cnt FROM toks GROUP BY term
+), tot AS (SELECT count(*) AS n_total FROM toks),
+surp AS (
+    SELECT term, round(-log2(cnt / n_total), 6) AS s FROM vocab, tot
+), lm AS (
+    SELECT t.doc_id,
+           (sum(s.s::DECIMAL(18,6)) * 1000000)::BIGINT
+               // count(*) // 1000 AS bits_milli
+    FROM toks t JOIN surp s USING (term) GROUP BY t.doc_id
+), list_b AS (
+    SELECT doc_id, row_number() OVER (ORDER BY bits_milli, doc_id)
+               AS rank_lm
+    FROM lm ORDER BY bits_milli, doc_id LIMIT {_RRF_LIST}
+), fused AS (
+    SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+           a.rank_bm25::BIGINT AS rank_bm25, b.rank_lm::BIGINT AS rank_lm,
+           (coalesce(1000000 // ({_RRF_K} + a.rank_bm25), 0)
+            + coalesce(1000000 // ({_RRF_K} + b.rank_lm), 0))::BIGINT
+               AS rrf_e6
+    FROM list_a a FULL OUTER JOIN list_b b USING (doc_id)
+)
+SELECT doc_id, rank_bm25, rank_lm, rrf_e6,
+       CAST(rank_fused AS BIGINT) AS rank_fused
+FROM (
+    SELECT *, row_number() OVER (ORDER BY rrf_e6 DESC, doc_id)
+                  AS rank_fused
+    FROM fused
+) WHERE rank_fused <= {_RRF_TOPK}
+""")
+def q_reciprocal_rank_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of two retrieval rankings — BM25
+    relevance (lexical) and unigram-LM fluency (quality) — the
+    standard hybrid-search combiner (Cormack et al.: SIGMA
+    1/(k+rank), k=60) that powers 'lexical + semantic' retrieval
+    stacks; here the second list is the LM-surprisal ranking so the
+    fusion is reproducible without a query embedding. Faithful to
+    the operator's real definition: RRF is defined over TOP-K LISTS,
+    so each ranking is cut to its top-{_RRF_LIST} by
+    TakeOrderedAndProject (the scale-safe top-k — no global sort,
+    no doc-sized window), ranks exist only within the two k-row
+    lists, and docs missing from a list contribute zero by
+    coalesce, exactly as production RRF treats them. All-integer
+    fusion scores (1e6 floor-div), full outer join of two k-row
+    relations, final top-{_RRF_TOPK} on the fused k-row relation."""
+    bm = corpus.bm25_scores(
+        load_table(spark, sf_dir, "documents"),
+        BM25_TERMS, k1=BM25_K1, b=BM25_B,
+    ).select("doc_id", "bm25")
+    la = (
+        bm.orderBy(F.col("bm25").desc(), "doc_id").limit(_RRF_LIST)
+        .withColumn(
+            "rank_bm25",
+            F.row_number().over(
+                Window.orderBy(F.col("bm25").desc(), "doc_id"))
+            .cast("long"),
+        )
+        .select("doc_id", "rank_bm25")
+    )
+    lm = QUERIES["q_unigram_logprob"](spark, sf_dir).select(
+        "doc_id", "bits_milli_per_token")
+    lb = (
+        lm.orderBy("bits_milli_per_token", "doc_id").limit(_RRF_LIST)
+        .withColumn(
+            "rank_lm",
+            F.row_number().over(
+                Window.orderBy("bits_milli_per_token", "doc_id"))
+            .cast("long"),
+        )
+        .select("doc_id", "rank_lm")
+    )
+    fused = (
+        la.join(lb, "doc_id", "full_outer")
+        .select(
+            "doc_id", "rank_bm25", "rank_lm",
+            (
+                F.coalesce(
+                    F.expr(f"1000000 div ({_RRF_K} + rank_bm25)"),
+                    F.lit(0),
+                )
+                + F.coalesce(
+                    F.expr(f"1000000 div ({_RRF_K} + rank_lm)"),
+                    F.lit(0),
+                )
+            ).cast("long").alias("rrf_e6"),
+        )
+    )
+    ranked = fused.withColumn(
+        "rank_fused",
+        F.row_number().over(
+            Window.orderBy(F.col("rrf_e6").desc(), "doc_id")),
+    )
+    return ranked.where(F.col("rank_fused") <= _RRF_TOPK).select(
+        "doc_id", "rank_bm25", "rank_lm", "rrf_e6",
+        F.col("rank_fused").cast("long"),
+    )
+
+
+@register("q_theil_sen_slope", f"""
+WITH daily AS (
+    SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2
+), pairs AS (
+    SELECT a.event_type,
+           (b.n - a.n)::DOUBLE / (b.day - a.day) AS slope
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.day < b.day
+)
+SELECT event_type,
+       (SELECT count(*) FROM daily d
+        WHERE d.event_type = p.event_type)::BIGINT AS n_days,
+       count(*)::BIGINT AS n_pairs,
+       round(quantile_cont(slope, 0.5), 6) AS theil_sen_slope
+FROM pairs p GROUP BY event_type
+""")
+def q_theil_sen_slope(spark, sf_dir):
+    """Theil-Sen robust trend (median of all pairwise slopes) of the
+    daily count series per event type — the estimator that survives
+    ~29% outlier contamination where q_trend_slope's OLS line chases
+    a single spike day; the pair is the standard robust/classical
+    trend cross-check. Each pairwise slope is an exact ratio of
+    integers (one double division — engine-identical), the median
+    follows the repo's exact interpolated-percentile protocol
+    (rounded 6dp). Scale shape: the fact collapses to the calendar-
+    bounded daily relation FIRST; the pairwise self-join is
+    C(|days|,2) per type — quadratic only in the calendar, never in
+    rows (documented; at years-of-days scale the published
+    O(n log n) median-of-slopes refinement slots in here)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(f"(ts div 1000) div {_DAY_US}").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    a = daily.select("event_type", F.col("day").alias("da"),
+                     F.col("n").alias("na"))
+    b = daily.select("event_type", F.col("day").alias("db"),
+                     F.col("n").alias("nb"))
+    pairs = (
+        a.join(b, "event_type")
+        .where(F.col("da") < F.col("db"))
+        .select(
+            "event_type",
+            ((F.col("nb") - F.col("na")).cast("double")
+             / (F.col("db") - F.col("da"))).alias("slope"),
+        )
+    )
+    n_days = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"))
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.percentile("slope", F.lit(0.5)), 6)
+            .alias("theil_sen_slope"),
+        )
+        .join(F.broadcast(n_days), "event_type")
+        .select("event_type", "n_days", "n_pairs", "theil_sen_slope")
+    )
+
+
+@register("q_graph_assortativity", _CC_CTES + """
+, deg AS (
+    SELECT a AS id, count(*)::BIGINT AS d FROM edges GROUP BY a
+), dd AS (
+    SELECT da.d AS dx, db.d AS dy
+    FROM edges e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b
+), sums AS (
+    SELECT count(*)::BIGINT AS n, sum(dx)::BIGINT AS sx,
+           sum(dx * dy)::BIGINT AS sxy, sum(dx * dx)::BIGINT AS sxx
+    FROM dd
+)
+SELECT n AS n_directed_edges, sx AS sum_deg, sxy, sxx,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE ((n * sxy - sx * sx) * 1000
+                  // (n * sxx - sx * sx)) END::BIGINT
+           AS assortativity_milli
+FROM sums
+""")
+def q_graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the near-dup graph — do high-degree
+    docs link to other high-degree docs (r>0: one connected template
+    blob — components will be FEW and GIANT) or to low-degree ones
+    (r<0: hub-and-spoke spam)? This single number predicts the
+    connected-components workload shape before CC runs, which is why
+    graph pipelines compute it as a pre-flight. EXACT by symmetry:
+    over the symmetric directed edge set the x- and y-marginals are
+    identical, so Pearson's r = (n·Sxy − Sx²)/(n·Sxx − Sx²) — no
+    sqrt, all integer, reported in milli (NULL on the
+    all-degrees-equal degenerate graph, same rule both engines).
+    Consumes the memoized pair snapshot; degree join + one-row
+    sums."""
+    pairs = _jaccard_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionAll(pairs.select(F.col("doc_b").alias("a"),
+                            F.col("doc_a").alias("b")))
+    deg = edges.groupBy("a").agg(F.count("*").cast("long").alias("d"))
+    dd = (
+        edges.join(deg.withColumnRenamed("a", "id"),
+                   F.col("a") == F.col("id"))
+        .select("b", F.col("d").alias("dx"))
+        .join(
+            deg.select(F.col("a").alias("id2"),
+                       F.col("d").alias("dy")),
+            F.col("b") == F.col("id2"))
+        .select("dx", "dy")
+    )
+    sums = dd.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+    )
+    return sums.select(
+        F.col("n").alias("n_directed_edges"),
+        F.col("sx").alias("sum_deg"), "sxy", "sxx",
+        F.expr(
+            "CASE WHEN n * sxx - sx * sx = 0 THEN NULL"
+            " ELSE (n * sxy - sx * sx) * 1000"
+            " div (n * sxx - sx * sx) END"
+        ).cast("long").alias("assortativity_milli"),
+    )
+
+
+_FUNNEL_W_US = 3600 * 1_000_000
+
+
+@register("q_window_funnel", f"""
+WITH e AS (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+), viewers AS (
+    SELECT DISTINCT user_id FROM e WHERE event_type = 'view'
+), s2 AS (
+    SELECT DISTINCT v.user_id
+    FROM e v JOIN e c ON c.user_id = v.user_id
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+      AND c.ts_us > v.ts_us AND c.ts_us <= v.ts_us + {_FUNNEL_W_US}
+), s3 AS (
+    SELECT DISTINCT v.user_id
+    FROM e v
+    JOIN e c ON c.user_id = v.user_id
+    JOIN e p ON p.user_id = v.user_id
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+      AND p.event_type = 'purchase'
+      AND c.ts_us > v.ts_us AND c.ts_us <= v.ts_us + {_FUNNEL_W_US}
+      AND p.ts_us > c.ts_us AND p.ts_us <= v.ts_us + {_FUNNEL_W_US}
+)
+SELECT (SELECT count(*) FROM viewers)::BIGINT AS n_view,
+       (SELECT count(*) FROM s2)::BIGINT AS n_view_click,
+       (SELECT count(*) FROM s3)::BIGINT AS n_full_funnel,
+       ((SELECT count(*) FROM s3) * 1000000
+            // (SELECT count(*) FROM viewers))::BIGINT
+           AS full_funnel_ppm
+""")
+def q_window_funnel(spark, sf_dir):
+    """Strict-order windowed funnel (ClickHouse windowFunnel
+    semantics): a user converts only if view -> click -> purchase
+    occur IN ORDER within one hour of the view — the product-funnel
+    truth the firsts-based funnels (q_funnel_conversion,
+    q_funnel_three_step) overcount, because a purchase days after
+    the view doesn't belong to the session-scale funnel. ANY
+    qualifying chain counts the user once (EXISTS via distinct
+    semi-join shape). Scale shape: the step joins are user-keyed
+    equi-joins with range residuals — per-user fanout is bounded by
+    per-user event counts (the sessionized workload), and each step
+    relation collapses to DISTINCT user_id before the final 1-row
+    counts; at deeper funnels the per-user sort-fold
+    (applyInPandas) variant replaces the k-way join, the documented
+    trade."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("ts_us"))
+    v = e.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts_us").alias("tv"))
+    c = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us").alias("tc"))
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_us").alias("tp"))
+    viewers = v.select("user_id").distinct()
+    s2 = (
+        v.join(c, "user_id")
+        .where((F.col("tc") > F.col("tv"))
+               & (F.col("tc") <= F.col("tv") + _FUNNEL_W_US))
+        .select("user_id").distinct()
+    )
+    s3 = (
+        v.join(c, "user_id")
+        .where((F.col("tc") > F.col("tv"))
+               & (F.col("tc") <= F.col("tv") + _FUNNEL_W_US))
+        .join(p, "user_id")
+        .where((F.col("tp") > F.col("tc"))
+               & (F.col("tp") <= F.col("tv") + _FUNNEL_W_US))
+        .select("user_id").distinct()
+    )
+    n1 = viewers.agg(F.count("*").cast("long").alias("n_view"))
+    n2 = s2.agg(F.count("*").cast("long").alias("n_view_click"))
+    n3 = s3.agg(F.count("*").cast("long").alias("n_full_funnel"))
+    return (
+        n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(n3))
+        .select(
+            "n_view", "n_view_click", "n_full_funnel",
+            F.expr(
+                "CAST((n_full_funnel * 1000000) div n_view AS BIGINT)")
+            .alias("full_funnel_ppm"),
+        )
+    )
