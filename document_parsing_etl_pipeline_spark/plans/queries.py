@@ -11728,3 +11728,293 @@ def q_window_funnel(spark, sf_dir):
             .alias("full_funnel_ppm"),
         )
     )
+
+
+# ===================================================================
+# §2.C continuation (round-7 session 2, batch G) — control charts /
+# symbolic series / user diversity / randomness audit
+# ===================================================================
+
+
+@register("q_bollinger_bands", f"""
+WITH daily AS (
+    SELECT epoch_us(ts) // {_DAY_US} AS day,
+           CAST(sum(value::DECIMAL(18,6)) * 100 AS BIGINT) AS v_cents
+    FROM events GROUP BY 1
+), win AS (
+    SELECT day, v_cents,
+           count(*) OVER w AS n,
+           sum(v_cents) OVER w AS s,
+           sum(v_cents * v_cents) OVER w AS ssq
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+), scored AS (
+    SELECT day, v_cents, n::BIGINT AS n_window,
+           (s * 1000) // n AS mean_milli_cents,
+           round(sqrt((n * ssq - s * s)::DOUBLE / (n::DOUBLE * n)), 3)
+               AS sigma_cents
+    FROM win
+)
+SELECT day, v_cents, n_window, mean_milli_cents, sigma_cents,
+       (v_cents * 1000 > mean_milli_cents
+            + CAST(round(2000.0 * sigma_cents) AS BIGINT)) AS above_band,
+       (v_cents * 1000 < mean_milli_cents
+            - CAST(round(2000.0 * sigma_cents) AS BIGINT)) AS below_band
+FROM scored
+""")
+def q_bollinger_bands(spark, sf_dir):
+    """Bollinger control chart on daily transacted value: trailing
+    7-day mean +/- 2 sigma bands with breakout flags — the
+    operations-monitoring primitive between plain z-scores
+    (q_events_anomaly, global baseline) and dow-profiles
+    (q_seasonal_anomaly): the trailing window adapts to level
+    shifts, so a metric that steps up permanently stops alerting
+    after a week. Parity: daily values are exact integer cents
+    (decimal sum), window sums/sum-of-squares are integer, sigma =
+    sqrt of an exact integer ratio (IEEE sqrt is correctly rounded —
+    same double both engines) rounded 3dp, and the band comparisons
+    are integer milli-cents with the sigma term rounded to an
+    integer once on both sides. Scale shape: one fact pass to the
+    calendar-sized daily relation; the trailing window runs there."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr(f"(ts div 1000) div {_DAY_US}").alias("day"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(sum(v) * 100 AS BIGINT)").alias("v_cents"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    win = daily.select(
+        "day", "v_cents",
+        F.count("*").over(w).alias("n"),
+        F.sum("v_cents").over(w).alias("s"),
+        F.sum(F.col("v_cents") * F.col("v_cents")).over(w).alias("ssq"),
+    )
+    scored = win.select(
+        "day", "v_cents",
+        F.col("n").cast("long").alias("n_window"),
+        F.expr("(s * 1000) div n").alias("mean_milli_cents"),
+        F.round(
+            F.sqrt(
+                (F.col("n") * F.col("ssq") - F.col("s") * F.col("s"))
+                .cast("double")
+                / (F.col("n").cast("double") * F.col("n"))
+            ),
+            3,
+        ).alias("sigma_cents"),
+    )
+    return scored.select(
+        "day", "v_cents", "n_window", "mean_milli_cents", "sigma_cents",
+        (
+            F.col("v_cents") * 1000
+            > F.col("mean_milli_cents")
+            + F.expr("CAST(round(2000.0 * sigma_cents) AS BIGINT)")
+        ).alias("above_band"),
+        (
+            F.col("v_cents") * 1000
+            < F.col("mean_milli_cents")
+            - F.expr("CAST(round(2000.0 * sigma_cents) AS BIGINT)")
+        ).alias("below_band"),
+    )
+
+
+@register("q_sax_symbolic", f"""
+WITH daily AS (
+    SELECT epoch_us(ts) // {_DAY_US} AS day, count(*)::BIGINT AS x
+    FROM events GROUP BY 1
+), tot AS (
+    SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS t,
+           sum(x * x)::BIGINT AS ssq
+    FROM daily
+)
+SELECT d.day, d.x,
+       round((d.x * t.n - t.t)
+             / (t.n::DOUBLE * sqrt((t.n * t.ssq - t.t * t.t)::DOUBLE
+                                   / (t.n::DOUBLE * t.n))), 4) AS z,
+       CASE
+         WHEN (d.x * t.n - t.t)
+              < -0.6745 * t.n * sqrt((t.n * t.ssq - t.t * t.t)::DOUBLE
+                                     / (t.n::DOUBLE * t.n)) THEN 'a'
+         WHEN (d.x * t.n - t.t) < 0 THEN 'b'
+         WHEN (d.x * t.n - t.t)
+              < 0.6745 * t.n * sqrt((t.n * t.ssq - t.t * t.t)::DOUBLE
+                                    / (t.n::DOUBLE * t.n)) THEN 'c'
+         ELSE 'd'
+       END AS symbol
+FROM daily d, tot t
+""")
+def q_sax_symbolic(spark, sf_dir):
+    """SAX symbolization of the daily event-count series (alphabet 4,
+    Gaussian quartile breakpoints ±0.6745): the time-series indexing
+    primitive — once days are letters, motif discovery, series
+    similarity and anomaly grammars become STRING problems (the
+    contribution of Lin et al.'s SAX), which is how a 100 TB metric
+    store searches its own history. Parity: z and the breakpoint
+    comparisons are computed on the scaled-integer numerator
+    (x·n − T, exact) against sigma terms built from exact integer
+    sums and one IEEE sqrt (correctly rounded — identical both
+    engines); comparisons use the same expression text so any
+    boundary double resolves identically. One fact pass; everything
+    else on the calendar relation with the 1-row stats broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.expr(f"(ts div 1000) div {_DAY_US}").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("t"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ssq"),
+    )
+    sig = ("sqrt(CAST(n * ssq - t * t AS DOUBLE)"
+           " / (CAST(n AS DOUBLE) * n))")
+    return daily.crossJoin(F.broadcast(tot)).select(
+        "day", "x",
+        F.expr(
+            f"round((x * n - t) / (CAST(n AS DOUBLE) * {sig}), 4)"
+        ).alias("z"),
+        F.expr(
+            f"CASE WHEN (x * n - t) < -0.6745 * n * {sig} THEN 'a' "
+            f"WHEN (x * n - t) < 0 THEN 'b' "
+            f"WHEN (x * n - t) < 0.6745 * n * {sig} THEN 'c' "
+            f"ELSE 'd' END"
+        ).alias("symbol"),
+    )
+
+
+@register("q_user_type_entropy", """
+WITH cell AS (
+    SELECT user_id, event_type, count(*)::BIGINT AS c
+    FROM events GROUP BY 1, 2
+), per_user AS (
+    SELECT user_id, sum(c)::BIGINT AS n_events,
+           count(*)::BIGINT AS n_types
+    FROM cell GROUP BY 1
+), surp AS (
+    SELECT c.user_id, c.c,
+           round(-ln(c.c / u.n_events), 6) AS s6,
+           u.n_events, u.n_types
+    FROM cell c JOIN per_user u USING (user_id)
+)
+SELECT user_id, max(n_events) AS n_events, max(n_types) AS n_types,
+       (CAST(sum(c * s6::DECIMAL(18,6)) * 1000000 AS BIGINT)
+            // max(n_events))::BIGINT AS entropy_micro_nats
+FROM surp GROUP BY user_id
+""")
+def q_user_type_entropy(spark, sf_dir):
+    """Per-user behavioral diversity: Shannon entropy of each user's
+    event-type mix in integer micro-nats — the engagement-breadth
+    signal (a monitoring bot fires one event type forever: entropy
+    0; an engaged human spreads across types) that feeds both bot
+    filtering and the activation/retention models' feature set. The
+    same 6dp-surprisal + exact-decimal-sum protocol as the source-
+    level entropy, at user granularity. Scale shape: one fact pass
+    to |users|x|types| cells (map-side partial agg), user-keyed
+    join of the per-user totals (co-partitioned with the cell
+    groupBy — one shuffle total), per-user output."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("c"))
+    per_user = cell.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    surp = cell.join(per_user, "user_id").select(
+        "user_id", "c", "n_events", "n_types",
+        F.round(-F.log(F.col("c") / F.col("n_events")), 6).alias("s6"),
+    )
+    return surp.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("n_types").alias("n_types"),
+        F.expr(
+            "CAST(sum(c * CAST(s6 AS DECIMAL(18,6))) * 1000000"
+            " AS BIGINT) div max(n_events)"
+        ).cast("long").alias("entropy_micro_nats"),
+    )
+
+
+@register("q_runs_test", f"""
+WITH daily AS (
+    SELECT epoch_us(ts) // {_DAY_US} AS day, count(*)::BIGINT AS x
+    FROM events GROUP BY 1
+), med AS (
+    SELECT round(quantile_cont(x, 0.5), 4) AS m FROM daily
+), signed AS (
+    SELECT d.day, CASE WHEN d.x > m.m THEN 1 ELSE 0 END AS up
+    FROM daily d, med m
+), runs AS (
+    SELECT up,
+           CASE WHEN lag(up) OVER (ORDER BY day) IS NULL
+                  OR lag(up) OVER (ORDER BY day) != up
+                THEN 1 ELSE 0 END AS is_new
+    FROM signed
+), sums AS (
+    SELECT sum(is_new)::BIGINT AS n_runs,
+           sum(up)::BIGINT AS n1,
+           sum(1 - up)::BIGINT AS n2
+    FROM runs
+)
+SELECT n_runs, n1, n2,
+       round(1.0 + (2.0 * n1 * n2) / CAST(n1 + n2 AS DOUBLE), 4)
+           AS expected_runs,
+       round((n_runs - (1.0 + (2.0 * n1 * n2) / CAST(n1 + n2 AS DOUBLE)))
+             / sqrt(((2.0 * n1 * n2) * (2.0 * n1 * n2 - n1 - n2))
+                    / ((n1 + n2)::DOUBLE * (n1 + n2) * (n1 + n2 - 1))),
+             4) AS z_stat
+FROM sums
+""")
+def q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test on the daily series — the randomness
+    audit that catches what mean/variance drift tests (KS, PSI,
+    chi2) cannot: AUTOCORRELATION. Too few runs above/below the
+    median means sticky regimes (trend/level shifts); too many
+    means oscillation (over-correction, load-balancer flapping) —
+    either way the i.i.d. assumption under every other threshold in
+    the monitoring stack is broken, which is why this is the
+    pre-flight. Parity: above/below flags compare integers to the
+    4dp-rounded median, runs are counted with an integer lag flag,
+    and the closed-form E[R]/sigma_R z-statistic is doubles from
+    exact integers + IEEE sqrt, rounded 4dp. One fact pass; the lag
+    window runs on the calendar relation."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.expr(f"(ts div 1000) div {_DAY_US}").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    med = daily.agg(
+        F.round(F.percentile("x", F.lit(0.5)), 4).alias("m"))
+    signed = daily.crossJoin(F.broadcast(med)).select(
+        "day",
+        F.when(F.col("x") > F.col("m"), 1).otherwise(0).alias("up"),
+    )
+    w = Window.orderBy("day")
+    runs = signed.select(
+        "up",
+        F.when(
+            F.lag("up").over(w).isNull()
+            | (F.lag("up").over(w) != F.col("up")),
+            1,
+        ).otherwise(0).alias("is_new"),
+    )
+    sums = runs.agg(
+        F.sum("is_new").cast("long").alias("n_runs"),
+        F.sum("up").cast("long").alias("n1"),
+        F.sum(1 - F.col("up")).cast("long").alias("n2"),
+    )
+    return sums.select(
+        "n_runs", "n1", "n2",
+        F.expr(
+            "round(1.0 + (2.0 * n1 * n2) / CAST(n1 + n2 AS DOUBLE), 4)"
+        ).alias("expected_runs"),
+        F.expr(
+            "round((n_runs - (1.0 + (2.0 * n1 * n2)"
+            " / CAST(n1 + n2 AS DOUBLE)))"
+            " / sqrt(((2.0 * n1 * n2) * (2.0 * n1 * n2 - n1 - n2))"
+            " / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1))),"
+            " 4)"
+        ).alias("z_stat"),
+    )
