@@ -12018,3 +12018,416 @@ def q_runs_test(spark, sf_dir):
             " 4)"
         ).alias("z_stat"),
     )
+
+
+# ===================================================================
+# §2.F/C continuation (round-7 session 2, batch H) — NB classifier /
+# DP counts / Lorenz curve / RAKE keywords
+# ===================================================================
+
+
+@register("q_naive_bayes_lang", r"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+    FROM documents
+), dt AS (
+    SELECT doc_id, lang AS true_lang, tok, count(*)::BIGINT AS m
+    FROM toks GROUP BY 1, 2, 3
+), dlen AS (
+    SELECT doc_id, sum(m)::BIGINT AS len FROM dt GROUP BY 1
+), model AS (
+    SELECT lang, tok, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2
+), lt AS (
+    SELECT lang, sum(c)::BIGINT AS t_l FROM model GROUP BY 1
+), vocab AS (
+    SELECT count(DISTINCT tok)::BIGINT AS v FROM toks
+), priors AS (
+    SELECT lang, count(*)::BIGINT AS nd FROM documents GROUP BY 1
+), nn AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+params AS (
+    SELECT l.lang, l.t_l, p.nd, n.n_docs, vb.v,
+           round(ln(p.nd::DOUBLE / n.n_docs), 6) AS prior6,
+           round(ln(1.0 / (l.t_l + vb.v)), 6) AS ll0
+    FROM lt l JOIN priors p USING (lang), nn n, vocab vb
+), matched AS (
+    SELECT d.doc_id, mo.lang,
+           sum(d.m * round(ln((mo.c + 1.0) / (pa.t_l + pa.v)), 6)
+                   ::DECIMAL(18,6)) AS s_match,
+           sum(d.m)::BIGINT AS m_matched
+    FROM dt d JOIN model mo USING (tok)
+    JOIN params pa ON pa.lang = mo.lang
+    GROUP BY 1, 2
+), scores AS (
+    SELECT dl.doc_id, pa.lang,
+           coalesce(ma.s_match, 0::DECIMAL(18,6))
+             + (dl.len - coalesce(ma.m_matched, 0))
+                 * pa.ll0::DECIMAL(18,6)
+             + pa.prior6::DECIMAL(18,6) AS score
+    FROM dlen dl CROSS JOIN params pa
+    LEFT JOIN matched ma
+      ON ma.doc_id = dl.doc_id AND ma.lang = pa.lang
+), pred AS (
+    SELECT s.doc_id, s.lang AS pred_lang
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, lang) AS r
+        FROM scores
+    ) s WHERE s.r = 1
+)
+SELECT d.lang AS true_lang, p.pred_lang, count(*)::BIGINT AS n_docs
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1, 2
+""")
+def q_naive_bayes_lang(spark, sf_dir):
+    """Multinomial Naive Bayes language identification TRAINED AND
+    SCORED entirely in the engine (Laplace-smoothed unigram
+    likelihoods + log priors, argmax per doc), reported as the
+    confusion matrix against the gold labels — the self-supervised
+    sanity loop for labeled corpora, and the proof case that a
+    trainable classifier is a closed-form SQL pipeline when the
+    model is counting (this is how large-scale lang-ID actually
+    runs: fastText-style linear models over count features). Parity:
+    every ln (likelihood, absent-token floor, prior) is rounded 6dp,
+    per-doc scores are exact decimal sums of (integer multiplicity x
+    6dp decimal) — absent tokens contribute via the (len - matched)
+    arithmetic identity, never as materialized zero cells — and
+    argmax ties break on lang. Scale shape: the model is the
+    vocab x |langs| relation (Zipf-broadcastable); the scoring join
+    is token-keyed against the doc-term relation, then one
+    |docs| x |langs| rollup; the confusion output is ≤ |langs|²
+    rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")),
+                                 F.lit(r"[a-z]+"), 0)
+        ).alias("tok"),
+    )
+    dt = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("long").alias("m"))
+    dlen = dt.groupBy("doc_id").agg(F.sum("m").cast("long").alias("len"))
+    model = toks.groupBy("lang", "tok").agg(
+        F.count("*").cast("long").alias("c"))
+    lt = model.groupBy("lang").agg(F.sum("c").cast("long").alias("t_l"))
+    vocab = toks.agg(
+        F.countDistinct("tok").cast("long").alias("v"))
+    priors = docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("nd"))
+    nn = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    params = (
+        lt.join(priors, "lang")
+        .crossJoin(F.broadcast(nn)).crossJoin(F.broadcast(vocab))
+        .select(
+            "lang", "t_l", "v",
+            F.expr("round(ln(CAST(nd AS DOUBLE) / n_docs), 6)")
+            .alias("prior6"),
+            F.expr("round(ln(1.0 / (t_l + v)), 6)").alias("ll0"),
+        )
+    )
+    matched = (
+        dt.join(model, "tok")
+        .join(F.broadcast(params), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.expr(
+                "sum(m * CAST(round(ln((c + 1.0) / (t_l + v)), 6)"
+                " AS DECIMAL(18,6)))"
+            ).alias("s_match"),
+            F.sum("m").cast("long").alias("m_matched"),
+        )
+    )
+    scores = (
+        dlen.crossJoin(F.broadcast(params.select(
+            "lang", "prior6", "ll0")))
+        .join(matched, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id", "lang",
+            F.expr(
+                "coalesce(s_match, CAST(0 AS DECIMAL(18,6)))"
+                " + (len - coalesce(m_matched, 0))"
+                " * CAST(ll0 AS DECIMAL(18,6))"
+                " + CAST(prior6 AS DECIMAL(18,6))"
+            ).alias("score"),
+        )
+    )
+    pred = (
+        scores.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("doc_id")
+                .orderBy(F.col("score").desc(), "lang")),
+        )
+        .where(F.col("r") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"))
+    )
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+_DP_EPS_MILLI = 1000  # epsilon = 1.0
+
+
+@register("q_dp_counts", f"""
+WITH cnt AS (
+    SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY 1
+), noise AS (
+    SELECT lang, n,
+           (('0x' || substring(md5(lang || ':dp1'), 1, 13))::BIGINT
+                / 4503599627370496.0) AS u
+    FROM cnt
+)
+SELECT lang, n,
+       CAST(round(1000.0 * (CASE WHEN u < 0.5
+                 THEN ln(2.0 * u) ELSE -ln(2.0 * (1.0 - u)) END)
+             / ({_DP_EPS_MILLI} / 1000.0)) AS BIGINT) AS noise_milli,
+       n * 1000 + CAST(round(1000.0 * (CASE WHEN u < 0.5
+                 THEN ln(2.0 * u) ELSE -ln(2.0 * (1.0 - u)) END)
+             / ({_DP_EPS_MILLI} / 1000.0)) AS BIGINT)
+           AS noisy_count_milli,
+       {_DP_EPS_MILLI}::BIGINT AS epsilon_milli
+FROM noise
+""")
+def q_dp_counts(spark, sf_dir):
+    """Differentially-private group counts via the Laplace mechanism
+    (sensitivity 1, epsilon 1) — the release path for aggregate
+    statistics over user data, completing the privacy family
+    (q_k_anonymity / q_l_diversity audit the quasi-identifiers; DP
+    noises the release itself). The Laplace sample is DERIVED, not
+    drawn: u comes from the md5 of the group key (the repo's
+    seedless-uniform recipe — 52-bit mantissa), inverse-CDF
+    transformed, so the 'noise' is reproducible for the oracle while
+    exercising exactly the production arithmetic (swap the hash for
+    a CSPRNG and the query is the real mechanism; documented, the
+    same stub protocol as mm_*'s decode). Per-group ln on identical
+    doubles rounded at milli; one groupBy, |groups|-row output."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    noise = cnt.withColumn(
+        "u",
+        F.expr(
+            "CAST(conv(substring(md5(lang || ':dp1'), 1, 13), 16, 10)"
+            " AS BIGINT) / 4503599627370496.0"
+        ),
+    )
+    lap = (
+        "CASE WHEN u < 0.5 THEN ln(2.0 * u)"
+        " ELSE -ln(2.0 * (1.0 - u)) END"
+    )
+    return noise.select(
+        "lang", "n",
+        F.expr(
+            f"CAST(round(1000.0 * ({lap})"
+            f" / ({_DP_EPS_MILLI} / 1000.0)) AS BIGINT)"
+        ).alias("noise_milli"),
+        F.expr(
+            f"n * 1000 + CAST(round(1000.0 * ({lap})"
+            f" / ({_DP_EPS_MILLI} / 1000.0)) AS BIGINT)"
+        ).alias("noisy_count_milli"),
+        F.lit(_DP_EPS_MILLI).cast("long").alias("epsilon_milli"),
+    )
+
+
+@register("q_lorenz_curve", """
+WITH rev AS (
+    SELECT o_custkey,
+           CAST(sum(o_totalprice::DECIMAL(18,6)) * 100 AS BIGINT)
+               AS rev_cents
+    FROM orders GROUP BY 1
+), deciled AS (
+    SELECT o_custkey, rev_cents,
+           ntile(10) OVER (ORDER BY rev_cents, o_custkey) AS decile
+    FROM rev
+), agg AS (
+    SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_customers,
+           sum(rev_cents)::BIGINT AS decile_rev_cents
+    FROM deciled GROUP BY 1
+), tot AS (SELECT sum(decile_rev_cents)::BIGINT AS t FROM agg)
+SELECT a.decile, a.n_customers, a.decile_rev_cents,
+       ((a.decile_rev_cents * 1000000) // t.t)::BIGINT AS share_ppm,
+       ((sum(a.decile_rev_cents) OVER (ORDER BY a.decile) * 1000000)
+            // t.t)::BIGINT AS cum_share_ppm
+FROM agg a, tot t
+""")
+def q_lorenz_curve(spark, sf_dir):
+    """Lorenz concentration curve of customer revenue by decile — the
+    DISTRIBUTION readout behind q_revenue_gini's single number: the
+    cum-share-at-decile points say WHERE the concentration lives
+    ('bottom half contributes 9%') which is what account-tier and
+    risk-concentration decisions actually read. Exact integers
+    end-to-end: per-customer revenue in decimal cents, ntile over
+    (revenue, custkey) — both engines assign earlier buckets the
+    extra rows, same tiebreak — then ppm shares and the cumulative
+    window on the 10-row decile relation. Scale: one fact rollup to
+    per-customer revenue; the customer-sized ntile window is the
+    documented trade (rank-by-sort at 100 TB, or the equi-depth
+    sketch cut q_equi_depth_histogram demonstrates)."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100"
+            " AS BIGINT)"
+        ).alias("rev_cents")
+    )
+    deciled = rev.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy("rev_cents", "o_custkey")),
+    )
+    agg = deciled.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("rev_cents").cast("long").alias("decile_rev_cents"),
+    )
+    tot = agg.agg(F.sum("decile_rev_cents").cast("long").alias("t"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "decile", "n_customers", "decile_rev_cents",
+            F.expr("CAST((decile_rev_cents * 1000000) div t AS BIGINT)")
+            .alias("share_ppm"),
+            F.expr(
+                "CAST((sum(decile_rev_cents)"
+                " OVER (ORDER BY decile) * 1000000) div t AS BIGINT)"
+            ).alias("cum_share_ppm"),
+        )
+    )
+
+
+_RAKE_STOP = 20
+_RAKE_TOPK = 50
+
+
+@register("q_rake_keywords", r"""
+WITH toks AS (
+    SELECT doc_id, i AS pos, ws[i] AS tok
+    FROM (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z]+') AS ws
+        FROM documents
+    ), unnest(generate_series(1, len(ws))) AS t(i)
+), stop AS (
+    SELECT tok FROM (
+        SELECT tok, count(*) AS c,
+               row_number() OVER (ORDER BY count(*) DESC, tok) AS r
+        FROM toks GROUP BY tok
+    ) WHERE r <= {stop}
+), nonstop AS (
+    SELECT t.doc_id, t.pos, t.tok
+    FROM toks t LEFT JOIN stop s USING (tok)
+    WHERE s.tok IS NULL
+), islands AS (
+    SELECT doc_id, pos, tok,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+    FROM nonstop
+), phrases AS (
+    SELECT doc_id, island,
+           string_agg(tok, ' ' ORDER BY pos) AS phrase,
+           count(*)::BIGINT AS plen
+    FROM islands GROUP BY 1, 2
+), wstats AS (
+    SELECT i.tok, count(*)::BIGINT AS freq,
+           sum(p.plen)::BIGINT AS degree
+    FROM islands i JOIN phrases p USING (doc_id, island)
+    GROUP BY i.tok
+), wscore AS (
+    SELECT tok, (degree * 1000) // freq AS score_milli FROM wstats
+), pscore AS (
+    SELECT p.phrase, count(DISTINCT (p.doc_id, p.island))::BIGINT
+               AS n_occurrences,
+           (sum(w.score_milli) / count(DISTINCT (p.doc_id, p.island))
+           )::BIGINT AS phrase_score_milli
+    FROM phrases p
+    JOIN islands i USING (doc_id, island)
+    JOIN wscore w ON w.tok = i.tok
+    GROUP BY p.phrase
+)
+SELECT phrase, n_occurrences, phrase_score_milli,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (ORDER BY phrase_score_milli DESC,
+                                          phrase) AS rank
+    FROM pscore
+) WHERE rank <= {k}
+""".replace("{stop}", str(_RAKE_STOP)).replace("{k}", str(_RAKE_TOPK)))
+def q_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al.): candidate phrases are
+    maximal runs of non-stopword tokens, each word scores
+    degree/frequency over the phrase graph, a phrase scores the sum
+    of its word scores — the unsupervised keyword pass that needs no
+    training data, run corpus-wide. The stopword list is DERIVED
+    (top-{stop} corpus tokens, deterministic tiebreak) so the
+    operator adapts to any corpus and both engines build the same
+    list. The phrase segmentation is the classic gaps-and-islands
+    identity (pos − row_number per doc), degree/frequency are
+    integer rollups over the phrase-word incidence, and scores are
+    integer milli (per-phrase score normalized by occurrence count
+    so repeated phrases don't self-inflate). Scale shape: windows
+    are doc-partitioned (never global on the fact), the stopword
+    relation broadcasts, the incidence joins are (doc, island)- and
+    token-keyed, top-k on the ≤|distinct phrases| relation.""".replace(
+        "{stop}", str(_RAKE_STOP))
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")),
+                                 F.lit(r"[a-z]+"), 0)
+        ).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    stop = (
+        toks.groupBy("tok").agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tok").limit(_RAKE_STOP)
+        .select("tok")
+    )
+    nonstop = toks.join(F.broadcast(stop), "tok", "left_anti")
+    islands = nonstop.withColumn(
+        "island",
+        F.col("pos")
+        - F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    phrases = islands.groupBy("doc_id", "island").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(pos, tok)))"
+                   ", x -> x.tok)"),
+            " ",
+        ).alias("phrase"),
+        F.count("*").cast("long").alias("plen"),
+    )
+    wstats = (
+        islands.join(phrases, ["doc_id", "island"])
+        .groupBy("tok")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("degree"),
+        )
+    )
+    wscore = wstats.select(
+        "tok", F.expr("(degree * 1000) div freq").alias("score_milli"))
+    pscore = (
+        phrases.join(islands, ["doc_id", "island"])
+        .join(wscore, "tok")
+        .groupBy("phrase")
+        .agg(
+            F.countDistinct("doc_id", "island").cast("long")
+            .alias("n_occurrences"),
+            F.expr(
+                "CAST(sum(score_milli)"
+                " / count(DISTINCT doc_id, island) AS BIGINT)"
+            ).alias("phrase_score_milli"),
+        )
+    )
+    ranked = pscore.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("phrase_score_milli").desc(), "phrase")),
+    )
+    return ranked.where(F.col("rank") <= _RAKE_TOPK).select(
+        "phrase", "n_occurrences", "phrase_score_milli",
+        F.col("rank").cast("long"),
+    )
