@@ -12431,3 +12431,433 @@ def q_rake_keywords(spark, sf_dir):
         "phrase", "n_occurrences", "phrase_score_milli",
         F.col("rank").cast("long"),
     )
+
+
+# ===================================================================
+# §2.C/F continuation (round-7 session 2, batch I) — two-sample
+# tests / optimal transport / long-memory estimation
+# ===================================================================
+
+
+@register("q_welch_ttest", """
+WITH stats AS (
+    SELECT source, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS s,
+           sum(n_chars * n_chars)::BIGINT AS ssq
+    FROM documents GROUP BY 1
+), pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           a.n AS na, a.s AS sa, a.ssq AS qa,
+           b.n AS nb, b.s AS sb, b.ssq AS qb
+    FROM stats a JOIN stats b ON a.source < b.source
+)
+SELECT source_a, source_b, na, nb,
+       (sa * 1000) // na AS mean_a_milli,
+       (sb * 1000) // nb AS mean_b_milli,
+       round((sa::DOUBLE / na - sb::DOUBLE / nb)
+             / sqrt((na * qa - sa * sa)::DOUBLE
+                        / (na::DOUBLE * na * (na - 1))
+                    + (nb * qb - sb * sb)::DOUBLE
+                        / (nb::DOUBLE * nb * (nb - 1))), 4) AS t_stat
+FROM pairs
+""")
+def q_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-statistic for every source pair's
+    document-length distribution — the parametric two-sample
+    location test (the workhorse of 'did this feed's docs get
+    shorter?'), deliberately Welch and not Student: feeds have
+    different variances, and pooling them is the classic false-
+    positive factory. Parity: group moments are exact integer sums
+    (one fact pass, map-side partial agg), the t-statistic is
+    doubles from those integers + one IEEE sqrt, rounded 4dp; means
+    are reported in integer milli. The pair join runs on the
+    ≤|sources|-row stats relation — the fact is scanned once no
+    matter how many pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long")
+        .alias("ssq"),
+    )
+    a = stats.select(F.col("source").alias("source_a"),
+                     F.col("n").alias("na"), F.col("s").alias("sa"),
+                     F.col("ssq").alias("qa"))
+    b = stats.select(F.col("source").alias("source_b"),
+                     F.col("n").alias("nb"), F.col("s").alias("sb"),
+                     F.col("ssq").alias("qb"))
+    pairs = a.join(b, F.col("source_a") < F.col("source_b"))
+    return pairs.select(
+        "source_a", "source_b", "na", "nb",
+        F.expr("(sa * 1000) div na").alias("mean_a_milli"),
+        F.expr("(sb * 1000) div nb").alias("mean_b_milli"),
+        F.expr(
+            "round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)"
+            " / sqrt(CAST(na * qa - sa * sa AS DOUBLE)"
+            "            / (CAST(na AS DOUBLE) * na * (na - 1))"
+            "        + CAST(nb * qb - sb * sb AS DOUBLE)"
+            "            / (CAST(nb AS DOUBLE) * nb * (nb - 1))), 4)"
+        ).alias("t_stat"),
+    )
+
+
+@register("q_wasserstein_1d", """
+WITH pairs_src AS (
+    SELECT a.source AS source_a, b.source AS source_b
+    FROM (SELECT DISTINCT source FROM documents) a
+    JOIN (SELECT DISTINCT source FROM documents) b
+      ON a.source < b.source
+), hist AS (
+    SELECT source, n_chars AS v, count(*)::BIGINT AS c
+    FROM documents GROUP BY 1, 2
+), tot AS (
+    SELECT source, sum(c)::BIGINT AS n FROM hist GROUP BY 1
+), support AS (
+    SELECT p.source_a, p.source_b, h.v,
+           coalesce(sum(CASE WHEN h.source = p.source_a
+                             THEN h.c END), 0)::BIGINT AS ca,
+           coalesce(sum(CASE WHEN h.source = p.source_b
+                             THEN h.c END), 0)::BIGINT AS cb
+    FROM pairs_src p
+    JOIN hist h ON h.source IN (p.source_a, p.source_b)
+    GROUP BY 1, 2, 3
+), walk AS (
+    SELECT source_a, source_b, v,
+           sum(ca) OVER (PARTITION BY source_a, source_b
+                         ORDER BY v)::BIGINT AS cum_a,
+           sum(cb) OVER (PARTITION BY source_a, source_b
+                         ORDER BY v)::BIGINT AS cum_b,
+           lead(v) OVER (PARTITION BY source_a, source_b
+                         ORDER BY v) AS v_next
+    FROM support
+), terms AS (
+    SELECT w.source_a, w.source_b,
+           abs(w.cum_a * tb.n - w.cum_b * ta.n)
+               * (w.v_next - w.v) AS term,
+           ta.n AS na, tb.n AS nb
+    FROM walk w
+    JOIN tot ta ON ta.source = w.source_a
+    JOIN tot tb ON tb.source = w.source_b
+    WHERE w.v_next IS NOT NULL
+)
+SELECT source_a, source_b, max(na) AS n_a, max(nb) AS n_b,
+       (sum(term) * 1000 / (max(na) * max(nb)))::BIGINT
+           AS wasserstein_milli
+FROM terms GROUP BY 1, 2
+""")
+def q_wasserstein_1d(spark, sf_dir):
+    """1-D Wasserstein (earth-mover's) distance between every source
+    pair's doc-length distribution — the drift metric with UNITS
+    (characters of transport work): KS says 'the CDFs differ', W1
+    says 'by how much, in the metric of the variable', which is the
+    number a data contract can threshold. Exact closed form: in 1-D,
+    W1 = integral |CDF_a - CDF_b| dv = SIGMA over support gaps of
+    |cum_a*n_b - cum_b*n_a| * gap / (n_a*n_b) — ALL-INTEGER until
+    one final milli division (the cross-multiplied CDFs avoid any
+    per-row double). Scale shape: the fact collapses to per-source
+    value histograms first (domain-bounded support), the CDF walk
+    is a window over each pair's ≤|support| rows, pairs come from
+    the |sources|-row dim."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("long").alias("c"))
+    tot = hist.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    srcs = docs.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .join(srcs.select(F.col("source").alias("source_b")),
+              F.col("source_a") < F.col("source_b"))
+    )
+    support = (
+        pairs.join(
+            hist,
+            (F.col("source") == F.col("source_a"))
+            | (F.col("source") == F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b", "v")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("source") == F.col("source_a"),
+                             F.col("c"))), F.lit(0)
+            ).cast("long").alias("ca"),
+            F.coalesce(
+                F.sum(F.when(F.col("source") == F.col("source_b"),
+                             F.col("c"))), F.lit(0)
+            ).cast("long").alias("cb"),
+        )
+    )
+    w = Window.partitionBy("source_a", "source_b").orderBy("v")
+    walk = support.select(
+        "source_a", "source_b", "v",
+        F.sum("ca").over(w).cast("long").alias("cum_a"),
+        F.sum("cb").over(w).cast("long").alias("cum_b"),
+        F.lead("v").over(w).alias("v_next"),
+    )
+    ta = tot.select(F.col("source").alias("source_a"),
+                    F.col("n").alias("na"))
+    tb = tot.select(F.col("source").alias("source_b"),
+                    F.col("n").alias("nb"))
+    terms = (
+        walk.where(F.col("v_next").isNotNull())
+        .join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a", "source_b", "na", "nb",
+            (
+                F.abs(F.col("cum_a") * F.col("nb")
+                      - F.col("cum_b") * F.col("na"))
+                * (F.col("v_next") - F.col("v"))
+            ).alias("term"),
+        )
+    )
+    return terms.groupBy("source_a", "source_b").agg(
+        F.max("na").alias("n_a"), F.max("nb").alias("n_b"),
+        F.expr(
+            "CAST(sum(term) * 1000 / (max(na) * max(nb)) AS BIGINT)"
+        ).alias("wasserstein_milli"),
+    )
+
+
+@register("q_mann_whitney_u", """
+WITH hist AS (
+    SELECT source, n_chars AS v, count(*)::BIGINT AS c
+    FROM documents
+    WHERE source IN (SELECT source FROM (
+        SELECT source, row_number() OVER (ORDER BY source) AS r
+        FROM (SELECT DISTINCT source FROM documents)
+    ) WHERE r <= 2)
+    GROUP BY 1, 2
+), sides AS (
+    SELECT v,
+           sum(CASE WHEN source = (SELECT min(source) FROM hist)
+                    THEN c ELSE 0 END)::BIGINT AS ca,
+           sum(CASE WHEN source != (SELECT min(source) FROM hist)
+                    THEN c ELSE 0 END)::BIGINT AS cb
+    FROM hist GROUP BY v
+), walk AS (
+    SELECT v, ca, cb,
+           coalesce(sum(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               ::BIGINT AS cb_below
+    FROM sides
+), sums AS (
+    SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb,
+           sum(2 * ca * cb_below + ca * cb)::BIGINT AS u2
+    FROM walk
+)
+SELECT na, nb, u2,
+       round((u2 - na::DOUBLE * nb)
+             / (2.0 * sqrt(na::DOUBLE * nb * (na + nb + 1) / 12.0)),
+             4) AS z_stat
+FROM sums
+""")
+def q_mann_whitney_u(spark, sf_dir):
+    """Mann-Whitney U between the first two sources' doc-length
+    distributions — the NONPARAMETRIC two-sample test (rank-based:
+    no normality assumption, robust to the heavy tails that break
+    q_welch_ttest's calibration; the pair is the standard report).
+    The distributed trick: U needs ranks, but ranking 100 TB is a
+    global sort — instead U = SIGMA_v ca(v)·(cb_below(v) + cb(v)/2)
+    over the VALUE HISTOGRAM (ties get the half credit), computed
+    here doubled (u2 = 2U) so everything stays integer. One window
+    over the domain-bounded support relation; z uses the closed-form
+    normal approximation (doubles from integers + IEEE sqrt, 4dp).
+    The two-source cut is deterministic (min two source keys)."""
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = (
+        docs.select("source").distinct()
+        .orderBy("source").limit(2)
+    )
+    hist = (
+        docs.join(F.broadcast(srcs), "source")
+        .groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    lo = srcs.agg(F.min("source").alias("src_a"))
+    sides = (
+        hist.crossJoin(F.broadcast(lo))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("source") == F.col("src_a"),
+                         F.col("c")).otherwise(0))
+            .cast("long").alias("ca"),
+            F.sum(F.when(F.col("source") != F.col("src_a"),
+                         F.col("c")).otherwise(0))
+            .cast("long").alias("cb"),
+        )
+    )
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    walk = sides.select(
+        "v", "ca", "cb",
+        F.coalesce(F.sum("cb").over(w), F.lit(0)).cast("long")
+        .alias("cb_below"),
+    )
+    sums = walk.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.sum(2 * F.col("ca") * F.col("cb_below")
+              + F.col("ca") * F.col("cb")).cast("long").alias("u2"),
+    )
+    return sums.select(
+        "na", "nb", "u2",
+        F.expr(
+            "round((u2 - CAST(na AS DOUBLE) * nb)"
+            " / (2.0 * sqrt(CAST(na AS DOUBLE) * nb * (na + nb + 1)"
+            " / 12.0)), 4)"
+        ).alias("z_stat"),
+    )
+
+
+_HURST_WINDOWS = (5, 10, 15, 30)
+
+
+@register("q_hurst_exponent", f"""
+WITH daily AS (
+    SELECT epoch_us(ts) // {_DAY_US} AS day, count(*)::BIGINT AS x
+    FROM events GROUP BY 1
+), idx AS (
+    SELECT x, row_number() OVER (ORDER BY day) - 1 AS i FROM daily
+), blocks AS (
+    SELECT w.w, i.i // w.w AS blk, i.i % w.w AS k, i.x
+    FROM idx i, (SELECT unnest([{", ".join(map(str, _HURST_WINDOWS))}])
+                 AS w) w
+    WHERE i.i < (SELECT (count(*) // w.w) * w.w FROM idx)
+), bstat AS (
+    SELECT w, blk, sum(x)::BIGINT AS s, count(*)::BIGINT AS n,
+           sum(x * x)::BIGINT AS ssq
+    FROM blocks GROUP BY 1, 2
+), cum AS (
+    SELECT b.w, b.blk, b.k,
+           sum(b.x) OVER (PARTITION BY b.w, b.blk
+                          ORDER BY b.k)::BIGINT AS pre
+    FROM blocks b
+), dev AS (
+    SELECT c.w, c.blk,
+           max(c.pre * s.n - (c.k + 1) * s.s)::BIGINT AS mx,
+           min(c.pre * s.n - (c.k + 1) * s.s)::BIGINT AS mn
+    FROM cum c JOIN bstat s ON s.w = c.w AND s.blk = c.blk
+    GROUP BY c.w, c.blk
+), rs AS (
+    SELECT d.w,
+           round(avg((d.mx - d.mn)::DOUBLE
+                 / (s.n * sqrt((s.n * s.ssq - s.s * s.s)::DOUBLE
+                               / (s.n::DOUBLE * s.n)))), 6) AS rs_mean
+    FROM dev d JOIN bstat s ON s.w = d.w AND s.blk = d.blk
+    WHERE s.n * s.ssq - s.s * s.s > 0
+    GROUP BY d.w
+), pts AS (
+    SELECT round(ln(w::DOUBLE), 6) AS lx,
+           round(ln(rs_mean), 6) AS ly
+    FROM rs
+), fit AS (
+    SELECT count(*)::BIGINT AS n,
+           sum(lx::DECIMAL(18,6)) AS sx, sum(ly::DECIMAL(18,6)) AS sy,
+           sum((lx::DECIMAL(18,6)) * (ly::DECIMAL(18,6))) AS sxy,
+           sum((lx::DECIMAL(18,6)) * (lx::DECIMAL(18,6))) AS sxx
+    FROM pts
+)
+SELECT n AS n_windows,
+       round(((n * sxy - sx * sy) / (n * sxx - sx * sx))::DOUBLE, 4)
+           AS hurst
+FROM fit
+""")
+def q_hurst_exponent(spark, sf_dir):
+    """Hurst exponent of the daily event series by rescaled-range
+    (R/S) analysis — the long-memory diagnostic: H~0.5 is a random
+    walk, H>0.5 means persistent trends (today's surge predicts
+    tomorrow's), H<0.5 anti-persistent mean reversion; it decides
+    whether naive day-over-day forecasting (q_forecast_backtest) is
+    even admissible. Pipeline: block the series at {len(_HURST_WINDOWS)}
+    window sizes, per block compute the range of cumulative
+    deviations SCALED BY n (pre*n - k*s — the exact-integer identity,
+    mean never materialized) over the IEEE-sqrt std, average R/S per
+    size (6dp), then the log-log OLS slope in exact decimal. Scale
+    shape: one fact pass to the calendar relation; blocks/windows
+    multiply the CALENDAR (x{len(_HURST_WINDOWS)}), not the fact;
+    the fit runs on {len(_HURST_WINDOWS)} points."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.expr(f"(ts div 1000) div {_DAY_US}").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    idx = daily.select(
+        "x",
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("i"),
+    )
+    nd = idx.agg(F.count("*").alias("n_days"))
+    ws = spark.createDataFrame(
+        [(w,) for w in _HURST_WINDOWS], "w int")
+    blocks = (
+        idx.crossJoin(F.broadcast(ws))
+        .crossJoin(F.broadcast(nd))
+        .where(F.col("i") < (F.col("n_days") / F.col("w"))
+               .cast("long") * F.col("w"))
+        .select(
+            "w", F.expr("i div w").alias("blk"),
+            F.expr("i % w").alias("k"), "x",
+        )
+    )
+    bstat = blocks.groupBy("w", "blk").agg(
+        F.sum("x").cast("long").alias("s"),
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ssq"),
+    )
+    wcum = Window.partitionBy("w", "blk").orderBy("k")
+    cum = blocks.select(
+        "w", "blk", "k",
+        F.sum("x").over(wcum).cast("long").alias("pre"),
+    )
+    dev = (
+        cum.join(bstat, ["w", "blk"])
+        .groupBy("w", "blk")
+        .agg(
+            F.max(F.col("pre") * F.col("n")
+                  - (F.col("k") + 1) * F.col("s"))
+            .cast("long").alias("mx"),
+            F.min(F.col("pre") * F.col("n")
+                  - (F.col("k") + 1) * F.col("s"))
+            .cast("long").alias("mn"),
+        )
+    )
+    rs = (
+        dev.join(bstat, ["w", "blk"])
+        .where(F.col("n") * F.col("ssq") - F.col("s") * F.col("s") > 0)
+        .groupBy("w")
+        .agg(
+            F.round(
+                F.avg(
+                    (F.col("mx") - F.col("mn")).cast("double")
+                    / (
+                        F.col("n")
+                        * F.sqrt(
+                            (F.col("n") * F.col("ssq")
+                             - F.col("s") * F.col("s")).cast("double")
+                            / (F.col("n").cast("double") * F.col("n"))
+                        )
+                    )
+                ),
+                6,
+            ).alias("rs_mean")
+        )
+    )
+    pts = rs.select(
+        F.round(F.log(F.col("w").cast("double")), 6).alias("lx"),
+        F.round(F.log("rs_mean"), 6).alias("ly"),
+    )
+    fit = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("lx").cast("decimal(18,6)")).alias("sx"),
+        F.sum(F.col("ly").cast("decimal(18,6)")).alias("sy"),
+        F.sum(F.col("lx").cast("decimal(18,6)")
+              * F.col("ly").cast("decimal(18,6)")).alias("sxy"),
+        F.sum(F.col("lx").cast("decimal(18,6)")
+              * F.col("lx").cast("decimal(18,6)")).alias("sxx"),
+    )
+    return fit.select(
+        F.col("n").alias("n_windows"),
+        F.expr(
+            "round(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)"
+            " AS DOUBLE), 4)"
+        ).alias("hurst"),
+    )

@@ -41,6 +41,20 @@ def main():
     print(f"BASELINE_BENCH.json now anchors "
           f"{len(base['queries']) + len(base['extended_queries'])} queries")
 
+    # same never-overwrite policy for the shuffle-volume guard: only
+    # anchor-less queries gain a stage-metrics baseline
+    sm = full.get("stage_metrics") or {}
+    sb_path = os.path.join(ROOT, "SHUFFLE_BASELINE.json")
+    if sm and os.path.exists(sb_path):
+        sb = json.load(open(sb_path))
+        new_sm = {n: m for n, m in sm.items()
+                  if n not in sb.get("queries", {})}
+        print(f"{len(new_sm)} new shuffle baselines: {sorted(new_sm)}")
+        if new_sm:
+            sb.setdefault("queries", {}).update(new_sm)
+            with open(sb_path, "w") as f:
+                json.dump(sb, f, indent=1)
+
 
 if __name__ == "__main__":
     main()
