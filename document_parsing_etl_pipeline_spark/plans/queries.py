@@ -12861,3 +12861,288 @@ def q_hurst_exponent(spark, sf_dir):
             " AS DOUBLE), 4)"
         ).alias("hurst"),
     )
+
+
+# ===================================================================
+# §2.F continuation (round-7 session 2, batch J) — PII rollup /
+# code detection / dedup savings / Kneser-Ney LM
+# ===================================================================
+
+
+@register("q_pii_frequency", f"""
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(len(regexp_extract_all(text, '{ta.RE_EMAIL}')))::BIGINT
+           AS n_emails,
+       sum(len(regexp_extract_all(text, '{ta.RE_PHONE}')))::BIGINT
+           AS n_phones,
+       sum(len(regexp_extract_all(text, '{ta.RE_SSN}')))::BIGINT
+           AS n_ssns,
+       sum(length(text))::BIGINT AS n_chars,
+       ((sum(len(regexp_extract_all(text, '{ta.RE_EMAIL}')))
+         + sum(len(regexp_extract_all(text, '{ta.RE_PHONE}')))
+         + sum(len(regexp_extract_all(text, '{ta.RE_SSN}'))))
+        * 1000000 // greatest(sum(length(text)), 1))::BIGINT
+           AS pii_per_mchar
+FROM documents GROUP BY source
+""")
+def q_pii_frequency(spark, sf_dir):
+    """PII density per source (emails / phones / SSNs per million
+    characters) — the compliance TRIAGE readout that decides which
+    feeds need the expensive redaction pass (pii_redact) at all, and
+    the per-source rate is what a data-protection review actually
+    asks for. Same RE2-safe regexes as the redaction operator (one
+    definition, text_analysis.py), pure JVM regexp counting in a
+    single fact pass with map-side partial agg; |sources|-row
+    output, integer ppm."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _n(rx):
+        return F.size(F.regexp_extract_all(F.col("text"), F.lit(rx), 0))
+
+    agg = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(_n(ta.RE_EMAIL)).cast("long").alias("n_emails"),
+        F.sum(_n(ta.RE_PHONE)).cast("long").alias("n_phones"),
+        F.sum(_n(ta.RE_SSN)).cast("long").alias("n_ssns"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+    )
+    return agg.withColumn(
+        "pii_per_mchar",
+        F.expr(
+            "CAST((n_emails + n_phones + n_ssns) * 1000000"
+            " div greatest(n_chars, 1) AS BIGINT)"
+        ),
+    )
+
+
+@register("q_code_like_score", r"""
+WITH feats AS (
+    SELECT doc_id, source,
+           greatest(length(text), 1) AS nc,
+           len(regexp_extract_all(text, '[{}();=<>\[\]]'))::BIGINT
+               AS n_sym,
+           len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_dig,
+           len(regexp_extract_all(lower(text), '[a-z]+'))::BIGINT
+               AS n_words
+    FROM documents
+)
+SELECT doc_id, source, n_sym, n_dig, n_words,
+       (n_sym * 1000 // nc)::BIGINT AS sym_milli,
+       (n_dig * 1000 // nc)::BIGINT AS dig_milli,
+       ((n_sym * 3000 + n_dig * 1000) // nc)::BIGINT AS code_score_milli,
+       ((n_sym * 3000 + n_dig * 1000) // nc >= 120) AS code_like
+FROM feats
+""")
+def q_code_like_score(spark, sf_dir):
+    """Code-vs-prose detection per document via structural character
+    densities (bracket/operator symbols, digits) — the corpus-
+    routing gate every mixed web crawl needs: code belongs in the
+    code mix with code-aware tokenization, and prose-quality filters
+    (Gopher, CCNet) mis-score it as garbage if it isn't routed out
+    first. Heuristic is deliberately arithmetic (weighted integer
+    milli densities with a fixed threshold) — the same shape
+    production fast-paths use before an expensive classifier; all
+    counts are single-pass JVM regexp, integer floor-div, no
+    shuffle beyond the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id", "source",
+        F.greatest(F.length("text"), F.lit(1)).alias("nc"),
+        F.size(F.regexp_extract_all(
+            F.col("text"), F.lit(r"[{}();=<>\[\]]"), 0))
+        .cast("long").alias("n_sym"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[0-9]"), 0))
+        .cast("long").alias("n_dig"),
+        F.size(F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(r"[a-z]+"), 0))
+        .cast("long").alias("n_words"),
+    )
+    return feats.select(
+        "doc_id", "source", "n_sym", "n_dig", "n_words",
+        F.expr("CAST(n_sym * 1000 div nc AS BIGINT)").alias("sym_milli"),
+        F.expr("CAST(n_dig * 1000 div nc AS BIGINT)").alias("dig_milli"),
+        F.expr("CAST((n_sym * 3000 + n_dig * 1000) div nc AS BIGINT)")
+        .alias("code_score_milli"),
+        F.expr("(n_sym * 3000 + n_dig * 1000) div nc >= 120")
+        .alias("code_like"),
+    )
+
+
+@register("q_dedup_token_savings", r"""
+WITH toks AS (
+    SELECT doc_id, source,
+           md5(coalesce(array_to_string(
+               regexp_extract_all(lower(text), '\S+'), ' '), ''))
+               AS h,
+           len(regexp_extract_all(lower(text), '\S+'))::BIGINT
+               AS n_toks
+    FROM documents
+), canon AS (
+    SELECT h, min(doc_id) AS keep_id FROM toks GROUP BY h
+)
+SELECT t.source,
+       count(*)::BIGINT AS n_docs,
+       sum(t.n_toks)::BIGINT AS tokens_total,
+       sum(CASE WHEN t.doc_id = c.keep_id
+                THEN t.n_toks ELSE 0 END)::BIGINT AS tokens_kept,
+       ((sum(t.n_toks) - sum(CASE WHEN t.doc_id = c.keep_id
+                                  THEN t.n_toks ELSE 0 END))
+        * 1000000 // greatest(sum(t.n_toks), 1))::BIGINT
+           AS savings_ppm
+FROM toks t JOIN canon c USING (h)
+GROUP BY t.source
+""")
+def q_dedup_token_savings(spark, sf_dir):
+    """Token savings from exact dedup, per source — the CURATION
+    ECONOMICS readout: dedup's cost is justified in training tokens
+    saved, and 'source X is 38% duplicate tokens' is the number that
+    re-orders the ingest roadmap (dedup observability counts DOCS;
+    training budgets count TOKENS — heavy duplication of long docs
+    hides in doc counts). Uses the canonical exact-dup rule (min
+    doc_id per whitespace-normalized md5 — same ONE definition as
+    dedup_exact), one hash-keyed join of the doc-level relation,
+    integer ppm. Scale: doc-level rows only (never token-exploded —
+    token counts come from size(regexp_extract_all) in the scan
+    projection)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source",
+        F.md5(
+            F.coalesce(
+                F.array_join(
+                    F.regexp_extract_all(
+                        F.lower(F.col("text")), F.lit(r"\S+"), 0),
+                    " ",
+                ),
+                F.lit(""),
+            )
+        ).alias("h"),
+        F.size(F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(r"\S+"), 0))
+        .cast("long").alias("n_toks"),
+    )
+    canon = toks.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        toks.join(canon, "h")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("tokens_total"),
+            F.sum(F.when(F.col("doc_id") == F.col("keep_id"),
+                         F.col("n_toks")).otherwise(0))
+            .cast("long").alias("tokens_kept"),
+            F.expr(
+                "CAST((sum(n_toks) - sum(CASE WHEN doc_id = keep_id"
+                " THEN n_toks ELSE 0 END)) * 1000000"
+                " div greatest(sum(n_toks), 1) AS BIGINT)"
+            ).alias("savings_ppm"),
+        )
+    )
+
+
+_KN_D = 0.75
+_KN_TOPK = 100
+
+
+@register("q_kneser_ney_bigram", r"""
+WITH toks AS (
+    SELECT doc_id, i AS pos, ws[i] AS tok
+    FROM (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        FROM documents
+    ), unnest(generate_series(1, len(ws))) AS t(i)
+), bg AS (
+    SELECT a.tok AS w1, b.tok AS w2, count(*)::BIGINT AS c
+    FROM toks a JOIN toks b
+      ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    GROUP BY 1, 2
+), uni AS (
+    SELECT w1, sum(c)::BIGINT AS c1,
+           count(*)::BIGINT AS n1f
+    FROM bg GROUP BY 1
+), cont AS (
+    SELECT w2, count(*)::BIGINT AS n1p FROM bg GROUP BY 1
+), btypes AS (
+    SELECT count(*)::BIGINT AS b_total FROM bg
+), scored AS (
+    SELECT g.w1, g.w2, g.c, u.c1,
+           round((g.c - {d}) / u.c1
+                 + ({d} * u.n1f / u.c1) * (ct.n1p::DOUBLE / bt.b_total),
+                 6) AS p_kn,
+           round(g.c::DOUBLE / u.c1, 6) AS p_mle
+    FROM bg g JOIN uni u USING (w1) JOIN cont ct USING (w2),
+         btypes bt
+)
+SELECT w1, w2, c, c1,
+       CAST(round(p_kn * 1000000) AS BIGINT) AS p_kn_micro,
+       CAST(round(p_mle * 1000000) AS BIGINT) AS p_mle_micro,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (ORDER BY c DESC, w1, w2) AS rank
+    FROM scored
+) WHERE rank <= {k}
+""".replace("{d}", str(_KN_D)).replace("{k}", str(_KN_TOPK)))
+def q_kneser_ney_bigram(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram probabilities vs MLE for the
+    top-{k} bigrams — the LM-smoothing upgrade over the Laplace
+    bigram model (q_bigram_logprob): KN backs off to CONTINUATION
+    counts ('in how many contexts does w2 start?') rather than raw
+    frequency, which is why it was the pre-neural state of the art
+    and why its continuation statistics still power data-quality
+    perplexity filters. All model relations are count rollups over
+    the bigram relation (vocab²-bounded, actual size far below):
+    absolute discount D={d}, lambda = D·N1+(w1·)/c(w1), Pcont =
+    N1+(·w2)/|bigram types| — probabilities are doubles from exact
+    integers rounded 6dp (no transcendentals). Adjacency via the
+    (doc, pos)-keyed self-join (the repo's bigram recipe); top-k on
+    the vocab-bounded scored relation.""".replace(
+        "{k}", str(_KN_TOPK)).replace("{d}", str(_KN_D))
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")),
+                                 F.lit(r"[a-z]+"), 0)
+        ).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    a = toks.select("doc_id", "pos", F.col("tok").alias("w1"))
+    b = toks.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"),
+        F.col("tok").alias("w2"))
+    bg = (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    uni = bg.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n1f"),
+    )
+    cont = bg.groupBy("w2").agg(F.count("*").cast("long").alias("n1p"))
+    btypes = bg.agg(F.count("*").cast("long").alias("b_total"))
+    scored = (
+        bg.join(uni, "w1").join(cont, "w2")
+        .crossJoin(F.broadcast(btypes))
+        .select(
+            "w1", "w2", "c", "c1",
+            F.expr(
+                f"round((c - {_KN_D}) / c1"
+                f" + ({_KN_D} * n1f / c1)"
+                f" * (CAST(n1p AS DOUBLE) / b_total), 6)"
+            ).alias("p_kn"),
+            F.expr("round(CAST(c AS DOUBLE) / c1, 6)").alias("p_mle"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("c").desc(), "w1", "w2")),
+    )
+    return ranked.where(F.col("rank") <= _KN_TOPK).select(
+        "w1", "w2", "c", "c1",
+        F.expr("CAST(round(p_kn * 1000000) AS BIGINT)")
+        .alias("p_kn_micro"),
+        F.expr("CAST(round(p_mle * 1000000) AS BIGINT)")
+        .alias("p_mle_micro"),
+        F.col("rank").cast("long"),
+    )
