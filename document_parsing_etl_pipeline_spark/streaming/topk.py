@@ -1,5 +1,6 @@
-"""Streaming heavy hitters: sharded Space-Saving top-k over an
-unbounded item stream with BOUNDED state.
+"""Streaming sketches over keyed state: sharded Space-Saving top-k
+heavy hitters and a per-key EWMA control chart — both with bounded
+state over unbounded streams.
 
 The scale contract: state is O(shards x m) counters no matter how
 large the item domain grows — the property that separates a heavy-
@@ -113,6 +114,99 @@ def topk_stream(
         fold_fn,
         outputStructType=TOPK_OUT_SCHEMA,
         stateStructType=TOPK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# -------------------------------------------------------------------
+# streaming EWMA control chart (the stream twin of the batch
+# q_bollinger_bands / q_events_anomaly family): per-key exponentially
+# weighted mean/variance carried in state, per-event z-flag
+# -------------------------------------------------------------------
+
+EWMA_OUT_SCHEMA = (
+    "key string, event_id bigint, ts_us bigint, value double, "
+    "ewma_milli bigint, ewvar_milli bigint, is_anomaly boolean, "
+    "n_seen bigint"
+)
+EWMA_STATE_SCHEMA = "mean double, var double, n bigint"
+
+
+def ewma_anomaly_stream(
+    stream,
+    alpha: float = 0.2,
+    k_sigma: float = 3.0,
+    key_col: str = "key",
+    min_n: int = 5,
+):
+    """Streaming EWMA control chart: per key, an exponentially
+    weighted mean and variance (West 1979 incremental update) carried
+    across micro-batches in keyed state; each event is flagged if it
+    sits more than ``k_sigma`` EW standard deviations from the mean
+    ONCE the key has warmed up (``min_n`` events — before that,
+    nothing is trustworthy and nothing is flagged).
+
+    Scale contract: state is three scalars per key (O(|keys|), the
+    same bound as every keyed operator here); arrival-order folding
+    within a batch is pinned to (ts_us, event_id) so replays are
+    deterministic. The batch analogs (q_bollinger_bands' trailing
+    window, q_events_anomaly's global z) are the oracle family; the
+    EWMA form is what the STREAM needs because it never re-reads
+    history."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout,
+    )
+
+    def fold_fn(key, pdfs, state: GroupState):
+        if state.exists:
+            mean, var, n = state.get
+        else:
+            mean, var, n = 0.0, 0.0, 0
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            state.update((mean, var, n))
+            return
+        batch = pd.concat(chunks).sort_values(["ts_us", "event_id"])
+        out_rows = []
+        for _, row in batch.iterrows():
+            x = float(row["value"])
+            if n == 0:
+                flagged = False
+                mean, var, n = x, 0.0, 1
+            else:
+                sigma = var ** 0.5
+                flagged = bool(
+                    n >= min_n and abs(x - mean) > k_sigma * sigma
+                )
+                diff = x - mean
+                incr = alpha * diff
+                mean = mean + incr
+                var = (1.0 - alpha) * (var + diff * incr)
+                n += 1
+            out_rows.append(
+                (
+                    str(key[0]), int(row["event_id"]),
+                    int(row["ts_us"]), x,
+                    int(round(mean * 1000)),
+                    int(round(var * 1000)),
+                    flagged, n,
+                )
+            )
+        state.update((mean, var, n))
+        yield pd.DataFrame(
+            out_rows,
+            columns=[
+                "key", "event_id", "ts_us", "value", "ewma_milli",
+                "ewvar_milli", "is_anomaly", "n_seen",
+            ],
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fold_fn,
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -784,3 +784,81 @@ def test_topk_stream_shards_partition_items_disjointly(tmp_path, spark):
     assert len(seen) == len(set(seen)) == 20
     # ample capacity -> exact counts, zero err
     assert all(r["count"] == 3 and r.err == 0 for r in rows)
+
+
+def test_ewma_anomaly_flags_spike_not_baseline(tmp_path, spark):
+    """A steady baseline never alarms; a single 10x spike after
+    warm-up does; the EWMA recovers (the spike inflates the mean only
+    by alpha) so the next normal value stays quiet."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from document_parsing_etl_pipeline_spark.streaming import topk
+
+    drop = tmp_path / "ewma"
+    drop.mkdir()
+    vals = [10.0, 10.5, 9.5, 10.2, 9.8, 10.1, 9.9, 100.0, 10.0]
+    rows = [
+        {"key": "m1", "event_id": i, "ts_us": i * 1000, "value": v}
+        for i, v in enumerate(vals)
+    ]
+    (drop / "a.json").write_text(
+        "\n".join(json.dumps(r) for r in rows))
+    schema = StructType([
+        StructField("key", StringType()),
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("value", DoubleType()),
+    ])
+    stream = spark.readStream.format("json").schema(schema).load(str(drop))
+    out = topk.ewma_anomaly_stream(stream, alpha=0.2, k_sigma=3.0,
+                                   min_n=5)
+    q = (out.writeStream.format("memory").queryName("ewma1")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.event_id: r.is_anomaly
+           for r in spark.sql("SELECT * FROM ewma1").collect()}
+    assert got[7] is True          # the 100.0 spike
+    flagged = [i for i, f in got.items() if f]
+    assert flagged == [7]          # nothing else alarms
+
+
+def test_ewma_anomaly_state_per_key_isolated(tmp_path, spark):
+    """Keys keep independent state: a spike on one key never flags
+    the other."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from document_parsing_etl_pipeline_spark.streaming import topk
+
+    drop = tmp_path / "ewma2"
+    drop.mkdir()
+    rows = []
+    for i in range(8):
+        rows.append({"key": "a", "event_id": i * 2,
+                     "ts_us": i * 1000, "value": 5.0 + (i % 2) * 0.1})
+        rows.append({"key": "b", "event_id": i * 2 + 1,
+                     "ts_us": i * 1000,
+                     "value": 50.0 if i == 7 else 1.0 + (i % 2) * 0.1})
+    (drop / "a.json").write_text(
+        "\n".join(json.dumps(r) for r in rows))
+    schema = StructType([
+        StructField("key", StringType()),
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("value", DoubleType()),
+    ])
+    stream = spark.readStream.format("json").schema(schema).load(str(drop))
+    out = topk.ewma_anomaly_stream(stream, min_n=5)
+    q = (out.writeStream.format("memory").queryName("ewma2")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows_out = spark.sql("SELECT * FROM ewma2").collect()
+    assert not any(r.is_anomaly for r in rows_out if r.key == "a")
+    assert any(r.is_anomaly for r in rows_out if r.key == "b")
