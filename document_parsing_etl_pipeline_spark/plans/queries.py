@@ -13146,3 +13146,384 @@ def q_kneser_ney_bigram(spark, sf_dir):
         .alias("p_mle_micro"),
         F.col("rank").cast("long"),
     )
+
+
+# ===================================================================
+# §2.C/E continuation (round-7 session 2, batch K) — embedding
+# geometry / association strength / recursive changepoints
+# ===================================================================
+
+
+@register("q_embedding_norms", """
+WITH norms AS (
+    SELECT vec_id, label,
+           round(sqrt(list_inner_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])), 4)
+               AS l2_norm
+    FROM embeddings
+), med AS (
+    SELECT round(quantile_cont(l2_norm, 0.5), 4) AS m FROM norms
+), mad AS (
+    SELECT round(quantile_cont(abs(n.l2_norm - med.m), 0.5), 4) AS d
+    FROM norms n, med
+)
+SELECT n.vec_id, n.label, n.l2_norm,
+       round(n.l2_norm - med.m, 4) AS dev,
+       (abs(n.l2_norm - med.m) > 3 * 1.4826 * mad.d) AS is_outlier
+FROM norms n, med, mad
+""")
+def q_embedding_norms(spark, sf_dir):
+    """Embedding L2-norm distribution with MAD-based outlier flags —
+    the vector-hygiene gate before ANY cosine workload: a near-zero
+    norm means a dead/failed embedding (its cosine is noise), a
+    huge norm distorts every un-normalized dot product, and the
+    MAD (not sigma) criterion survives the very outliers it hunts.
+    Parity: the norm is one ordered fold over the array (the repo's
+    list_inner_product ≡ F.aggregate convention, proven by the knn
+    family) + IEEE sqrt, rounded 4dp BEFORE the median/MAD passes so
+    both engines see identical inputs; median and MAD follow the
+    exact interpolated-percentile protocol and are rounded before
+    the flag comparison. Scale: two aggregation passes over the
+    per-vector relation, 1-row stats broadcast back — at 100 TB the
+    medians swap to the t-digest sketch like every percentile here."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id", "label",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding").cast("array<double>"),
+                        F.col("embedding").cast("array<double>"),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            4,
+        ).alias("l2_norm"),
+    )
+    med = norms.agg(
+        F.round(F.percentile("l2_norm", F.lit(0.5)), 4).alias("m"))
+    mad = (
+        norms.crossJoin(F.broadcast(med))
+        .agg(
+            F.round(
+                F.percentile(F.abs(F.col("l2_norm") - F.col("m")),
+                             F.lit(0.5)), 4
+            ).alias("d")
+        )
+    )
+    return (
+        norms.crossJoin(F.broadcast(med)).crossJoin(F.broadcast(mad))
+        .select(
+            "vec_id", "label", "l2_norm",
+            F.round(F.col("l2_norm") - F.col("m"), 4).alias("dev"),
+            (F.abs(F.col("l2_norm") - F.col("m"))
+             > 3 * 1.4826 * F.col("d")).alias("is_outlier"),
+        )
+    )
+
+
+@register("q_cramers_v", f"""
+WITH cells AS (
+    SELECT event_type AS x, (epoch_us(ts) // {_DAY_US}) % 7 AS y,
+           count(*)::BIGINT AS o
+    FROM events GROUP BY 1, 2
+), rt AS (SELECT x, sum(o)::BIGINT AS r FROM cells GROUP BY 1),
+ct AS (SELECT y, sum(o)::BIGINT AS c FROM cells GROUP BY 1),
+tot AS (SELECT sum(o)::BIGINT AS n FROM cells),
+dims AS (
+    SELECT (SELECT count(*) FROM rt)::BIGINT AS nr,
+           (SELECT count(*) FROM ct)::BIGINT AS nc
+), terms AS (
+    SELECT round(
+               ((ce.o * t.n - r.r * c.c)::DOUBLE
+                * (ce.o * t.n - r.r * c.c))
+               / (r.r::DOUBLE * c.c * t.n), 6) AS chi2_term,
+           t.n
+    FROM cells ce JOIN rt r USING (x) JOIN ct c USING (y), tot t
+)
+SELECT max(n) AS n_events,
+       CAST(sum(chi2_term::DECIMAL(18,6)) * 1000000 AS BIGINT)
+           AS chi2_micro,
+       round(sqrt(sum(chi2_term::DECIMAL(18,6))::DOUBLE
+                  / (max(n) * least((SELECT nr FROM dims) - 1,
+                                    (SELECT nc FROM dims) - 1))), 4)
+           AS cramers_v
+FROM terms
+""")
+def q_cramers_v(spark, sf_dir):
+    """Cramer's V between event type and day-of-week — the NORMALIZED
+    association strength ([0,1], comparable across tables of any
+    shape) that completes the contingency family: chi2 (q_chi2_drift)
+    scales with n so it can't be thresholded portably, MI
+    (q_mutual_information) is in nats — V is the one you put in a
+    data contract. Parity: per-cell chi2 terms use the cross-
+    multiplied integer numerator (o·n − r·c, exact) over the exact
+    integer denominator, rounded 6dp, decimal-summed; V adds one
+    IEEE sqrt rounded 4dp. One fact pass to the |types| x 7 table;
+    margins broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.col("event_type").alias("x"),
+            F.expr(f"((ts div 1000) div {_DAY_US}) % 7").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    rt = cells.groupBy("x").agg(F.sum("o").cast("long").alias("r"))
+    ct = cells.groupBy("y").agg(F.sum("o").cast("long").alias("c"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    dims = (
+        rt.agg(F.count("*").cast("long").alias("nr"))
+        .crossJoin(ct.agg(F.count("*").cast("long").alias("nc")))
+    )
+    terms = (
+        cells.join(F.broadcast(rt), "x").join(F.broadcast(ct), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            F.expr(
+                "round((CAST(o * n - r * c AS DOUBLE)"
+                " * (o * n - r * c))"
+                " / (CAST(r AS DOUBLE) * c * n), 6)"
+            ).alias("chi2_term"),
+        )
+    )
+    return (
+        terms.agg(
+            F.max("n").alias("n_events"),
+            F.expr(
+                "CAST(sum(CAST(chi2_term AS DECIMAL(18,6))) * 1000000"
+                " AS BIGINT)"
+            ).alias("chi2_micro"),
+            F.expr(
+                "sum(CAST(chi2_term AS DECIMAL(18,6)))"
+            ).alias("_chi2"),
+        )
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "n_events", "chi2_micro",
+            F.expr(
+                "round(sqrt(CAST(_chi2 AS DOUBLE)"
+                " / (n_events * least(nr - 1, nc - 1))), 4)"
+            ).alias("cramers_v"),
+        )
+    )
+
+
+@register("q_binary_segmentation", f"""
+WITH daily AS (
+    SELECT epoch_us(ts) // {_DAY_US} AS day, count(*)::BIGINT AS n
+    FROM events GROUP BY 1
+), tot AS (
+    SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS n_days
+    FROM daily
+), walk1 AS (
+    SELECT day, n,
+           sum(n) OVER (ORDER BY day)::BIGINT AS pre,
+           row_number() OVER (ORDER BY day)::BIGINT AS k
+    FROM daily
+), cus1 AS (
+    SELECT w.day, w.n,
+           (t.n_days * w.pre - w.k * t.total)::BIGINT AS s
+    FROM walk1 w, tot t
+), cp1 AS (
+    SELECT day AS cp_day, s FROM cus1
+    ORDER BY abs(s) DESC, day LIMIT 1
+), sided AS (
+    SELECT d.day, d.n,
+           CASE WHEN d.day <= c.cp_day THEN 0 ELSE 1 END AS side
+    FROM daily d, cp1 c
+), stot AS (
+    SELECT side, sum(n)::BIGINT AS total, count(*)::BIGINT AS n_days
+    FROM sided GROUP BY 1
+), walk2 AS (
+    SELECT side, day, n,
+           sum(n) OVER (PARTITION BY side ORDER BY day)::BIGINT AS pre,
+           row_number() OVER (PARTITION BY side ORDER BY day)::BIGINT
+               AS k
+    FROM sided
+), cus2 AS (
+    SELECT w.side, w.day,
+           (t.n_days * w.pre - w.k * t.total)::BIGINT AS s,
+           t.n_days
+    FROM walk2 w JOIN stot t USING (side)
+), cp2 AS (
+    SELECT side, day, s, n_days FROM (
+        SELECT *, row_number() OVER (PARTITION BY side
+                      ORDER BY abs(s) DESC, day) AS r
+        FROM cus2
+    ) WHERE r = 1
+)
+SELECT 1::BIGINT AS level, -1::BIGINT AS side, c.cp_day AS cp_day,
+       c.s AS cusum_scaled, t.n_days AS segment_days
+FROM cp1 c, tot t
+UNION ALL
+SELECT 2, side, day, s, n_days FROM cp2
+""")
+def q_binary_segmentation(spark, sf_dir):
+    """Two-level binary segmentation of the daily series: the level-1
+    CUSUM changepoint splits the timeline, then each half gets its
+    own CUSUM argmax — the standard recursive changepoint scheme
+    (Scott-Knott / binary segmentation step 2) that turns 'one
+    break' into a piecewise-regime map; q_changepoint_cusum is the
+    single-split primitive, this is its recursion, and the emitted
+    per-segment statistics say whether to recurse further. The
+    integer identity survives recursion because each segment re-
+    scales by ITS OWN (n_days, total) — still no division, no mean
+    materialized. Scale shape: one fact pass; every window runs on
+    the calendar relation (level-2 windows partitioned by side);
+    the level-1 argmax is a 1-row LIMIT broadcast back."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.expr(f"(ts div 1000) div {_DAY_US}").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = daily.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    w1 = Window.orderBy("day")
+    walk1 = daily.select(
+        "day", "n",
+        F.sum("n").over(w1).cast("long").alias("pre"),
+        F.row_number().over(w1).cast("long").alias("k"),
+    )
+    cus1 = walk1.crossJoin(F.broadcast(tot)).select(
+        "day", "n",
+        (F.col("n_days") * F.col("pre") - F.col("k") * F.col("total"))
+        .cast("long").alias("s"),
+    )
+    cp1 = (
+        cus1.orderBy(F.abs(F.col("s")).desc(), "day").limit(1)
+        .select(F.col("day").alias("cp_day"), "s")
+    )
+    sided = daily.crossJoin(F.broadcast(cp1)).select(
+        "day", "n",
+        F.when(F.col("day") <= F.col("cp_day"), 0).otherwise(1)
+        .alias("side"),
+    )
+    stot = sided.groupBy("side").agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    w2 = Window.partitionBy("side").orderBy("day")
+    walk2 = sided.select(
+        "side", "day", "n",
+        F.sum("n").over(w2).cast("long").alias("pre"),
+        F.row_number().over(w2).cast("long").alias("k"),
+    )
+    cus2 = walk2.join(F.broadcast(stot), "side").select(
+        "side", "day",
+        (F.col("n_days") * F.col("pre") - F.col("k") * F.col("total"))
+        .cast("long").alias("s"),
+        "n_days",
+    )
+    cp2 = (
+        cus2.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("side")
+                .orderBy(F.abs(F.col("s")).desc(), "day")),
+        )
+        .where(F.col("r") == 1)
+        .select(
+            F.lit(2).cast("long").alias("level"),
+            F.col("side").cast("long"),
+            F.col("day").alias("cp_day"),
+            F.col("s").alias("cusum_scaled"),
+            F.col("n_days").alias("segment_days"),
+        )
+    )
+    lvl1 = cp1.crossJoin(F.broadcast(tot)).select(
+        F.lit(1).cast("long").alias("level"),
+        F.lit(-1).cast("long").alias("side"),
+        "cp_day",
+        F.col("s").alias("cusum_scaled"),
+        F.col("n_days").alias("segment_days"),
+    )
+    return lvl1.unionAll(cp2)
+
+
+@register("q_centroid_similarity", """
+WITH cent AS (
+    SELECT e.label, i.i AS dim,
+           round(sum((e.embedding[i.i])::DECIMAL(18,9))::DOUBLE
+                 / count(*), 5) AS v
+    FROM embeddings e, unnest(generate_series(1, 8)) AS i(i)
+    GROUP BY e.label, i.i
+), pairs AS (
+    SELECT a.label AS label_a, b.label AS label_b,
+           sum((a.v::DECIMAL(18,5)) * (b.v::DECIMAL(18,5))) AS dot,
+           sum((a.v::DECIMAL(18,5)) * (a.v::DECIMAL(18,5))) AS na,
+           sum((b.v::DECIMAL(18,5)) * (b.v::DECIMAL(18,5))) AS nb
+    FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY 1, 2
+)
+SELECT label_a, label_b,
+       CASE WHEN na = 0 OR nb = 0 THEN 0.0
+            ELSE round(dot::DOUBLE / (sqrt(na::DOUBLE)
+                                      * sqrt(nb::DOUBLE)), 4)
+       END AS centroid_cosine
+FROM pairs
+""")
+def q_centroid_similarity(spark, sf_dir):
+    """Pairwise cosine between per-label embedding centroids (first 8
+    dims — the q_label_centroids relation): the CLASS-GEOMETRY
+    readout that predicts classifier confusability and drives
+    cluster-merge decisions in semdedup-style pipelines — two labels
+    whose centroids sit at cosine 0.99 are one concept, and the ANN
+    index (knn_ivf) will thrash between them. EXACT until the last
+    step: centroid components are the established 5dp-rounded
+    decimal means, dot/norm accumulate those decimals exactly (no
+    double sum anywhere), one IEEE sqrt pair + 4dp round at the end;
+    zero-norm guard mirrors the Arrow kernel rule (0, never NaN).
+    The pair join runs on the |labels| x 8 centroid relation —
+    embeddings are scanned exactly once."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "v"),
+    )
+    cent = (
+        dims.select("label", (F.col("pos") + 1).alias("dim"), "v")
+        .groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(18,9)")).cast("double")
+                / F.count("*"),
+                5,
+            ).alias("v")
+        )
+    )
+    a = cent.select(F.col("label").alias("label_a"), "dim",
+                    F.col("v").alias("va"))
+    b = cent.select(F.col("label").alias("label_b"), "dim",
+                    F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, "dim")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("va").cast("decimal(18,5)")
+                  * F.col("vb").cast("decimal(18,5)")).alias("dot"),
+            F.sum(F.col("va").cast("decimal(18,5)")
+                  * F.col("va").cast("decimal(18,5)")).alias("na"),
+            F.sum(F.col("vb").cast("decimal(18,5)")
+                  * F.col("vb").cast("decimal(18,5)")).alias("nb"),
+        )
+    )
+    return pairs.select(
+        "label_a", "label_b",
+        F.expr(
+            "CASE WHEN na = 0 OR nb = 0 THEN 0.0"
+            " ELSE round(CAST(dot AS DOUBLE)"
+            " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))),"
+            " 4) END"
+        ).alias("centroid_cosine"),
+    )

@@ -38,6 +38,11 @@ DOC_QUERIES = [
     "dedup_components",
     "q_unigram_logprob",
     "tfidf_top_terms",
+    # round-7 session-2 additions: the new heavy corpus families
+    "q_shingle_novelty",      # shingle df rollup + join-back
+    "q_kneser_ney_bigram",    # (doc,pos) bigram self-join + 3 rollups
+    "q_naive_bayes_lang",     # token-keyed score join, vocab model
+    "q_rake_keywords",        # islands windows + incidence joins
 ]
 EVENT_QUERIES = [
     "q_events_sessionize",
@@ -46,6 +51,9 @@ EVENT_QUERIES = [
     "q_cdc_latest_state",
     "q_dau_wau_stickiness",
     "q_event_pattern_match",
+    # round-7 session-2 additions
+    "q_sessionized_bounce",   # session rollup on the user partitioning
+    "q_user_type_entropy",    # user-keyed cells + entropy rollup
 ]
 
 
