@@ -13527,3 +13527,291 @@ def q_centroid_similarity(spark, sf_dir):
             " 4) END"
         ).alias("centroid_cosine"),
     )
+
+
+# ===================================================================
+# §2.C continuation (round-7 session 2, batch L) — concentration
+# point / arrival process / peaks / regime runs
+# ===================================================================
+
+
+@register("q_pareto_point", """
+WITH rev AS (
+    SELECT o_custkey,
+           CAST(sum(o_totalprice::DECIMAL(18,6)) * 100 AS BIGINT)
+               AS rev_cents
+    FROM orders GROUP BY 1
+), tot AS (
+    SELECT sum(rev_cents)::BIGINT AS t, count(*)::BIGINT AS n
+    FROM rev
+), walk AS (
+    SELECT rev_cents,
+           sum(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey)
+               ::BIGINT AS cum,
+           row_number() OVER (ORDER BY rev_cents DESC, o_custkey)
+               ::BIGINT AS k
+    FROM rev
+), hit AS (
+    SELECT w.k, w.cum, t.t, t.n
+    FROM walk w, tot t
+    WHERE w.cum * 100 >= t.t * 80
+    ORDER BY w.k LIMIT 1
+)
+SELECT n AS n_customers, k AS k_top_customers,
+       ((k * 1000000) // n)::BIGINT AS top_share_ppm,
+       ((cum * 1000000) // t)::BIGINT AS revenue_covered_ppm
+FROM hit
+""")
+def q_pareto_point(spark, sf_dir):
+    """The Pareto point of customer revenue: the SMALLEST top-k
+    customer set covering >= 80% of revenue, as a ppm of the
+    customer base — the single number behind 'is this an 80/20
+    business?', and the readout that sizes key-account programs and
+    concentration-risk limits (q_lorenz_curve shows the whole
+    curve; this extracts the decision point). Exact: decimal-cent
+    revenue, descending cumulative walk with a deterministic
+    (revenue, custkey) order, the crossing row picked by an integer
+    cross-multiplied predicate (cum·100 >= t·80 — no percentage
+    double). The walk's window runs on the per-customer relation
+    (same documented trade as q_lorenz_curve's ntile)."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100"
+            " AS BIGINT)"
+        ).alias("rev_cents")
+    )
+    tot = rev.agg(
+        F.sum("rev_cents").cast("long").alias("t"),
+        F.count("*").cast("long").alias("n"),
+    )
+    w = Window.orderBy(F.col("rev_cents").desc(), "o_custkey")
+    walk = rev.select(
+        "rev_cents",
+        F.sum("rev_cents").over(w).cast("long").alias("cum"),
+        F.row_number().over(w).cast("long").alias("k"),
+    )
+    hit = (
+        walk.crossJoin(F.broadcast(tot))
+        .where(F.col("cum") * 100 >= F.col("t") * 80)
+        .orderBy("k").limit(1)
+    )
+    return hit.select(
+        F.col("n").alias("n_customers"),
+        F.col("k").alias("k_top_customers"),
+        F.expr("CAST((k * 1000000) div n AS BIGINT)")
+        .alias("top_share_ppm"),
+        F.expr("CAST((cum * 1000000) div t AS BIGINT)")
+        .alias("revenue_covered_ppm"),
+    )
+
+
+@register("q_interarrival_cv", """
+WITH ordered AS (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY epoch_us(ts), event_id)
+               AS prev_us
+    FROM events
+), gaps AS (
+    SELECT event_type, (ts_us - prev_us) // 1000 AS g_ms
+    FROM ordered WHERE prev_us IS NOT NULL
+), sums AS (
+    SELECT event_type, count(*)::BIGINT AS n_gaps,
+           sum(g_ms)::BIGINT AS s,
+           sum(g_ms::DECIMAL(38,0) * g_ms) AS ssq
+    FROM gaps GROUP BY 1
+)
+SELECT event_type, n_gaps,
+       ((s * 1000) // n_gaps)::BIGINT AS mean_gap_us,
+       round(sqrt(greatest((n_gaps * ssq
+                            - s::DECIMAL(38,0) * s)::DOUBLE, 0))
+             / s, 4) AS cv
+FROM sums
+""")
+def q_interarrival_cv(spark, sf_dir):
+    """Inter-arrival-time coefficient of variation per event type —
+    the arrival-process fingerprint capacity planning reads before
+    choosing a queueing model: CV~1 is Poisson (memoryless — the
+    M/M/c assumptions hold), CV>1 is bursty (provision for the
+    bursts, not the mean), CV<1 is scheduled/regular (a cron, not
+    humans). Per-(user, type) gaps via the repo's lag recipe (the
+    partitioned window — one shuffle); gaps in integer MILLISECONDS
+    (the data's granularity), squares accumulated in DECIMAL(38,0)
+    so month-long gaps cannot overflow, and CV = sqrt(n·ssq − s²)/s
+    — algebraically sqrt(var)/mean with ONE IEEE sqrt over an exact
+    integer, identical both engines, rounded 4dp; the mean is
+    reported in integer microseconds."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_us", "event_id")
+    gaps = (
+        ev.withColumn("prev_us", F.lag("ts_us").over(w))
+        .where(F.col("prev_us").isNotNull())
+        .select(
+            "event_type",
+            F.expr("(ts_us - prev_us) div 1000").alias("g_ms"),
+        )
+    )
+    sums = gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("g_ms").cast("long").alias("s"),
+        F.sum(F.col("g_ms").cast("decimal(38,0)") * F.col("g_ms"))
+        .alias("ssq"),
+    )
+    return sums.select(
+        "event_type", "n_gaps",
+        F.expr("(s * 1000) div n_gaps").cast("long")
+        .alias("mean_gap_us"),
+        F.expr(
+            "round(sqrt(greatest(CAST(n_gaps * ssq"
+            " - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE), 0))"
+            " / s, 4)"
+        ).alias("cv"),
+    )
+
+
+@register("q_peak_detection", f"""
+WITH daily AS (
+    SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2
+), ctx AS (
+    SELECT event_type, day, n,
+           lag(n) OVER (PARTITION BY event_type ORDER BY day) AS pn,
+           lead(n) OVER (PARTITION BY event_type ORDER BY day) AS nn
+    FROM daily
+), med AS (
+    SELECT event_type, round(quantile_cont(n, 0.5), 4) AS m
+    FROM daily GROUP BY 1
+)
+SELECT c.event_type, c.day, c.n,
+       c.pn AS prev_n, c.nn AS next_n
+FROM ctx c JOIN med m USING (event_type)
+WHERE c.pn IS NOT NULL AND c.nn IS NOT NULL
+  AND c.n > c.pn AND c.n > c.nn
+  AND c.n * 10 > m.m * 12
+""")
+def q_peak_detection(spark, sf_dir):
+    """Local-peak detection on the daily series per event type: a day
+    strictly above both neighbors AND 20% above the series median —
+    the change-calendar primitive (launch days, incident spikes,
+    campaign hits) that global anomaly scores smear out because a
+    local peak need not be a global outlier. Strict-neighbor
+    comparison via lag/lead on the type-partitioned calendar
+    relation; the prominence floor is the integer cross-multiplied
+    predicate n·10 > median·12 against the 4dp-rounded exact median
+    (no percentage double). One fact pass; everything else
+    calendar-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(f"(ts div 1000) div {_DAY_US}").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    ctx = daily.select(
+        "event_type", "day", "n",
+        F.lag("n").over(w).alias("pn"),
+        F.lead("n").over(w).alias("nn"),
+    )
+    med = daily.groupBy("event_type").agg(
+        F.round(F.percentile("n", F.lit(0.5)), 4).alias("m"))
+    return (
+        ctx.join(F.broadcast(med), "event_type")
+        .where(
+            F.col("pn").isNotNull() & F.col("nn").isNotNull()
+            & (F.col("n") > F.col("pn")) & (F.col("n") > F.col("nn"))
+            & (F.col("n") * 10 > F.col("m") * 12)
+        )
+        .select("event_type", "day", "n",
+                F.col("pn").alias("prev_n"),
+                F.col("nn").alias("next_n"))
+    )
+
+
+@register("q_regime_runs", f"""
+WITH daily AS (
+    SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2
+), med AS (
+    SELECT event_type, round(quantile_cont(n, 0.5), 4) AS m
+    FROM daily GROUP BY 1
+), signed AS (
+    SELECT d.event_type, d.day,
+           CASE WHEN d.n > m.m THEN 1 ELSE 0 END AS up
+    FROM daily d JOIN med m USING (event_type)
+), islands AS (
+    SELECT event_type, day, up,
+           day - row_number() OVER (PARTITION BY event_type, up
+                                    ORDER BY day) AS grp
+    FROM signed
+), runs AS (
+    SELECT event_type, up, grp, count(*)::BIGINT AS run_len,
+           min(day)::BIGINT AS run_start
+    FROM islands GROUP BY 1, 2, 3
+)
+SELECT event_type, up::BIGINT AS above_median,
+       count(*)::BIGINT AS n_runs,
+       max(run_len)::BIGINT AS longest_run,
+       min(CASE WHEN run_len = (SELECT max(r2.run_len) FROM runs r2
+                                WHERE r2.event_type = runs.event_type
+                                  AND r2.up = runs.up)
+                THEN run_start END)::BIGINT AS longest_run_start
+FROM runs GROUP BY 1, 2
+""")
+def q_regime_runs(spark, sf_dir):
+    """WHERE the regimes live: per event type, the count and LONGEST
+    run of consecutive above/below-median days (with the start day
+    of the longest run) — the locator companion to q_runs_test,
+    which only says THAT the series is sticky; incident reviews and
+    seasonality audits need the actual windows. Gaps-and-islands on
+    the type-partitioned calendar relation (day − row_number per
+    (type, side)), runs rolled up twice; the longest-run start uses
+    a deterministic min-over-ties rule identical in both engines.
+    One fact pass; all windows calendar-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(f"(ts div 1000) div {_DAY_US}").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    med = daily.groupBy("event_type").agg(
+        F.round(F.percentile("n", F.lit(0.5)), 4).alias("m"))
+    signed = daily.join(F.broadcast(med), "event_type").select(
+        "event_type", "day",
+        F.when(F.col("n") > F.col("m"), 1).otherwise(0).alias("up"),
+    )
+    islands = signed.withColumn(
+        "grp",
+        F.col("day")
+        - F.row_number().over(
+            Window.partitionBy("event_type", "up").orderBy("day")),
+    )
+    runs = islands.groupBy("event_type", "up", "grp").agg(
+        F.count("*").cast("long").alias("run_len"),
+        F.min("day").cast("long").alias("run_start"),
+    )
+    longest = runs.groupBy("event_type", "up").agg(
+        F.max("run_len").alias("max_len"))
+    return (
+        runs.join(longest, ["event_type", "up"])
+        .groupBy("event_type", F.col("up").cast("long")
+                 .alias("above_median"))
+        .agg(
+            F.count("*").cast("long").alias("n_runs"),
+            F.max("run_len").cast("long").alias("longest_run"),
+            F.min(
+                F.when(F.col("run_len") == F.col("max_len"),
+                       F.col("run_start"))
+            ).cast("long").alias("longest_run_start"),
+        )
+    )
