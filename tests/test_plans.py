@@ -309,3 +309,38 @@ def test_zorder3_pruning_ladder(spark):
     mean3 = sum(spans["zorder3"]) / len(spans["zorder3"])
     mean_lin = sum(spans["linear"]) / len(spans["linear"])
     assert mean3 < 0.8 * domain < mean_lin
+
+
+def test_session7b_new_query_plan_shapes(spark):
+    """Scale claims of the round-7 session-2 batches, machine-checked:
+    vocab/stopword/cut relations broadcast onto streams, fact windows
+    stay partitioned, and no pair join touches an unreduced fact."""
+    # OOV: the vocab side joins the token stream as a broadcast
+    plan = _executed(QUERIES["q_oov_rate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # NB lang: token-keyed scoring join; no cartesian product
+    plan = _executed(QUERIES["q_naive_bayes_lang"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # Wasserstein: CDF windows are pair-partitioned, never global
+    plan = _executed(QUERIES["q_wasserstein_1d"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "windowspecdefinition(source_a" in plan
+    # interarrival: the lag window is (user, type)-partitioned
+    plan = _executed(QUERIES["q_interarrival_cv"](spark, SF_DIR))
+    assert "windowspecdefinition(user_id" in plan
+    # RAKE: islands windows are doc-partitioned
+    plan = _executed(QUERIES["q_rake_keywords"](spark, SF_DIR))
+    assert "windowspecdefinition(doc_id" in plan
+    # regime runs: islands windows are (type, side)-partitioned
+    plan = _executed(QUERIES["q_regime_runs"](spark, SF_DIR))
+    assert "windowspecdefinition(event_type" in plan
+
+
+def test_session7b_topk_cuts_use_take_ordered(spark):
+    """RRF's list cuts and the derived-stopword/vocab cuts compile to
+    TakeOrderedAndProject — top-k without a global sort materialized
+    (the 100 TB-safe shape)."""
+    for name in ("q_reciprocal_rank_fusion", "q_rake_keywords",
+                 "q_oov_rate"):
+        plan = _executed(QUERIES[name](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, name
