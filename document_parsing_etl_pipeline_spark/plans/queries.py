@@ -13815,3 +13815,264 @@ def q_regime_runs(spark, sf_dir):
             ).cast("long").alias("longest_run_start"),
         )
     )
+
+
+# ===================================================================
+# §2.D/E/C continuation (round-7 session 2, batch M) — power-law
+# fit / dim pruning / modularity / purchase cadence
+# ===================================================================
+
+
+@register("q_powerlaw_alpha", _CC_CTES + """
+, comps AS (
+    SELECT id, min(label) AS component_id FROM walk GROUP BY id
+), sizes AS (
+    SELECT component_id, count(*)::BIGINT AS s
+    FROM comps GROUP BY 1
+), xm AS (
+    SELECT min(s)::BIGINT AS x_min, count(*)::BIGINT AS n_clusters
+    FROM sizes
+), fit AS (
+    SELECT max(x.n_clusters) AS n_clusters, max(x.x_min) AS x_min,
+           sum(CAST(round(ln(z.s::DOUBLE / x.x_min), 6)
+                    AS DECIMAL(18,6))) AS log_sum
+    FROM sizes z, xm x
+)
+SELECT n_clusters, x_min,
+       CASE WHEN log_sum = 0 THEN NULL
+            ELSE CAST(round(1000000.0 * (1.0 + n_clusters
+                      / log_sum::DOUBLE)) AS BIGINT)
+       END AS alpha_micro
+FROM fit
+""")
+def q_powerlaw_alpha(spark, sf_dir):
+    """Clauset-Shalizi-Newman MLE power-law exponent of the near-dup
+    CLUSTER-SIZE distribution: alpha = 1 + n / SIGMA ln(x/xmin) —
+    the one-number answer to 'is duplication dominated by a few
+    template families?' (alpha < 2 means the largest clusters carry
+    most of the duplicated mass — plan the dedup pass around them;
+    alpha > 3 means noise-level duplication). Completes the dedup
+    observability family: q_dedup_cluster_sizes shows the histogram,
+    this fits it. Parity: per-cluster ln(s/xmin) rounded 6dp then
+    decimal-summed (the unigram-surprisal recipe), alpha reported in
+    integer micro (NULL for the degenerate all-minimum-size
+    distribution — same rule both engines). Runs on the memoized
+    components artifact; everything after is ≤|clusters| rows."""
+    comps = _corpus_components(spark, sf_dir)
+    sizes = comps.groupBy("component_id").agg(
+        F.count("*").cast("long").alias("s"))
+    xmin = sizes.agg(F.min("s").alias("x_min"),
+                     F.count("*").cast("long").alias("n_clusters"))
+    fit = (
+        sizes.crossJoin(F.broadcast(xmin))
+        .agg(
+            F.max("n_clusters").alias("n_clusters"),
+            F.max("x_min").alias("x_min"),
+            F.sum(
+                F.expr(
+                    "CAST(round(ln(CAST(s AS DOUBLE) / x_min), 6)"
+                    " AS DECIMAL(18,6))"
+                )
+            ).alias("log_sum"),
+        )
+    )
+    return fit.select(
+        "n_clusters", "x_min",
+        F.expr(
+            "CASE WHEN log_sum = 0 THEN NULL"
+            " ELSE CAST(round(1000000.0 * (1.0 + n_clusters"
+            " / CAST(log_sum AS DOUBLE))) AS BIGINT) END"
+        ).alias("alpha_micro"),
+    )
+
+
+@register("q_dim_variance_prune", """
+WITH e AS (
+    SELECT unnest(generate_series(1, len(embedding))) AS i, embedding
+    FROM embeddings
+), stats AS (
+    SELECT (i - 1)::BIGINT AS dim, count(*)::BIGINT AS n,
+           sum((embedding[i])::DOUBLE::DECIMAL(18,9)) AS s,
+           sum(((embedding[i])::DOUBLE::DECIMAL(18,9))
+               * ((embedding[i])::DOUBLE::DECIMAL(18,9))) AS ssq
+    FROM e GROUP BY 1
+), scored AS (
+    SELECT dim, n,
+           round((n * ssq - s * s)::DOUBLE / (n::DOUBLE * n), 9)
+               AS variance
+    FROM stats
+), med AS (
+    SELECT round(quantile_cont(variance, 0.5), 9) AS m FROM scored
+)
+SELECT s.dim, s.n, s.variance,
+       (s.variance * 100 < m.m) AS prune_candidate
+FROM scored s, med m
+""")
+def q_dim_variance_prune(spark, sf_dir):
+    """Near-zero-variance embedding dimensions — the feature-pruning
+    audit before ANN indexing or quantization: a dimension whose
+    variance sits two orders below the median carries no signal but
+    still costs distance-compute and quantizer codebook space
+    (q_embedding_dim_stats reports ranges; variance is what actually
+    decides pruning). EXACT variance: per-element decimal(18,9)
+    sums and sum-of-squares (the centroid recipe), the n*ssq - s^2
+    identity evaluated in decimal then one double division rounded
+    9dp; the prune flag is the integer-factor comparison
+    variance*100 < median. One explode pass; dim-sized relation
+    after."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("dim", "v"))
+    stats = dims.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("v").cast("decimal(18,9)")).alias("s"),
+        F.sum(F.col("v").cast("decimal(18,9)")
+              * F.col("v").cast("decimal(18,9)")).alias("ssq"),
+    )
+    scored = stats.select(
+        F.col("dim").cast("long"), "n",
+        F.expr(
+            "round(CAST(n * ssq - s * s AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * n), 9)"
+        ).alias("variance"),
+    )
+    med = scored.agg(
+        F.round(F.percentile("variance", F.lit(0.5)), 9).alias("m"))
+    return scored.crossJoin(F.broadcast(med)).select(
+        "dim", "n", "variance",
+        (F.col("variance") * 100 < F.col("m")).alias("prune_candidate"),
+    )
+
+
+@register("q_graph_modularity", _CC_CTES + """
+, src AS (
+    SELECT doc_id, source FROM documents
+), typed AS (
+    SELECT e.a, e.b, sa.source AS src_a, sb.source AS src_b
+    FROM edges e JOIN src sa ON sa.doc_id = e.a
+    JOIN src sb ON sb.doc_id = e.b
+), m2 AS (
+    SELECT count(*)::BIGINT AS m2 FROM typed
+), within AS (
+    SELECT src_a AS source, count(*)::BIGINT AS e_in
+    FROM typed WHERE src_a = src_b GROUP BY 1
+), degsum AS (
+    SELECT src_a AS source, count(*)::BIGINT AS d
+    FROM typed GROUP BY 1
+)
+SELECT d.source,
+       coalesce(w.e_in, 0) AS within_edges, d.d AS degree_sum,
+       t.m2 AS total_directed_edges,
+       (coalesce(w.e_in, 0) * 1000000 // t.m2
+        - (d.d * d.d * 1000000) // (t.m2 * t.m2))::BIGINT
+           AS modularity_contrib_micro
+FROM degsum d LEFT JOIN within w USING (source), m2 t
+""")
+def q_graph_modularity(spark, sf_dir):
+    """Newman modularity of the near-dup graph under the SOURCE
+    partition: per source, e_ii − a_i² in integer micro — 'do
+    near-duplicates stay inside their source?' A high-modularity
+    graph deduplicates shard-locally (partition by source, skip the
+    global shuffle); modularity ~0 means cross-source copying and
+    the dedup pass must stay global — this one number picks the
+    topology. ALL-INTEGER: within-community edge shares and squared
+    degree shares both floor-divide at 1e6 over the directed edge
+    count; the global Q is the sum of the emitted contributions.
+    Consumes the memoized pair artifact; the source map joins
+    doc-keyed, then everything is |sources|-row."""
+    pairs = _jaccard_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionAll(pairs.select(F.col("doc_b").alias("a"),
+                            F.col("doc_a").alias("b")))
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source")
+    typed = (
+        edges.join(src.withColumnRenamed("doc_id", "a")
+                   .withColumnRenamed("source", "src_a"), "a")
+        .join(src.withColumnRenamed("doc_id", "b")
+              .withColumnRenamed("source", "src_b"), "b")
+    )
+    m2 = typed.agg(F.count("*").cast("long").alias("m2"))
+    within = (
+        typed.where(F.col("src_a") == F.col("src_b"))
+        .groupBy(F.col("src_a").alias("source"))
+        .agg(F.count("*").cast("long").alias("e_in"))
+    )
+    degsum = typed.groupBy(F.col("src_a").alias("source")).agg(
+        F.count("*").cast("long").alias("d"))
+    return (
+        degsum.join(within, "source", "left")
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "source",
+            F.coalesce(F.col("e_in"), F.lit(0)).cast("long")
+            .alias("within_edges"),
+            F.col("d").alias("degree_sum"),
+            F.col("m2").alias("total_directed_edges"),
+            F.expr(
+                "CAST(coalesce(e_in, 0) * 1000000 div m2"
+                " - (d * d * 1000000) div (m2 * m2) AS BIGINT)"
+            ).alias("modularity_contrib_micro"),
+        )
+    )
+
+
+@register("q_repeat_purchase_interval", f"""
+WITH seq AS (
+    SELECT o.o_custkey, c.c_mktsegment,
+           epoch_us(o.o_orderdate) AS t_us,
+           lag(epoch_us(o.o_orderdate))
+               OVER (PARTITION BY o.o_custkey
+                     ORDER BY epoch_us(o.o_orderdate), o.o_orderkey)
+               AS prev_us
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), gaps AS (
+    SELECT c_mktsegment, (t_us - prev_us) // {_DAY_US} AS gap_days
+    FROM seq WHERE prev_us IS NOT NULL
+)
+SELECT c_mktsegment, count(*)::BIGINT AS n_intervals,
+       round(quantile_cont(gap_days, 0.5), 4) AS median_gap_days,
+       (sum(gap_days) * 1000 // count(*))::BIGINT
+           AS mean_gap_milli_days,
+       sum(CASE WHEN gap_days <= 30 THEN 1 ELSE 0 END)::BIGINT
+           AS n_within_30d
+FROM gaps GROUP BY 1
+""")
+def q_repeat_purchase_interval(spark, sf_dir):
+    """Repeat-purchase cadence per market segment: the distribution
+    of days between a customer's consecutive orders — the
+    replenishment-cycle readout behind reorder reminders, churn
+    definitions ('inactive' should mean 2-3x the segment's median
+    gap, not an arbitrary 90 days) and inventory cadence. Gaps via
+    the per-customer lag window (customer-keyed partitions — one
+    shuffle, same recipe as sessionize), integer day arithmetic,
+    exact interpolated median, integer milli mean. The customer join
+    carries no broadcast hint (customer is SF-scaling — AQE
+    decides, the repo rule)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        .alias("t_us"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("t_us", "o_orderkey")
+    seq = (
+        orders.join(cust, "o_custkey")
+        .withColumn("prev_us", F.lag("t_us").over(w))
+    )
+    gaps = seq.where(F.col("prev_us").isNotNull()).select(
+        "c_mktsegment",
+        F.expr(f"(t_us - prev_us) div {_DAY_US}").alias("gap_days"),
+    )
+    return gaps.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        F.round(F.percentile("gap_days", F.lit(0.5)), 4)
+        .alias("median_gap_days"),
+        F.expr("CAST(sum(gap_days) * 1000 div count(*) AS BIGINT)")
+        .alias("mean_gap_milli_days"),
+        F.sum(F.when(F.col("gap_days") <= 30, 1).otherwise(0))
+        .cast("long").alias("n_within_30d"),
+    )

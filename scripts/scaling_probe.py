@@ -172,12 +172,17 @@ def main():
         results[name] = {}
         for label, d in dirs:
             best = None
-            for _ in range(2):
-                t0 = time.time()
-                QUERIES[name](spark, d).write.mode("overwrite").format(
-                    "noop").save()
-                dt = time.time() - t0
-                best = dt if best is None or dt < best else best
+            try:
+                for _ in range(2):
+                    t0 = time.time()
+                    QUERIES[name](spark, d).write.mode(
+                        "overwrite").format("noop").save()
+                    dt = time.time() - t0
+                    best = dt if best is None or dt < best else best
+            except Exception as e:  # record, keep probing
+                results[name][label] = f"error: {type(e).__name__}"
+                print(f"{name} sf{label}: ERROR {e}"[:300], flush=True)
+                continue
             results[name][label] = round(best, 3)
             print(f"{name} sf{label}: {best:.2f}s", flush=True)
     # ---- second derived decade (round 7): 100× documents for the
@@ -213,8 +218,13 @@ def main():
         ]
         for name in d2_queries:
             t0 = time.time()
-            QUERIES[name](spark, sf10eq).write.mode("overwrite").format(
-                "noop").save()
+            try:
+                QUERIES[name](spark, sf10eq).write.mode(
+                    "overwrite").format("noop").save()
+            except Exception as e:
+                decade2[name] = {"10eq": f"error: {type(e).__name__}"}
+                print(f"{name} sf10eq: ERROR {e}"[:300], flush=True)
+                continue
             dt = round(time.time() - t0, 3)
             decade2[name] = {"10eq": dt}
             print(f"{name} sf10eq: {dt:.2f}s", flush=True)
@@ -234,14 +244,17 @@ def main():
         "factors_01_to_1eq": {
             n: round(r["1eq"] / r["0.1"], 2)
             for n, r in results.items()
-            if r.get("0.1", 0) > 0
+            if isinstance(r.get("0.1"), float) and r.get("0.1", 0) > 0
+            and isinstance(r.get("1eq"), float)
         },
         "decade2": decade2,
         "factors_1eq_to_10eq": {
             n: round(d["10eq"] / results[n]["1eq"], 2)
             for n, d in decade2.items()
-            if isinstance(d, dict) and "10eq" in d
-            and results.get(n, {}).get("1eq", 0) > 0
+            if isinstance(d, dict)
+            and isinstance(d.get("10eq"), float)
+            and isinstance(results.get(n, {}).get("1eq"), float)
+            and results[n]["1eq"] > 0
         },
     }
     with open(out_path, "w") as f:
