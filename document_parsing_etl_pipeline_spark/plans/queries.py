@@ -14076,3 +14076,272 @@ def q_repeat_purchase_interval(spark, sf_dir):
         F.sum(F.when(F.col("gap_days") <= 30, 1).otherwise(0))
         .cast("long").alias("n_within_30d"),
     )
+
+
+# ===================================================================
+# §2.C/F continuation (round-7 session 2, batch N) — t-closeness /
+# assortment coverage / price dispersion / power analysis
+# ===================================================================
+
+_TCLOSE_T_PPM = 200_000  # t = 0.2
+
+
+@register("q_t_closeness", """
+WITH sens AS (
+    SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hod,
+           CAST(floor(value / 50) AS BIGINT) AS band
+    FROM events
+), gdist AS (
+    SELECT band, count(*)::BIGINT AS gc FROM sens GROUP BY 1
+), gtot AS (SELECT sum(gc)::BIGINT AS gn,
+                   count(*)::BIGINT AS m FROM gdist),
+classes AS (
+    SELECT event_type, hod, count(*)::BIGINT AS cn
+    FROM sens GROUP BY 1, 2
+), grid AS (
+    SELECT c.event_type, c.hod, c.cn, g.band, g.gc
+    FROM classes c CROSS JOIN gdist g
+), cell AS (
+    SELECT s.event_type, s.hod, s.band, count(*)::BIGINT AS cc
+    FROM sens s GROUP BY 1, 2, 3
+), walk AS (
+    SELECT g.event_type, g.hod, g.band, g.cn,
+           sum(coalesce(ce.cc, 0)) OVER (PARTITION BY g.event_type,
+               g.hod ORDER BY g.band)::BIGINT AS cum_c,
+           sum(g.gc) OVER (PARTITION BY g.event_type, g.hod
+               ORDER BY g.band)::BIGINT AS cum_g
+    FROM grid g LEFT JOIN cell ce
+      ON ce.event_type = g.event_type AND ce.hod = g.hod
+     AND ce.band = g.band
+), emd AS (
+    SELECT w.event_type, w.hod, max(w.cn) AS class_n,
+           sum(abs(w.cum_c * t.gn - w.cum_g * w.cn))::BIGINT AS raw
+    FROM walk w, gtot t
+    GROUP BY 1, 2
+)
+SELECT e.event_type, e.hod::BIGINT AS hour_of_day, e.class_n,
+       ((e.raw * 1000000) // (e.class_n * t.gn * (t.m - 1)))::BIGINT
+           AS t_ppm,
+       ((e.raw * 1000000) // (e.class_n * t.gn * (t.m - 1))
+            > {tppm}) AS violates_t
+FROM emd e, gtot t
+""".replace("{tppm}", str(_TCLOSE_T_PPM)))
+def q_t_closeness(spark, sf_dir):
+    """t-closeness audit (Li et al.) completing the privacy ladder:
+    k-anonymity bounds GROUP SIZE, l-diversity bounds VALUE VARIETY,
+    t-closeness bounds what an attacker LEARNS — the ordered-EMD
+    between each equivalence class's sensitive-value distribution
+    (value bands) and the global one, normalized by (m-1). A class
+    whose distribution sits far from the population leaks the
+    sensitive attribute even if it is large and diverse. ALL-INTEGER
+    ordered EMD: per-band cumulative diffs as cross-multiplied
+    integers |cumC·N − cumG·nC| summed exactly, one ppm floor-div at
+    the end; class×band grid built from two SMALL relations (classes
+    ≤ |types|·24, bands domain-bounded) so absent cells cost a left
+    join, not a fact blowup."""
+    ev = load_table(spark, sf_dir, "events")
+    sens = ev.select(
+        "event_type",
+        (F.expr("(ts div 1000) div 3600000000") % 24).alias("hod"),
+        F.expr("CAST(floor(value / 50) AS BIGINT)").alias("band"),
+    )
+    gdist = sens.groupBy("band").agg(
+        F.count("*").cast("long").alias("gc"))
+    gtot = gdist.agg(F.sum("gc").cast("long").alias("gn"),
+                     F.count("*").cast("long").alias("m"))
+    classes = sens.groupBy("event_type", "hod").agg(
+        F.count("*").cast("long").alias("cn"))
+    cell = sens.groupBy("event_type", "hod", "band").agg(
+        F.count("*").cast("long").alias("cc"))
+    grid = classes.crossJoin(F.broadcast(gdist))
+    w = Window.partitionBy("event_type", "hod").orderBy("band")
+    walk = (
+        grid.join(cell, ["event_type", "hod", "band"], "left")
+        .select(
+            "event_type", "hod", "band", "cn",
+            F.sum(F.coalesce(F.col("cc"), F.lit(0))).over(w)
+            .cast("long").alias("cum_c"),
+            F.sum("gc").over(w).cast("long").alias("cum_g"),
+        )
+    )
+    emd = (
+        walk.crossJoin(F.broadcast(gtot))
+        .groupBy("event_type", "hod")
+        .agg(
+            F.max("cn").alias("class_n"),
+            F.sum(F.abs(F.col("cum_c") * F.col("gn")
+                        - F.col("cum_g") * F.col("cn")))
+            .cast("long").alias("raw"),
+            F.max("gn").alias("gn"), F.max("m").alias("m"),
+        )
+    )
+    return emd.select(
+        "event_type", F.col("hod").cast("long").alias("hour_of_day"),
+        "class_n",
+        F.expr(
+            "CAST((raw * 1000000) div (class_n * gn * (m - 1))"
+            " AS BIGINT)"
+        ).alias("t_ppm"),
+        F.expr(
+            f"(raw * 1000000) div (class_n * gn * (m - 1))"
+            f" > {_TCLOSE_T_PPM}"
+        ).alias("violates_t"),
+    )
+
+
+@register("q_catalog_coverage", """
+WITH ordered_parts AS (
+    SELECT DISTINCT l_partkey FROM lineitem
+), flags AS (
+    SELECT p.p_brand,
+           CASE WHEN o.l_partkey IS NULL THEN 0 ELSE 1 END AS sold
+    FROM part p LEFT JOIN ordered_parts o ON o.l_partkey = p.p_partkey
+)
+SELECT p_brand, count(*)::BIGINT AS n_parts,
+       sum(sold)::BIGINT AS n_sold,
+       (count(*) - sum(sold))::BIGINT AS n_never_sold,
+       ((sum(sold) * 1000000) // count(*))::BIGINT AS coverage_ppm
+FROM flags GROUP BY 1
+""")
+def q_catalog_coverage(spark, sf_dir):
+    """Catalog coverage per brand: the share of parts that have EVER
+    sold — the assortment-health readout (dead SKUs tie up catalog,
+    storage and search space; a brand at 40% coverage needs pruning
+    before it needs promotion). The distinct-partkey relation
+    collapses the fact FIRST (far smaller than lineitem), then one
+    left join against the part dim flags dead SKUs — the classic
+    coverage anti-join expressed as a null-flag so sold and dead
+    roll up in ONE pass. Integer ppm; |brands|-row output."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey").distinct()
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand")
+    flags = part.join(li.withColumn("sold", F.lit(1)),
+                      "l_partkey", "left")
+    return flags.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum(F.coalesce(F.col("sold"), F.lit(0))).cast("long")
+        .alias("n_sold"),
+        (F.count("*") - F.sum(F.coalesce(F.col("sold"), F.lit(0))))
+        .cast("long").alias("n_never_sold"),
+        F.expr(
+            "CAST((sum(coalesce(sold, 0)) * 1000000) div count(*)"
+            " AS BIGINT)"
+        ).alias("coverage_ppm"),
+    )
+
+
+@register("q_unit_price_dispersion", """
+WITH up AS (
+    SELECT p.p_brand,
+           CAST(round(round(l.l_extendedprice / l.l_quantity, 6)
+                      * 1000000) AS BIGINT) AS u6
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity > 0
+), sums AS (
+    SELECT p_brand, count(*)::BIGINT AS n,
+           sum(u6)::BIGINT AS s,
+           sum(u6::DECIMAL(38,0) * u6) AS ssq
+    FROM up GROUP BY 1
+)
+SELECT p_brand, n,
+       (s // n)::BIGINT AS mean_micro,
+       round(sqrt(greatest(n::DOUBLE * ssq::DOUBLE
+                           - s::DOUBLE * s::DOUBLE, 0))
+             / s::DOUBLE, 4) AS cv
+FROM sums WHERE s > 0
+""")
+def q_unit_price_dispersion(spark, sf_dir):
+    """Unit-price dispersion per brand (CV of price-per-unit across
+    line items) — the pricing-consistency audit: high dispersion
+    inside one brand means discount leakage, channel conflict, or
+    data errors (the audit that catches a misplaced decimal before
+    it trains a demand model). Parity: the unit price is rounded to
+    6dp ONCE (same double both engines) then becomes an exact
+    integer MICRO unit price; sums are BIGINT, squares accumulate in
+    DECIMAL(38,0) (the interarrival-CV recipe — no width overflow),
+    and the n·ssq − s² identity is evaluated in DOUBLE with one IEEE
+    sqrt (conversions of identical exact values are identical).
+    Fact⋈dim with no hint on the SF-scaling part (AQE decides);
+    map-side partial sums; |brands|-row output."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity") > 0
+    ).select(
+        "l_partkey",
+        F.expr(
+            "CAST(round(round(l_extendedprice / l_quantity, 6)"
+            " * 1000000) AS BIGINT)"
+        ).alias("u6"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand")
+    sums = li.join(part, "l_partkey").groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("u6").cast("long").alias("s"),
+        F.sum(F.col("u6").cast("decimal(38,0)") * F.col("u6"))
+        .alias("ssq"),
+    )
+    return sums.where(F.col("s") > 0).select(
+        "p_brand", "n",
+        F.expr("s div n").cast("long").alias("mean_micro"),
+        F.expr(
+            "round(sqrt(greatest(CAST(n AS DOUBLE) * CAST(ssq AS DOUBLE)"
+            " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 0))"
+            " / CAST(s AS DOUBLE), 4)"
+        ).alias("cv"),
+    )
+
+
+@register("q_ab_power_sample", f"""
+WITH {_AB_ARMS_SQL}, wide AS (
+    SELECT sum(n)::BIGINT AS n_tot, sum(x)::BIGINT AS x_tot,
+           min(n)::BIGINT AS n_min
+    FROM arms
+)
+SELECT n_tot, x_tot, n_min,
+       ((x_tot * 1000000) // n_tot)::BIGINT AS pbar_ppm,
+       CAST(ceil(2.0 * (x_tot::DOUBLE / n_tot)
+                 * (1.0 - x_tot::DOUBLE / n_tot)
+                 * (1.959964 + 0.841621) * (1.959964 + 0.841621)
+                 / ((0.1 * x_tot::DOUBLE / n_tot)
+                    * (0.1 * x_tot::DOUBLE / n_tot))) AS BIGINT)
+           AS n_required_per_arm,
+       n_min >= CAST(ceil(2.0 * (x_tot::DOUBLE / n_tot)
+                 * (1.0 - x_tot::DOUBLE / n_tot)
+                 * (1.959964 + 0.841621) * (1.959964 + 0.841621)
+                 / ((0.1 * x_tot::DOUBLE / n_tot)
+                    * (0.1 * x_tot::DOUBLE / n_tot))) AS BIGINT)
+           AS powered_now
+FROM wide
+""")
+def q_ab_power_sample(spark, sf_dir):
+    """A/B power analysis on the live experiment: the per-arm sample
+    size required to detect a 10% RELATIVE lift at alpha=0.05,
+    power=0.80 (two-proportion closed form, z constants 1.959964 /
+    0.841621), against the arms the split audit actually has — the
+    'is this experiment even decidable yet?' gate that stops teams
+    from reading q_ab_lift_test before the design can support it.
+    Consumes the ONE shared arm-assignment relation (_AB_ARMS_SQL /
+    _ab_arms — same definition as the audit and the lift test, so
+    the power statement is about exactly those arms). Doubles derive
+    from exact integer (n, x) sums identically in both engines;
+    ceil of identical doubles is identical; output is one row."""
+    wide = _ab_arms(spark, sf_dir).agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("x").cast("long").alias("x_tot"),
+        F.min("n").cast("long").alias("n_min"),
+    )
+    nreq = (
+        "CAST(ceil(2.0 * (CAST(x_tot AS DOUBLE) / n_tot)"
+        " * (1.0 - CAST(x_tot AS DOUBLE) / n_tot)"
+        " * (1.959964 + 0.841621) * (1.959964 + 0.841621)"
+        " / ((0.1 * CAST(x_tot AS DOUBLE) / n_tot)"
+        " * (0.1 * CAST(x_tot AS DOUBLE) / n_tot))) AS BIGINT)"
+    )
+    return wide.select(
+        "n_tot", "x_tot", "n_min",
+        F.expr("CAST((x_tot * 1000000) div n_tot AS BIGINT)")
+        .alias("pbar_ppm"),
+        F.expr(nreq).alias("n_required_per_arm"),
+        F.expr(f"n_min >= {nreq}").alias("powered_now"),
+    )
