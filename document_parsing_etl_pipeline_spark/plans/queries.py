@@ -14345,3 +14345,337 @@ def q_ab_power_sample(spark, sf_dir):
         F.expr(nreq).alias("n_required_per_arm"),
         F.expr(f"n_min >= {nreq}").alias("powered_now"),
     )
+
+
+@register("q_kendall_tau", f"""
+WITH daily AS (
+    SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+           count(*)::BIGINT AS x,
+           sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS y
+    FROM events GROUP BY 1, 2
+), p AS (
+    SELECT a.event_type,
+           CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END AS c,
+           CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END AS d,
+           CASE WHEN b.x = a.x THEN 1 ELSE 0 END AS tx,
+           CASE WHEN b.y = a.y THEN 1 ELSE 0 END AS ty
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.day < b.day
+), s AS (
+    SELECT event_type, count(*)::BIGINT AS n0,
+           sum(c)::BIGINT AS nc, sum(d)::BIGINT AS nd,
+           sum(tx)::BIGINT AS ntx, sum(ty)::BIGINT AS nty
+    FROM p GROUP BY 1
+)
+SELECT event_type,
+       (SELECT count(*) FROM daily dd
+        WHERE dd.event_type = s.event_type)::BIGINT AS n_days,
+       nc AS concordant, nd AS discordant, ntx AS ties_x, nty AS ties_y,
+       CASE WHEN n0 = ntx OR n0 = nty THEN 0
+            ELSE (1000000 * (nc - nd))
+                 // CAST(round(sqrt(CAST((n0 - ntx) AS DOUBLE)
+                                    * CAST((n0 - nty) AS DOUBLE)))
+                         AS BIGINT)
+       END AS tau_b_ppm
+FROM s
+""")
+def q_kendall_tau(spark, sf_dir):
+    """Kendall tau-b rank correlation between the daily event COUNT
+    and daily event VALUE series per event type — the distribution-
+    free monotone-association check that q_spearman_rank_corr (doc-
+    level) and q_autocorr_daily (self-lag Pearson) don't give: does
+    volume move WITH monetary value, robust to outlier days and to
+    ties? Concordant/discordant/tie counts are exact integers from
+    the pairwise join; tau-b's tie correction sqrt((n0-n1)(n0-n2))
+    goes through the round(sqrt)->BIGINT protocol and the final
+    ratio is truncating-integer ppm. Scale shape: the fact collapses
+    to the calendar-bounded (type, day) frame FIRST; the pair join
+    is an equi-join on event_type with C(|days|,2) fanout per type —
+    quadratic in the CALENDAR, constant in fact rows (the Knight
+    O(n log n) merge-sort inversion count is the drop-in if the
+    series ever outgrows the calendar bound)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(f"(ts div 1000) div {_DAY_US}").alias("day"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("x"),
+             F.sum("cents").cast("long").alias("y"))
+    )
+    a = daily.select("event_type", F.col("day").alias("da"),
+                     F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select("event_type", F.col("day").alias("db"),
+                     F.col("x").alias("xb"), F.col("y").alias("yb"))
+    s = (
+        a.join(b, "event_type")
+        .where(F.col("da") < F.col("db"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n0"),
+            F.sum(F.expr(
+                "CASE WHEN (xb - xa) * (yb - ya) > 0 THEN 1 ELSE 0 END"
+            )).cast("long").alias("nc"),
+            F.sum(F.expr(
+                "CASE WHEN (xb - xa) * (yb - ya) < 0 THEN 1 ELSE 0 END"
+            )).cast("long").alias("nd"),
+            F.sum(F.expr("CASE WHEN xb = xa THEN 1 ELSE 0 END"))
+            .cast("long").alias("ntx"),
+            F.sum(F.expr("CASE WHEN yb = ya THEN 1 ELSE 0 END"))
+            .cast("long").alias("nty"),
+        )
+    )
+    n_days = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"))
+    return (
+        s.join(F.broadcast(n_days), "event_type")
+        .select(
+            "event_type", "n_days",
+            F.col("nc").alias("concordant"),
+            F.col("nd").alias("discordant"),
+            F.col("ntx").alias("ties_x"), F.col("nty").alias("ties_y"),
+            F.expr(
+                "CASE WHEN n0 = ntx OR n0 = nty THEN 0"
+                " ELSE (1000000 * (nc - nd))"
+                " div CAST(round(sqrt(CAST((n0 - ntx) AS DOUBLE)"
+                " * CAST((n0 - nty) AS DOUBLE))) AS BIGINT) END"
+            ).cast("long").alias("tau_b_ppm"),
+        )
+    )
+
+
+@register("q_entropy_rate", """
+WITH seq AS (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id)
+               AS prev_type
+    FROM events
+), trans AS (
+    SELECT prev_type, event_type, count(*)::BIGINT AS nij
+    FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+), rowtot AS (
+    SELECT prev_type, sum(nij)::BIGINT AS ni FROM trans GROUP BY 1
+), terms AS (
+    SELECT t.prev_type, r.ni,
+           round(t.nij * log2(r.ni::DOUBLE / t.nij), 6)::DECIMAL(18,6)
+               AS bits
+    FROM trans t JOIN rowtot r ON r.prev_type = t.prev_type
+), h AS (
+    SELECT prev_type, max(ni)::BIGINT AS n_from,
+           round((sum(bits)::DOUBLE) / max(ni), 6) AS h_cond_bits
+    FROM terms GROUP BY 1
+), tot AS (SELECT sum(n_from)::BIGINT AS n FROM h)
+SELECT h.prev_type AS state, h.n_from, h.h_cond_bits,
+       ((h.n_from * 1000000) // t.n)::BIGINT AS pi_ppm
+FROM h, tot t
+""")
+def q_entropy_rate(spark, sf_dir):
+    """Markov entropy rate of the per-user event-type chain: the
+    conditional entropy H(next | state) per state plus the station-
+    ary weight pi(state) — the sequence-predictability readout that
+    q_event_transitions (raw matrix) and q_user_type_entropy
+    (marginal, order-0) both stop short of: a state with low H is a
+    funnel step whose successor is near-deterministic. Each term
+    n_ij * log2(n_i / n_ij) is one double log of an exact integer
+    ratio rounded 6dp (the zipf/ln protocol — rounding absorbs
+    libm ulp skew), accumulated in exact DECIMAL; weights are
+    truncating-integer ppm. The chain collapses to the |types|^2
+    transition matrix in ONE window pass over user partitions —
+    the same shuffle key the sessionizers use; everything after is
+    driver-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("ts div 1000"), "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", "event_type").agg(
+        F.count("*").cast("long").alias("nij"))
+    rowtot = trans.groupBy("prev_type").agg(
+        F.sum("nij").cast("long").alias("ni"))
+    terms = trans.join(F.broadcast(rowtot), "prev_type").select(
+        "prev_type", "ni",
+        F.expr(
+            "CAST(round(nij * log2(CAST(ni AS DOUBLE) / nij), 6)"
+            " AS DECIMAL(18,6))"
+        ).alias("bits"),
+    )
+    h = terms.groupBy("prev_type").agg(
+        F.max("ni").cast("long").alias("n_from"),
+        F.expr(
+            "round(CAST(sum(bits) AS DOUBLE) / max(ni), 6)"
+        ).alias("h_cond_bits"),
+    )
+    tot = h.agg(F.sum("n_from").cast("long").alias("n"))
+    return h.crossJoin(F.broadcast(tot)).select(
+        F.col("prev_type").alias("state"), "n_from", "h_cond_bits",
+        F.expr("CAST((n_from * 1000000) div n AS BIGINT)")
+        .alias("pi_ppm"),
+    )
+
+
+_COVERAGE_KS = (100, 1000, 10000)
+
+@register("q_token_coverage", f"""
+WITH toks AS (
+    SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+    FROM documents
+), freq AS (
+    SELECT tok, count(*)::BIGINT AS cnt FROM toks GROUP BY 1
+), ranked AS (
+    SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+    FROM freq
+), tot AS (
+    SELECT count(*)::BIGINT AS vocab_size, sum(cnt)::BIGINT AS total_tokens
+    FROM freq
+), cov AS (
+    SELECT
+      sum(CASE WHEN rnk <= {_COVERAGE_KS[0]} THEN cnt ELSE 0 END)::BIGINT
+          AS c0,
+      sum(CASE WHEN rnk <= {_COVERAGE_KS[1]} THEN cnt ELSE 0 END)::BIGINT
+          AS c1,
+      sum(CASE WHEN rnk <= {_COVERAGE_KS[2]} THEN cnt ELSE 0 END)::BIGINT
+          AS c2
+    FROM ranked
+)
+SELECT t.vocab_size, t.total_tokens,
+       c.c0 AS top{_COVERAGE_KS[0]}_tokens,
+       c.c1 AS top{_COVERAGE_KS[1]}_tokens,
+       c.c2 AS top{_COVERAGE_KS[2]}_tokens,
+       ((c.c0 * 1000000) // t.total_tokens)::BIGINT
+           AS top{_COVERAGE_KS[0]}_ppm,
+       ((c.c1 * 1000000) // t.total_tokens)::BIGINT
+           AS top{_COVERAGE_KS[1]}_ppm,
+       ((c.c2 * 1000000) // t.total_tokens)::BIGINT
+           AS top{_COVERAGE_KS[2]}_ppm
+FROM tot t, cov c
+""")
+def q_token_coverage(spark, sf_dir):
+    """Vocabulary coverage curve: what fraction of the corpus's token
+    mass the top-100/1k/10k unigrams cover — the tokenizer-budget
+    planning readout (a 32k vocab is wasted if 10k types already
+    cover 99.8%; conversely low top-10k coverage predicts high OOV
+    under any budget — the complement of q_oov_rate's fixed-vocab
+    view and q_heaps_law's growth view). The corpus collapses to the
+    vocab relation first (Zipf-bounded, the q_vocab_build argument);
+    the global rank window runs over vocab, never tokens, and the
+    three coverage points are ONE conditional-aggregation pass —
+    no k-table join, no repeated scans. Integer ppm output, 1 row."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")),
+                                 F.lit(r"\S+"), 0)
+        ).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    ranked = freq.select(
+        "cnt",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("tok"))
+        ).alias("rnk"),
+    )
+    tot = freq.agg(
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum("cnt").cast("long").alias("total_tokens"),
+    )
+    cov = ranked.agg(*[
+        F.sum(F.when(F.col("rnk") <= k, F.col("cnt")).otherwise(0))
+        .cast("long").alias(f"c{i}")
+        for i, k in enumerate(_COVERAGE_KS)
+    ])
+    out = tot.crossJoin(F.broadcast(cov))
+    cols = ["vocab_size", "total_tokens"]
+    for i, k in enumerate(_COVERAGE_KS):
+        cols.append(F.col(f"c{i}").alias(f"top{k}_tokens"))
+    for i, k in enumerate(_COVERAGE_KS):
+        cols.append(
+            F.expr(f"CAST((c{i} * 1000000) div total_tokens AS BIGINT)")
+            .alias(f"top{k}_ppm"))
+    return out.select(*cols)
+
+
+_GUMBEL_GAMMA = 0.5772156649
+_GUMBEL_RET_BLOCKS = 52
+
+@register("q_gumbel_maxima", f"""
+WITH daily AS (
+    SELECT epoch_us(ts) // {_DAY_US} AS day, count(*)::BIGINT AS n
+    FROM events GROUP BY 1
+), blocks AS (
+    SELECT day // 7 AS wk, max(n)::BIGINT AS m FROM daily GROUP BY 1
+), s AS (
+    SELECT count(*)::BIGINT AS nb, max(m)::BIGINT AS max_m,
+           sum(m)::BIGINT AS sm, sum(m * m)::BIGINT AS smm
+    FROM blocks
+)
+SELECT nb AS n_blocks, max_m AS max_weekly_peak,
+       round(sm::DOUBLE / nb, 4) AS mean_peak,
+       round(sqrt((nb::DOUBLE * smm - sm::DOUBLE * sm)
+                  / (nb::DOUBLE * (nb - 1)))
+             * 0.7796968012336761, 6) AS gumbel_beta,
+       round(sm::DOUBLE / nb
+             - {_GUMBEL_GAMMA}
+               * round(sqrt((nb::DOUBLE * smm - sm::DOUBLE * sm)
+                            / (nb::DOUBLE * (nb - 1)))
+                       * 0.7796968012336761, 6), 6) AS gumbel_mu,
+       round(round(sm::DOUBLE / nb
+             - {_GUMBEL_GAMMA}
+               * round(sqrt((nb::DOUBLE * smm - sm::DOUBLE * sm)
+                            / (nb::DOUBLE * (nb - 1)))
+                       * 0.7796968012336761, 6), 6)
+             - round(sqrt((nb::DOUBLE * smm - sm::DOUBLE * sm)
+                          / (nb::DOUBLE * (nb - 1)))
+                     * 0.7796968012336761, 6)
+               * round(ln(-ln(1.0 - 1.0 / {_GUMBEL_RET_BLOCKS})), 6),
+             4) AS return_level_{_GUMBEL_RET_BLOCKS}wk
+FROM s
+""")
+def q_gumbel_maxima(spark, sf_dir):
+    """Extreme-value (Gumbel) fit to WEEKLY block maxima of the daily
+    event-count series, method of moments: beta = s*sqrt(6)/pi, mu =
+    mean - gamma*beta, plus the {_GUMBEL_RET_BLOCKS}-week return
+    level mu - beta*ln(-ln(1-1/T)) — the capacity-planning number
+    ('the busiest day we should expect once a year') that mean+3
+    sigma under-calls because maxima are Gumbel-, not normal-,
+    tailed. Parity: moments come from exact integer (sum, sumsq)
+    over the calendar-bounded block frame; sqrt is IEEE-exact;
+    sqrt(6)/pi is one shared literal; each ln application is rounded
+    6dp (the zipf protocol) and every derived stat is rounded before
+    REUSE so both engines compose identical doubles. One output
+    row; the only fact-sized work is the daily pre-aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    blocks = (
+        ev.select(F.expr(f"(ts div 1000) div {_DAY_US}").alias("day"))
+        .groupBy("day").agg(F.count("*").cast("long").alias("n"))
+        .select(F.expr("day div 7").alias("wk"), "n")
+        .groupBy("wk").agg(F.max("n").cast("long").alias("m"))
+    )
+    s = blocks.agg(
+        F.count("*").cast("long").alias("nb"),
+        F.max("m").cast("long").alias("max_m"),
+        F.sum("m").cast("long").alias("sm"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("smm"),
+    )
+    beta = (
+        "round(sqrt((CAST(nb AS DOUBLE) * smm - CAST(sm AS DOUBLE) * sm)"
+        " / (CAST(nb AS DOUBLE) * (nb - 1))) * 0.7796968012336761, 6)"
+    )
+    mu = (
+        f"round(CAST(sm AS DOUBLE) / nb - {_GUMBEL_GAMMA} * {beta}, 6)"
+    )
+    lnln = f"round(ln(-ln(1.0 - 1.0 / {_GUMBEL_RET_BLOCKS})), 6)"
+    return s.select(
+        F.col("nb").alias("n_blocks"),
+        F.col("max_m").alias("max_weekly_peak"),
+        F.expr("round(CAST(sm AS DOUBLE) / nb, 4)").alias("mean_peak"),
+        F.expr(beta).alias("gumbel_beta"),
+        F.expr(mu).alias("gumbel_mu"),
+        F.expr(f"round({mu} - {beta} * {lnln}, 4)")
+        .alias(f"return_level_{_GUMBEL_RET_BLOCKS}wk"),
+    )
