@@ -14679,3 +14679,365 @@ def q_gumbel_maxima(spark, sf_dir):
         F.expr(f"round({mu} - {beta} * {lnln}, 4)")
         .alias(f"return_level_{_GUMBEL_RET_BLOCKS}wk"),
     )
+
+
+def _kappa_pred_sql() -> str:
+    g = "greatest(hits_de, hits_en, hits_es, hits_fr)"
+    return f"""
+kp_scored AS (
+    SELECT lang,
+           {_stop_sql('de')} AS hits_de,
+           {_stop_sql('en')} AS hits_en,
+           {_stop_sql('es')} AS hits_es,
+           {_stop_sql('fr')} AS hits_fr
+    FROM documents
+), kp_pred AS (
+    SELECT lang,
+           CASE WHEN {g} = 0 THEN 'und'
+                WHEN hits_de = {g} THEN 'de'
+                WHEN hits_en = {g} THEN 'en'
+                WHEN hits_es = {g} THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM kp_scored
+), kp_conf AS (
+    SELECT lang, pred_lang, count(*)::BIGINT AS n
+    FROM kp_pred GROUP BY 1, 2
+)"""
+
+
+@register("q_cohens_kappa", f"""
+WITH {_kappa_pred_sql()}, tot AS (
+    SELECT sum(n)::BIGINT AS n_docs,
+           sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END)::BIGINT
+               AS n_agree
+    FROM kp_conf
+), marg AS (
+    SELECT t.r, p.c
+    FROM (SELECT lang AS k, sum(n)::BIGINT AS r
+          FROM kp_conf GROUP BY 1) t
+    JOIN (SELECT pred_lang AS k, sum(n)::BIGINT AS c
+          FROM kp_conf GROUP BY 1) p ON p.k = t.k
+), pe AS (
+    SELECT sum(((m.r * 1000000) // t.n_docs) * m.c // t.n_docs)::BIGINT
+               AS pe_ppm
+    FROM marg m, tot t
+)
+SELECT t.n_docs, t.n_agree,
+       ((t.n_agree * 1000000) // t.n_docs)::BIGINT AS agree_ppm,
+       pe.pe_ppm AS expected_agree_ppm,
+       CASE WHEN pe.pe_ppm = 1000000 THEN 1000000
+            ELSE (1000000 * ((t.n_agree * 1000000) // t.n_docs
+                             - pe.pe_ppm))
+                 // (1000000 - pe.pe_ppm) END AS kappa_ppm
+FROM tot t, pe
+""")
+def q_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa between the stopword-heuristic language ID and
+    the ground-truth lang column — chance-corrected agreement, the
+    honest grade for a classifier on an imbalanced label (raw
+    accuracy flatters any predictor that parrots the majority
+    class; q_lang_confusion gives the raw matrix, this gives the
+    one-number skill score). ALL-INTEGER: observed and expected
+    agreement become truncating-ppm BEFORE the kappa ratio, with
+    each marginal product scaled through (r*1e6 div n)*c div n so
+    nothing exceeds BIGINT even at 1e12 docs (the n^2-free
+    formulation). The fact collapses to the |langs|^2 confusion
+    matrix in one groupBy; everything after is driver-sized."""
+    conf = (
+        ta.language_id(load_table(spark, sf_dir, "documents"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = conf.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("lang") == F.col("pred_lang"), F.col("n"))
+              .otherwise(0)).cast("long").alias("n_agree"),
+    )
+    r = conf.groupBy("lang").agg(F.sum("n").cast("long").alias("r"))
+    c = conf.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.sum("n").cast("long").alias("c"))
+    pe = (
+        r.join(c, "lang")
+        .crossJoin(F.broadcast(tot.select("n_docs")))
+        .agg(F.sum(F.expr(
+            "((r * 1000000) div n_docs) * c div n_docs"
+        )).cast("long").alias("pe_ppm"))
+    )
+    return tot.crossJoin(F.broadcast(pe)).select(
+        "n_docs", "n_agree",
+        F.expr("CAST((n_agree * 1000000) div n_docs AS BIGINT)")
+        .alias("agree_ppm"),
+        F.col("pe_ppm").alias("expected_agree_ppm"),
+        F.expr(
+            "CASE WHEN pe_ppm = 1000000 THEN CAST(1000000 AS BIGINT)"
+            " ELSE CAST((1000000 * ((n_agree * 1000000) div n_docs"
+            " - pe_ppm)) div (1000000 - pe_ppm) AS BIGINT) END"
+        ).alias("kappa_ppm"),
+    )
+
+
+_STUMP_CAP = 200
+
+@register("q_decision_stump", f"""
+WITH per_user AS (
+    SELECT user_id,
+           sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+               ::BIGINT AS nx,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               ::BIGINT AS y
+    FROM events GROUP BY 1
+), bands AS (
+    SELECT least(nx, {_STUMP_CAP}) AS band,
+           count(*)::BIGINT AS n, sum(y)::BIGINT AS pos
+    FROM per_user GROUP BY 1
+), tot AS (
+    SELECT sum(n)::BIGINT AS nn, sum(pos)::BIGINT AS pp FROM bands
+), cum AS (
+    SELECT band,
+           sum(n) OVER (ORDER BY band)::BIGINT AS l,
+           sum(pos) OVER (ORDER BY band)::BIGINT AS lp
+    FROM bands
+), scored AS (
+    SELECT c.band, c.l, c.lp, t.nn - c.l AS r, t.pp - c.lp AS rp,
+           t.nn, t.pp,
+           round(CAST(2 AS DOUBLE) * c.lp * (c.l - c.lp) / c.l
+                 + CAST(2 AS DOUBLE) * (t.pp - c.lp)
+                   * ((t.nn - c.l) - (t.pp - c.lp)) / (t.nn - c.l), 6)
+               AS gini_split
+    FROM cum c, tot t WHERE t.nn - c.l > 0
+), best AS (
+    SELECT *, row_number() OVER (ORDER BY gini_split, band) AS rk
+    FROM scored
+)
+SELECT band AS threshold, l AS n_left, lp AS pos_left,
+       r AS n_right, rp AS pos_right, gini_split,
+       round(CAST(2 AS DOUBLE) * pp * (nn - pp) / nn / nn, 6)
+           AS gini_root
+FROM best WHERE rk = 1
+""")
+def q_decision_stump(spark, sf_dir):
+    """Best single-split decision stump, learned IN-ENGINE: the
+    activity-count threshold that best separates purchasers from
+    non-purchasers by weighted Gini — the fastest useful model for
+    'how predictive is this feature at all' (and the building block
+    of distributed tree learners: per-feature band histogram ->
+    cumulative split scan, exactly PLANET/XGBoost's approx-split
+    layout). The fact collapses to per-user (activity, label) then
+    to a DOMAIN-BOUNDED band histogram (cap {_STUMP_CAP}); the
+    split scan is one cumulative window over <= {_STUMP_CAP}+1 rows.
+    Gini terms are doubles composed left-to-right from exact
+    integers (identical in both engines), rounded 6dp; ties break
+    on the lower threshold. Output: ONE row, the fitted stump vs
+    the root Gini."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") != "purchase", 1).otherwise(0))
+        .cast("long").alias("nx"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("y"),
+    )
+    bands = per_user.groupBy(
+        F.least(F.col("nx"), F.lit(_STUMP_CAP)).alias("band")
+    ).agg(F.count("*").cast("long").alias("n"),
+          F.sum("y").cast("long").alias("pos"))
+    tot = bands.agg(F.sum("n").cast("long").alias("nn"),
+                    F.sum("pos").cast("long").alias("pp"))
+    w = Window.orderBy("band")
+    cum = bands.select(
+        "band",
+        F.sum("n").over(w).cast("long").alias("l"),
+        F.sum("pos").over(w).cast("long").alias("lp"),
+    )
+    scored = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.expr("nn - l > 0"))
+        .select(
+            "band", "l", "lp",
+            F.expr("nn - l").alias("r"), F.expr("pp - lp").alias("rp"),
+            "nn", "pp",
+            F.expr(
+                "round(CAST(2 AS DOUBLE) * lp * (l - lp) / l"
+                " + CAST(2 AS DOUBLE) * (pp - lp) * ((nn - l) - (pp - lp))"
+                " / (nn - l), 6)"
+            ).alias("gini_split"),
+        )
+    )
+    best = scored.withColumn(
+        "rk", F.row_number().over(Window.orderBy("gini_split", "band"))
+    ).where(F.col("rk") == 1)
+    return best.select(
+        F.col("band").alias("threshold"),
+        F.col("l").alias("n_left"), F.col("lp").alias("pos_left"),
+        F.col("r").alias("n_right"), F.col("rp").alias("pos_right"),
+        "gini_split",
+        F.expr(
+            "round(CAST(2 AS DOUBLE) * pp * (nn - pp) / nn / nn, 6)"
+        ).alias("gini_root"),
+    )
+
+
+_LSH_PLAN_CONFIGS = ((4, 32), (8, 16), (16, 8), (32, 4), (64, 2))
+
+@register("q_lsh_band_planner", f"""
+WITH {_mh_sig_sql()}, {_mh_buckets_sql()}, jac AS (
+    SELECT round({_JACCARD_EXPR}, 4) AS s
+    FROM cand c
+    JOIN toks ta ON ta.doc_id = c.doc_a
+    JOIN toks tb ON tb.doc_id = c.doc_b
+), cfg(b, r) AS (VALUES {", ".join(f"({b}, {r})" for b, r in _LSH_PLAN_CONFIGS)}),
+terms AS (
+    SELECT cfg.b, cfg.r,
+           CASE WHEN round(j.s * 10000)::BIGINT >= 5000
+                THEN 1 ELSE 0 END AS is_true,
+           round(1.0 - pow(1.0 - round(pow(j.s, cfg.r), 6), cfg.b), 6)
+               ::DECIMAL(18,6) AS p
+    FROM jac j CROSS JOIN cfg
+)
+SELECT b::BIGINT AS n_bands, r::BIGINT AS rows_per_band,
+       round(pow(1.0 / b, 1.0 / r), 6) AS s50_threshold,
+       count(*)::BIGINT AS n_cand_pairs,
+       sum(is_true)::BIGINT AS n_true_pairs,
+       round(sum(CASE WHEN is_true = 1 THEN p ELSE 0 END)::DOUBLE, 4)
+           AS exp_true_detected,
+       round(sum(CASE WHEN is_true = 0 THEN p ELSE 0 END)::DOUBLE, 4)
+           AS exp_false_alarms
+FROM terms GROUP BY b, r
+""")
+def q_lsh_band_planner(spark, sf_dir):
+    """LSH (bands x rows) planner grounded in the MEASURED Jaccard
+    distribution: for each 128-hash layout, the S-curve detection
+    probability 1-(1-s^r)^b is evaluated against the corpus's own
+    candidate-pair similarities — expected true-pair recall mass vs
+    expected sub-threshold false-alarm work, plus the layout's s50
+    midpoint (1/b)^(1/r). This turns the b/r choice from a textbook
+    table into a data-driven decision BEFORE a 100 TB dedup run
+    (q_lsh_bucket_stats audits the chosen layout after; this ranks
+    the alternatives first). pow/ln parity follows the zipf
+    protocol (every transcendental application rounded 6dp before
+    reuse); probability mass accumulates in exact DECIMAL. The pair
+    relation is the bucket-capped candidate set — never all-pairs;
+    the config cross is a 5-row broadcast."""
+    pairs = dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=_MH_K, band_size=_MH_BAND, max_bucket=_MH_MAXB,
+        threshold=0.0,
+    ).select(F.col("jaccard").alias("s"))
+    cfg = spark.createDataFrame(
+        list(_LSH_PLAN_CONFIGS), "b int, r int")
+    terms = pairs.crossJoin(F.broadcast(cfg)).select(
+        "b", "r",
+        F.expr(
+            "CASE WHEN CAST(round(s * 10000) AS BIGINT) >= 5000"
+            " THEN 1 ELSE 0 END"
+        ).alias("is_true"),
+        F.expr(
+            "CAST(round(1.0 - pow(1.0 - round(pow(s, r), 6), b), 6)"
+            " AS DECIMAL(18,6))"
+        ).alias("p"),
+    )
+    return terms.groupBy("b", "r").agg(
+        F.expr("round(pow(1.0 / b, 1.0 / r), 6)").alias("s50_threshold"),
+        F.count("*").cast("long").alias("n_cand_pairs"),
+        F.sum("is_true").cast("long").alias("n_true_pairs"),
+        F.expr(
+            "round(CAST(sum(CASE WHEN is_true = 1 THEN p ELSE 0 END)"
+            " AS DOUBLE), 4)"
+        ).alias("exp_true_detected"),
+        F.expr(
+            "round(CAST(sum(CASE WHEN is_true = 0 THEN p ELSE 0 END)"
+            " AS DOUBLE), 4)"
+        ).alias("exp_false_alarms"),
+    ).select(
+        F.col("b").cast("long").alias("n_bands"),
+        F.col("r").cast("long").alias("rows_per_band"),
+        "s50_threshold", "n_cand_pairs", "n_true_pairs",
+        "exp_true_detected", "exp_false_alarms",
+    )
+
+
+@register("q_markov_backtest", """
+WITH seq AS (
+    SELECT user_id, event_type,
+           ('0x' || substr(md5(user_id::VARCHAR), 1, 4))::INT % 10
+               AS fold,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id)
+               AS prev_type
+    FROM events
+), trans AS (
+    SELECT fold, prev_type, event_type, count(*)::BIGINT AS n
+    FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2, 3
+), model AS (
+    SELECT prev_type, event_type AS pred_type,
+           row_number() OVER (PARTITION BY prev_type
+                              ORDER BY sum(n) DESC, event_type) AS rk
+    FROM trans WHERE fold <> 0 GROUP BY prev_type, event_type
+), test AS (
+    SELECT prev_type, event_type, sum(n)::BIGINT AS n
+    FROM trans WHERE fold = 0 GROUP BY 1, 2
+)
+SELECT t.prev_type AS state, m.pred_type AS predicted_next,
+       sum(t.n)::BIGINT AS n_test,
+       sum(CASE WHEN t.event_type = m.pred_type THEN t.n ELSE 0 END)
+           ::BIGINT AS n_correct,
+       ((sum(CASE WHEN t.event_type = m.pred_type THEN t.n ELSE 0 END)
+         * 1000000) // sum(t.n))::BIGINT AS acc_ppm
+FROM test t JOIN (SELECT * FROM model WHERE rk = 1) m
+  ON m.prev_type = t.prev_type
+GROUP BY 1, 2
+""")
+def q_markov_backtest(spark, sf_dir):
+    """Backtested next-event prediction: train an order-1 Markov
+    argmax model on 90% of users (deterministic md5 fold — the
+    sample_hash protocol, so both engines and every re-run pick the
+    SAME split), score top-1 accuracy on the held-out 10% — the
+    honest sequel to q_entropy_rate (entropy says how predictable a
+    state is in-sample; this MEASURES out-of-sample skill, the gate
+    before shipping next-action recommendations). Transition counts
+    roll up per fold in one window pass; model and test are
+    |types|^2 relations; argmax ties break alphabetically. Integer
+    ppm accuracy per state."""
+    ev = load_table(spark, sf_dir, "events")
+    fold = F.pmod(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+               16, 10).cast("int"),
+        F.lit(10),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("ts div 1000"), "event_id")
+    seq = ev.select(
+        "event_type", fold.alias("fold"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("fold", "prev_type", "event_type").agg(
+        F.count("*").cast("long").alias("n"))
+    model = (
+        trans.where(F.col("fold") != 0)
+        .groupBy("prev_type", "event_type")
+        .agg(F.sum("n").alias("tn"))
+        .withColumn("rk", F.row_number().over(
+            Window.partitionBy("prev_type")
+            .orderBy(F.col("tn").desc(), "event_type")))
+        .where(F.col("rk") == 1)
+        .select("prev_type", F.col("event_type").alias("pred_type"))
+    )
+    test = (
+        trans.where(F.col("fold") == 0)
+        .groupBy("prev_type", "event_type")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    return (
+        test.join(F.broadcast(model), "prev_type")
+        .groupBy(F.col("prev_type").alias("state"),
+                 F.col("pred_type").alias("predicted_next"))
+        .agg(
+            F.sum("n").cast("long").alias("n_test"),
+            F.sum(F.when(F.col("event_type") == F.col("pred_type"),
+                         F.col("n")).otherwise(0))
+            .cast("long").alias("n_correct"),
+            F.expr(
+                "CAST((sum(CASE WHEN event_type = pred_type THEN n"
+                " ELSE 0 END) * 1000000) div sum(n) AS BIGINT)"
+            ).alias("acc_ppm"),
+        )
+    )
