@@ -15041,3 +15041,325 @@ def q_markov_backtest(spark, sf_dir):
             ).alias("acc_ppm"),
         )
     )
+
+_WOW_WEEK_US = 7 * _DAY_US
+
+@register("q_week_over_week_jaccard", f"""
+WITH wu AS (
+    SELECT DISTINCT epoch_us(ts) // {_WOW_WEEK_US} AS wk, user_id
+    FROM events
+), sizes AS (
+    SELECT wk, count(*)::BIGINT AS n FROM wu GROUP BY 1
+), inter AS (
+    SELECT a.wk AS wk_a, b.wk AS wk_b, count(*)::BIGINT AS n_inter
+    FROM wu a JOIN wu b
+      ON b.user_id = a.user_id AND b.wk = a.wk + 1
+    GROUP BY 1, 2
+)
+SELECT i.wk_a, i.wk_b, sa.n AS users_a, sb.n AS users_b, i.n_inter,
+       ((i.n_inter * 1000000) // (sa.n + sb.n - i.n_inter))::BIGINT
+           AS jaccard_ppm
+FROM inter i
+JOIN sizes sa ON sa.wk = i.wk_a
+JOIN sizes sb ON sb.wk = i.wk_b
+""")
+def q_week_over_week_jaccard(spark, sf_dir):
+    """Week-over-week audience-set stability: the Jaccard overlap of
+    consecutive weeks' ACTIVE-USER sets — the population-churn
+    reading that complements q_user_retention (cohort-anchored) and
+    q_dau_wau_stickiness (window ratio): a product can hold DAU/WAU
+    while quietly swapping its whole audience; this catches that.
+    The fact collapses to the distinct (week, user) relation first
+    (one shuffle); the consecutive-week intersection is an equi-join
+    on user_id (shift by one week on the join key, no window, no
+    self-cross); union sizes come from the calendar-bounded per-week
+    counts joined back broadcast-small. Integer ppm."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = ev.select(
+        F.expr(f"(ts div 1000) div {_WOW_WEEK_US}").alias("wk"),
+        "user_id",
+    ).distinct()
+    sizes = wu.groupBy("wk").agg(F.count("*").cast("long").alias("n"))
+    a = wu.select(F.col("wk").alias("wk_a"),
+                  F.col("user_id").alias("uid"))
+    b = wu.select(F.col("wk").alias("wk_b"),
+                  F.col("user_id").alias("uid_b"))
+    inter = (
+        a.join(b, (F.col("uid_b") == F.col("uid"))
+               & (F.col("wk_b") == F.col("wk_a") + 1))
+        .groupBy("wk_a", "wk_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    return (
+        inter
+        .join(F.broadcast(sizes.withColumnsRenamed(
+            {"wk": "wk_a", "n": "users_a"})), "wk_a")
+        .join(F.broadcast(sizes.withColumnsRenamed(
+            {"wk": "wk_b", "n": "users_b"})), "wk_b")
+        .select(
+            "wk_a", "wk_b", "users_a", "users_b", "n_inter",
+            F.expr(
+                "CAST((n_inter * 1000000)"
+                " div (users_a + users_b - n_inter) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+_COV_CTE = """
+ec_vals AS (
+    SELECT e.vec_id, (i.i - 1)::BIGINT AS i, (e.embedding[i.i])::DOUBLE AS v
+    FROM embeddings e,
+         unnest(generate_series(1, len(e.embedding))) AS i(i)
+), ec_sums AS (
+    SELECT i, sum(v::DECIMAL(28,12)) AS s FROM ec_vals GROUP BY i
+), ec_nn AS (
+    SELECT count(*)::DOUBLE AS n FROM embeddings
+), ec_prods AS (
+    SELECT a.i AS i, b.i AS j,
+           sum((a.v * b.v)::DECIMAL(28,12)) AS sij
+    FROM ec_vals a JOIN ec_vals b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+), ec_cov AS (
+    SELECT p.i, p.j,
+           round(((p.sij::DOUBLE)
+                  - (sa.s::DOUBLE) * (sb.s::DOUBLE) / nn.n) / (nn.n - 1), 6)
+               + 0.0 AS cov
+    FROM ec_prods p
+    JOIN ec_sums sa ON sa.i = p.i
+    JOIN ec_sums sb ON sb.i = p.j, ec_nn nn
+)"""
+
+@register("q_embedding_effective_rank", f"""
+WITH {_COV_CTE}, agg AS (
+    SELECT count(CASE WHEN i = j THEN 1 END)::BIGINT AS n_dims,
+           sum(CASE WHEN i = j THEN cov::DECIMAL(28,12)
+                    ELSE 0 END) AS tr,
+           sum(((CASE WHEN i = j THEN 1 ELSE 2 END) * cov * cov)
+               ::DECIMAL(28,12)) AS fro2
+    FROM ec_cov
+)
+SELECT n_dims,
+       round(tr::DOUBLE, 6) AS trace_var,
+       round(fro2::DOUBLE, 6) AS frobenius_sq,
+       round((tr::DOUBLE) * (tr::DOUBLE) / (fro2::DOUBLE), 4)
+           AS effective_rank,
+       round((tr::DOUBLE) * (tr::DOUBLE) / (fro2::DOUBLE)
+             / n_dims * 1000000, 0)::BIGINT AS erank_ratio_ppm
+FROM agg
+""")
+def q_embedding_effective_rank(spark, sf_dir):
+    """Effective (participation-ratio) rank of the embedding space,
+    WITHOUT an eigensolve: trace(C)^2 / ||C||_F^2 — since trace is
+    the eigenvalue sum and the Frobenius norm squared is the
+    eigenvalue square sum, this is the standard (sum l)^2 / sum l^2
+    collapse measure straight from covariance entries. The
+    dimensionality-health gate before ANN/quantization work: a
+    64-dim space with effective rank 6 wastes 90% of the vector
+    budget and q_embedding_quantize's codebook should shrink
+    accordingly (q_dim_variance_prune ranks dims; this grades the
+    whole space in one number). Reuses the exact-decimal covariance
+    relation (dims^2 rows — driver-sized); off-diagonals count
+    twice by symmetry; doubles compose from the SAME 6dp-rounded
+    entries both engines already hash-agree on."""
+    cov = corpus.embedding_covariance(
+        load_table(spark, sf_dir, "embeddings"))
+    agg = cov.agg(
+        F.sum(F.when(F.col("dim_i") == F.col("dim_j"), 1))
+        .cast("long").alias("n_dims"),
+        F.sum(F.when(F.col("dim_i") == F.col("dim_j"),
+                     F.col("cov").cast("decimal(28,12)"))
+              .otherwise(F.lit(0).cast("decimal(28,12)"))).alias("tr"),
+        F.sum(F.expr(
+            "CAST((CASE WHEN dim_i = dim_j THEN 1 ELSE 2 END)"
+            " * cov * cov AS DECIMAL(28,12))"
+        )).alias("fro2"),
+    )
+    return agg.select(
+        "n_dims",
+        F.expr("round(CAST(tr AS DOUBLE), 6)").alias("trace_var"),
+        F.expr("round(CAST(fro2 AS DOUBLE), 6)").alias("frobenius_sq"),
+        F.expr(
+            "round(CAST(tr AS DOUBLE) * CAST(tr AS DOUBLE)"
+            " / CAST(fro2 AS DOUBLE), 4)"
+        ).alias("effective_rank"),
+        F.expr(
+            "CAST(round(CAST(tr AS DOUBLE) * CAST(tr AS DOUBLE)"
+            " / CAST(fro2 AS DOUBLE) / n_dims * 1000000, 0) AS BIGINT)"
+        ).alias("erank_ratio_ppm"),
+    )
+
+
+@register("q_simpson_check", """
+WITH pts AS (
+    SELECT l_returnflag AS grp,
+           CAST(round(l_discount * 100) AS BIGINT) AS x,
+           CAST(round(l_quantity) AS BIGINT) AS y
+    FROM lineitem
+), g AS (
+    SELECT grp, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+           sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy
+    FROM pts GROUP BY 1
+), pooled AS (
+    SELECT sum(n)::BIGINT AS n, sum(sx)::BIGINT AS sx,
+           sum(sy)::BIGINT AS sy, sum(sxy)::BIGINT AS sxy
+    FROM g
+)
+SELECT g.grp, g.n,
+       CASE WHEN g.n * g.sxy - g.sx * g.sy > 0 THEN 1
+            WHEN g.n * g.sxy - g.sx * g.sy < 0 THEN -1
+            ELSE 0 END AS group_slope_sign,
+       CASE WHEN p.n * p.sxy - p.sx * p.sy > 0 THEN 1
+            WHEN p.n * p.sxy - p.sx * p.sy < 0 THEN -1
+            ELSE 0 END AS pooled_slope_sign,
+       (CASE WHEN g.n * g.sxy - g.sx * g.sy > 0 THEN 1
+             WHEN g.n * g.sxy - g.sx * g.sy < 0 THEN -1
+             ELSE 0 END)
+       * (CASE WHEN p.n * p.sxy - p.sx * p.sy > 0 THEN 1
+               WHEN p.n * p.sxy - p.sx * p.sy < 0 THEN -1
+               ELSE 0 END) = -1 AS sign_reversed
+FROM g, pooled p
+""")
+def q_simpson_check(spark, sf_dir):
+    """Simpson's-paradox audit on the discount->quantity relation:
+    does the covariance SIGN within each return-flag stratum
+    contradict the pooled sign? The aggregation-reversal trap that
+    invalidates naive corpus-level correlations (and the reason
+    q_discount_elasticity fits per-stratum); run it before quoting
+    any pooled trend. Signs come from the exact integer covariance
+    numerator n*sxy - sx*sy (denominators are positive, so the sign
+    needs no division, no sqrt, no doubles at all); per-group sums
+    are one map-side-combined groupBy and the pooled row is their
+    rollup, broadcast back. Discounts compare as integer percent,
+    quantities as integers — exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("x"),
+        F.expr("CAST(round(l_quantity) AS BIGINT)").alias("y"),
+    )
+    g = pts.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    pooled = g.agg(
+        F.sum("n").cast("long").alias("pn"),
+        F.sum("sx").cast("long").alias("psx"),
+        F.sum("sy").cast("long").alias("psy"),
+        F.sum("sxy").cast("long").alias("psxy"),
+    )
+    gsign = (
+        "CASE WHEN n * sxy - sx * sy > 0 THEN 1"
+        " WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END"
+    )
+    psign = (
+        "CASE WHEN pn * psxy - psx * psy > 0 THEN 1"
+        " WHEN pn * psxy - psx * psy < 0 THEN -1 ELSE 0 END"
+    )
+    return g.crossJoin(F.broadcast(pooled)).select(
+        "grp", "n",
+        F.expr(gsign).cast("int").alias("group_slope_sign"),
+        F.expr(psign).cast("int").alias("pooled_slope_sign"),
+        F.expr(f"({gsign}) * ({psign}) = -1").alias("sign_reversed"),
+    )
+
+
+_BOOT_B = 200
+_POIS_CDF = (
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
+    "0.999916758850712", "0.9999897508033253", "0.999998874797402",
+)
+
+def _pois_w(u: str) -> str:
+    """Inverse-CDF Poisson(1) draw from a uniform expression."""
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"CASE {cases} ELSE {len(_POIS_CDF)} END"
+
+
+@register("q_poisson_bootstrap", f"""
+WITH daily AS (
+    SELECT epoch_us(o_orderdate) // {_DAY_US} AS day,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+               AS cents
+    FROM orders GROUP BY 1
+), bs AS (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b),
+grid AS (
+    SELECT bs.b, d.cents,
+           {_pois_w("(('0x' || substr(md5(d.day::VARCHAR || ':' || "
+                    "bs.b::VARCHAR), 1, 8))::BIGINT / 4294967296.0)")}
+               AS w
+    FROM daily d CROSS JOIN bs
+), means AS (
+    SELECT b, round(sum(w * cents)::DOUBLE / (100.0 * sum(w)), 6)
+               AS mean_rev
+    FROM grid GROUP BY b HAVING sum(w) > 0
+), pt AS (
+    SELECT count(*)::BIGINT AS n_days,
+           round(sum(cents::DECIMAL(28,0))::DOUBLE / (100.0 * count(*)),
+                 4) AS point_mean
+    FROM daily
+)
+SELECT pt.n_days, {_BOOT_B} AS n_resamples, pt.point_mean,
+       round(quantile_cont(m.mean_rev, 0.025), 4) AS ci_lo,
+       round(quantile_cont(m.mean_rev, 0.975), 4) AS ci_hi
+FROM means m, pt GROUP BY pt.n_days, pt.point_mean
+""")
+def q_poisson_bootstrap(spark, sf_dir):
+    """Poisson bootstrap CI for mean daily revenue — the resampling
+    method that actually DISTRIBUTES (Poisson(1) weights per row
+    need no global resample index, the trick production A/B systems
+    use), made hash-deterministic: the uniform for (day, b) is
+    md5-derived, so both engines and every re-run draw the SAME 200
+    resamples — a reproducible CI, unlike rand()-based bootstraps.
+    Complements q_median_ci (order-statistic CI for the median)
+    with a mean CI no closed form covers. The fact collapses to the
+    calendar-bounded daily frame first; the grid is days x {_BOOT_B}
+    (bounded); resample means use exact integer weighted sums; the
+    CI is the exact interpolated percentile over {_BOOT_B} means."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+                   f" div {_DAY_US}").alias("day"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            .alias("c"),
+        )
+        .groupBy("day").agg(F.sum("c").cast("long").alias("cents"))
+    )
+    bs = spark.range(_BOOT_B).select(F.col("id").cast("int").alias("b"))
+    u = (
+        "(CAST(conv(substr(md5(CAST(day AS STRING) || ':' ||"
+        " CAST(b AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        " / 4294967296.0)"
+    )
+    grid = daily.crossJoin(F.broadcast(bs)).select(
+        "b", "cents", F.expr(_pois_w(u)).alias("w"))
+    means = (
+        grid.groupBy("b")
+        .agg(F.sum(F.col("w") * F.col("cents")).cast("long").alias("swc"),
+             F.sum("w").cast("long").alias("sw"))
+        .where(F.col("sw") > 0)
+        .select(F.expr(
+            "round(CAST(swc AS DOUBLE) / (100.0 * sw), 6)"
+        ).alias("mean_rev"))
+    )
+    pt = daily.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.expr(
+            "round(CAST(sum(CAST(cents AS DECIMAL(28,0))) AS DOUBLE)"
+            " / (100.0 * count(*)), 4)"
+        ).alias("point_mean"),
+    )
+    ci = means.agg(
+        F.round(F.percentile("mean_rev", F.lit(0.025)), 4).alias("ci_lo"),
+        F.round(F.percentile("mean_rev", F.lit(0.975)), 4).alias("ci_hi"),
+    )
+    return pt.crossJoin(F.broadcast(ci)).select(
+        "n_days", F.lit(_BOOT_B).cast("long").alias("n_resamples"),
+        "point_mean", "ci_lo", "ci_hi",
+    )
