@@ -15363,3 +15363,234 @@ def q_poisson_bootstrap(spark, sf_dir):
         "n_days", F.lit(_BOOT_B).cast("long").alias("n_resamples"),
         "point_mean", "ci_lo", "ci_hi",
     )
+
+@register("q_lm_holdout_ppl", """
+WITH docs_f AS (
+    SELECT doc_id, source, lower(text) AS t,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 10
+               AS fold
+    FROM documents
+), toks AS (
+    SELECT source, fold, unnest(regexp_extract_all(t, '\\S+')) AS tok
+    FROM docs_f
+), train AS (
+    SELECT tok, count(*)::BIGINT AS c FROM toks
+    WHERE fold <> 0 GROUP BY 1
+), tstats AS (
+    SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS v FROM train
+), test AS (
+    SELECT source, tok, count(*)::BIGINT AS tf FROM toks
+    WHERE fold = 0 GROUP BY 1, 2
+), scored AS (
+    SELECT te.source, te.tf,
+           CASE WHEN tr.c IS NULL THEN 1 ELSE 0 END AS oov,
+           (te.tf * round(log2((ts.n + ts.v + 1)::DOUBLE
+                               / (coalesce(tr.c, 0) + 1)), 6))
+               ::DECIMAL(28,8) AS bits
+    FROM test te LEFT JOIN train tr ON tr.tok = te.tok, tstats ts
+), agg AS (
+    SELECT source, sum(tf)::BIGINT AS n_test,
+           sum(tf * oov)::BIGINT AS n_oov,
+           round(sum(bits)::DOUBLE / sum(tf), 6) AS xent_bits
+    FROM scored GROUP BY 1
+)
+SELECT source, n_test, n_oov,
+       ((n_oov * 1000000) // n_test)::BIGINT AS oov_ppm,
+       xent_bits,
+       round(pow(2.0, xent_bits), 4) AS perplexity
+FROM agg
+""")
+def q_lm_holdout_ppl(spark, sf_dir):
+    """HELD-OUT unigram LM perplexity per source: train add-one-
+    smoothed counts on a deterministic 90% md5 fold, score cross-
+    entropy on the held-out 10% — the out-of-sample complement to
+    q_unigram_logprob (in-sample surprisal) and the corpus-level
+    twin of q_markov_backtest: a source whose held-out perplexity
+    far exceeds its in-sample fit is heterogeneous or contaminated,
+    exactly what a pretraining mixture weighting needs to know.
+    Per-term bits are tf * log2((N+V+1)/(c+1)) — one rounded log2
+    of an exact integer ratio — accumulated in exact DECIMAL; OOV
+    mass is reported (the add-one UNK path). The join is test-vocab
+    x train-vocab (Zipf-bounded both sides); the fact is touched
+    once to tokenize."""
+    docs = load_table(spark, sf_dir, "documents")
+    fold = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+               16, 10).cast("int"),
+        F.lit(10),
+    )
+    toks = docs.select(
+        "source", fold.alias("fold"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")),
+                                 F.lit(r"\S+"), 0)
+        ).alias("tok"),
+    )
+    train = (
+        toks.where(F.col("fold") != 0)
+        .groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    )
+    tstats = train.agg(F.sum("c").cast("long").alias("n"),
+                       F.count("*").cast("long").alias("v"))
+    test = (
+        toks.where(F.col("fold") == 0)
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    scored = (
+        test.join(train, "tok", "left")
+        .crossJoin(F.broadcast(tstats))
+        .select(
+            "source", "tf",
+            F.expr("CASE WHEN c IS NULL THEN 1 ELSE 0 END").alias("oov"),
+            F.expr(
+                "CAST(tf * round(log2(CAST(n + v + 1 AS DOUBLE)"
+                " / (coalesce(c, 0) + 1)), 6) AS DECIMAL(28,8))"
+            ).alias("bits"),
+        )
+    )
+    agg = scored.groupBy("source").agg(
+        F.sum("tf").cast("long").alias("n_test"),
+        F.sum(F.col("tf") * F.col("oov")).cast("long").alias("n_oov"),
+        F.expr(
+            "round(CAST(sum(bits) AS DOUBLE) / sum(tf), 6)"
+        ).alias("xent_bits"),
+    )
+    return agg.select(
+        "source", "n_test", "n_oov",
+        F.expr("CAST((n_oov * 1000000) div n_test AS BIGINT)")
+        .alias("oov_ppm"),
+        "xent_bits",
+        F.expr("round(pow(2.0, xent_bits), 4)").alias("perplexity"),
+    )
+
+
+_BLOOM_PLAN_MPN = (8, 10, 12, 16)
+
+@register("q_bloom_planner", f"""
+WITH keys AS (
+    SELECT count(*)::BIGINT AS n_keys FROM orders
+    WHERE o_orderstatus = 'O'
+), probes AS (
+    SELECT count(*)::BIGINT AS n_probes,
+           sum(CASE WHEN o.o_orderkey IS NULL THEN 0 ELSE 1 END)
+               ::BIGINT AS n_hits
+    FROM lineitem l
+    LEFT JOIN (SELECT o_orderkey FROM orders
+               WHERE o_orderstatus = 'O') o
+      ON o.o_orderkey = l.l_orderkey
+), cfg(mpn) AS (VALUES {", ".join(f"({m})" for m in _BLOOM_PLAN_MPN)}),
+fpr AS (
+    SELECT cfg.mpn,
+           CAST(round(cfg.mpn * 0.693147, 0) AS BIGINT) AS k,
+           round(pow(1.0 - round(exp(-(CAST(round(cfg.mpn * 0.693147, 0)
+                                            AS BIGINT) * 1.0) / cfg.mpn),
+                                 6),
+                     CAST(round(cfg.mpn * 0.693147, 0) AS BIGINT)), 6)
+               AS fp_rate
+    FROM cfg
+)
+SELECT f.mpn::BIGINT AS bits_per_key, f.k AS n_hash_fns, f.fp_rate,
+       k2.n_keys, p.n_probes, p.n_hits,
+       p.n_probes - p.n_hits AS n_misses,
+       round(f.fp_rate * (p.n_probes - p.n_hits), 4)
+           AS exp_false_pass,
+       ((k2.n_keys * f.mpn) // 8)::BIGINT AS filter_bytes
+FROM fpr f, keys k2, probes p
+""")
+def q_bloom_planner(spark, sf_dir):
+    """Bloom-filter sizing planner for the open-orders semi-join,
+    grounded in MEASURED cardinalities: for each bits-per-key
+    budget, the optimal hash count k = round(m/n * ln2), the
+    analytic false-positive rate (1 - e^(-k*n/m))^k, and what that
+    MEANS against this data — expected false-passing probe rows and
+    filter bytes — the decision table built BEFORE shipping a
+    runtime filter at 100 TB (q_bloom_join_audit measures the
+    chosen filter after; this ranks the budgets first, the same
+    planner/auditor pairing as q_lsh_band_planner). Keys and probe
+    hit-rate come from one aggregate each; the config table is a
+    4-row broadcast; exp/pow follow the rounded-transcendental
+    protocol."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    open_keys = orders.where(F.col("o_orderstatus") == "O").select(
+        "o_orderkey")
+    keys = open_keys.agg(F.count("*").cast("long").alias("n_keys"))
+    probes = (
+        li.select(F.col("l_orderkey"))
+        .join(open_keys.withColumn("hit", F.lit(1)),
+              li["l_orderkey"] == open_keys["o_orderkey"], "left")
+        .agg(F.count("*").cast("long").alias("n_probes"),
+             F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long")
+             .alias("n_hits"))
+    )
+    cfg = spark.createDataFrame(
+        [(m,) for m in _BLOOM_PLAN_MPN], "mpn int")
+    kexpr = "CAST(round(mpn * 0.693147, 0) AS BIGINT)"
+    fpr = cfg.select(
+        "mpn", F.expr(kexpr).alias("k"),
+        F.expr(
+            f"round(pow(1.0 - round(exp(-({kexpr} * 1.0) / mpn), 6),"
+            f" {kexpr}), 6)"
+        ).alias("fp_rate"),
+    )
+    return (
+        fpr.crossJoin(F.broadcast(keys))
+        .crossJoin(F.broadcast(probes))
+        .select(
+            F.col("mpn").cast("long").alias("bits_per_key"),
+            F.col("k").alias("n_hash_fns"), "fp_rate",
+            "n_keys", "n_probes", "n_hits",
+            F.expr("n_probes - n_hits").alias("n_misses"),
+            F.expr("round(fp_rate * (n_probes - n_hits), 4)")
+            .alias("exp_false_pass"),
+            F.expr("CAST((n_keys * mpn) div 8 AS BIGINT)")
+            .alias("filter_bytes"),
+        )
+    )
+
+
+@register("q_dim_scaling_params", """
+WITH vals AS (
+    SELECT (i.i - 1)::BIGINT AS dim, (e.embedding[i.i])::DOUBLE AS v
+    FROM embeddings e,
+         unnest(generate_series(1, len(e.embedding))) AS i(i)
+)
+SELECT dim, count(*)::BIGINT AS n,
+       round(min(v), 6) AS v_min, round(max(v), 6) AS v_max,
+       round(quantile_cont(v, 0.25), 6) AS q1,
+       round(quantile_cont(v, 0.5), 6) AS median,
+       round(quantile_cont(v, 0.75), 6) AS q3,
+       round(round(quantile_cont(v, 0.75), 6)
+             - round(quantile_cont(v, 0.25), 6), 6) AS iqr
+FROM vals GROUP BY dim
+""")
+def q_dim_scaling_params(spark, sf_dir):
+    """Robust per-dimension scaling parameters (median / IQR /
+    min-max) for the embedding space — the preprocessing statistics
+    a RobustScaler needs, computed in-engine: q_embedding_dim_stats
+    gives mean/variance (outlier-sensitive); these are the
+    quartile-based companions that survive heavy-tailed dims, and
+    together they decide normalize-vs-clip before ANN or
+    quantization. One posexplode + per-dim exact interpolated
+    percentiles (the repo's percentile protocol, rounded 6dp; IQR
+    composed from the ROUNDED quartiles so both engines subtract
+    identical doubles). Output is |dims| rows; the 100 TB path
+    swaps the exact percentile for approx_percentile with the same
+    shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        F.posexplode(F.col("embedding")).alias("dim", "vf")
+    ).select("dim", F.col("vf").cast("double").alias("v"))
+    return vals.groupBy(F.col("dim").cast("long").alias("dim")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.min("v"), 6).alias("v_min"),
+        F.round(F.max("v"), 6).alias("v_max"),
+        F.round(F.percentile("v", F.lit(0.25)), 6).alias("q1"),
+        F.round(F.percentile("v", F.lit(0.5)), 6).alias("median"),
+        F.round(F.percentile("v", F.lit(0.75)), 6).alias("q3"),
+        F.expr(
+            "round(round(percentile(v, 0.75), 6)"
+            " - round(percentile(v, 0.25), 6), 6)"
+        ).alias("iqr"),
+    )
