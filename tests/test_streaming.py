@@ -862,3 +862,153 @@ def test_ewma_anomaly_state_per_key_isolated(tmp_path, spark):
     rows_out = spark.sql("SELECT * FROM ewma2").collect()
     assert not any(r.is_anomaly for r in rows_out if r.key == "a")
     assert any(r.is_anomaly for r in rows_out if r.key == "b")
+
+
+def test_quantile_stream_bounded_relative_error(tmp_path, spark):
+    """Uniform 1..1000: p50/p95/p99 estimates stay within the
+    documented per-bucket relative bound at B=8 (~4.4% midpoint, use
+    10% slack for quantile-rank granularity)."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from document_parsing_etl_pipeline_spark.streaming import quantile
+
+    drop = tmp_path / "qs1"
+    drop.mkdir()
+    rows = [{"key": "k", "value": float(v)} for v in range(1, 1001)]
+    (drop / "a.json").write_text(
+        "\n".join(json.dumps(r) for r in rows))
+    schema = StructType([
+        StructField("key", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    stream = spark.readStream.format("json").schema(schema).load(str(drop))
+    out = quantile.quantile_stream(stream)
+    q = (out.writeStream.format("memory").queryName("qs1")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows_out = spark.sql(
+        "SELECT * FROM qs1 ORDER BY seq DESC LIMIT 1").collect()
+    assert len(rows_out) == 1
+    r = rows_out[0]
+    assert r.n == 1000
+    for est, true in ((r.p50_est, 500), (r.p95_est, 950),
+                      (r.p99_est, 990)):
+        assert abs(est - true) / true < 0.10, (est, true)
+
+
+def test_quantile_stream_state_carries_across_batches(tmp_path, spark):
+    """A second file arriving later folds into the SAME histogram:
+    n accumulates and the median moves to the combined value."""
+    import time
+
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType,
+    )
+
+    from document_parsing_etl_pipeline_spark.streaming import quantile
+
+    drop = tmp_path / "qs2"
+    drop.mkdir()
+    schema = StructType([
+        StructField("key", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    (drop / "a.json").write_text("\n".join(
+        json.dumps({"key": "k", "value": 10.0}) for _ in range(100)))
+    ck = str(tmp_path / "ck2")
+    sink = str(tmp_path / "qs2out")
+
+    def run_once():
+        stream = (spark.readStream.format("json").schema(schema)
+                  .load(str(drop)))
+        out = quantile.quantile_stream(stream)
+        q = (out.writeStream.format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", ck)
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    time.sleep(0.1)
+    (drop / "b.json").write_text("\n".join(
+        json.dumps({"key": "k", "value": 1000.0}) for _ in range(300)))
+    run_once()
+    last = (spark.read.parquet(sink)
+            .orderBy("seq", ascending=False).collect()[0])
+    assert last.n == 400          # state carried: 100 + 300
+    assert last.seq == 2
+    # 300 of 400 values are 1000 -> median sits in the 1000 bucket
+    assert abs(last.p50_est - 1000.0) / 1000.0 < 0.10
+
+
+def test_quantile_stream_cap_forces_coarsening(tmp_path, spark):
+    """A tiny max_buckets forces resolution halving: b_eff drops
+    below B, the bucket count respects the cap, and estimates stay
+    within the coarser (doubled-per-halving) bound."""
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType,
+    )
+
+    from document_parsing_etl_pipeline_spark.streaming import quantile
+
+    drop = tmp_path / "qs3"
+    drop.mkdir()
+    # 100 values dense over [1, 16): ~32 sub-buckets at B=8, which a
+    # cap of 16 can only satisfy by halving to B=4 (octave span is 4,
+    # so the floor b_eff=1 layout would need just 4 buckets)
+    rows = [{"key": "k", "value": 1.0 + 15.0 * i / 100.0}
+            for i in range(100)]
+    (drop / "a.json").write_text(
+        "\n".join(json.dumps(r) for r in rows))
+    schema = StructType([
+        StructField("key", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    stream = spark.readStream.format("json").schema(schema).load(str(drop))
+    out = quantile.quantile_stream(stream, max_buckets=16)
+    q = (out.writeStream.format("memory").queryName("qs3")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck3"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    r = spark.sql(
+        "SELECT * FROM qs3 ORDER BY seq DESC LIMIT 1").collect()[0]
+    assert r.n_buckets <= 16
+    assert r.b_eff < 8            # at least one halving happened
+    assert r.n == 100
+
+
+def test_quantile_stream_keys_isolated(tmp_path, spark):
+    """Keys keep independent histograms."""
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType,
+    )
+
+    from document_parsing_etl_pipeline_spark.streaming import quantile
+
+    drop = tmp_path / "qs4"
+    drop.mkdir()
+    rows = ([{"key": "lo", "value": 1.0} for _ in range(50)]
+            + [{"key": "hi", "value": 1000.0} for _ in range(50)])
+    (drop / "a.json").write_text(
+        "\n".join(json.dumps(r) for r in rows))
+    schema = StructType([
+        StructField("key", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    stream = spark.readStream.format("json").schema(schema).load(str(drop))
+    out = quantile.quantile_stream(stream)
+    q = (out.writeStream.format("memory").queryName("qs4")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck4"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.key: r.p50_est for r in spark.sql(
+        "SELECT * FROM qs4").collect()}
+    assert abs(got["lo"] - 1.0) < 0.1
+    assert abs(got["hi"] - 1000.0) / 1000.0 < 0.10
