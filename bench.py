@@ -444,6 +444,22 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
             spark, nd_stream, nd_index, os.path.join(tmp, "nd_flags"),
             os.path.join(tmp, "cp_nd"),
         ))
+
+        # streaming quantile estimation (stream_quantile): bounded
+        # log-bucket histogram per event_type, p50/p95/p99 changelog
+        from document_parsing_etl_pipeline_spark.streaming import (
+            quantile as squant,
+        )
+
+        qt_in = sev.read_event_stream(spark, ev_dir).select(
+            F.col("event_type").alias("key"), "value",
+        )
+        run("stream_quantile", (
+            squant.quantile_stream(qt_in)
+            .writeStream.format("noop").outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "cp_qt"))
+            .trigger(availableNow=True).start()
+        ))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out

@@ -15594,3 +15594,387 @@ def q_dim_scaling_params(spark, sf_dir):
             " - round(percentile(v, 0.25), 6), 6)"
         ).alias("iqr"),
     )
+
+_AB_ASSIGN_SQL = """ab_assign AS (
+    SELECT user_id,
+           CASE WHEN (CAST(('0x' || substring(
+                    md5(CAST(user_id AS VARCHAR) || ':exp1'), 1, 8))
+                    AS BIGINT) % 2) = 0
+                THEN 'A' ELSE 'B' END AS arm
+    FROM (SELECT DISTINCT user_id FROM events)
+)"""
+
+_SMD_COV = (
+    ("n_events", "cnt"),
+    ("total_cents", "cents"),
+    ("active_days", "days"),
+)
+
+def _smd_sql(c: str) -> str:
+    """Identical-composition SMD expression over per-arm (n, s, q)."""
+    mean = "CAST({a}s_%s AS DOUBLE) / {a}n" % c
+    var = ("(CAST({a}n AS DOUBLE) * CAST({a}q_%s AS DOUBLE)"
+           " - CAST({a}s_%s AS DOUBLE) * CAST({a}s_%s AS DOUBLE))"
+           " / (CAST({a}n AS DOUBLE) * ({a}n - 1))") % (c, c, c)
+    ma, mb = mean.format(a="a_"), mean.format(a="b_")
+    va, vb = var.format(a="a_"), var.format(a="b_")
+    return (f"round(({ma} - {mb})"
+            f" / sqrt(({va} + {vb}) / 2), 4)")
+
+
+@register("q_ab_covariate_balance", f"""
+WITH {_AB_ASSIGN_SQL}, per_user AS (
+    SELECT e.user_id, count(*)::BIGINT AS cnt,
+           sum(CAST(round(e.value * 100) AS BIGINT))::BIGINT AS cents,
+           count(DISTINCT epoch_us(e.ts) // {_DAY_US})::BIGINT AS days
+    FROM events e GROUP BY 1
+), joined AS (
+    SELECT a.arm, p.cnt, p.cents, p.days
+    FROM ab_assign a JOIN per_user p ON p.user_id = a.user_id
+), wide AS (
+    SELECT
+      sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT AS a_n,
+      sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)::BIGINT AS b_n,
+      {", ".join(
+        f"sum(CASE WHEN arm = 'A' THEN {col} ELSE 0 END)::BIGINT"
+        f" AS a_s_{col}, "
+        f"sum(CASE WHEN arm = 'B' THEN {col} ELSE 0 END)::BIGINT"
+        f" AS b_s_{col}, "
+        f"sum(CASE WHEN arm = 'A' THEN {col}::DECIMAL(38,0) * {col}"
+        f" ELSE 0 END) AS a_q_{col}, "
+        f"sum(CASE WHEN arm = 'B' THEN {col}::DECIMAL(38,0) * {col}"
+        f" ELSE 0 END) AS b_q_{col}"
+        for _, col in _SMD_COV)}
+    FROM joined
+)
+{" UNION ALL ".join(
+    f"SELECT '{name}' AS covariate, a_n, b_n,"
+    f" round(CAST(a_s_{col} AS DOUBLE) / a_n, 4) AS mean_a,"
+    f" round(CAST(b_s_{col} AS DOUBLE) / b_n, 4) AS mean_b,"
+    f" {_smd_sql(col)} AS smd,"
+    f" abs({_smd_sql(col)}) < 0.1 AS balanced FROM wide"
+    for name, col in _SMD_COV)}
+""")
+def q_ab_covariate_balance(spark, sf_dir):
+    """Covariate balance for the live A/B split: standardized mean
+    difference (Cohen's d with pooled variance) of pre-exposure
+    user covariates (event volume, spend, active days) between the
+    md5-assigned arms — the randomization-health check that
+    complements q_ab_split_audit (SRM catches count imbalance; SMD
+    catches COVARIATE imbalance that silently biases the lift even
+    when counts match; |SMD| < 0.1 is the standard 'balanced' bar).
+    Per-arm sums are exact (squares in DECIMAL(38,0) — no width
+    overflow at any SF); each SMD is ONE identically-composed
+    double expression both engines evaluate on identical integers.
+    The fact collapses to per-user covariates in one groupBy; the
+    arm rollup is a second; output is |covariates| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .cast("long").alias("cents"),
+        F.countDistinct(F.expr(f"(ts div 1000) div {_DAY_US}"))
+        .cast("long").alias("days"),
+    )
+    assign = per_user.select(
+        "*",
+        F.expr(
+            "CASE WHEN cast(conv(substring(md5(concat(cast(user_id"
+            " as string), ':exp1')), 1, 8), 16, 10) as bigint) % 2 = 0"
+            " THEN 'A' ELSE 'B' END"
+        ).alias("arm"),
+    )
+    aggs = [
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("long").alias("a_n"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("long").alias("b_n"),
+    ]
+    for _, col in _SMD_COV:
+        for arm, pre in (("A", "a"), ("B", "b")):
+            aggs.append(
+                F.sum(F.when(F.col("arm") == arm, F.col(col))
+                      .otherwise(0)).cast("long")
+                .alias(f"{pre}_s_{col}"))
+            aggs.append(
+                F.sum(F.when(
+                    F.col("arm") == arm,
+                    F.col(col).cast("decimal(38,0)") * F.col(col))
+                    .otherwise(F.lit(0).cast("decimal(38,0)")))
+                .alias(f"{pre}_q_{col}"))
+    wide = assign.agg(*aggs)
+    rows = []
+    for name, col in _SMD_COV:
+        rows.append(wide.select(
+            F.lit(name).alias("covariate"), "a_n", "b_n",
+            F.expr(f"round(CAST(a_s_{col} AS DOUBLE) / a_n, 4)")
+            .alias("mean_a"),
+            F.expr(f"round(CAST(b_s_{col} AS DOUBLE) / b_n, 4)")
+            .alias("mean_b"),
+            F.expr(_smd_sql(col)).alias("smd"),
+            F.expr(f"abs({_smd_sql(col)}) < 0.1").alias("balanced"),
+        ))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+_GAINS_CAP = 200
+
+@register("q_gains_curve", f"""
+WITH per_user AS (
+    SELECT user_id,
+           least(sum(CASE WHEN event_type <> 'purchase' THEN 1
+                          ELSE 0 END), {_GAINS_CAP})::BIGINT AS band,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               ::BIGINT AS y
+    FROM events GROUP BY 1
+), bands AS (
+    SELECT band, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos
+    FROM per_user GROUP BY 1
+), tot AS (
+    SELECT sum(n)::BIGINT AS nn, sum(pos)::BIGINT AS pp FROM bands
+), cum AS (
+    SELECT band,
+           sum(n) OVER (ORDER BY band DESC)::BIGINT AS cum_n,
+           sum(pos) OVER (ORDER BY band DESC)::BIGINT AS cum_pos
+    FROM bands
+)
+SELECT c.band AS min_activity, c.cum_n AS n_targeted, c.cum_pos
+           AS captured,
+       ((c.cum_n * 1000000) // t.nn)::BIGINT AS targeted_ppm,
+       ((c.cum_pos * 1000000) // t.pp)::BIGINT AS captured_ppm,
+       CASE WHEN c.cum_n * t.pp = 0 THEN 0
+            ELSE (c.cum_pos * t.nn * 1000) / (c.cum_n * t.pp) END
+           ::BIGINT AS lift_milli
+FROM cum c, tot t
+""")
+def q_gains_curve(spark, sf_dir):
+    """Gains/lift table for activity-ranked purchase targeting: sweep
+    the 'target users with >= k events' policy from the most active
+    down, reporting share of users targeted vs share of purchasers
+    captured and the cumulative lift over random targeting — the
+    campaign-sizing curve that q_decision_stump's single split is
+    one point of. Same domain-bounded band histogram (cap
+    {_GAINS_CAP}); the sweep is one DESCENDING cumulative window
+    over <= {_GAINS_CAP}+1 rows; ratios are truncating-integer
+    ppm/milli (lift's triple product stays in BIGINT: cum_pos *
+    nn * 1000 <= 1000 n^2 — fine to ~3e6 users per... at larger
+    scale the band histogram is unchanged and the products move to
+    DECIMAL)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.least(
+            F.sum(F.when(F.col("event_type") != "purchase", 1)
+                  .otherwise(0)),
+            F.lit(_GAINS_CAP),
+        ).cast("long").alias("band"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("y"),
+    )
+    bands = per_user.groupBy("band").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"))
+    tot = bands.agg(F.sum("n").cast("long").alias("nn"),
+                    F.sum("pos").cast("long").alias("pp"))
+    w = Window.orderBy(F.col("band").desc())
+    cum = bands.select(
+        "band",
+        F.sum("n").over(w).cast("long").alias("cum_n"),
+        F.sum("pos").over(w).cast("long").alias("cum_pos"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        F.col("band").alias("min_activity"),
+        F.col("cum_n").alias("n_targeted"),
+        F.col("cum_pos").alias("captured"),
+        F.expr("CAST((cum_n * 1000000) div nn AS BIGINT)")
+        .alias("targeted_ppm"),
+        F.expr("CAST((cum_pos * 1000000) div pp AS BIGINT)")
+        .alias("captured_ppm"),
+        F.expr(
+            "CAST(CASE WHEN cum_n * pp = 0 THEN 0"
+            " ELSE (cum_pos * nn * 1000) div (cum_n * pp) END"
+            " AS BIGINT)"
+        ).alias("lift_milli"),
+    )
+
+
+_XCORR_MAX_LAG = 7
+
+@register("q_crosscorr_daily", f"""
+WITH daily AS (
+    SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+           count(*)::BIGINT AS y
+    FROM events GROUP BY 1, 2
+), lags AS (
+    SELECT unnest(generate_series(-{_XCORR_MAX_LAG},
+                                  {_XCORR_MAX_LAG})) AS lag
+), p AS (
+    SELECT a.event_type AS type_x, b.event_type AS type_y, l.lag,
+           a.y AS x, b.y AS yl
+    FROM lags l, daily a
+    JOIN daily b ON b.day = a.day + l.lag
+    WHERE a.event_type < b.event_type
+), s AS (
+    SELECT type_x, type_y, lag, count(*)::BIGINT AS cnt,
+           sum(x)::BIGINT AS sx, sum(yl)::BIGINT AS sy,
+           sum(x * yl)::BIGINT AS sxy,
+           sum(x * x)::BIGINT AS sxx, sum(yl * yl)::BIGINT AS syy
+    FROM p GROUP BY 1, 2, 3
+)
+SELECT type_x, type_y, CAST(lag AS BIGINT) AS lag, cnt,
+       CASE WHEN cnt * sxx - sx * sx = 0 OR cnt * syy - sy * sy = 0
+            THEN 0
+            ELSE (1000000 * (cnt * sxy - sx * sy))
+                 // (CAST(round(sqrt(CAST(cnt * sxx - sx * sx
+                                          AS DOUBLE))) AS BIGINT)
+                     * CAST(round(sqrt(CAST(cnt * syy - sy * sy
+                                            AS DOUBLE))) AS BIGINT))
+       END AS corr_ppm
+FROM s
+""")
+def q_crosscorr_daily(spark, sf_dir):
+    """Cross-correlation between PAIRS of event types' daily series
+    at lags -{_XCORR_MAX_LAG}..+{_XCORR_MAX_LAG} — the lead-lag
+    detector ('views lead purchases by 2 days') that
+    q_autocorr_daily's self-lag can't see; the argmax lag per pair
+    is the input to any demand-forecast feature pipeline. Identical
+    integer-Pearson protocol (exact sums, round(sqrt)->BIGINT,
+    truncating ppm); the fact collapses to the calendar-bounded
+    (type, day) frame ONCE, pairs join on the shifted day with
+    type_x < type_y de-duping the symmetric half (corr at -lag
+    covers the transpose)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(f"(ts div 1000) div {_DAY_US}").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    lags = spark.range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1).select(
+        F.col("id").alias("lag"))
+    a = daily.select(F.col("event_type").alias("type_x"),
+                     F.col("day").alias("da"), F.col("y").alias("x"))
+    b = daily.select(F.col("event_type").alias("type_y"),
+                     F.col("day").alias("db"), F.col("y").alias("yl"))
+    p = (
+        lags.crossJoin(a)
+        .join(b, (F.col("db") == F.col("da") + F.col("lag"))
+              & (F.col("type_x") < F.col("type_y")))
+    )
+    ss = p.groupBy("type_x", "type_y", "lag").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("yl").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("yl")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("yl") * F.col("yl")).cast("long").alias("syy"),
+    )
+    return ss.select(
+        "type_x", "type_y", F.col("lag").cast("long").alias("lag"),
+        "cnt",
+        F.expr(
+            "CASE WHEN cnt * sxx - sx * sx = 0"
+            " OR cnt * syy - sy * sy = 0 THEN 0"
+            " ELSE (1000000 * (cnt * sxy - sx * sy))"
+            " div (CAST(round(sqrt(CAST(cnt * sxx - sx * sx"
+            " AS DOUBLE))) AS BIGINT)"
+            " * CAST(round(sqrt(CAST(cnt * syy - sy * sy"
+            " AS DOUBLE))) AS BIGINT)) END"
+        ).cast("long").alias("corr_ppm"),
+    )
+
+
+@register("q_char_compression_est", """
+WITH chars AS (
+    SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]'))
+               AS ch
+    FROM documents
+), sc AS (
+    SELECT source, ch, count(*)::BIGINT AS n FROM chars GROUP BY 1, 2
+), stot AS (
+    SELECT source, sum(n)::BIGINT AS ns FROM sc GROUP BY 1
+), gc AS (
+    SELECT ch, sum(n)::BIGINT AS ng FROM sc GROUP BY 1
+), gtot AS (SELECT sum(ng)::BIGINT AS n FROM gc),
+terms AS (
+    SELECT s.source, s.n, st.ns,
+           (s.n * round(log2(CAST(st.ns AS DOUBLE) / s.n), 6))
+               ::DECIMAL(28,8) AS self_bits,
+           (s.n * round(log2(CAST(gt.n AS DOUBLE) / g.ng), 6))
+               ::DECIMAL(28,8) AS cross_bits
+    FROM sc s
+    JOIN stot st ON st.source = s.source
+    JOIN gc g ON g.ch = s.ch, gtot gt
+)
+SELECT source, max(ns) AS n_letters,
+       round(sum(self_bits)::DOUBLE / max(ns), 6) AS h_self_bits,
+       round(sum(cross_bits)::DOUBLE / max(ns), 6) AS h_cross_bits,
+       round(round(sum(cross_bits)::DOUBLE / max(ns), 6)
+             - round(sum(self_bits)::DOUBLE / max(ns), 6), 6)
+           AS kl_bits,
+       CAST(round((1.0 - (sum(self_bits)::DOUBLE / max(ns))
+                   / log2(26.0)) * 1000000, 0) AS BIGINT)
+           AS redundancy_ppm
+FROM terms GROUP BY source
+""")
+def q_char_compression_est(spark, sf_dir):
+    """Per-source character-entropy compression estimate: letter-
+    level self-entropy (the ideal per-symbol code length), cross-
+    entropy under the GLOBAL code (what a corpus-wide codebook
+    costs this source), their KL gap (bits wasted by not having a
+    per-source codebook), and redundancy vs uniform log2(26) — the
+    storage/transfer planning readout and a cheap distribution-
+    drift signal (KL spikes when a source's character mix shifts,
+    e.g. a language or encoding change q_ks_drift won't see in
+    numeric columns). Letters-only explode bounds the unnest; the
+    model relations are |sources| x 26; per-term n*log2 rounded 6dp
+    and DECIMAL-accumulated (the entropy-rate protocol)."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")),
+                                 F.lit("[a-z]"), 0)
+        ).alias("ch"),
+    )
+    sc = chars.groupBy("source", "ch").agg(
+        F.count("*").cast("long").alias("n"))
+    stot = sc.groupBy("source").agg(F.sum("n").cast("long").alias("ns"))
+    gc = sc.groupBy("ch").agg(F.sum("n").cast("long").alias("ng"))
+    gtot = gc.agg(F.sum("ng").cast("long").alias("gn"))
+    terms = (
+        sc.join(F.broadcast(stot), "source")
+        .join(F.broadcast(gc), "ch")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "source", "ns",
+            F.expr(
+                "CAST(n * round(log2(CAST(ns AS DOUBLE) / n), 6)"
+                " AS DECIMAL(28,8))"
+            ).alias("self_bits"),
+            F.expr(
+                "CAST(n * round(log2(CAST(gn AS DOUBLE) / ng), 6)"
+                " AS DECIMAL(28,8))"
+            ).alias("cross_bits"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.max("ns").alias("n_letters"),
+        F.expr(
+            "round(CAST(sum(self_bits) AS DOUBLE) / max(ns), 6)"
+        ).alias("h_self_bits"),
+        F.expr(
+            "round(CAST(sum(cross_bits) AS DOUBLE) / max(ns), 6)"
+        ).alias("h_cross_bits"),
+        F.expr(
+            "round(round(CAST(sum(cross_bits) AS DOUBLE) / max(ns), 6)"
+            " - round(CAST(sum(self_bits) AS DOUBLE) / max(ns), 6), 6)"
+        ).alias("kl_bits"),
+        F.expr(
+            "CAST(round((1.0 - (CAST(sum(self_bits) AS DOUBLE)"
+            " / max(ns)) / log2(26.0)) * 1000000, 0) AS BIGINT)"
+        ).alias("redundancy_ppm"),
+    )
