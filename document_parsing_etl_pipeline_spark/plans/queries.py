@@ -15978,3 +15978,362 @@ def q_char_compression_est(spark, sf_dir):
             " / max(ns)) / log2(26.0)) * 1000000, 0) AS BIGINT)"
         ).alias("redundancy_ppm"),
     )
+
+@register("q_capture_recapture", f"""
+WITH wk AS (
+    SELECT epoch_us(ts) // {7 * _DAY_US} AS w, user_id
+    FROM events GROUP BY 1, 2
+), bounds AS (SELECT min(w)::BIGINT AS w0 FROM wk),
+occ_a AS (SELECT DISTINCT user_id FROM wk, bounds WHERE w = w0),
+occ_b AS (SELECT DISTINCT user_id FROM wk, bounds WHERE w = w0 + 1),
+m AS (
+    SELECT count(*)::BIGINT AS overlap
+    FROM occ_a a JOIN occ_b b ON b.user_id = a.user_id
+), sizes AS (
+    SELECT (SELECT count(*) FROM occ_a)::BIGINT AS na,
+           (SELECT count(*) FROM occ_b)::BIGINT AS nb
+), truth AS (
+    SELECT count(DISTINCT user_id)::BIGINT AS true_users FROM events
+)
+SELECT s.na, s.nb, m.overlap,
+       ((s.na + 1) * (s.nb + 1) // (m.overlap + 1) - 1)::BIGINT
+           AS chapman_est,
+       t.true_users,
+       ((((s.na + 1) * (s.nb + 1) // (m.overlap + 1) - 1)
+         - t.true_users) * 1000000 // t.true_users)::BIGINT
+           AS est_bias_ppm
+FROM sizes s, m, truth t
+""")
+def q_capture_recapture(spark, sf_dir):
+    """Capture-recapture (Chapman-corrected Lincoln-Petersen)
+    population estimate: treat the first two calendar weeks' active-
+    user sets as two capture occasions and estimate the TOTAL user
+    population from their overlap — the ecology estimator that data
+    engineering reuses to size a population only partially observed
+    per window (bot-farm sizing, true-reach estimation), graded here
+    against the exact distinct count the batch engine can still
+    afford. All-integer: Chapman's (na+1)(nb+1)/(m+1)-1 with
+    truncating division, bias reported in ppm. The fact collapses
+    to the distinct (week, user) relation once; occasions are two
+    filters of it; the overlap is one equi-join on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        F.expr(f"(ts div 1000) div {7 * _DAY_US}").alias("w"),
+        "user_id",
+    ).distinct()
+    w0 = wk.agg(F.min("w").alias("w0"))
+    wkb = wk.crossJoin(F.broadcast(w0))
+    occ_a = wkb.where(F.col("w") == F.col("w0")).select("user_id")
+    occ_b = wkb.where(F.col("w") == F.col("w0") + 1).select(
+        F.col("user_id").alias("uid_b"))
+    m = occ_a.join(occ_b, occ_a["user_id"] == occ_b["uid_b"]).agg(
+        F.count("*").cast("long").alias("overlap"))
+    sizes = occ_a.agg(F.count("*").cast("long").alias("na")).crossJoin(
+        F.broadcast(occ_b.agg(F.count("*").cast("long").alias("nb"))))
+    truth = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("true_users"))
+    return (
+        sizes.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(truth))
+        .select(
+            "na", "nb", "overlap",
+            F.expr(
+                "CAST((na + 1) * (nb + 1) div (overlap + 1) - 1"
+                " AS BIGINT)"
+            ).alias("chapman_est"),
+            "true_users",
+            F.expr(
+                "CAST((((na + 1) * (nb + 1) div (overlap + 1) - 1)"
+                " - true_users) * 1000000 div true_users AS BIGINT)"
+            ).alias("est_bias_ppm"),
+        )
+    )
+
+
+@register("q_jackknife_variance", f"""
+WITH daily AS (
+    SELECT epoch_us(o_orderdate) // {_DAY_US} AS day,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+               AS cents
+    FROM orders GROUP BY 1
+), tot AS (
+    SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS s FROM daily
+), d2 AS (
+    SELECT sum(((t.s - t.n * d.cents)::DECIMAL(38,0)
+                * (t.s - t.n * d.cents))) AS sum_d2
+    FROM daily d, tot t
+)
+SELECT t.n AS n_days,
+       round(CAST(t.s AS DOUBLE) / (100.0 * t.n), 4) AS mean_rev,
+       round(sqrt(CAST(d.sum_d2 AS DOUBLE)
+                  / (CAST(t.n AS DOUBLE) * t.n * t.n * (t.n - 1)))
+             / 100.0, 4) AS jk_se,
+       round(CAST(t.s AS DOUBLE) / (100.0 * t.n)
+             - 1.959964 * round(sqrt(CAST(d.sum_d2 AS DOUBLE)
+                  / (CAST(t.n AS DOUBLE) * t.n * t.n * (t.n - 1)))
+             / 100.0, 4), 4) AS ci_lo,
+       round(CAST(t.s AS DOUBLE) / (100.0 * t.n)
+             + 1.959964 * round(sqrt(CAST(d.sum_d2 AS DOUBLE)
+                  / (CAST(t.n AS DOUBLE) * t.n * t.n * (t.n - 1)))
+             / 100.0, 4), 4) AS ci_hi
+FROM tot t, d2 d
+""")
+def q_jackknife_variance(spark, sf_dir):
+    """Leave-one-day-out jackknife standard error for mean daily
+    revenue, in closed form: mean_(-i) - mean = (S - n*x_i)/(n(n-1)),
+    so var_jk = sum((S - n*x_i)^2) / (n^3 (n-1)) — the deterministic
+    resampling cross-check for q_poisson_bootstrap's CI (two
+    independent error estimates agreeing is the audit; jackknife
+    needs NO randomness at all, so it is the cheaper nightly guard).
+    The deviations are exact integers squared in DECIMAL(38,0) (no
+    width overflow); ONE IEEE sqrt; the rounded se is REUSED in the
+    CI bounds so both engines compose identical doubles. The only
+    fact-sized work is the daily pre-aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+                   f" div {_DAY_US}").alias("day"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            .alias("c"),
+        )
+        .groupBy("day").agg(F.sum("c").cast("long").alias("cents"))
+    )
+    tot = daily.agg(F.count("*").cast("long").alias("n"),
+                    F.sum("cents").cast("long").alias("s"))
+    d2 = daily.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.expr(
+            "CAST(s - n * cents AS DECIMAL(38,0)) * (s - n * cents)"
+        )).alias("sum_d2"),
+        F.max("n").alias("n"), F.max("s").alias("s"),
+    )
+    se = (
+        "round(sqrt(CAST(sum_d2 AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * n * n * (n - 1))) / 100.0, 4)"
+    )
+    mean = "round(CAST(s AS DOUBLE) / (100.0 * n), 4)"
+    mean_raw = "CAST(s AS DOUBLE) / (100.0 * n)"
+    return d2.select(
+        F.col("n").alias("n_days"),
+        F.expr(mean).alias("mean_rev"),
+        F.expr(se).alias("jk_se"),
+        F.expr(f"round({mean_raw} - 1.959964 * {se}, 4)").alias("ci_lo"),
+        F.expr(f"round({mean_raw} + 1.959964 * {se}, 4)").alias("ci_hi"),
+    )
+
+
+@register("q_unseen_mass_estimate", """
+WITH toks AS (
+    SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+    FROM documents
+), freq AS (
+    SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY 1
+)
+SELECT sum(c)::BIGINT AS n_tokens,
+       count(*)::BIGINT AS vocab_obs,
+       sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+       sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS f2,
+       ((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000)
+        // sum(c))::BIGINT AS unseen_mass_ppm,
+       (count(*)
+        + CASE WHEN sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) > 0
+               THEN (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                     * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END))
+                    // (2 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END))
+               ELSE (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                     * (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1))
+                    // 2 END)::BIGINT AS chao1_vocab_est,
+       ((count(*) * 1000000)
+        // (count(*)
+            + CASE WHEN sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) > 0
+                   THEN (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                         * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END))
+                        // (2 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END))
+                   ELSE (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                         * (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1))
+                        // 2 END))::BIGINT AS coverage_ppm
+FROM freq
+""")
+def q_unseen_mass_estimate(spark, sf_dir):
+    """How much vocabulary has the corpus NOT seen yet: Good-Turing
+    unseen probability mass (f1/N — the chance the NEXT token is a
+    new type) and the Chao1 richness estimate V + f1^2/(2 f2) (with
+    the standard f2=0 fallback) — the pair that turns q_heaps_law's
+    growth CURVE into a decision: crawl more (high unseen mass) or
+    stop (coverage ~ 1). Everything derives from the vocab
+    frequency-of-frequencies in one pass — exact integers end to
+    end, truncating-ppm output, one row. The fact is tokenized
+    once; f1/f2 are conditional sums over the Zipf-bounded vocab."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")),
+                                 F.lit(r"\S+"), 0)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    chao_add = (
+        "CASE WHEN sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) > 0"
+        " THEN (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)"
+        " * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END))"
+        " div (2 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END))"
+        " ELSE (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)"
+        " * (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)) div 2 END"
+    )
+    return freq.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab_obs"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long")
+        .alias("f2"),
+        F.expr(
+            "CAST((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000)"
+            " div sum(c) AS BIGINT)"
+        ).alias("unseen_mass_ppm"),
+        F.expr(
+            f"CAST(count(*) + {chao_add} AS BIGINT)"
+        ).alias("chao1_vocab_est"),
+        F.expr(
+            f"CAST((count(*) * 1000000) div (count(*) + {chao_add})"
+            " AS BIGINT)"
+        ).alias("coverage_ppm"),
+    )
+
+
+@register("q_cluster_density", _CC_CTES + """
+, comp AS (
+    SELECT id AS doc_id, min(label) AS component_id FROM walk GROUP BY id
+), csize AS (
+    SELECT component_id, count(*)::BIGINT AS n_nodes
+    FROM comp GROUP BY 1
+), cedges AS (
+    SELECT c.component_id, count(*)::BIGINT AS n_edges
+    FROM jac j JOIN comp c ON c.doc_id = j.doc_a
+    GROUP BY 1
+)
+SELECT s.component_id, s.n_nodes, e.n_edges,
+       ((2 * e.n_edges * 1000000)
+        // (s.n_nodes * (s.n_nodes - 1)))::BIGINT AS density_ppm,
+       e.n_edges = s.n_nodes * (s.n_nodes - 1) / 2 AS is_clique
+FROM csize s JOIN cedges e ON e.component_id = s.component_id
+""")
+def q_cluster_density(spark, sf_dir):
+    """Edge density per near-dup cluster: 2E/(n(n-1)) — the cluster-
+    COHERENCE audit that q_dedup_cluster_sizes' size histogram
+    can't see: a dense (clique-like) cluster is one true duplicate
+    family, while a sparse chain is transitive drift (A~B~C with
+    A!~C) where keep-one-per-cluster deletes documents that are NOT
+    near-dups of the keeper — the known failure mode of connected-
+    component dedup at scale, now measurable per cluster before the
+    drop decision. Consumes the memoized pair + component relations
+    (computed once per corpus snapshot); both rollups are bounded
+    by clustered docs, far below the corpus. Integer ppm; clique
+    flag exact."""
+    comps = _corpus_components(spark, sf_dir)
+    pairs = _jaccard_pairs(spark, sf_dir)
+    csize = comps.groupBy("component_id").agg(
+        F.count("*").cast("long").alias("n_nodes"))
+    cedges = (
+        pairs.join(comps, pairs["doc_a"] == comps["doc_id"])
+        .groupBy("component_id")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+    )
+    return csize.join(cedges, "component_id").select(
+        "component_id", "n_nodes", "n_edges",
+        F.expr(
+            "CAST((2 * n_edges * 1000000)"
+            " div (n_nodes * (n_nodes - 1)) AS BIGINT)"
+        ).alias("density_ppm"),
+        F.expr("n_edges = n_nodes * (n_nodes - 1) div 2")
+        .alias("is_clique"),
+    )
+
+
+_PART_TARGET_MB = 128
+
+@register("q_partition_planner", f"""
+WITH stats AS (
+    SELECT 'lineitem' AS table_name, count(*)::BIGINT AS n_rows,
+           sum(3 * 8 + 4 + 4 * 8 + 8
+               + strlen(l_returnflag)
+               + strlen(l_linestatus))::BIGINT AS est_bytes
+    FROM lineitem
+    UNION ALL
+    SELECT 'events', count(*)::BIGINT,
+           sum(8 + 8 + 8 + 8 + strlen(event_type)
+               + strlen(coalesce(props, '')))::BIGINT
+    FROM events
+    UNION ALL
+    SELECT 'documents', count(*)::BIGINT,
+           sum(8 + 8 + strlen(text) + strlen(lang)
+               + strlen(source))::BIGINT
+    FROM documents
+)
+SELECT table_name, n_rows, est_bytes,
+       (est_bytes // (1024 * 1024))::BIGINT AS est_mb,
+       greatest((est_bytes + {_PART_TARGET_MB} * 1024 * 1024 - 1)
+                // ({_PART_TARGET_MB} * 1024 * 1024), 1)::BIGINT
+           AS partitions_{_PART_TARGET_MB}mb,
+       (n_rows // greatest((est_bytes + {_PART_TARGET_MB} * 1024
+                            * 1024 - 1)
+                           // ({_PART_TARGET_MB} * 1024 * 1024), 1))
+           ::BIGINT AS rows_per_partition
+FROM stats
+""")
+def q_partition_planner(spark, sf_dir):
+    """Shuffle/scan partition-count planner from MEASURED in-memory
+    widths: per fact table, exact row count and a deterministic
+    byte estimate (fixed widths for numerics/timestamps +
+    octet_length for strings) -> the partition count that lands
+    each partition at ~{_PART_TARGET_MB} MB — the number
+    spark.sql.shuffle.partitions/maxPartitionBytes tuning actually
+    needs, derived from the data instead of guessed (SURVEY §4's
+    sizing rule, now a query). One aggregate per table (map-side
+    combined sums, no shuffle beyond the final 1-row-per-table
+    rollup); ceil-division in exact integers."""
+    parts = []
+    li = load_table(spark, sf_dir, "lineitem")
+    parts.append(li.agg(
+        F.lit("lineitem").alias("table_name"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.expr(
+            "3 * 8 + 4 + 4 * 8 + 8 + octet_length(l_returnflag)"
+            " + octet_length(l_linestatus)"
+        )).cast("long").alias("est_bytes"),
+    ))
+    ev = load_table(spark, sf_dir, "events")
+    parts.append(ev.agg(
+        F.lit("events").alias("table_name"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.expr(
+            "8 + 8 + 8 + 8 + octet_length(event_type)"
+            " + octet_length(coalesce(props, ''))"
+        )).cast("long").alias("est_bytes"),
+    ))
+    docs = load_table(spark, sf_dir, "documents")
+    parts.append(docs.agg(
+        F.lit("documents").alias("table_name"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.expr(
+            "8 + 8 + octet_length(text) + octet_length(lang)"
+            " + octet_length(source)"
+        )).cast("long").alias("est_bytes"),
+    ))
+    stats = parts[0]
+    for x in parts[1:]:
+        stats = stats.unionAll(x)
+    tgt = _PART_TARGET_MB * 1024 * 1024
+    return stats.select(
+        "table_name", "n_rows", "est_bytes",
+        F.expr("CAST(est_bytes div (1024 * 1024) AS BIGINT)")
+        .alias("est_mb"),
+        F.expr(
+            f"CAST(greatest((est_bytes + {tgt} - 1) div {tgt}, 1)"
+            " AS BIGINT)"
+        ).alias(f"partitions_{_PART_TARGET_MB}mb"),
+        F.expr(
+            f"CAST(n_rows div greatest((est_bytes + {tgt} - 1)"
+            f" div {tgt}, 1) AS BIGINT)"
+        ).alias("rows_per_partition"),
+    )
