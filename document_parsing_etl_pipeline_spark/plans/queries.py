@@ -16337,3 +16337,291 @@ def q_partition_planner(spark, sf_dir):
             f" div {tgt}, 1) AS BIGINT)"
         ).alias("rows_per_partition"),
     )
+
+_RBO_K, _RBO_P = 50, 0.9
+
+@register("q_rank_overlap_rbo", f"""
+WITH docs_f AS (
+    SELECT lower(text) AS t,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 2
+               AS fold
+    FROM documents
+), toks AS (
+    SELECT fold, unnest(regexp_extract_all(t, '\\S+')) AS tok
+    FROM docs_f
+), freq AS (
+    SELECT fold, tok, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2
+), ranked AS (
+    SELECT fold, tok,
+           row_number() OVER (PARTITION BY fold
+                              ORDER BY c DESC, tok) AS rk
+    FROM freq
+), la AS (SELECT tok, rk FROM ranked WHERE fold = 0 AND rk <= {_RBO_K}),
+lb AS (SELECT tok, rk FROM ranked WHERE fold = 1 AND rk <= {_RBO_K}),
+matched AS (
+    SELECT greatest(la.rk, lb.rk)::BIGINT AS m
+    FROM la JOIN lb ON lb.tok = la.tok
+), depths AS (
+    SELECT unnest(generate_series(1, {_RBO_K})) AS d
+), contrib AS (
+    SELECT (round(pow({_RBO_P}, mm.d - 1), 9) / mm.d)
+               ::DECIMAL(18,12) AS w
+    FROM (SELECT m.m, dd.d FROM matched m
+          JOIN depths dd ON dd.d >= m.m) mm
+), novl AS (SELECT count(*)::BIGINT AS n_overlap FROM matched)
+SELECT {_RBO_K} AS k, n.n_overlap,
+       ((n.n_overlap * 1000000) // {_RBO_K})::BIGINT AS overlap_ppm,
+       round({1.0 - _RBO_P} * coalesce((SELECT sum(w)::DOUBLE
+                                        FROM contrib), 0.0), 6)
+           AS rbo
+FROM novl n
+""")
+def q_rank_overlap_rbo(spark, sf_dir):
+    """Rank-biased overlap (Webber et al.) between the top-{_RBO_K}
+    term rankings of two deterministic corpus halves — the TOP-
+    WEIGHTED ranking-agreement metric (set overlap treats rank 1
+    and rank 50 alike; RBO's geometric p={_RBO_P} weighting is what
+    search/trending comparisons actually need, and a low RBO
+    between random halves says the 'top terms' readout is noise).
+    Identity: sum_d p^(d-1) A_d/d collapses to one weight
+    W(max(ra,rb)) per matched term, evaluated via a <= K x K
+    depth join over the two K-row lists — everything after the one
+    vocab groupBy is driver-sized. pow follows the rounded-
+    transcendental protocol; mass accumulates in DECIMAL."""
+    docs = load_table(spark, sf_dir, "documents")
+    fold = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+               16, 10).cast("int"),
+        F.lit(2),
+    )
+    toks = docs.select(
+        fold.alias("fold"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")),
+                                 F.lit(r"\S+"), 0)).alias("tok"),
+    )
+    freq = toks.groupBy("fold", "tok").agg(
+        F.count("*").cast("long").alias("c"))
+    ranked = freq.select(
+        "fold", "tok",
+        F.row_number().over(
+            Window.partitionBy("fold")
+            .orderBy(F.col("c").desc(), "tok")).alias("rk"),
+    ).where(F.col("rk") <= _RBO_K)
+    la = ranked.where(F.col("fold") == 0).select(
+        "tok", F.col("rk").alias("ra"))
+    lb = ranked.where(F.col("fold") == 1).select(
+        F.col("tok").alias("tok_b"), F.col("rk").alias("rb"))
+    matched = la.join(lb, la["tok"] == lb["tok_b"]).select(
+        F.greatest("ra", "rb").cast("long").alias("m"))
+    depths = spark.range(1, _RBO_K + 1).select(F.col("id").alias("d"))
+    contrib = (
+        matched.join(F.broadcast(depths), F.col("d") >= F.col("m"))
+        .select(F.expr(
+            f"CAST(round(pow({_RBO_P}, d - 1), 9) / d"
+            " AS DECIMAL(18,12))").alias("w"))
+    )
+    summed = contrib.agg(
+        F.coalesce(F.sum("w"), F.lit(0).cast("decimal(18,12)"))
+        .alias("sw"))
+    novl = matched.agg(F.count("*").cast("long").alias("n_overlap"))
+    return novl.crossJoin(F.broadcast(summed)).select(
+        F.lit(_RBO_K).cast("long").alias("k"),
+        "n_overlap",
+        F.expr(f"CAST((n_overlap * 1000000) div {_RBO_K} AS BIGINT)")
+        .alias("overlap_ppm"),
+        F.expr(
+            f"round({1.0 - _RBO_P} * CAST(sw AS DOUBLE), 6)"
+        ).alias("rbo"),
+    )
+
+
+_SHAP_F1_MIN, _SHAP_F2_MIN = 10, 3
+
+@register("q_shapley_attribution", f"""
+WITH per_user AS (
+    SELECT user_id,
+           CASE WHEN count(*) >= {_SHAP_F1_MIN} THEN 1 ELSE 0 END
+               AS f1,
+           CASE WHEN count(DISTINCT epoch_us(ts) // {_DAY_US})
+                     >= {_SHAP_F2_MIN} THEN 1 ELSE 0 END AS f2,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS y
+    FROM events GROUP BY 1
+), cells AS (
+    SELECT f1, f2, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos
+    FROM per_user GROUP BY 1, 2
+), wide AS (
+    SELECT
+      max(CASE WHEN f1=0 AND f2=0 THEN n END)::BIGINT AS n00,
+      max(CASE WHEN f1=1 AND f2=0 THEN n END)::BIGINT AS n10,
+      max(CASE WHEN f1=0 AND f2=1 THEN n END)::BIGINT AS n01,
+      max(CASE WHEN f1=1 AND f2=1 THEN n END)::BIGINT AS n11,
+      max(CASE WHEN f1=0 AND f2=0 THEN pos END)::BIGINT AS p00,
+      max(CASE WHEN f1=1 AND f2=0 THEN pos END)::BIGINT AS p10,
+      max(CASE WHEN f1=0 AND f2=1 THEN pos END)::BIGINT AS p01,
+      max(CASE WHEN f1=1 AND f2=1 THEN pos END)::BIGINT AS p11
+    FROM cells
+), rates AS (
+    SELECT n00, n10, n01, n11,
+           (p00 * 1000000) // n00 AS r00,
+           (p10 * 1000000) // n10 AS r10,
+           (p01 * 1000000) // n01 AS r01,
+           (p11 * 1000000) // n11 AS r11
+    FROM wide
+)
+SELECT n00, n10, n01, n11,
+       r00::BIGINT AS rate00_ppm, r10::BIGINT AS rate10_ppm,
+       r01::BIGINT AS rate01_ppm, r11::BIGINT AS rate11_ppm,
+       ((r10 - r00) + (r11 - r01))::BIGINT AS phi_activity_ppm2,
+       ((r01 - r00) + (r11 - r10))::BIGINT AS phi_spread_ppm2,
+       ((r10 - r00) + (r11 - r01)) + ((r01 - r00) + (r11 - r10))
+           = 2 * (r11 - r00) AS additivity_ok
+FROM rates
+""")
+def q_shapley_attribution(spark, sf_dir):
+    """EXACT two-feature Shapley attribution of the purchase-rate
+    gap: how much of rate(active, multi-day) - rate(neither) belongs
+    to activity volume vs day spread, averaged over both insertion
+    orders (the 2! permutations, so these ARE the Shapley values,
+    no sampling) — in-engine model explainability on the 2x2
+    segment grid, with the efficiency axiom phi1+phi2 =
+    v(full)-v(empty) checked EXACTLY in the output. Rates are
+    truncating-integer ppm; the phis stay in doubled-ppm integer
+    basis so no halving truncation can break the additivity check.
+    One per-user pass, a 4-cell rollup, a 1-row pivot."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.expr(f"CASE WHEN count(*) >= {_SHAP_F1_MIN} THEN 1 ELSE 0"
+               " END").alias("f1"),
+        F.expr(
+            f"CASE WHEN count(DISTINCT (ts div 1000) div {_DAY_US})"
+            f" >= {_SHAP_F2_MIN} THEN 1 ELSE 0 END").alias("f2"),
+        F.max(F.when(F.col("event_type") == "purchase", 1)
+              .otherwise(0)).alias("y"),
+    )
+    cells = per_user.groupBy("f1", "f2").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"))
+    aggs = []
+    for a in (0, 1):
+        for b in (0, 1):
+            aggs.append(F.max(F.when(
+                (F.col("f1") == a) & (F.col("f2") == b), F.col("n")))
+                .cast("long").alias(f"n{a}{b}"))
+            aggs.append(F.max(F.when(
+                (F.col("f1") == a) & (F.col("f2") == b), F.col("pos")))
+                .cast("long").alias(f"p{a}{b}"))
+    wide = cells.agg(*aggs)
+    rates = wide.select(
+        "n00", "n10", "n01", "n11",
+        *[F.expr(f"(p{a}{b} * 1000000) div n{a}{b}").alias(f"r{a}{b}")
+          for a in (0, 1) for b in (0, 1)],
+    )
+    return rates.select(
+        "n00", "n10", "n01", "n11",
+        *[F.col(f"r{a}{b}").cast("long").alias(f"rate{a}{b}_ppm")
+          for a in (0, 1) for b in (0, 1)],
+        F.expr("CAST((r10 - r00) + (r11 - r01) AS BIGINT)")
+        .alias("phi_activity_ppm2"),
+        F.expr("CAST((r01 - r00) + (r11 - r10) AS BIGINT)")
+        .alias("phi_spread_ppm2"),
+        F.expr(
+            "((r10 - r00) + (r11 - r01)) + ((r01 - r00) + (r11 - r10))"
+            " = 2 * (r11 - r00)"
+        ).alias("additivity_ok"),
+    )
+
+
+_TIER_HIGH, _TIER_MED = 38, 30
+
+@register("q_tier_migration", f"""
+WITH bounds AS (
+    SELECT min(epoch_us(ts) // {_DAY_US})::BIGINT AS d0,
+           max(epoch_us(ts) // {_DAY_US})::BIGINT AS d1
+    FROM events
+), halves AS (
+    SELECT e.user_id,
+           CASE WHEN epoch_us(e.ts) // {_DAY_US}
+                     <= (b.d0 + b.d1) // 2 THEN 0 ELSE 1 END AS half
+    FROM events e, bounds b
+), counts AS (
+    SELECT user_id, half, count(*)::BIGINT AS n
+    FROM halves GROUP BY 1, 2
+), tiers AS (
+    SELECT user_id, half,
+           CASE WHEN n >= {_TIER_HIGH} THEN 'high'
+                WHEN n >= {_TIER_MED} THEN 'med'
+                ELSE 'low' END AS tier
+    FROM counts
+), matrix AS (
+    SELECT coalesce(a.tier, 'none') AS tier_h1,
+           coalesce(b.tier, 'none') AS tier_h2,
+           count(*)::BIGINT AS n_users
+    FROM (SELECT user_id, tier FROM tiers WHERE half = 0) a
+    FULL JOIN (SELECT user_id, tier FROM tiers WHERE half = 1) b
+      ON b.user_id = a.user_id
+    GROUP BY 1, 2
+), rowtot AS (
+    SELECT tier_h1, sum(n_users)::BIGINT AS rn FROM matrix GROUP BY 1
+)
+SELECT m.tier_h1, m.tier_h2, m.n_users,
+       ((m.n_users * 1000000) // r.rn)::BIGINT AS row_share_ppm
+FROM matrix m JOIN rowtot r ON r.tier_h1 = m.tier_h1
+""")
+def q_tier_migration(spark, sf_dir):
+    """Engagement-tier migration matrix between the two halves of
+    the observed timeline: every user's activity tier (high/med/
+    low/none by event count) in H1 vs H2, with row-normalized
+    transition shares — the upgrade/downgrade/churn/resurrection
+    readout that turns q_user_retention's binary 'came back' into
+    WHERE users moved; the diagonal is stability, the 'none' column
+    is churn by tier. One pass buckets events into halves (midpoint
+    from the broadcast min/max day), per-user-half counts shuffle
+    once on user_id; the matrix is a full-outer self-join of two
+    per-user relations; output <= 16 rows, integer ppm."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.expr(f"(ts div 1000) div {_DAY_US}")).cast("long")
+        .alias("d0"),
+        F.max(F.expr(f"(ts div 1000) div {_DAY_US}")).cast("long")
+        .alias("d1"),
+    )
+    halves = ev.select(
+        "user_id", F.expr(f"(ts div 1000) div {_DAY_US}").alias("day")
+    ).crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.expr("CASE WHEN day <= (d0 + d1) div 2 THEN 0 ELSE 1 END")
+        .alias("half"),
+    )
+    tiers = (
+        halves.groupBy("user_id", "half")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            "user_id", "half",
+            F.expr(
+                f"CASE WHEN n >= {_TIER_HIGH} THEN 'high'"
+                f" WHEN n >= {_TIER_MED} THEN 'med'"
+                " ELSE 'low' END").alias("tier"),
+        )
+    )
+    a = tiers.where(F.col("half") == 0).select(
+        "user_id", F.col("tier").alias("tier_a"))
+    b = tiers.where(F.col("half") == 1).select(
+        F.col("user_id").alias("uid_b"), F.col("tier").alias("tier_b"))
+    matrix = (
+        a.join(b, a["user_id"] == b["uid_b"], "full")
+        .select(
+            F.coalesce(F.col("tier_a"), F.lit("none")).alias("tier_h1"),
+            F.coalesce(F.col("tier_b"), F.lit("none")).alias("tier_h2"),
+        )
+        .groupBy("tier_h1", "tier_h2")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+    rowtot = matrix.groupBy("tier_h1").agg(
+        F.sum("n_users").cast("long").alias("rn"))
+    return matrix.join(F.broadcast(rowtot), "tier_h1").select(
+        "tier_h1", "tier_h2", "n_users",
+        F.expr("CAST((n_users * 1000000) div rn AS BIGINT)")
+        .alias("row_share_ppm"),
+    )
