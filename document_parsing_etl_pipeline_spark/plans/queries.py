@@ -16625,3 +16625,242 @@ def q_tier_migration(spark, sf_dir):
         F.expr("CAST((n_users * 1000000) div rn AS BIGINT)")
         .alias("row_share_ppm"),
     )
+
+@register("q_partial_corr", """
+WITH pts AS (
+    SELECT CAST(round(l_discount * 100) AS BIGINT) AS x,
+           CAST(round(l_quantity) AS BIGINT) AS y,
+           CAST(round(l_extendedprice) AS BIGINT) AS z
+    FROM lineitem
+), s AS (
+    SELECT count(*)::BIGINT AS n,
+           sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+           sum(z)::BIGINT AS sz,
+           sum(x * y)::BIGINT AS sxy, sum(x * z)::BIGINT AS sxz,
+           sum(y * z)::BIGINT AS syz,
+           sum(x::DECIMAL(38,0) * x) AS sxx,
+           sum(y::DECIMAL(38,0) * y) AS syy,
+           sum(z::DECIMAL(38,0) * z) AS szz
+    FROM pts
+), r AS (
+    SELECT n,
+      round((CAST(n::DECIMAL(38,0) * sxy - sx::DECIMAL(38,0) * sy
+                  AS DOUBLE))
+            / (sqrt(CAST(n::DECIMAL(38,0) * sxx
+                         - sx::DECIMAL(38,0) * sx AS DOUBLE))
+               * sqrt(CAST(n::DECIMAL(38,0) * syy
+                           - sy::DECIMAL(38,0) * sy AS DOUBLE))), 6)
+          AS rxy,
+      round((CAST(n::DECIMAL(38,0) * sxz - sx::DECIMAL(38,0) * sz
+                  AS DOUBLE))
+            / (sqrt(CAST(n::DECIMAL(38,0) * sxx
+                         - sx::DECIMAL(38,0) * sx AS DOUBLE))
+               * sqrt(CAST(n::DECIMAL(38,0) * szz
+                           - sz::DECIMAL(38,0) * sz AS DOUBLE))), 6)
+          AS rxz,
+      round((CAST(n::DECIMAL(38,0) * syz - sy::DECIMAL(38,0) * sz
+                  AS DOUBLE))
+            / (sqrt(CAST(n::DECIMAL(38,0) * syy
+                         - sy::DECIMAL(38,0) * sy AS DOUBLE))
+               * sqrt(CAST(n::DECIMAL(38,0) * szz
+                           - sz::DECIMAL(38,0) * sz AS DOUBLE))), 6)
+          AS rzy
+    FROM s
+)
+SELECT n, rxy, rxz, rzy,
+       round((rxy - rxz * rzy)
+             / sqrt((1.0 - rxz * rxz) * (1.0 - rzy * rzy)), 6)
+           AS partial_rxy_given_z
+FROM r
+""")
+def q_partial_corr(spark, sf_dir):
+    """Partial correlation of discount vs quantity CONTROLLING for
+    line price: r_xy.z = (rxy - rxz rzy)/sqrt((1-rxz^2)(1-rzy^2)) —
+    the confounder-removal step between q_crosscorr_daily's raw
+    association and q_discount_elasticity's causal read (a raw
+    discount~quantity correlation can be entirely price-band
+    mix; the partial says what survives). All three Pearsons come
+    from ONE pass of exact sums (squares and cross-multiplied
+    variance numerators in DECIMAL(38,0) — BIGINT would overflow on
+    the price sums at scale); each r is rounded 6dp BEFORE the
+    closed-form composition so both engines combine identical
+    doubles. Single row out."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("x"),
+        F.expr("CAST(round(l_quantity) AS BIGINT)").alias("y"),
+        F.expr("CAST(round(l_extendedprice) AS BIGINT)").alias("z"),
+    )
+    s = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).cast("long").alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).cast("long").alias("syz"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .alias("syy"),
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z"))
+        .alias("szz"),
+    )
+
+    def _r(sab, a, b, saa, sbb):
+        return (
+            f"round((CAST(CAST(n AS DECIMAL(38,0)) * {sab}"
+            f" - CAST({a} AS DECIMAL(38,0)) * {b} AS DOUBLE))"
+            f" / (sqrt(CAST(CAST(n AS DECIMAL(38,0)) * {saa}"
+            f" - CAST({a} AS DECIMAL(38,0)) * {a} AS DOUBLE))"
+            f" * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * {sbb}"
+            f" - CAST({b} AS DECIMAL(38,0)) * {b} AS DOUBLE))), 6)"
+        )
+
+    r = s.select(
+        "n",
+        F.expr(_r("sxy", "sx", "sy", "sxx", "syy")).alias("rxy"),
+        F.expr(_r("sxz", "sx", "sz", "sxx", "szz")).alias("rxz"),
+        F.expr(_r("syz", "sy", "sz", "syy", "szz")).alias("rzy"),
+    )
+    return r.select(
+        "n", "rxy", "rxz", "rzy",
+        F.expr(
+            "round((rxy - rxz * rzy)"
+            " / sqrt((1.0 - rxz * rxz) * (1.0 - rzy * rzy)), 6)"
+        ).alias("partial_rxy_given_z"),
+    )
+
+
+@register("q_abc_classification", """
+WITH part_rev AS (
+    SELECT l_partkey,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+               AS cents
+    FROM lineitem GROUP BY 1
+), banded AS (
+    SELECT (length(cents::VARCHAR) * 10
+            + substr(cents::VARCHAR, 1, 1)::INT)::BIGINT AS band,
+           count(*)::BIGINT AS n_parts, sum(cents)::BIGINT AS rev
+    FROM part_rev WHERE cents > 0 GROUP BY 1
+), tot AS (SELECT sum(rev)::BIGINT AS total FROM banded),
+cum AS (
+    SELECT band, n_parts, rev,
+           sum(rev) OVER (ORDER BY band DESC)::BIGINT AS cum_rev
+    FROM banded
+), classed AS (
+    SELECT c.band, c.n_parts, c.rev,
+           CASE WHEN ((c.cum_rev - c.rev) * 1000000) // t.total
+                     < 800000 THEN 'A'
+                WHEN ((c.cum_rev - c.rev) * 1000000) // t.total
+                     < 950000 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM cum c, tot t
+)
+SELECT abc_class, sum(n_parts)::BIGINT AS n_parts,
+       sum(rev)::BIGINT AS revenue_cents,
+       ((sum(rev) * 1000000) // max(t.total))::BIGINT AS rev_share_ppm
+FROM classed, tot t GROUP BY 1
+""")
+def q_abc_classification(spark, sf_dir):
+    """ABC inventory classification at the 80/95 revenue cuts —
+    band-histogram formulation that SURVIVES scale: parts collapse
+    to revenue DIGIT bands (digit count x leading digit — exact
+    integer log-scale banding, no transcendentals, no ulp-fragile
+    floor(log2)), the descending cumulative runs over <= ~90 band
+    rows instead of a global per-part rank window (the classic ABC
+    sort is a single-partition window over an SF-scaling relation —
+    the anti-pattern this repo lints against), and classes are
+    assigned by the share BEFORE each band so the A/B boundary is
+    decided identically in both engines. Class totals are exact
+    integers; granularity is one band (documented trade for
+    unbounded scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_rev = li.groupBy("l_partkey").agg(
+        F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .cast("long").alias("cents"))
+    banded = (
+        part_rev.where(F.col("cents") > 0)
+        .groupBy(F.expr(
+            "CAST(length(CAST(cents AS STRING)) * 10"
+            " + CAST(substr(CAST(cents AS STRING), 1, 1) AS INT)"
+            " AS BIGINT)").alias("band"))
+        .agg(F.count("*").cast("long").alias("n_parts"),
+             F.sum("cents").cast("long").alias("rev"))
+    )
+    tot = banded.agg(F.sum("rev").cast("long").alias("total"))
+    w = Window.orderBy(F.col("band").desc())
+    cum = banded.select(
+        "band", "n_parts", "rev",
+        F.sum("rev").over(w).cast("long").alias("cum_rev"))
+    classed = cum.crossJoin(F.broadcast(tot)).select(
+        "n_parts", "rev", "total",
+        F.expr(
+            "CASE WHEN ((cum_rev - rev) * 1000000) div total < 800000"
+            " THEN 'A'"
+            " WHEN ((cum_rev - rev) * 1000000) div total < 950000"
+            " THEN 'B' ELSE 'C' END").alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.sum("n_parts").cast("long").alias("n_parts"),
+        F.sum("rev").cast("long").alias("revenue_cents"),
+        F.expr(
+            "CAST((sum(rev) * 1000000) div max(total) AS BIGINT)"
+        ).alias("rev_share_ppm"),
+    )
+
+
+_TTR_BAND_W, _TTR_BAND_CAP = 50, 20
+
+@register("q_ttr_by_length", f"""
+WITH per_doc AS (
+    SELECT len(regexp_extract_all(lower(text), '\\S+'))::BIGINT
+               AS wc,
+           len(list_distinct(regexp_extract_all(lower(text),
+                                                '\\S+')))::BIGINT
+               AS uniq
+    FROM documents
+)
+SELECT least(wc // {_TTR_BAND_W}, {_TTR_BAND_CAP})::BIGINT
+           AS length_band,
+       count(*)::BIGINT AS n_docs,
+       sum(wc)::BIGINT AS tokens,
+       sum(uniq)::BIGINT AS types,
+       ((sum(uniq) * 1000000) // greatest(sum(wc), 1))::BIGINT
+           AS pooled_ttr_ppm,
+       (sum((uniq * 1000000) // greatest(wc, 1))
+        // count(*))::BIGINT AS mean_doc_ttr_ppm
+FROM per_doc GROUP BY 1
+""")
+def q_ttr_by_length(spark, sf_dir):
+    """Type-token ratio by document-length band — the lexical-
+    diversity curve that makes TTR comparable: raw TTR falls
+    mechanically with length (Heaps), so q_repetition_ratio-style
+    per-doc scores can't be compared across lengths; banding by
+    token count and reading the curve's shape is the standard
+    normalization (a band whose TTR sits below the curve is
+    template/boilerplate text). Pooled and mean-of-docs TTR both
+    reported (they diverge exactly when the band is heterogeneous).
+    One tokenize pass, domain-bounded bands (cap {_TTR_BAND_CAP}),
+    all-integer truncating ppm."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")),
+                                F.lit(r"\S+"), 0)
+    per_doc = docs.select(
+        F.size(toks).cast("long").alias("wc"),
+        F.size(F.array_distinct(toks)).cast("long").alias("uniq"),
+    )
+    return per_doc.groupBy(
+        F.least(F.expr(f"wc div {_TTR_BAND_W}"),
+                F.lit(_TTR_BAND_CAP)).cast("long").alias("length_band")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("wc").cast("long").alias("tokens"),
+        F.sum("uniq").cast("long").alias("types"),
+        F.expr(
+            "CAST((sum(uniq) * 1000000) div greatest(sum(wc), 1)"
+            " AS BIGINT)").alias("pooled_ttr_ppm"),
+        F.expr(
+            "CAST(sum((uniq * 1000000) div greatest(wc, 1))"
+            " div count(*) AS BIGINT)").alias("mean_doc_ttr_ppm"),
+    )
