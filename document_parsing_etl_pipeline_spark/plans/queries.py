@@ -16436,7 +16436,7 @@ def q_rank_overlap_rbo(spark, sf_dir):
     )
 
 
-_SHAP_F1_MIN, _SHAP_F2_MIN = 10, 3
+_SHAP_F1_MIN, _SHAP_F2_MIN = 67, 27
 
 @register("q_shapley_attribution", f"""
 WITH per_user AS (
