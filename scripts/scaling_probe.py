@@ -43,6 +43,13 @@ DOC_QUERIES = [
     "q_kneser_ney_bigram",    # (doc,pos) bigram self-join + 3 rollups
     "q_naive_bayes_lang",     # token-keyed score join, vocab model
     "q_rake_keywords",        # islands windows + incidence joins
+    # round-7 session-3 additions
+    "q_lm_holdout_ppl",       # fold tokenize + test-vocab x train-vocab
+    "q_token_coverage",       # vocab rank window + conditional agg
+    "q_char_compression_est", # letters explode + |sources|x26 model
+    "q_unseen_mass_estimate", # frequency-of-frequencies pass
+    "q_rank_overlap_rbo",     # per-fold vocab + K x K depth join
+    "q_ttr_by_length",        # tokenize + distinct per doc
 ]
 EVENT_QUERIES = [
     "q_events_sessionize",
@@ -54,6 +61,13 @@ EVENT_QUERIES = [
     # round-7 session-2 additions
     "q_sessionized_bounce",   # session rollup on the user partitioning
     "q_user_type_entropy",    # user-keyed cells + entropy rollup
+    # round-7 session-3 additions
+    "q_entropy_rate",         # user-keyed lag window + matrix rollup
+    "q_markov_backtest",      # fold transition rollups
+    "q_kendall_tau",          # calendar-bounded pair join
+    "q_crosscorr_daily",      # type-pair x lag join on daily frame
+    "q_tier_migration",       # per-user-half counts + full outer
+    "q_gains_curve",          # band histogram + desc cumulative
 ]
 
 
