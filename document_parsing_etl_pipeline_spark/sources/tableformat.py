@@ -673,9 +673,14 @@ def expire_snapshots(root: str, keep_last: int = 1) -> dict:
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = _versions(root)
-    keep = versions[-keep_last:]
+    # ref reachability (Iceberg rule): tag-pinned versions are exempt
+    # from expiry, and files reachable from ANY branch manifest stay
+    # live — a branch or tag keeps its history readable until the ref
+    # itself is deleted.
+    ref_live, pinned = _ref_live_files(root)
+    keep = sorted(set(versions[-keep_last:]) | (pinned & set(versions)))
     expire = [v for v in versions if v not in keep]
-    live: set[str] = set()
+    live: set[str] = set(ref_live)
     for v in keep:
         for e in _load_manifest(root, v)["files"]:
             live.add(os.path.normpath(os.path.join(root, e["path"])))
@@ -765,3 +770,225 @@ def optimize_table(
         "files": entries,
         **_carry_meta(head),
     })
+
+
+# ------------------------------------------------------- branches/tags
+# Iceberg-style refs: a BRANCH is a named, writable snapshot lineage
+# that shares the table's data-file pool but advances its own head (an
+# isolated dev/backfill line that readers of main never see); a TAG is
+# an immutable named pointer to a main version (release pinning).
+# Branch manifests live under _manifests/branches/<name>/b{K}.json,
+# branch data under data/branch-<name>-b{K}/ — inside the same data
+# pool, so expire_snapshots() liveness (extended below) governs them:
+# files reachable from ANY ref are never vacuumed, the Iceberg rule.
+
+_BRANCH_DIR = os.path.join(_MANIFEST_DIR, "branches")
+_TAG_DIR = os.path.join(_MANIFEST_DIR, "tags")
+
+
+def _branch_dir(root: str, name: str) -> str:
+    return os.path.join(root, _BRANCH_DIR, name)
+
+
+def _branch_versions(root: str, name: str) -> list[int]:
+    d = _branch_dir(root, name)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for n in os.listdir(d):
+        if n.startswith("b") and n.endswith(".json"):
+            try:
+                out.append(int(n[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _load_branch(root: str, name: str, bv: int) -> dict:
+    with open(os.path.join(_branch_dir(root, name), f"b{bv}.json")) as f:
+        return json.load(f)
+
+
+def create_branch(
+    root: str, name: str, version: int | None = None,
+) -> int:
+    """Branch off a main snapshot (default: head). b1 is a full copy
+    of the base manifest — file SHARING by reference, no data copy —
+    plus the base_version fast_forward later checks against."""
+    if _branch_versions(root, name):
+        raise ValueError(f"branch {name!r} already exists")
+    base_v = version if version is not None else _versions(root)[-1]
+    base = _load_manifest(root, base_v)
+    os.makedirs(_branch_dir(root, name), exist_ok=True)
+    b = {
+        "operation": "branch_create", "branch": name,
+        "branch_version": 1, "base_version": base_v,
+        "stats_cols": base["stats_cols"], "files": base["files"],
+        **_carry_meta(base),
+        "committed_us": time.time_ns() // 1_000,
+    }
+    path = os.path.join(_branch_dir(root, name), "b1.json")
+    fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    with os.fdopen(fd, "w") as f:
+        json.dump(b, f)
+    return 1
+
+
+def append_to_branch(
+    spark: SparkSession, df: DataFrame, root: str, name: str,
+) -> int:
+    """Copy-on-write append on the branch lineage: main's chain and
+    readers are untouched; the branch head advances under O_EXCL
+    (one winner per branch version)."""
+    bvs = _branch_versions(root, name)
+    if not bvs:
+        raise ValueError(f"no such branch: {name!r}")
+    head = _load_branch(root, name, bvs[-1])
+    bv = head["branch_version"] + 1
+    entries = _write_files(
+        spark, df, root, f"branch-{name}-b{bv}", head["stats_cols"])
+    b = {
+        "operation": "branch_append", "branch": name,
+        "branch_version": bv, "base_version": head["base_version"],
+        "stats_cols": head["stats_cols"],
+        "files": head["files"] + entries,
+        **_carry_meta(head),
+        "schema": _merged_schema_json(head, df),
+        "committed_us": time.time_ns() // 1_000,
+    }
+    path = os.path.join(_branch_dir(root, name), f"b{bv}.json")
+    fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    with os.fdopen(fd, "w") as f:
+        json.dump(b, f)
+    return bv
+
+
+def read_branch(
+    spark: SparkSession, root: str, name: str,
+    branch_version: int | None = None,
+) -> DataFrame:
+    """Read the branch head (or an earlier branch version — branches
+    time-travel too)."""
+    bvs = _branch_versions(root, name)
+    if not bvs:
+        raise ValueError(f"no such branch: {name!r}")
+    m = _load_branch(root, name, branch_version or bvs[-1])
+    if not m["files"]:
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        return spark.createDataFrame([], schema=schema)
+    paths = [os.path.join(root, e["path"]) for e in m["files"]]
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def fast_forward(root: str, name: str) -> int:
+    """Merge the branch into main by fast-forward (Iceberg
+    fast_forward): allowed ONLY if main still sits at the branch's
+    base version — if main advanced, the histories diverged and a
+    fast-forward would silently drop main's commits, so this raises
+    (rebase: recreate the branch from the new head). The new main
+    manifest adopts the branch head's file set by REFERENCE (no data
+    movement) and records provenance."""
+    bvs = _branch_versions(root, name)
+    if not bvs:
+        raise ValueError(f"no such branch: {name!r}")
+    head = _load_branch(root, name, bvs[-1])
+    main_head = _versions(root)[-1]
+    if main_head != head["base_version"]:
+        raise RuntimeError(
+            f"fast_forward refused: main advanced to v{main_head} "
+            f"(branch {name!r} based on v{head['base_version']}); "
+            "recreate the branch from the new head"
+        )
+    return _commit(root, {
+        "operation": "fast_forward", "ff_branch": name,
+        "ff_branch_version": head["branch_version"],
+        "stats_cols": head["stats_cols"], "files": head["files"],
+        **{k: head[k] for k in ("schema", "stream_batch_id")
+           if k in head},
+    })
+
+
+def delete_branch(root: str, name: str) -> dict:
+    """Drop the branch's manifests. Its unique data files lose their
+    last reference and the NEXT expire_snapshots reclaims them (same
+    deferred-reclaim model as main's copy-on-write history)."""
+    bvs = _branch_versions(root, name)
+    if not bvs:
+        raise ValueError(f"no such branch: {name!r}")
+    for bv in bvs:
+        os.remove(os.path.join(_branch_dir(root, name), f"b{bv}.json"))
+    os.rmdir(_branch_dir(root, name))
+    return {"branch": name, "removed_manifests": len(bvs)}
+
+
+def create_tag(root: str, name: str, version: int | None = None) -> int:
+    """Immutable named pointer to a main version (release pinning).
+    Tagged versions are exempt from expire_snapshots until the tag
+    is deleted."""
+    v = version if version is not None else _versions(root)[-1]
+    if v not in _versions(root):
+        raise ValueError(f"no such version: v{v}")
+    os.makedirs(os.path.join(root, _TAG_DIR), exist_ok=True)
+    path = os.path.join(root, _TAG_DIR, f"{name}.json")
+    fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    with os.fdopen(fd, "w") as f:
+        json.dump({"tag": name, "version": v,
+                   "committed_us": time.time_ns() // 1_000}, f)
+    return v
+
+
+def read_tag(spark: SparkSession, root: str, name: str) -> DataFrame:
+    path = os.path.join(root, _TAG_DIR, f"{name}.json")
+    if not os.path.exists(path):
+        raise ValueError(f"no such tag: {name!r}")
+    with open(path) as f:
+        return read(spark, root, version=json.load(f)["version"])
+
+
+def delete_tag(root: str, name: str) -> None:
+    path = os.path.join(root, _TAG_DIR, f"{name}.json")
+    if not os.path.exists(path):
+        raise ValueError(f"no such tag: {name!r}")
+    os.remove(path)
+
+
+def list_refs(root: str) -> dict:
+    """{'branches': {name: head_branch_version}, 'tags': {name:
+    version}} — the refs table (Iceberg's refs metadata)."""
+    branches = {}
+    bdir = os.path.join(root, _BRANCH_DIR)
+    if os.path.isdir(bdir):
+        for name in sorted(os.listdir(bdir)):
+            bvs = _branch_versions(root, name)
+            if bvs:
+                branches[name] = bvs[-1]
+    tags = {}
+    tdir = os.path.join(root, _TAG_DIR)
+    if os.path.isdir(tdir):
+        for fn in sorted(os.listdir(tdir)):
+            if fn.endswith(".json"):
+                with open(os.path.join(tdir, fn)) as f:
+                    tags[fn[:-5]] = json.load(f)["version"]
+    return {"branches": branches, "tags": tags}
+
+
+def _ref_live_files(root: str) -> tuple[set[str], set[int]]:
+    """(files referenced by any branch manifest, main versions pinned
+    by tags) — the ref-reachability inputs expire_snapshots folds
+    into its liveness rule."""
+    live: set[str] = set()
+    bdir = os.path.join(root, _BRANCH_DIR)
+    if os.path.isdir(bdir):
+        for name in os.listdir(bdir):
+            for bv in _branch_versions(root, name):
+                for e in _load_branch(root, name, bv)["files"]:
+                    live.add(os.path.normpath(
+                        os.path.join(root, e["path"])))
+    pinned: set[int] = set()
+    tdir = os.path.join(root, _TAG_DIR)
+    if os.path.isdir(tdir):
+        for fn in os.listdir(tdir):
+            if fn.endswith(".json"):
+                with open(os.path.join(tdir, fn)) as f:
+                    pinned.add(json.load(f)["version"])
+    return live, pinned

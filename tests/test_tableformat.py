@@ -494,3 +494,89 @@ def test_table_changes_across_schema_evolution_boundary(spark, tmp_path):
     # keyed variant across the same boundary also reads clean
     chk = tf.table_changes(spark, root, v2, v3, key="doc_id")
     assert {r.doc_id for r in chk.collect()} == set(range(5))
+
+
+def test_branch_isolated_from_main(spark, table):
+    """Branch appends never appear on main; main appends never appear
+    on the branch; both lineages time-travel independently."""
+    tf.create_branch(table, "dev")
+    dev_rows = spark.range(1000, 1020).selectExpr(
+        "id AS doc_id", "concat('d', id) AS text", "id % 7 AS grp")
+    tf.append_to_branch(spark, dev_rows, table, "dev")
+    assert tf.read_branch(spark, table, "dev").count() == 120
+    assert tf.read(spark, table).count() == 100       # main untouched
+    # branch time travel: b1 is the base snapshot
+    assert tf.read_branch(spark, table, "dev", branch_version=1).count() == 100
+    refs = tf.list_refs(table)
+    assert refs["branches"] == {"dev": 2}
+
+
+def test_fast_forward_merges_and_refuses_divergence(spark, table):
+    tf.create_branch(table, "dev")
+    tf.append_to_branch(
+        spark,
+        spark.range(1000, 1010).selectExpr(
+            "id AS doc_id", "concat('d', id) AS text", "id % 7 AS grp"),
+        table, "dev")
+    v = tf.fast_forward(table, "dev")
+    assert tf.read(spark, table).count() == 110
+    assert tf.read(spark, table, version=v - 1).count() == 100
+    # divergence: a branch based on the OLD head cannot fast-forward
+    tf.create_branch(table, "dev2", version=v - 1)
+    tf.append_to_branch(
+        spark,
+        spark.range(2000, 2005).selectExpr(
+            "id AS doc_id", "concat('x', id) AS text", "id % 7 AS grp"),
+        table, "dev2")
+    with pytest.raises(RuntimeError, match="fast_forward refused"):
+        tf.fast_forward(table, "dev2")
+
+
+def test_expire_respects_branch_and_tag_refs(spark, table):
+    """A tag pins its main version through expiry; branch-only files
+    survive vacuum while the branch exists and are reclaimed after
+    delete_branch."""
+    more = spark.range(100, 130).selectExpr(
+        "id AS doc_id", "concat('t', id) AS text", "id % 7 AS grp")
+    v2 = tf.append(spark, more, table)
+    tf.create_tag(table, "release-1", version=1)
+    tf.create_branch(table, "dev")
+    tf.append_to_branch(
+        spark,
+        spark.range(3000, 3010).selectExpr(
+            "id AS doc_id", "concat('b', id) AS text", "id % 7 AS grp"),
+        table, "dev")
+    tf.append(spark, spark.range(130, 140).selectExpr(
+        "id AS doc_id", "concat('t', id) AS text", "id % 7 AS grp"),
+        table)
+    res = tf.expire_snapshots(table, keep_last=1)
+    # v1 pinned by the tag -> kept; v2 expired
+    assert 1 in res["kept_versions"] and v2 in res["expired_versions"]
+    assert tf.read_tag(spark, table, "release-1").count() == 100
+    # branch still fully readable (base v2's 130 rows + 10 branch
+    # rows): its unique files AND its base's files survived vacuum
+    # even though v2 itself was expired from main
+    assert tf.read_branch(spark, table, "dev").count() == 140
+    # drop the refs -> next expire reclaims what only they referenced
+    tf.delete_branch(table, "dev")
+    tf.delete_tag(table, "release-1")
+    res2 = tf.expire_snapshots(table, keep_last=1)
+    assert res2["removed_files"] > 0
+    with pytest.raises(ValueError):
+        tf.read_tag(spark, table, "release-1")
+
+
+def test_branch_schema_evolution_isolated(spark, table):
+    """A column added on a branch exists there (old rows NULL) and
+    does NOT leak into main until fast-forward."""
+    tf.create_branch(table, "schema-dev")
+    wider = spark.range(5000, 5005).selectExpr(
+        "id AS doc_id", "concat('w', id) AS text", "id % 7 AS grp",
+        "id * 2 AS extra")
+    tf.append_to_branch(spark, wider, table, "schema-dev")
+    bdf = tf.read_branch(spark, table, "schema-dev")
+    assert "extra" in bdf.columns
+    assert bdf.where("extra IS NOT NULL").count() == 5
+    assert "extra" not in tf.read(spark, table).columns
+    v = tf.fast_forward(table, "schema-dev")
+    assert "extra" in tf.read(spark, table, version=v).columns
