@@ -16864,3 +16864,249 @@ def q_ttr_by_length(spark, sf_dir):
             "CAST(sum((uniq * 1000000) div greatest(wc, 1))"
             " div count(*) AS BIGINT)").alias("mean_doc_ttr_ppm"),
     )
+
+@register("q_latency_anova", f"""
+WITH lat AS (
+    SELECT l.l_suppkey,
+           ((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+            // {_DAY_US})::BIGINT AS d
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), per_s AS (
+    SELECT l_suppkey, count(*)::BIGINT AS n, sum(d)::BIGINT AS s,
+           sum(d::DECIMAL(38,0) * d) AS q
+    FROM lat GROUP BY 1
+), btw AS (
+    SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn,
+           sum(s)::BIGINT AS ss, sum(q) AS qq,
+           sum(round(CAST(s::DECIMAL(38,0) * s AS DOUBLE) / n, 6)
+               ::DECIMAL(28,6)) AS sb
+    FROM per_s
+)
+SELECT nn AS n_rows, k AS n_suppliers,
+       round(sb::DOUBLE - CAST(ss AS DOUBLE) * ss / nn, 4) AS ss_between,
+       round(qq::DOUBLE - sb::DOUBLE, 4) AS ss_within,
+       CAST(round((sb::DOUBLE - CAST(ss AS DOUBLE) * ss / nn)
+                  / (qq::DOUBLE - CAST(ss AS DOUBLE) * ss / nn)
+                  * 1000000, 0) AS BIGINT) AS eta2_ppm,
+       round(((sb::DOUBLE - CAST(ss AS DOUBLE) * ss / nn) / (k - 1))
+             / ((qq::DOUBLE - sb::DOUBLE) / (nn - k)), 4) AS f_stat
+FROM btw
+""")
+def q_latency_anova(spark, sf_dir):
+    """One-way ANOVA decomposition of order->ship latency BY
+    SUPPLIER: how much of delivery-time variance is between
+    suppliers (fixable by routing) vs within them (inherent noise)
+    — eta^2 near zero says supplier choice doesn't matter and
+    q15/q21's supplier rankings are reading noise; a large F says
+    route around the tail. The supplier rollup carries exact
+    (n, sum, sumsq-in-DECIMAL(38,0)); each s_h^2/n_h term is ONE
+    rounded double accumulated in DECIMAL (the zipf protocol), so
+    SSB/SSW/eta^2/F compose from identical values in both engines.
+    Fact joins once (AQE decides the build side), then everything
+    is |suppliers|-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lat = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            "l_suppkey",
+            F.expr(
+                "CAST((unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+                " - unix_micros(CAST(o_orderdate AS TIMESTAMP)))"
+                f" div {_DAY_US} AS BIGINT)").alias("d"),
+        )
+    )
+    per_s = lat.groupBy("l_suppkey").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d").cast("long").alias("s"),
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).alias("q"),
+    )
+    btw = per_s.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("ss"),
+        F.sum("q").alias("qq"),
+        F.sum(F.expr(
+            "CAST(round(CAST(CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)"
+            " / n, 6) AS DECIMAL(28,6))")).alias("sb"),
+    )
+    ssb = "(CAST(sb AS DOUBLE) - CAST(ss AS DOUBLE) * ss / nn)"
+    sst = "(CAST(qq AS DOUBLE) - CAST(ss AS DOUBLE) * ss / nn)"
+    ssw = "(CAST(qq AS DOUBLE) - CAST(sb AS DOUBLE))"
+    return btw.select(
+        F.col("nn").alias("n_rows"),
+        F.col("k").alias("n_suppliers"),
+        F.expr(f"round({ssb}, 4)").alias("ss_between"),
+        F.expr(f"round({ssw}, 4)").alias("ss_within"),
+        F.expr(
+            f"CAST(round({ssb} / {sst} * 1000000, 0) AS BIGINT)"
+        ).alias("eta2_ppm"),
+        F.expr(
+            f"round(({ssb} / (k - 1)) / ({ssw} / (nn - k)), 4)"
+        ).alias("f_stat"),
+    )
+
+
+_NEYMAN_BUDGET = 1000
+
+@register("q_neyman_allocation", f"""
+WITH per_src AS (
+    SELECT source, count(*)::BIGINT AS nh,
+           sum(n_chars)::BIGINT AS s,
+           sum(n_chars::DECIMAL(38,0) * n_chars) AS q
+    FROM documents GROUP BY 1
+), wts AS (
+    SELECT source, nh,
+           CAST(round(nh * round(sqrt((CAST(nh AS DOUBLE) * (q::DOUBLE)
+                                       - CAST(s AS DOUBLE) * s)
+                                      / (CAST(nh AS DOUBLE) * (nh - 1))),
+                                 6)) AS BIGINT) AS w
+    FROM per_src WHERE nh > 1
+), tot AS (
+    SELECT sum(w)::BIGINT AS wt, sum(nh)::BIGINT AS nn FROM wts
+)
+SELECT w.source, w.nh AS stratum_size,
+       w.w AS neyman_weight,
+       (({_NEYMAN_BUDGET} * w.w) // t.wt)::BIGINT AS alloc_neyman,
+       (({_NEYMAN_BUDGET} * w.nh) // t.nn)::BIGINT AS alloc_proportional
+FROM wts w, tot t
+""")
+def q_neyman_allocation(spark, sf_dir):
+    """Neyman-optimal stratified sampling allocation for a
+    {_NEYMAN_BUDGET}-item labeling budget: per source stratum,
+    n_h proportional to N_h * S_h (size x within-stratum std of doc
+    length) next to the naive proportional allocation — the survey-
+    sampling result that minimizes the estimator's variance at
+    fixed budget, and the difference column IS the argument for
+    stratifying (high-variance strata earn more labels than their
+    share). Exact integer moments (squares in DECIMAL(38,0)), one
+    IEEE sqrt rounded 6dp, weights integerized BEFORE the
+    truncating allocation so both engines allocate identically.
+    One groupBy; |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("nh"),
+        F.sum("n_chars").cast("long").alias("s"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)")
+              * F.col("n_chars")).alias("q"),
+    )
+    wts = per_src.where(F.col("nh") > 1).select(
+        "source", "nh",
+        F.expr(
+            "CAST(round(nh * round(sqrt((CAST(nh AS DOUBLE)"
+            " * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s)"
+            " / (CAST(nh AS DOUBLE) * (nh - 1))), 6)) AS BIGINT)"
+        ).alias("w"),
+    )
+    tot = wts.agg(F.sum("w").cast("long").alias("wt"),
+                  F.sum("nh").cast("long").alias("nn"))
+    return wts.crossJoin(F.broadcast(tot)).select(
+        "source", F.col("nh").alias("stratum_size"),
+        F.col("w").alias("neyman_weight"),
+        F.expr(f"CAST(({_NEYMAN_BUDGET} * w) div wt AS BIGINT)")
+        .alias("alloc_neyman"),
+        F.expr(f"CAST(({_NEYMAN_BUDGET} * nh) div nn AS BIGINT)")
+        .alias("alloc_proportional"),
+    )
+
+
+@register("q_diff_in_diff", f"""
+WITH bounds AS (
+    SELECT min(epoch_us(ts) // {_DAY_US})::BIGINT AS d0,
+           max(epoch_us(ts) // {_DAY_US})::BIGINT AS d1
+    FROM events
+), {_AB_ASSIGN_SQL}, purch AS (
+    SELECT e.user_id,
+           CASE WHEN epoch_us(e.ts) // {_DAY_US}
+                     <= (b.d0 + b.d1) // 2 THEN 0 ELSE 1 END AS post,
+           count(*)::BIGINT AS k
+    FROM events e, bounds b
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1, 2
+), arm_n AS (
+    SELECT arm, count(*)::BIGINT AS n_users FROM ab_assign GROUP BY 1
+), cell AS (
+    SELECT a.arm, p.post, sum(p.k)::BIGINT AS purchases
+    FROM purch p JOIN ab_assign a ON a.user_id = p.user_id
+    GROUP BY 1, 2
+), rates AS (
+    SELECT c.arm, c.post,
+           (c.purchases * 1000000) // n.n_users AS r
+    FROM cell c JOIN arm_n n ON n.arm = c.arm
+), wide AS (
+    SELECT
+      max(CASE WHEN arm = 'A' AND post = 0 THEN r END)::BIGINT AS ra0,
+      max(CASE WHEN arm = 'A' AND post = 1 THEN r END)::BIGINT AS ra1,
+      max(CASE WHEN arm = 'B' AND post = 0 THEN r END)::BIGINT AS rb0,
+      max(CASE WHEN arm = 'B' AND post = 1 THEN r END)::BIGINT AS rb1
+    FROM rates
+)
+SELECT ra0 AS rate_a_pre_ppm, ra1 AS rate_a_post_ppm,
+       rb0 AS rate_b_pre_ppm, rb1 AS rate_b_post_ppm,
+       ((rb1 - rb0) - (ra1 - ra0))::BIGINT AS did_ppm,
+       (rb0 - ra0)::BIGINT AS pre_gap_ppm
+FROM wide
+""")
+def q_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences on purchases-per-user (ppm) across
+    the timeline midpoint, treating arm B as 'treated' in the post
+    period: DiD = (B_post - B_pre) - (A_post - A_pre) removes both
+    the arm-level baseline gap and the common time trend — the
+    causal-inference estimator q_ab_lift_test (single-period)
+    cannot be, plus the PRE-period gap as the parallel-trends
+    sanity readout (a large pre-gap is the standard warning that
+    DiD's identifying assumption is shaky). Consumes the shared
+    md5 arm assignment; all rates are truncating-integer ppm over
+    per-arm user counts, so the estimate is exact in both engines.
+    One purchase rollup keyed by user, two small joins."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.expr(f"(ts div 1000) div {_DAY_US}")).cast("long")
+        .alias("d0"),
+        F.max(F.expr(f"(ts div 1000) div {_DAY_US}")).cast("long")
+        .alias("d1"),
+    )
+    assign = ev.select("user_id").distinct().select(
+        "user_id",
+        F.expr(
+            "CASE WHEN cast(conv(substring(md5(concat(cast(user_id"
+            " as string), ':exp1')), 1, 8), 16, 10) as bigint) % 2 = 0"
+            " THEN 'A' ELSE 'B' END").alias("arm"),
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id",
+                F.expr(f"(ts div 1000) div {_DAY_US}").alias("day"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.expr("CASE WHEN day <= (d0 + d1) div 2 THEN 0 ELSE 1"
+                   " END").alias("post"),
+        )
+        .groupBy("user_id", "post")
+        .agg(F.count("*").cast("long").alias("k"))
+    )
+    arm_n = assign.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n_users"))
+    cell = (
+        purch.join(assign, "user_id")
+        .groupBy("arm", "post")
+        .agg(F.sum("k").cast("long").alias("purchases"))
+    )
+    rates = cell.join(F.broadcast(arm_n), "arm").select(
+        "arm", "post",
+        F.expr("(purchases * 1000000) div n_users").alias("r"))
+    wide = rates.agg(*[
+        F.max(F.when((F.col("arm") == a) & (F.col("post") == p),
+                     F.col("r"))).cast("long").alias(f"r{a.lower()}{p}")
+        for a in ("A", "B") for p in (0, 1)
+    ])
+    return wide.select(
+        F.col("ra0").alias("rate_a_pre_ppm"),
+        F.col("ra1").alias("rate_a_post_ppm"),
+        F.col("rb0").alias("rate_b_pre_ppm"),
+        F.col("rb1").alias("rate_b_post_ppm"),
+        F.expr("CAST((rb1 - rb0) - (ra1 - ra0) AS BIGINT)")
+        .alias("did_ppm"),
+        F.expr("CAST(rb0 - ra0 AS BIGINT)").alias("pre_gap_ppm"),
+    )
