@@ -17110,3 +17110,198 @@ def q_diff_in_diff(spark, sf_dir):
         .alias("did_ppm"),
         F.expr("CAST(rb0 - ra0 AS BIGINT)").alias("pre_gap_ppm"),
     )
+
+_PQ_SUBS, _PQ_SDIM, _PQ_K = 8, 8, 16
+
+@register("q_pq_codebook_audit", f"""
+WITH vals AS (
+    SELECT e.vec_id, (i.i - 1)::BIGINT AS dim,
+           (e.embedding[i.i])::DOUBLE AS v
+    FROM embeddings e,
+         unnest(generate_series(1, len(e.embedding))) AS i(i)
+), cent_ids AS (
+    SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_PQ_K}
+), cents AS (
+    SELECT v.vec_id AS cid, v.dim // {_PQ_SDIM} AS sub,
+           v.dim % {_PQ_SDIM} AS sdim, v.v AS cv
+    FROM vals v JOIN cent_ids c ON c.vec_id = v.vec_id
+), pts AS (
+    SELECT vec_id, dim // {_PQ_SDIM} AS sub, dim % {_PQ_SDIM} AS sdim,
+           v
+    FROM vals
+), dist AS (
+    SELECT p.vec_id, p.sub, c.cid,
+           sum(((p.v - c.cv) * (p.v - c.cv))::DECIMAL(28,12)) AS d2
+    FROM pts p JOIN cents c ON c.sub = p.sub AND c.sdim = p.sdim
+    GROUP BY 1, 2, 3
+), best AS (
+    SELECT vec_id, sub, cid, d2,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2, cid) AS rk
+    FROM dist
+)
+SELECT sub AS subspace, count(*)::BIGINT AS n_vectors,
+       count(DISTINCT cid)::BIGINT AS codes_used,
+       {_PQ_K} AS codebook_size,
+       round(sum(d2)::DOUBLE / (count(*) * {_PQ_SDIM}), 6)
+           AS mse_per_dim,
+       {_PQ_SUBS * _PQ_SDIM * 4} AS bytes_before,
+       {_PQ_SUBS} AS bytes_after
+FROM best WHERE rk = 1 GROUP BY sub
+""")
+def q_pq_codebook_audit(spark, sf_dir):
+    """Product-quantization codebook audit (Jegou et al. IVFPQ's PQ
+    half): split the 64-dim space into {_PQ_SUBS} subspaces of
+    {_PQ_SDIM} dims, take the deterministic {_PQ_K}-point init
+    codebook per subspace (the {_PQ_K} lowest vec_ids — the k-means
+    SEED step; Lloyd refinement is the documented at-scale path,
+    same shape as q_kmeans_clusters), assign every subvector to its
+    nearest code and report per-subspace MSE and codebook
+    utilization — the 'is {_PQ_SUBS} bytes per vector good enough?'
+    decision (32x compression here) made from measured distortion,
+    BEFORE wiring PQ under the IVF lists (q_knn_ivf_probe). Exact
+    parity: per-dim squared deviations are single-rounded doubles
+    accumulated in DECIMAL(28,12), argmin compares those exact
+    decimals with cid tiebreak. The {_PQ_K}x fanout join is per
+    subspace (never all-pairs); vectors stream through one pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim", "vf")
+    ).select(
+        "vec_id", "dim", F.col("vf").cast("double").alias("v"),
+        F.expr(f"dim div {_PQ_SDIM}").alias("sub"),
+        F.expr(f"dim % {_PQ_SDIM}").alias("sdim"),
+    )
+    cent_ids = emb.select("vec_id").orderBy("vec_id").limit(_PQ_K)
+    cents = vals.join(
+        F.broadcast(cent_ids.withColumnsRenamed({"vec_id": "cid_src"})),
+        vals["vec_id"] == F.col("cid_src"),
+    ).select(F.col("vec_id").alias("cid"), "sub", "sdim",
+             F.col("v").alias("cv"))
+    dist = (
+        vals.join(F.broadcast(cents), ["sub", "sdim"])
+        .groupBy("vec_id", "sub", "cid")
+        .agg(F.sum(F.expr(
+            "CAST((v - cv) * (v - cv) AS DECIMAL(28,12))")).alias("d2"))
+    )
+    best = dist.withColumn(
+        "rk", F.row_number().over(
+            Window.partitionBy("vec_id", "sub")
+            .orderBy("d2", "cid"))
+    ).where(F.col("rk") == 1)
+    return best.groupBy(F.col("sub").alias("subspace")).agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.countDistinct("cid").cast("long").alias("codes_used"),
+        F.lit(_PQ_K).cast("long").alias("codebook_size"),
+        F.expr(
+            f"round(CAST(sum(d2) AS DOUBLE)"
+            f" / (count(*) * {_PQ_SDIM}), 6)"
+        ).alias("mse_per_dim"),
+        F.lit(_PQ_SUBS * _PQ_SDIM * 4).cast("long").alias("bytes_before"),
+        F.lit(_PQ_SUBS).cast("long").alias("bytes_after"),
+    )
+
+
+_RING_SHARDS, _RING_REPLICAS = 8, 32
+_RING_SPACE = 4294967296
+
+@register("q_consistent_hash_balance", f"""
+WITH vnodes AS (
+    SELECT s.s AS shard,
+           ('0x' || substr(md5(s.s::VARCHAR || ':' || r.r::VARCHAR),
+                           1, 8))::BIGINT AS pos
+    FROM (SELECT unnest(generate_series(0, {_RING_SHARDS - 1})) AS s) s,
+         (SELECT unnest(generate_series(0, {_RING_REPLICAS - 1})) AS r) r
+), keys AS (
+    SELECT DISTINCT user_id,
+           ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS kpos
+    FROM events
+), assign_all AS (
+    SELECT k.user_id, v.shard,
+           row_number() OVER (
+               PARTITION BY k.user_id
+               ORDER BY (v.pos - k.kpos + {_RING_SPACE})
+                        % {_RING_SPACE}, v.shard, v.pos) AS rk
+    FROM keys k CROSS JOIN vnodes v
+), before AS (
+    SELECT user_id, shard FROM assign_all WHERE rk = 1
+), assign_drop AS (
+    SELECT k.user_id, v.shard,
+           row_number() OVER (
+               PARTITION BY k.user_id
+               ORDER BY (v.pos - k.kpos + {_RING_SPACE})
+                        % {_RING_SPACE}, v.shard, v.pos) AS rk
+    FROM keys k CROSS JOIN vnodes v
+    WHERE v.shard <> {_RING_SHARDS - 1}
+), after AS (
+    SELECT user_id, shard FROM assign_drop WHERE rk = 1
+), tot AS (SELECT count(*)::BIGINT AS n FROM keys)
+SELECT b.shard,
+       count(*)::BIGINT AS n_before,
+       ((count(*) * 1000000) // max(t.n))::BIGINT AS share_before_ppm,
+       sum(CASE WHEN a.shard = b.shard THEN 0 ELSE 1 END)::BIGINT
+           AS moved_away
+FROM before b JOIN after a ON a.user_id = b.user_id, tot t
+GROUP BY b.shard
+""")
+def q_consistent_hash_balance(spark, sf_dir):
+    """Consistent-hashing ring audit ({_RING_SHARDS} shards x
+    {_RING_REPLICAS} virtual nodes): per-shard key load on the md5
+    ring AND the reassignment count when the last shard is removed
+    — the property that makes consistent hashing the scale answer
+    (only the removed shard's keys move, ~1/{_RING_SHARDS} of the
+    population; modulo hashing would reshuffle ~7/8 of ALL keys).
+    The moved_away column is EXACTLY zero for surviving shards,
+    machine-checkable. The ring is a {_RING_SHARDS * _RING_REPLICAS}
+    -row broadcast; each key resolves its successor vnode via the
+    broadcast cross + per-key argmin (at 1e9 keys the same lookup
+    is a broadcast sorted-ring range join — same relation, tighter
+    physical op, documented swap). All-integer ring arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    shards = spark.range(_RING_SHARDS).select(
+        F.col("id").cast("int").alias("shard"))
+    reps = spark.range(_RING_REPLICAS).select(
+        F.col("id").cast("int").alias("r"))
+    vnodes = shards.crossJoin(reps).select(
+        "shard",
+        F.expr(
+            "CAST(conv(substr(md5(concat(CAST(shard AS STRING), ':',"
+            " CAST(r AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("pos"),
+    )
+    keys = ev.select("user_id").distinct().select(
+        "user_id",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT)").alias("kpos"),
+    )
+
+    def ring_assign(vn):
+        w = Window.partitionBy("user_id").orderBy(
+            F.expr(f"(pos - kpos + {_RING_SPACE}) % {_RING_SPACE}"),
+            "shard", "pos")
+        return (
+            keys.crossJoin(F.broadcast(vn))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("user_id", "shard")
+        )
+
+    before = ring_assign(vnodes)
+    after = ring_assign(
+        vnodes.where(F.col("shard") != _RING_SHARDS - 1)).select(
+        F.col("user_id").alias("uid_a"), F.col("shard").alias("shard_a"))
+    tot = keys.agg(F.count("*").cast("long").alias("n"))
+    return (
+        before.join(after, before["user_id"] == after["uid_a"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_before"),
+            F.expr(
+                "CAST((count(*) * 1000000) div max(n) AS BIGINT)"
+            ).alias("share_before_ppm"),
+            F.sum(F.when(F.col("shard_a") == F.col("shard"), 0)
+                  .otherwise(1)).cast("long").alias("moved_away"),
+        )
+    )

