@@ -17305,3 +17305,236 @@ def q_consistent_hash_balance(spark, sf_dir):
                   .otherwise(1)).cast("long").alias("moved_away"),
         )
     )
+
+@register("q_ridge_2feature", """
+WITH pts AS (
+    SELECT CAST(round(l_discount * 100) AS BIGINT) AS x1,
+           CAST(round(l_extendedprice) AS BIGINT) AS x2,
+           CAST(round(l_quantity) AS BIGINT) AS y
+    FROM lineitem
+), s AS (
+    SELECT count(*)::BIGINT AS n,
+           sum(x1)::BIGINT AS s1, sum(x2)::BIGINT AS s2,
+           sum(y)::BIGINT AS sy,
+           sum(x1::DECIMAL(38,0) * x1) AS s11,
+           sum(x1::DECIMAL(38,0) * x2) AS s12,
+           sum(x2::DECIMAL(38,0) * x2) AS s22,
+           sum(x1::DECIMAL(38,0) * y) AS s1y,
+           sum(x2::DECIMAL(38,0) * y) AS s2y
+    FROM pts
+), c AS (
+    SELECT n, s1, s2, sy,
+           CAST(n::DECIMAL(38,0) * s11 - s1::DECIMAL(38,0) * s1
+                AS DOUBLE) AS c11,
+           CAST(n::DECIMAL(38,0) * s12 - s1::DECIMAL(38,0) * s2
+                AS DOUBLE) AS c12,
+           CAST(n::DECIMAL(38,0) * s22 - s2::DECIMAL(38,0) * s2
+                AS DOUBLE) AS c22,
+           CAST(n::DECIMAL(38,0) * s1y - s1::DECIMAL(38,0) * sy
+                AS DOUBLE) AS c1y,
+           CAST(n::DECIMAL(38,0) * s2y - s2::DECIMAL(38,0) * sy
+                AS DOUBLE) AS c2y
+    FROM s
+), solved AS (
+    SELECT n,
+      round(((c22 + (c11 + c22) / 200.0) * c1y - c12 * c2y)
+            / ((c11 + (c11 + c22) / 200.0)
+               * (c22 + (c11 + c22) / 200.0) - c12 * c12), 6) + 0.0
+          AS beta1_ridge,
+      round(((c11 + (c11 + c22) / 200.0) * c2y - c12 * c1y)
+            / ((c11 + (c11 + c22) / 200.0)
+               * (c22 + (c11 + c22) / 200.0) - c12 * c12), 6) + 0.0
+          AS beta2_ridge,
+      round((c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12), 6) + 0.0
+          AS beta1_ols,
+      round((c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12), 6) + 0.0
+          AS beta2_ols
+    FROM c
+)
+SELECT n, beta1_ridge, beta2_ridge, beta1_ols, beta2_ols
+FROM solved
+""")
+def q_ridge_2feature(spark, sf_dir):
+    """Closed-form 2-feature ridge regression IN-ENGINE (quantity ~
+    discount + price, centered normal equations with lambda = 0.5%
+    of the trace — the scale-free shrinkage choice), next to the
+    OLS solution: the shrinkage delta per coefficient is the
+    collinearity readout (q_partial_corr diagnoses it; this shows
+    what regularization DOES about it), and the whole fit is one
+    aggregation pass + a 2x2 inverse — the pattern that scales to
+    any p with p^2 sums (distributed normal equations, the
+    spark.ml.linalg path without leaving SQL semantics). Centered
+    cross-moments n*Sij - Si*Sj are exact DECIMAL(38,0) then ONE
+    cast to double; both engines compose the identical closed form
+    and round 6dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("x1"),
+        F.expr("CAST(round(l_extendedprice) AS BIGINT)").alias("x2"),
+        F.expr("CAST(round(l_quantity) AS BIGINT)").alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1").cast("decimal(38,0)") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1").cast("decimal(38,0)") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2").cast("decimal(38,0)") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1").cast("decimal(38,0)") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2").cast("decimal(38,0)") * F.col("y")).alias("s2y"),
+    )
+    c = s.select(
+        "n",
+        *[F.expr(
+            f"CAST(CAST(n AS DECIMAL(38,0)) * {sij}"
+            f" - CAST({si} AS DECIMAL(38,0)) * {sj} AS DOUBLE)"
+        ).alias(name)
+          for name, sij, si, sj in (
+              ("c11", "s11", "s1", "s1"), ("c12", "s12", "s1", "s2"),
+              ("c22", "s22", "s2", "s2"), ("c1y", "s1y", "s1", "sy"),
+              ("c2y", "s2y", "s2", "sy"))],
+    )
+    lam = "(c11 + c22) / 200.0"
+    det_r = f"((c11 + {lam}) * (c22 + {lam}) - c12 * c12)"
+    return c.select(
+        "n",
+        F.expr(f"round(((c22 + {lam}) * c1y - c12 * c2y) / {det_r}, 6)"
+               " + 0.0").alias("beta1_ridge"),
+        F.expr(f"round(((c11 + {lam}) * c2y - c12 * c1y) / {det_r}, 6)"
+               " + 0.0").alias("beta2_ridge"),
+        F.expr("round((c22 * c1y - c12 * c2y)"
+               " / (c11 * c22 - c12 * c12), 6) + 0.0").alias("beta1_ols"),
+        F.expr("round((c11 * c2y - c12 * c1y)"
+               " / (c11 * c22 - c12 * c12), 6) + 0.0").alias("beta2_ols"),
+    )
+
+
+@register("q_dup_source_matrix", _CC_CTES + """
+, srcs AS (SELECT doc_id, source FROM documents),
+pairs_s AS (
+    SELECT least(sa.source, sb.source) AS source_x,
+           greatest(sa.source, sb.source) AS source_y,
+           count(*)::BIGINT AS n_pairs
+    FROM jac j
+    JOIN srcs sa ON sa.doc_id = j.doc_a
+    JOIN srcs sb ON sb.doc_id = j.doc_b
+    GROUP BY 1, 2
+), tot AS (SELECT sum(n_pairs)::BIGINT AS t FROM pairs_s)
+SELECT p.source_x, p.source_y, p.n_pairs,
+       ((p.n_pairs * 1000000) // t.t)::BIGINT AS share_ppm,
+       p.source_x = p.source_y AS within_source
+FROM pairs_s p, tot t
+""")
+def q_dup_source_matrix(spark, sf_dir):
+    """Provenance matrix of near-duplicate PAIRS by source pair
+    (canonically ordered): which sources copy from each other vs
+    duplicate internally — the flow map behind q_graph_modularity's
+    single number (modularity says WHETHER cross-source copying
+    dominates; this says WHICH source pairs, i.e. where the shared
+    boilerplate or mirroring lives, and therefore which ingest
+    streams need a cross-source dedup barrier at 100 TB and which
+    can dedup shard-locally). Consumes the memoized verified-pair
+    relation; two hash joins against the slim (doc_id, source)
+    projection; output <= |sources|^2 rows, integer ppm."""
+    pairs = _jaccard_pairs(spark, sf_dir)
+    srcs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source")
+    j = (
+        pairs
+        .join(srcs.withColumnsRenamed(
+            {"doc_id": "doc_a", "source": "src_a"}), "doc_a")
+        .join(srcs.withColumnsRenamed(
+            {"doc_id": "doc_b", "source": "src_b"}), "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"))
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+    tot = j.agg(F.sum("n_pairs").cast("long").alias("t"))
+    return j.crossJoin(F.broadcast(tot)).select(
+        "source_x", "source_y", "n_pairs",
+        F.expr("CAST((n_pairs * 1000000) div t AS BIGINT)")
+        .alias("share_ppm"),
+        F.expr("source_x = source_y").alias("within_source"),
+    )
+
+
+@register("q_coverage_knee", """
+WITH toks AS (
+    SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+    FROM documents
+), freq AS (
+    SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY 1
+), ranked AS (
+    SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM freq
+), tot AS (
+    SELECT count(*)::BIGINT AS v, sum(c)::BIGINT AS n FROM freq
+), curve AS (
+    SELECT r.r,
+           (sum(r.c) OVER (ORDER BY r.r) * 1000000) // t.n AS cum_ppm,
+           t.v
+    FROM ranked r, tot t
+), ends AS (
+    SELECT min(cum_ppm)::BIGINT AS c1, max(cum_ppm)::BIGINT AS cv,
+           max(v)::BIGINT AS v
+    FROM curve
+), scored AS (
+    SELECT c.r, c.cum_ppm::BIGINT AS cum_ppm,
+           abs((e.cv - e.c1) * (c.r - 1)
+               - (e.v - 1) * (c.cum_ppm - e.c1))::BIGINT AS dist_num,
+           row_number() OVER (
+               ORDER BY abs((e.cv - e.c1) * (c.r - 1)
+                            - (e.v - 1) * (c.cum_ppm - e.c1)) DESC,
+                        c.r) AS rk
+    FROM curve c, ends e
+)
+SELECT s.r AS knee_rank, s.cum_ppm AS coverage_at_knee_ppm,
+       e.v AS vocab_size,
+       ((s.r * 1000000) // e.v)::BIGINT AS knee_rank_ppm
+FROM scored s, ends e WHERE s.rk = 1
+""")
+def q_coverage_knee(spark, sf_dir):
+    """Knee of the vocabulary coverage curve (Kneedle's max-distance-
+    to-chord, exact): the rank where cumulative token coverage bends
+    — the data-derived vocab-size answer that q_token_coverage's
+    fixed checkpoints bracket (budget tokens BELOW the knee pay for
+    mass; above it they pay for tail). The chord distance argmax is
+    ALL-INTEGER (cross-multiplied |(cv-c1)(r-1) - (v-1)(c_r-c1)|,
+    no sqrt needed for an argmax over a shared positive
+    denominator), rank-tiebroken; the curve window runs over the
+    Zipf-bounded vocab, never tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")),
+                                 F.lit(r"\S+"), 0)).alias("tok"))
+        .groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    )
+    ranked = freq.select(
+        "c",
+        F.row_number().over(
+            Window.orderBy(F.col("c").desc(), "tok")).alias("r"))
+    tot = freq.agg(F.count("*").cast("long").alias("v"),
+                   F.sum("c").cast("long").alias("n"))
+    curve = ranked.crossJoin(F.broadcast(tot)).select(
+        "r", "v",
+        F.expr("(sum(c) OVER (ORDER BY r) * 1000000) div n")
+        .alias("cum_ppm"),
+    )
+    ends = curve.agg(
+        F.min("cum_ppm").cast("long").alias("c1"),
+        F.max("cum_ppm").cast("long").alias("cv"),
+        F.max("v").cast("long").alias("vv"),
+    )
+    dist = ("abs((cv - c1) * (r - 1) - (vv - 1) * (cum_ppm - c1))")
+    scored = curve.crossJoin(F.broadcast(ends)).withColumn(
+        "rk", F.row_number().over(
+            Window.orderBy(F.expr(dist).desc(), "r")))
+    return scored.where(F.col("rk") == 1).select(
+        F.col("r").alias("knee_rank"),
+        F.col("cum_ppm").cast("long").alias("coverage_at_knee_ppm"),
+        F.col("vv").alias("vocab_size"),
+        F.expr("CAST((r * 1000000) div vv AS BIGINT)")
+        .alias("knee_rank_ppm"),
+    )
