@@ -17538,3 +17538,173 @@ def q_coverage_knee(spark, sf_dir):
         F.expr("CAST((r * 1000000) div vv AS BIGINT)")
         .alias("knee_rank_ppm"),
     )
+
+@register("q_negbin_fit", """
+WITH per_user AS (
+    SELECT user_id, count(*)::BIGINT AS k
+    FROM events GROUP BY 1
+), s AS (
+    SELECT count(*)::BIGINT AS n, sum(k)::BIGINT AS sk,
+           sum(k::DECIMAL(38,0) * k) AS skk
+    FROM per_user
+), mv AS (
+    SELECT n, sk,
+           CAST(sk AS DOUBLE) / n AS m,
+           (CAST(n AS DOUBLE) * CAST(skk AS DOUBLE)
+            - CAST(sk AS DOUBLE) * sk)
+           / (CAST(n AS DOUBLE) * (n - 1)) AS v
+    FROM s
+)
+SELECT n AS n_users,
+       round(m, 4) AS mean_events,
+       round(v, 4) AS var_events,
+       CAST(round(v / m * 1000, 0) AS BIGINT) AS dispersion_milli,
+       v > m AS overdispersed,
+       CASE WHEN v > m THEN round(m * m / (v - m), 4) END AS nb_r,
+       CASE WHEN v > m THEN CAST(round(m / v * 1000000, 0) AS BIGINT)
+       END AS nb_p_ppm
+FROM mv
+""")
+def q_negbin_fit(spark, sf_dir):
+    """Negative-binomial method-of-moments fit to per-user event
+    counts: r = m^2/(v-m), p = m/v — the model choice gate for any
+    count regression or anomaly threshold on user activity (a
+    Poisson assumption under overdispersion, v > m, under-calls the
+    tail and pages on normal heavy users; q_burstiness flags the
+    overdispersion, this FITS the distribution you should use
+    instead, and NULL nb params honestly report 'not
+    overdispersed, use Poisson'). Exact integer moments (squares
+    in DECIMAL(38,0)); mean/variance composed identically; one
+    per-user rollup then driver-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("k")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("k").cast("long").alias("sk"),
+        F.sum(F.col("k").cast("decimal(38,0)") * F.col("k"))
+        .alias("skk"),
+    )
+    m = "(CAST(sk AS DOUBLE) / n)"
+    v = ("((CAST(n AS DOUBLE) * CAST(skk AS DOUBLE)"
+         " - CAST(sk AS DOUBLE) * sk) / (CAST(n AS DOUBLE) * (n - 1)))")
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.expr(f"round({m}, 4)").alias("mean_events"),
+        F.expr(f"round({v}, 4)").alias("var_events"),
+        F.expr(f"CAST(round({v} / {m} * 1000, 0) AS BIGINT)")
+        .alias("dispersion_milli"),
+        F.expr(f"{v} > {m}").alias("overdispersed"),
+        F.expr(f"CASE WHEN {v} > {m}"
+               f" THEN round({m} * {m} / ({v} - {m}), 4) END")
+        .alias("nb_r"),
+        F.expr(f"CASE WHEN {v} > {m}"
+               f" THEN CAST(round({m} / {v} * 1000000, 0) AS BIGINT)"
+               " END").alias("nb_p_ppm"),
+    )
+
+
+@register("q_price_index", f"""
+WITH bounds AS (
+    SELECT min(epoch_us(o_orderdate) // {_DAY_US})::BIGINT AS d0,
+           max(epoch_us(o_orderdate) // {_DAY_US})::BIGINT AS d1
+    FROM orders
+), li2 AS (
+    SELECT l.l_partkey,
+           CASE WHEN epoch_us(o.o_orderdate) // {_DAY_US}
+                     <= (b.d0 + b.d1) // 2 THEN 0 ELSE 1 END AS h,
+           CAST(round(l.l_quantity) AS BIGINT) AS q,
+           CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey,
+         bounds b
+    WHERE l.l_quantity > 0
+), per AS (
+    SELECT l_partkey, h, sum(q)::BIGINT AS q,
+           sum(cents)::BIGINT AS cents
+    FROM li2 GROUP BY 1, 2
+), both_h AS (
+    SELECT a.l_partkey, a.q AS q0, a.cents AS c0,
+           b.q AS q1, b.cents AS c1
+    FROM (SELECT * FROM per WHERE h = 0) a
+    JOIN (SELECT * FROM per WHERE h = 1) b
+      ON b.l_partkey = a.l_partkey
+), sums AS (
+    SELECT count(*)::BIGINT AS n_parts,
+           sum(c0)::BIGINT AS p0q0,
+           sum((c1 * q0) // q1)::BIGINT AS p1q0,
+           sum(c1)::BIGINT AS p1q1,
+           sum((c0 * q1) // q0)::BIGINT AS p0q1
+    FROM both_h
+)
+SELECT n_parts,
+       ((p1q0 * 1000000) // p0q0)::BIGINT AS laspeyres_ppm,
+       ((p1q1 * 1000000) // p0q1)::BIGINT AS paasche_ppm,
+       CAST(round(sqrt((CAST(p1q0 AS DOUBLE) / p0q0)
+                       * (CAST(p1q1 AS DOUBLE) / p0q1)) * 1000000, 0)
+            AS BIGINT) AS fisher_ppm
+FROM sums
+""")
+def q_price_index(spark, sf_dir):
+    """Laspeyres / Paasche / Fisher price indices between the two
+    halves of the order timeline over the common part basket — the
+    economics-grade 'did prices actually move or did the MIX move'
+    decomposition that a raw average-unit-price trend (q_orders_
+    monthly_trend) conflates: Laspeyres weights by the OLD basket,
+    Paasche by the new, Fisher is their geometric mean, and the
+    L-P gap itself measures substitution. Per-(part, half) unit
+    values stay exact integers (cents*quantity cross terms in
+    truncating integer div); the basket join keeps only parts
+    traded in BOTH halves (the index's common-basket requirement);
+    Fisher's sqrt is one IEEE call on ratios of exact integers."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = orders.agg(
+        F.min(F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+                     f" div {_DAY_US}")).cast("long").alias("d0"),
+        F.max(F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+                     f" div {_DAY_US}")).cast("long").alias("d1"),
+    )
+    li2 = (
+        li.where(F.col("l_quantity") > 0)
+        .join(orders.select(
+            "o_orderkey",
+            F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+                   f" div {_DAY_US}").alias("day")),
+            li["l_orderkey"] == F.col("o_orderkey"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "l_partkey",
+            F.expr("CASE WHEN day <= (d0 + d1) div 2 THEN 0 ELSE 1"
+                   " END").alias("h"),
+            F.expr("CAST(round(l_quantity) AS BIGINT)").alias("q"),
+            F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            .alias("cents"),
+        )
+    )
+    per = li2.groupBy("l_partkey", "h").agg(
+        F.sum("q").cast("long").alias("q"),
+        F.sum("cents").cast("long").alias("cents"))
+    a = per.where(F.col("h") == 0).select(
+        "l_partkey", F.col("q").alias("q0"), F.col("cents").alias("c0"))
+    b = per.where(F.col("h") == 1).select(
+        F.col("l_partkey").alias("pk_b"),
+        F.col("q").alias("q1"), F.col("cents").alias("c1"))
+    both = a.join(b, a["l_partkey"] == b["pk_b"])
+    sums = both.agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("c0").cast("long").alias("p0q0"),
+        F.sum(F.expr("(c1 * q0) div q1")).cast("long").alias("p1q0"),
+        F.sum("c1").cast("long").alias("p1q1"),
+        F.sum(F.expr("(c0 * q1) div q0")).cast("long").alias("p0q1"),
+    )
+    return sums.select(
+        "n_parts",
+        F.expr("CAST((p1q0 * 1000000) div p0q0 AS BIGINT)")
+        .alias("laspeyres_ppm"),
+        F.expr("CAST((p1q1 * 1000000) div p0q1 AS BIGINT)")
+        .alias("paasche_ppm"),
+        F.expr(
+            "CAST(round(sqrt((CAST(p1q0 AS DOUBLE) / p0q0)"
+            " * (CAST(p1q1 AS DOUBLE) / p0q1)) * 1000000, 0)"
+            " AS BIGINT)").alias("fisher_ppm"),
+    )
