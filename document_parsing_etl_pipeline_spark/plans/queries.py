@@ -9701,11 +9701,13 @@ _AB_ARMS_SQL = """assign AS (
 )"""
 
 
-def _ab_arms(spark, sf_dir):
-    """The Spark twin of _AB_ARMS_SQL: (arm, n, x) per experiment arm."""
+def _ab_arms_assign(spark, sf_dir):
+    """The md5 user->arm assignment relation (user_id, arm) shared by
+    every experimentation query (the Spark twin of _AB_ARMS_SQL's
+    `assign` CTE)."""
     ev = load_table(spark, sf_dir, "events")
     users = ev.select("user_id").distinct()
-    assign = users.select(
+    return users.select(
         "user_id",
         F.when(
             F.expr(
@@ -9715,6 +9717,12 @@ def _ab_arms(spark, sf_dir):
             "A",
         ).otherwise("B").alias("arm"),
     )
+
+
+def _ab_arms(spark, sf_dir):
+    """The Spark twin of _AB_ARMS_SQL: (arm, n, x) per experiment arm."""
+    ev = load_table(spark, sf_dir, "events")
+    assign = _ab_arms_assign(spark, sf_dir)
     conv = (
         ev.where(F.col("event_type") == "purchase")
         .select("user_id").distinct().withColumn("_c", F.lit(1))
@@ -17707,4 +17715,635 @@ def q_price_index(spark, sf_dir):
             "CAST(round(sqrt((CAST(p1q0 AS DOUBLE) / p0q0)"
             " * (CAST(p1q1 AS DOUBLE) / p0q1)) * 1000000, 0)"
             " AS BIGINT)").alias("fisher_ppm"),
+    )
+
+@register("q_sprt_status", f"""
+WITH {_AB_ARMS_SQL}, wide AS (
+    SELECT
+      max(CASE WHEN arm = 'A' THEN n END)::BIGINT AS na,
+      max(CASE WHEN arm = 'A' THEN x END)::BIGINT AS xa,
+      max(CASE WHEN arm = 'B' THEN n END)::BIGINT AS nb,
+      max(CASE WHEN arm = 'B' THEN x END)::BIGINT AS xb
+    FROM arms
+), pars AS (
+    SELECT na, xa, nb, xb,
+           least(greatest((xa * 1000000) // na, 1), 909090) AS p0_ppm,
+           CAST(least(greatest((xa * 1000000) // na, 1), 909090)
+                AS DOUBLE) / 1000000.0 AS p0,
+           CAST(least(greatest((xa * 1000000) // na, 1), 909090)
+                AS DOUBLE) / 1000000.0 * 1.1 AS p1
+    FROM wide
+), llr AS (
+    SELECT na, xa, nb, xb, p0_ppm,
+           round(xb * round(ln(p1 / p0), 6)
+                 + (nb - xb) * round(ln((1.0 - p1) / (1.0 - p0)), 6),
+                 4) AS llr_b
+    FROM pars
+)
+SELECT na AS n_control, xa AS x_control, nb AS n_treat, xb AS x_treat,
+       p0_ppm, llr_b,
+       round(ln(16.0), 4) AS upper_bound,
+       round(ln(0.2 / 0.95), 4) AS lower_bound,
+       CASE WHEN llr_b >= round(ln(16.0), 4) THEN 'accept_h1'
+            WHEN llr_b <= round(ln(0.2 / 0.95), 4) THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM llr
+""")
+def q_sprt_status(spark, sf_dir):
+    """Wald SPRT status for the live A/B experiment (H1 = +10%
+    relative lift, alpha=.05, beta=.20): the treatment arm's
+    log-likelihood ratio against the control-estimated baseline,
+    with the accept/reject/continue boundaries ln((1-b)/a),
+    ln(b/(1-a)) — the PEEKING-SAFE sequential answer to 'can we
+    stop the test yet?' that repeatedly reading q_ab_lift_test's
+    fixed-horizon p-value gets wrong (each peek inflates false
+    positives; the SPRT's boundaries price the peeking in).
+    Completes the experimentation suite: split/balance audits ->
+    power gate -> sequential monitor -> fixed-horizon test.
+    Consumes the ONE shared arms relation; each ln is rounded 6dp
+    (zipf protocol) before the exact-integer-weighted composition;
+    p0 is clamped to [1, 909090] ppm so the LLR stays finite when an
+    arm has zero (or all) conversions at tiny SF; one row out."""
+    wide = _ab_arms(spark, sf_dir).agg(*[
+        F.max(F.when(F.col("arm") == a, F.col(c))).cast("long")
+        .alias(f"{c}{a.lower()}")
+        for a in ("A", "B") for c in ("n", "x")
+    ])
+    p0_ppm = "least(greatest((xa * 1000000) div na, 1), 909090)"
+    p0 = f"(CAST({p0_ppm} AS DOUBLE) / 1000000.0)"
+    p1 = f"({p0} * 1.1)"
+    llr = (
+        f"round(xb * round(ln({p1} / {p0}), 6)"
+        f" + (nb - xb) * round(ln((1.0 - {p1}) / (1.0 - {p0})), 6), 4)"
+    )
+    return wide.select(
+        F.col("na").alias("n_control"), F.col("xa").alias("x_control"),
+        F.col("nb").alias("n_treat"), F.col("xb").alias("x_treat"),
+        F.expr(f"CAST({p0_ppm} AS BIGINT)").alias("p0_ppm"),
+        F.expr(llr).alias("llr_b"),
+        F.expr("round(ln(16.0), 4)").alias("upper_bound"),
+        F.expr("round(ln(0.2 / 0.95), 4)").alias("lower_bound"),
+        F.expr(
+            f"CASE WHEN {llr} >= round(ln(16.0), 4) THEN 'accept_h1'"
+            f" WHEN {llr} <= round(ln(0.2 / 0.95), 4) THEN 'accept_h0'"
+            " ELSE 'continue' END").alias("decision"),
+    )
+
+
+@register("q_vocab_gini", """
+WITH toks AS (
+    SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+    FROM documents
+), freq AS (
+    SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY 1
+), ranked AS (
+    SELECT c, row_number() OVER (ORDER BY c, tok) AS r FROM freq
+), s AS (
+    SELECT count(*)::BIGINT AS v, sum(c)::BIGINT AS n,
+           sum(r * c)::BIGINT AS src
+    FROM ranked
+)
+SELECT v AS vocab_size, n AS n_tokens,
+       ((1000000 * (2 * src - (v + 1) * n)) // (v * n))::BIGINT
+           AS gini_ppm
+FROM s
+""")
+def q_vocab_gini(spark, sf_dir):
+    """Gini coefficient of the token frequency distribution — the
+    single-number inequality reading that complements q_zipf_slope
+    (slope says HOW mass decays along the rank curve, Gini says how
+    CONCENTRATED it is overall; together they separate 'normal
+    Zipfian text' from boilerplate-dominated corpora whose Gini
+    rises while the slope stays plausible). Exact-integer identity
+    (2*sum(r*c) - (V+1)*N) / (V*N) over the ascending-rank vocab —
+    no doubles anywhere. SCALE SHAPE: within a tie-group of equal
+    counts the ranks are consecutive, so sum(r*c) over the group is
+    c*(m*base + m(m+1)/2) regardless of tie order — the rank window
+    therefore runs over the FREQUENCY-OF-FREQUENCIES relation
+    (distinct count values, O(sqrt(N)) by Zipf), never the vocab and
+    never the token stream; the oracle ranks the vocab directly and
+    the identity makes them equal. Scale-bound note: sum(r*c) <= V*N
+    fits BIGINT to ~10^9-type vocab x 10^9 tokens split."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")),
+                                 F.lit(r"\S+"), 0)).alias("tok"))
+        .groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    )
+    ff = freq.groupBy("c").agg(F.count("*").cast("long").alias("m"))
+    cum = ff.select(
+        "c", "m",
+        (F.sum("m").over(
+            Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0))
+         - F.col("m")).cast("long").alias("base"),
+    )
+    s = cum.agg(
+        F.sum("m").cast("long").alias("v"),
+        F.sum(F.col("c") * F.col("m")).cast("long").alias("n"),
+        F.sum(F.expr("c * (m * base + (m * (m + 1)) div 2)"))
+        .cast("long").alias("src"),
+    )
+    return s.select(
+        F.col("v").alias("vocab_size"),
+        F.col("n").alias("n_tokens"),
+        F.expr(
+            "CAST((1000000 * (2 * src - (v + 1) * n)) div (v * n)"
+            " AS BIGINT)").alias("gini_ppm"),
+    )
+
+
+_ATTR_WINDOW_US = 7 * 86_400_000_000
+
+@register("q_linear_attribution", f"""
+WITH purchases AS (
+    SELECT event_id AS pid, user_id, epoch_us(ts) AS pts
+    FROM events WHERE event_type = 'purchase'
+), touches AS (
+    SELECT p.pid, e.event_type
+    FROM purchases p JOIN events e
+      ON e.user_id = p.user_id
+     AND e.event_type <> 'purchase'
+     AND epoch_us(e.ts) < p.pts
+     AND epoch_us(e.ts) >= p.pts - {_ATTR_WINDOW_US}
+), k AS (
+    SELECT pid, count(*)::BIGINT AS k FROM touches GROUP BY 1
+), credit AS (
+    SELECT t.event_type,
+           sum((1000000 * cnt) // k.k)::BIGINT AS credit_ppm
+    FROM (SELECT pid, event_type, count(*)::BIGINT AS cnt
+          FROM touches GROUP BY 1, 2) t
+    JOIN k ON k.pid = t.pid
+    GROUP BY 1
+), tot AS (
+    SELECT sum(credit_ppm)::BIGINT AS t,
+           (SELECT count(*) FROM k)::BIGINT AS n_converted
+    FROM credit
+)
+SELECT c.event_type, c.credit_ppm,
+       ((c.credit_ppm * 1000000) // t.t)::BIGINT AS share_ppm,
+       t.n_converted
+FROM credit c, tot t
+""")
+def q_linear_attribution(spark, sf_dir):
+    """Linear multi-touch attribution: every purchase splits one
+    unit of credit EQUALLY across the user's touches in the prior
+    7 days — the model between q_events_attribution's last-touch
+    (winner-take-all overvalues the closer) and data-driven Shapley
+    (q_shapley_attribution, feature-level): per-channel credit
+    shares that sum to the conversion count. The touch join is an
+    equi-join on user_id with the window predicate as a filter
+    (per-user fanout bounded by the 7-day horizon — never a time
+    cross join); per-purchase credit is the truncating integer
+    (1e6*cnt)/k so both engines split identically. Output is
+    |event types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("puid"),
+        F.expr("ts div 1000").alias("pts"),
+    )
+    touches = (
+        purchases.join(
+            ev.where(F.col("event_type") != "purchase").select(
+                "user_id", "event_type",
+                F.expr("ts div 1000").alias("ets")),
+            (F.col("user_id") == F.col("puid"))
+            & (F.col("ets") < F.col("pts"))
+            & (F.col("ets") >= F.col("pts") - _ATTR_WINDOW_US))
+        .select("pid", "event_type")
+    )
+    k = touches.groupBy("pid").agg(F.count("*").cast("long").alias("k"))
+    per_type = touches.groupBy("pid", "event_type").agg(
+        F.count("*").cast("long").alias("cnt"))
+    credit = (
+        per_type.join(k, "pid")
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("(1000000 * cnt) div k")).cast("long")
+             .alias("credit_ppm"))
+    )
+    tot = credit.agg(F.sum("credit_ppm").cast("long").alias("t"))
+    ncv = k.agg(F.count("*").cast("long").alias("n_converted"))
+    return (
+        credit.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ncv))
+        .select(
+            "event_type", "credit_ppm",
+            F.expr("CAST((credit_ppm * 1000000) div t AS BIGINT)")
+            .alias("share_ppm"),
+            "n_converted",
+        )
+    )
+
+
+@register("q_hill_tail_index", """
+WITH ranked AS (
+    SELECT o_totalprice,
+           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+               AS r
+    FROM orders
+), thr AS (
+    SELECT o_totalprice AS t FROM ranked WHERE r = 501
+), ls AS (
+    SELECT CAST(round(ln(rk.o_totalprice / thr.t) * 1000000, 0)
+                AS BIGINT) AS lm
+    FROM ranked rk, thr WHERE rk.r <= 500
+), s AS (
+    SELECT sum(lm)::BIGINT AS sl, count(*)::BIGINT AS k FROM ls
+)
+SELECT s.k,
+       CAST(round(thr.t * 100, 0) AS BIGINT) AS threshold_cents,
+       greatest(s.sl // s.k, 1) AS xi_ppm,
+       (1000000000 // greatest(s.sl // s.k, 1)) AS alpha_milli
+FROM s, thr
+""")
+def q_hill_tail_index(spark, sf_dir):
+    """Hill estimator of the order-value tail index over the top-500
+    order statistics: xi = mean ln(x_(i)/x_(501)), alpha = 1/xi — the
+    heavy-tail risk reading that says whether revenue concentration
+    (q_revenue_gini) comes from a power law (alpha < 2: variance
+    effectively infinite, top-customer exposure unbounded) or a
+    well-behaved tail; the order-statistics twin of the block-maxima
+    Gumbel fit (q_gumbel_maxima). SCALE SHAPE: the only global
+    operation is a distributed top-501 (TakeOrderedAndProject — each
+    partition keeps 501, driver merges 501·P rows), the rank window
+    then runs over that 501-row relation only. Each ln(x/thr) is an
+    identical IEEE double ratio rounded to integer micro; the sum is
+    exact BIGINT; xi clamped >= 1 ppm so alpha is finite on a
+    degenerate (all-equal) tail."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey")
+    top = o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")) \
+        .limit(501)
+    ranked = top.select(
+        "o_totalprice",
+        F.row_number().over(
+            Window.orderBy(F.col("o_totalprice").desc(),
+                           F.col("o_orderkey"))).alias("r"),
+    )
+    thr = ranked.where(F.col("r") == 501).select(
+        F.col("o_totalprice").alias("t"))
+    s = (
+        ranked.where(F.col("r") <= 500)
+        .crossJoin(F.broadcast(thr))
+        .select(F.expr(
+            "CAST(round(ln(o_totalprice / t) * 1000000, 0) AS BIGINT)"
+        ).alias("lm"))
+        .agg(F.sum("lm").cast("long").alias("sl"),
+             F.count("*").cast("long").alias("k"))
+    )
+    return s.crossJoin(F.broadcast(thr)).select(
+        "k",
+        F.expr("CAST(round(t * 100, 0) AS BIGINT)")
+        .alias("threshold_cents"),
+        F.expr("greatest(sl div k, 1)").alias("xi_ppm"),
+        F.expr("1000000000 div greatest(sl div k, 1)")
+        .alias("alpha_milli"),
+    )
+
+
+# Zelen & Severo (A&S 26.2.17) normal tail approximation, |eps| < 7.5e-8
+# — shared TEXTUALLY between the Spark plan and the DuckDB oracle so
+# both engines compose the identical IEEE double expression; the one
+# genuinely engine-varying transcendental (exp) is rounded 6dp first.
+_PHI_TAIL = (
+    "(round(exp(-(({z}) * ({z})) / 2.0), 6) * 0.3989422804014327"
+    " * ((((1.330274429 * {t} - 1.821255978) * {t} + 1.781477937)"
+    " * {t} - 0.356563782) * {t} + 0.319381530) * {t})"
+).format(z="az", t="(1.0 / (1.0 + 0.2316419 * az))")
+
+_BH_Z = ("CASE WHEN xa + xb = 0 OR xa + xb = na + nb THEN 0.0 ELSE"
+         " (CAST(xb AS DOUBLE) / nb - CAST(xa AS DOUBLE) / na)"
+         " / sqrt((CAST(xa + xb AS DOUBLE) / (na + nb))"
+         " * (1.0 - CAST(xa + xb AS DOUBLE) / (na + nb))"
+         " * (1.0 / na + 1.0 / nb)) END")
+
+@register("q_bh_fdr", f"""
+WITH {_AB_ARMS_SQL}, part AS (
+    SELECT DISTINCT user_id, event_type FROM events
+), nn AS (
+    SELECT max(CASE WHEN arm = 'A' THEN n END)::BIGINT AS na,
+           max(CASE WHEN arm = 'B' THEN n END)::BIGINT AS nb
+    FROM arms
+), x AS (
+    SELECT p.event_type, a.arm, count(*)::BIGINT AS x
+    FROM part p JOIN assign a USING (user_id)
+    GROUP BY 1, 2
+), wide AS (
+    SELECT event_type,
+           coalesce(max(CASE WHEN arm = 'A' THEN x END), 0)::BIGINT
+               AS xa,
+           coalesce(max(CASE WHEN arm = 'B' THEN x END), 0)::BIGINT
+               AS xb
+    FROM x GROUP BY 1
+), zs AS (
+    SELECT event_type, xa, xb, z,
+           CASE WHEN z < 0 THEN -z ELSE z END AS az
+    FROM (SELECT event_type, xa, xb, {_BH_Z} AS z FROM wide, nn)
+), ps AS (
+    SELECT event_type,
+           CAST(round(z * 1000, 0) AS BIGINT) AS z_milli,
+           least(CAST(round(2000000 * {_PHI_TAIL}, 0) AS BIGINT),
+                 1000000) AS p_ppm
+    FROM zs
+), ranked AS (
+    SELECT *, row_number() OVER (ORDER BY p_ppm, event_type) AS p_rank,
+           (SELECT count(*) FROM ps)::BIGINT AS m
+    FROM ps
+), imax AS (
+    SELECT coalesce(max(p_rank), 0)::BIGINT AS im
+    FROM ranked WHERE p_ppm * m <= p_rank * 50000
+)
+SELECT event_type, z_milli, p_ppm, p_rank::BIGINT AS p_rank,
+       (p_rank <= im) AS discovery
+FROM ranked, imax
+""")
+def q_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR correction over the per-event-type A/B
+    participation tests: a two-proportion z-test per event type
+    between the md5 arms (did the treatment shift ANY behavior, not
+    just purchases), then the BH step-up at FDR 5% — the
+    multiple-testing gate that q_ab_lift_test's single p-value
+    doesn't need but a per-metric dashboard does (5 uncorrected
+    tests at alpha=.05 false-alarm ~23% of healthy experiments).
+    Engine parity: z is plain IEEE arithmetic + one correctly-
+    rounded sqrt (identical both engines); the normal tail uses the
+    Zelen-Severo polynomial SHARED TEXTUALLY with the oracle, its
+    exp rounded 6dp; BH compares integer p_ppm * m <= rank * 50000.
+    The rank window runs over the |event types| relation; the only
+    data-sized shuffles are the distinct (user,type) relation and
+    the user-keyed arm join."""
+    ev = load_table(spark, sf_dir, "events")
+    part = ev.select("user_id", "event_type").distinct()
+    assign = _ab_arms_assign(spark, sf_dir)
+    nn = _ab_arms(spark, sf_dir).agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).cast("long")
+        .alias("na"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).cast("long")
+        .alias("nb"),
+    )
+    wide = (
+        part.join(assign, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("arm") == "A", 1)), F.lit(0))
+            .cast("long").alias("xa"),
+            F.coalesce(
+                F.sum(F.when(F.col("arm") == "B", 1)), F.lit(0))
+            .cast("long").alias("xb"),
+        )
+    )
+    zs = (
+        wide.crossJoin(F.broadcast(nn))
+        .withColumn("z", F.expr(_BH_Z))
+        .withColumn("az", F.expr("CASE WHEN z < 0 THEN -z ELSE z END"))
+    )
+    ps = zs.select(
+        "event_type",
+        F.expr("CAST(round(z * 1000, 0) AS BIGINT)").alias("z_milli"),
+        F.expr(f"least(CAST(round(2000000 * {_PHI_TAIL}, 0) AS BIGINT),"
+               " 1000000)").alias("p_ppm"),
+    )
+    m = ps.agg(F.count("*").cast("long").alias("m"))
+    ranked = ps.crossJoin(F.broadcast(m)).withColumn(
+        "p_rank",
+        F.row_number().over(Window.orderBy("p_ppm", "event_type"))
+        .cast("long"),
+    )
+    imax = ranked.where(
+        F.expr("p_ppm * m <= p_rank * 50000")
+    ).agg(F.coalesce(F.max("p_rank"), F.lit(0)).cast("long").alias("im"))
+    return ranked.crossJoin(F.broadcast(imax)).select(
+        "event_type", "z_milli", "p_ppm", "p_rank",
+        (F.col("p_rank") <= F.col("im")).alias("discovery"),
+    )
+
+
+@register("q_item_item_cosine", """
+WITH cb AS (
+    SELECT DISTINCT o.o_custkey AS c, p.p_brand AS b
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+), nb AS (
+    SELECT b, count(*)::BIGINT AS n FROM cb GROUP BY 1
+), co AS (
+    SELECT a.b AS brand_x, b.b AS brand_y, count(*)::BIGINT AS co
+    FROM cb a JOIN cb b ON a.c = b.c AND a.b < b.b
+    GROUP BY 1, 2
+), cos AS (
+    SELECT c.brand_x, c.brand_y, c.co, nx.n AS n_x, ny.n AS n_y,
+           ((c.co * 1000000)
+            // CAST(round(sqrt(CAST(nx.n * ny.n AS DOUBLE)), 0)
+                    AS BIGINT))::BIGINT AS cosine_ppm
+    FROM co c
+    JOIN nb nx ON nx.b = c.brand_x
+    JOIN nb ny ON ny.b = c.brand_y
+)
+SELECT brand_x, brand_y, co AS n_co, n_x, n_y, cosine_ppm
+FROM cos
+ORDER BY cosine_ppm DESC, brand_x, brand_y
+LIMIT 20
+""")
+def q_item_item_cosine(spark, sf_dir):
+    """Item-item collaborative-filtering cosine over brands: top-20
+    brand pairs by co-purchase cosine co(x,y)/sqrt(n_x*n_y) on the
+    distinct (customer, brand) relation — the 'customers who buy X
+    buy Y' primitive behind recommendations and assortment planning;
+    the customer-level set-similarity twin of q_basket_lift's
+    order-level probabilistic lift. SCALE SHAPE: the pair join runs
+    WITHIN customer on the distinct relation, fanout <= C(|brands
+    per customer|, 2) with |brands| a fixed catalog vocabulary (TPC-H
+    ~25), so co-occurrence is brand^2-bounded however many customers
+    exist; per-brand counts broadcast onto the pair relation; the
+    final top-20 is TakeOrdered. Cosine in integer ppm against the
+    round(sqrt)->BIGINT denominator (kendall-tau protocol)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_custkey").alias("c"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey"), F.col("p_brand").alias("b"))
+    cb = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("c", "b").distinct()
+    )
+    nb = cb.groupBy("b").agg(F.count("*").cast("long").alias("n"))
+    left = cb.withColumnsRenamed({"b": "brand_x"})
+    right = cb.withColumnsRenamed({"b": "brand_y", "c": "c2"})
+    co = (
+        left.join(right, (F.col("c") == F.col("c2"))
+                  & (F.col("brand_x") < F.col("brand_y")))
+        .groupBy("brand_x", "brand_y")
+        .agg(F.count("*").cast("long").alias("n_co"))
+    )
+    cos = (
+        co.join(F.broadcast(nb.withColumnsRenamed(
+            {"b": "brand_x", "n": "n_x"})), "brand_x")
+        .join(F.broadcast(nb.withColumnsRenamed(
+            {"b": "brand_y", "n": "n_y"})), "brand_y")
+        .withColumn(
+            "cosine_ppm",
+            F.expr("CAST((n_co * 1000000)"
+                   " div CAST(round(sqrt(CAST(n_x * n_y AS DOUBLE)), 0)"
+                   " AS BIGINT) AS BIGINT)"),
+        )
+    )
+    return (
+        cos.select("brand_x", "brand_y", "n_co", "n_x", "n_y",
+                   "cosine_ppm")
+        .orderBy(F.col("cosine_ppm").desc(), "brand_x", "brand_y")
+        .limit(20)
+    )
+
+
+@register("q_dup_rate_by_length", _CC_CTES + """
+, dupdocs AS (
+    -- explicit DISTINCT: inside this WITH RECURSIVE block DuckDB
+    -- executes a bare UNION as UNION ALL (observed), so dedup must
+    -- be spelled out
+    SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM jac
+        UNION ALL
+        SELECT doc_b FROM jac
+    )
+)
+SELECT (d.n_chars // 500)::BIGINT AS length_band,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_dup_docs,
+       ((sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         * 1000000) // count(*))::BIGINT AS dup_rate_ppm
+FROM documents d LEFT JOIN dupdocs dd USING (doc_id)
+GROUP BY 1
+""")
+def q_dup_rate_by_length(spark, sf_dir):
+    """Near-duplication incidence by document length band (500-char
+    equi-width): what fraction of each length class sits in at least
+    one verified near-dup pair — the diagnostic that decides whether
+    dedup thresholds need LENGTH CONDITIONING (short docs reach
+    Jaccard thresholds by chance -> over-deletion; if dup mass
+    instead concentrates in long docs it's true mirroring). Bands
+    are data-independent integer cuts (no global length sort at any
+    scale); consumes the memoized verified-pair relation projected
+    to the distinct dup-doc set; ONE left semi-style join against
+    the corpus + a band groupBy."""
+    pairs = _jaccard_pairs(spark, sf_dir)
+    dupdocs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars")
+    return (
+        docs.join(F.broadcast(dupdocs), "doc_id", "left")
+        .groupBy(F.expr("CAST(n_chars div 500 AS BIGINT)")
+                 .alias("length_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).cast("long")
+            .alias("n_dup_docs"),
+        )
+        .withColumn(
+            "dup_rate_ppm",
+            F.expr("CAST((n_dup_docs * 1000000) div n_docs AS BIGINT)"),
+        )
+    )
+
+
+@register("q_embedding_isotropy", """
+WITH e AS (
+    SELECT vec_id, embedding,
+           unnest(generate_series(1, len(embedding))) AS i
+    FROM embeddings
+), sq AS (
+    SELECT vec_id, i, embedding[i]::DECIMAL(18,9) AS vq,
+           sum(embedding[i]::DECIMAL(18,9) * embedding[i]::DECIMAL(18,9))
+               OVER (PARTITION BY vec_id) AS ssq
+    FROM e
+), u AS (
+    SELECT vec_id, i,
+           round(sqrt(ssq::DOUBLE), 6) AS nrm,
+           CAST(round(vq::DOUBLE / round(sqrt(ssq::DOUBLE), 6)
+                      * 1000000, 0) AS BIGINT) AS um
+    FROM sq WHERE ssq > 0
+), dims AS (
+    SELECT i, sum(um)::DECIMAL(38,0) AS s_d FROM u GROUP BY 1
+), tot AS (
+    SELECT sum(s_d * s_d)::DECIMAL(38,0) AS ssum,
+           count(*)::BIGINT AS d
+    FROM dims
+), nv AS (
+    SELECT count(DISTINCT vec_id)::BIGINT AS n,
+           CAST(round(sum(DISTINCT_NORMS.nm) / count(*), 0) AS BIGINT)
+               AS avg_norm_micro
+    FROM (SELECT vec_id,
+                 CAST(round(max(nrm) * 1000000, 0) AS BIGINT) AS nm
+          FROM u GROUP BY vec_id) DISTINCT_NORMS
+)
+SELECT nv.n AS n_vectors, tot.d AS n_dims, nv.avg_norm_micro,
+       CAST(round((tot.ssum::DOUBLE / 1000000000000.0 - nv.n)
+                  / (nv.n * (nv.n - 1.0)) * 1000000, 0) AS BIGINT)
+           AS mean_pairwise_cosine_ppm
+FROM tot, nv
+""")
+def q_embedding_isotropy(spark, sf_dir):
+    """Isotropy of the embedding space: the EXACT mean pairwise
+    cosine over ALL C(n,2) unit-vector pairs via the sum-vector
+    identity mean = (||sum u||^2 - n) / (n(n-1)) — the anisotropy
+    reading (Ethayarajh 2019: contextual embeddings cluster in a
+    narrow cone; mean cosine >> 0 degrades cosine-based dedup and
+    ANN contrast) that a sampled pair join only estimates. SCALE
+    SHAPE: O(n*d) one pass, NO pair join anywhere — normalize per
+    vector (exact decimal sum of squares per row partition), sum
+    unit components per dimension (d-row relation), one closed-form
+    combine; this is the identity that stays computable at 10^9
+    vectors where any pairwise approach is impossible. Engine
+    parity: unit components in integer micro (6dp-rounded after one
+    identical IEEE division), per-dim sums exact BIGINT-in-DECIMAL,
+    squares in DECIMAL(38,0), one final identically-composed double
+    expression."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "vec_id", (F.col("pos") + 1).alias("i"),
+        F.col("v").cast("decimal(18,9)").alias("vq"),
+    )
+    w = Window.partitionBy("vec_id")
+    sq = ex.withColumn("ssq", F.sum(F.col("vq") * F.col("vq")).over(w))
+    u = sq.where(F.col("ssq") > 0).select(
+        "vec_id", "i",
+        F.expr("round(sqrt(CAST(ssq AS DOUBLE)), 6)").alias("nrm"),
+        F.expr("CAST(round(CAST(vq AS DOUBLE)"
+               " / round(sqrt(CAST(ssq AS DOUBLE)), 6)"
+               " * 1000000, 0) AS BIGINT)").alias("um"),
+    )
+    dims = u.groupBy("i").agg(
+        F.sum("um").cast("decimal(38,0)").alias("s_d"))
+    tot = dims.agg(
+        F.sum(F.col("s_d") * F.col("s_d")).cast("decimal(38,0)")
+        .alias("ssum"),
+        F.count("*").cast("long").alias("d"),
+    )
+    norms = u.groupBy("vec_id").agg(
+        F.expr("CAST(round(max(nrm) * 1000000, 0) AS BIGINT)")
+        .alias("nm"))
+    nv = norms.agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("CAST(round(sum(nm) / count(*), 0) AS BIGINT)")
+        .alias("avg_norm_micro"),
+    )
+    return tot.crossJoin(F.broadcast(nv)).select(
+        F.col("n").alias("n_vectors"),
+        F.col("d").alias("n_dims"),
+        "avg_norm_micro",
+        F.expr("CAST(round((CAST(ssum AS DOUBLE) / 1000000000000.0 - n)"
+               " / (n * (n - 1.0)) * 1000000, 0) AS BIGINT)")
+        .alias("mean_pairwise_cosine_ppm"),
     )

@@ -344,3 +344,38 @@ def test_session7b_topk_cuts_use_take_ordered(spark):
                  "q_oov_rate"):
         plan = _executed(QUERIES[name](spark, SF_DIR))
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_session7d_new_query_plan_shapes(spark):
+    """Scale claims of the round-7 session-4 batch, machine-checked."""
+    # Hill: the top-501 compiles to TakeOrderedAndProject, never a
+    # global sort of the orders table
+    plan = _executed(QUERIES["q_hill_tail_index"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    # item-item: per-brand counts broadcast onto the pair relation;
+    # the final top-20 is TakeOrdered; no cartesian product
+    plan = _executed(QUERIES["q_item_item_cosine"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # isotropy: the normalization window is vec_id-partitioned (never
+    # global over the exploded components) and there is no pair join
+    plan = _executed(QUERIES["q_embedding_isotropy"](spark, SF_DIR))
+    assert "windowspecdefinition(vec_id" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # vocab gini: NO window over the token stream or the vocab — the
+    # only sort feeds the frequency-of-frequencies cumulative
+    plan = _executed(QUERIES["q_vocab_gini"](spark, SF_DIR))
+    assert "windowspecdefinition(tok" not in plan
+    # dup-rate-by-length: the dup-doc set broadcasts onto the corpus
+    plan = _executed(QUERIES["q_dup_rate_by_length"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # linear attribution: the touch join is a user_id EQUI-join (the
+    # time window is a post-join filter) — a hash/merge join keyed on
+    # user_id must exist; the only BNLJs allowed are the 1-row
+    # broadcast stats dims at the end
+    plan = _executed(QUERIES["q_linear_attribution"](spark, SF_DIR))
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+    assert "CartesianProduct" not in plan
