@@ -5690,7 +5690,7 @@ _DSIR_MOD = 17
 _DSIR_B = 256
 
 
-@register("q_dsir_weights", rf"""
+_DSIR_ORACLE = rf"""
 WITH toks AS (
     SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
     FROM documents
@@ -5724,7 +5724,10 @@ SELECT f.doc_id,
        (f.doc_id % {_DSIR_MOD} = 0) AS is_target
 FROM feat f JOIN ratio USING (bucket)
 GROUP BY f.doc_id
-""")
+"""
+
+
+@register("q_dsir_weights", _DSIR_ORACLE)
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (Xie 2023): hashed-unigram importance
     log-ratio of a deterministic in-domain target slice vs the raw
@@ -18346,4 +18349,334 @@ def q_embedding_isotropy(spark, sf_dir):
         F.expr("CAST(round((CAST(ssum AS DOUBLE) / 1000000000000.0 - n)"
                " / (n * (n - 1.0)) * 1000000, 0) AS BIGINT)")
         .alias("mean_pairwise_cosine_ppm"),
+    )
+
+
+# CUPED z/lift composition shared textually with the oracle: every
+# input is an exact BIGINT sum, so each derived double is ONE
+# identically-composed IEEE expression on both engines.
+_CUPED_THETA = ("((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+                " / (CAST(n AS DOUBLE) * sxx"
+                " - CAST(sx AS DOUBLE) * sx))")
+_CUPED_RAW = ("(CAST(syb AS DOUBLE) / nb - CAST(sya AS DOUBLE) / na)")
+_CUPED_ADJ = (f"({_CUPED_RAW} - {_CUPED_THETA}"
+              " * (CAST(sxb AS DOUBLE) / nb"
+              " - CAST(sxa AS DOUBLE) / na))")
+_CUPED_RHO2 = ("((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+               " * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+               " / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+               " * (CAST(n AS DOUBLE) * syy"
+               " - CAST(sy AS DOUBLE) * sy)))")
+
+@register("q_cuped_adjustment", f"""
+WITH bounds AS (
+    SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+    FROM events
+), assign AS (
+    SELECT user_id,
+           CASE WHEN (CAST(('0x' || substring(
+                    md5(CAST(user_id AS VARCHAR) || ':exp1'), 1, 8))
+                    AS BIGINT) % 2) = 0
+                THEN 'A' ELSE 'B' END AS arm
+    FROM (SELECT DISTINCT user_id FROM events)
+), pre AS (
+    SELECT e.user_id, count(*)::BIGINT AS x
+    FROM events e, bounds b WHERE epoch_us(e.ts) < b.mid
+    GROUP BY 1
+), post AS (
+    SELECT e.user_id, count(*)::BIGINT AS y
+    FROM events e, bounds b
+    WHERE epoch_us(e.ts) >= b.mid AND e.event_type = 'purchase'
+    GROUP BY 1
+), uxy AS (
+    SELECT a.arm, coalesce(p.x, 0) AS x, coalesce(q.y, 0) AS y
+    FROM assign a
+    LEFT JOIN pre p USING (user_id)
+    LEFT JOIN post q USING (user_id)
+), s AS (
+    SELECT count(*)::BIGINT AS n,
+           sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+           sum(x * y)::BIGINT AS sxy,
+           sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+           sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT AS na,
+           sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)::BIGINT AS nb,
+           sum(CASE WHEN arm = 'A' THEN x ELSE 0 END)::BIGINT AS sxa,
+           sum(CASE WHEN arm = 'B' THEN x ELSE 0 END)::BIGINT AS sxb,
+           sum(CASE WHEN arm = 'A' THEN y ELSE 0 END)::BIGINT AS sya,
+           sum(CASE WHEN arm = 'B' THEN y ELSE 0 END)::BIGINT AS syb
+    FROM uxy
+)
+SELECT n AS n_users,
+       CAST(round({_CUPED_THETA} * 1000000, 0) AS BIGINT)
+           AS theta_micro,
+       CAST(round({_CUPED_RAW} * 1000000, 0) AS BIGINT)
+           AS lift_raw_micro,
+       CAST(round({_CUPED_ADJ} * 1000000, 0) AS BIGINT)
+           AS lift_cuped_micro,
+       CAST(round({_CUPED_RHO2} * 1000000, 0) AS BIGINT)
+           AS var_reduction_ppm
+FROM s
+""")
+def q_cuped_adjustment(spark, sf_dir):
+    """CUPED variance reduction (Deng 2013) for the live A/B
+    experiment: pre-period activity per user as the covariate,
+    post-period purchases as the outcome, theta = cov(X,Y)/var(X)
+    pooled across arms, adjusted lift = raw lift - theta * covariate
+    imbalance, and the variance-reduction factor rho^2 — the
+    experimentation-platform standard that shrinks required sample
+    size by exactly rho^2 (here measured, not assumed; it also
+    corrects the lift for any pre-exposure activity imbalance the
+    SRM/balance audits flag). ONE pass: per-user (x, y) via two
+    conditional aggregations against the broadcast timeline
+    midpoint, exact BIGINT moment sums, every derived statistic an
+    identically-composed double expression shared textually with
+    the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.expr(
+        "(min(ts div 1000) + max(ts div 1000)) div 2").alias("mid"))
+    assign = _ab_arms_assign(spark, sf_dir)
+    peru = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.expr("ts div 1000 < mid"), 1).otherwise(0))
+            .cast("long").alias("x"),
+            F.sum(F.when(
+                F.expr("ts div 1000 >= mid AND event_type = 'purchase'"),
+                1).otherwise(0)).cast("long").alias("y"),
+        )
+    )
+    uxy = (
+        assign.join(peru, "user_id", "left")
+        .select("arm",
+                F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+                F.coalesce("y", F.lit(0)).cast("long").alias("y"))
+    )
+    s = uxy.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).cast("long")
+        .alias("nb"),
+        F.sum(F.when(F.col("arm") == "A", F.col("x")).otherwise(0))
+        .cast("long").alias("sxa"),
+        F.sum(F.when(F.col("arm") == "B", F.col("x")).otherwise(0))
+        .cast("long").alias("sxb"),
+        F.sum(F.when(F.col("arm") == "A", F.col("y")).otherwise(0))
+        .cast("long").alias("sya"),
+        F.sum(F.when(F.col("arm") == "B", F.col("y")).otherwise(0))
+        .cast("long").alias("syb"),
+    )
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.expr(f"CAST(round({_CUPED_THETA} * 1000000, 0) AS BIGINT)")
+        .alias("theta_micro"),
+        F.expr(f"CAST(round({_CUPED_RAW} * 1000000, 0) AS BIGINT)")
+        .alias("lift_raw_micro"),
+        F.expr(f"CAST(round({_CUPED_ADJ} * 1000000, 0) AS BIGINT)")
+        .alias("lift_cuped_micro"),
+        F.expr(f"CAST(round({_CUPED_RHO2} * 1000000, 0) AS BIGINT)")
+        .alias("var_reduction_ppm"),
+    )
+
+
+@register("q_ess_dsir", f"""
+WITH dsir AS ({_DSIR_ORACLE}),
+m AS (
+    SELECT max(dsir_micro_nats) AS mx FROM dsir
+), w AS (
+    SELECT round(exp((dsir_micro_nats - m.mx) / 1000000.0),
+                 6)::DECIMAL(18,6) AS w
+    FROM dsir, m
+), s AS (
+    SELECT count(*)::BIGINT AS n, sum(w) AS sw, sum(w * w) AS sww
+    FROM w
+)
+SELECT n AS n_docs,
+       CAST(round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                  / CAST(sww AS DOUBLE) * 1000, 0) AS BIGINT)
+           AS ess_milli,
+       CAST(round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                  / CAST(sww AS DOUBLE) / n * 1000000, 0) AS BIGINT)
+           AS ess_ratio_ppm
+FROM s
+""")
+def q_ess_dsir(spark, sf_dir):
+    """Effective sample size of the DSIR importance weights,
+    ESS = (sum w)^2 / sum w^2 over w = exp(logweight - max) — the
+    did-my-importance-sampling-collapse audit for data-selection
+    runs: resampling a 10^9-doc corpus with ESS/n of 1e-4 is really
+    drawing from ~100k docs however big the corpus is, so the
+    mixing/selection plan must be rebuilt, not rerun. Weights are
+    max-normalized (exp stays in [0,1] — no overflow at any corpus
+    scale), exp rounded 6dp (the one engine-varying transcendental),
+    then exact decimal sums; the max is a broadcast 1-row dim.
+    Consumes the same Zipf-bounded DSIR relation as q_dsir_weights;
+    O(corpus) one pass."""
+    lw = corpus.dsir_logweights(
+        load_table(spark, sf_dir, "documents"),
+        target_mod=_DSIR_MOD, n_buckets=_DSIR_B,
+    ).select("dsir_micro_nats")
+    m = lw.agg(F.max("dsir_micro_nats").alias("mx"))
+    w = lw.crossJoin(F.broadcast(m)).select(
+        F.expr("CAST(round(exp((dsir_micro_nats - mx) / 1000000.0), 6)"
+               " AS DECIMAL(18,6))").alias("w"))
+    s = w.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("w")).alias("sww"),
+    )
+    return s.select(
+        F.col("n").alias("n_docs"),
+        F.expr("CAST(round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)"
+               " / CAST(sww AS DOUBLE) * 1000, 0) AS BIGINT)")
+        .alias("ess_milli"),
+        F.expr("CAST(round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)"
+               " / CAST(sww AS DOUBLE) / n * 1000000, 0) AS BIGINT)")
+        .alias("ess_ratio_ppm"),
+    )
+
+
+_SURP_Z = ("((CAST(sv_s AS DOUBLE) / n_s - CAST(sv AS DOUBLE) / n)"
+           " / sqrt((CAST(svv AS DOUBLE)"
+           " - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n)"
+           " / n / n_s))")
+
+@register("q_source_surprisal_drift", rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+    FROM documents
+), vocab AS (
+    SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+), tot AS (
+    SELECT count(*) AS n_total FROM toks
+), surp AS (
+    SELECT tok, round(-log2(cnt / n_total), 6) AS surprisal
+    FROM vocab, tot
+), docv AS (
+    SELECT t.doc_id,
+           ((sum(s.surprisal::DECIMAL(18,6)) * 1000000)::BIGINT
+            // count(*)) AS v
+    FROM toks t JOIN surp s USING (tok)
+    GROUP BY t.doc_id
+), pers AS (
+    SELECT d.source, count(*)::BIGINT AS n_s,
+           sum(dv.v)::BIGINT AS sv_s
+    FROM docv dv JOIN documents d USING (doc_id)
+    GROUP BY 1
+), corp AS (
+    SELECT count(*)::BIGINT AS n, sum(v)::BIGINT AS sv,
+           sum(v::DECIMAL(38,0) * v::DECIMAL(38,0))::DECIMAL(38,0)
+               AS svv
+    FROM docv
+)
+SELECT p.source, p.n_s AS n_docs,
+       (p.sv_s // p.n_s) AS mean_micro_bits,
+       ((p.sv_s // p.n_s) - (c.sv // c.n)) AS delta_micro_bits,
+       CAST(round({_SURP_Z} * 1000, 0) AS BIGINT) AS z_milli
+FROM pers p, corp c
+""")
+def q_source_surprisal_drift(spark, sf_dir):
+    """Which ingest SOURCE is out-of-distribution for the corpus LM:
+    per-source mean unigram surprisal (micro-bits/token, the
+    q_unigram_logprob relation) vs the corpus mean, as a z-score of
+    the source mean under the corpus doc-level variance — the
+    source-granular OOD detector that tells a mixing plan (or an
+    incident review) WHICH feed drifted, where q_psi_drift answers
+    for a metric and q_ccnet_buckets for single documents. Exact
+    BIGINT doc values and moment sums (squares in DECIMAL(38,0));
+    one sqrt in an identically-composed shared expression; output is
+    |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    docv = corpus.unigram_logprob(docs).select(
+        "doc_id",
+        F.expr("bits_micro_total div n_tokens").alias("v"))
+    pers = (
+        docv.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_s"),
+             F.sum("v").cast("long").alias("sv_s"))
+    )
+    corp = docv.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.col("v").cast("decimal(38,0)")
+              * F.col("v").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("svv"),
+    )
+    return pers.crossJoin(F.broadcast(corp)).select(
+        "source",
+        F.col("n_s").alias("n_docs"),
+        F.expr("sv_s div n_s").alias("mean_micro_bits"),
+        F.expr("(sv_s div n_s) - (sv div n)").alias("delta_micro_bits"),
+        F.expr(f"CAST(round({_SURP_Z} * 1000, 0) AS BIGINT)")
+        .alias("z_milli"),
+    )
+
+
+@register("q_cluster_purity", _CC_CTES + """
+, comp AS (
+    SELECT id AS doc_id, min(label) AS component_id
+    FROM walk GROUP BY id
+), per_cs AS (
+    SELECT c.component_id, d.source, count(*)::BIGINT AS cnt
+    FROM comp c JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+), per_c AS (
+    SELECT component_id,
+           sum(cnt)::BIGINT AS size,
+           max(cnt)::BIGINT AS dom,
+           count(*)::BIGINT AS n_sources
+    FROM per_cs GROUP BY 1
+)
+SELECT CAST(floor(log2(size)) AS BIGINT) AS size_band,
+       count(*)::BIGINT AS n_components,
+       sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END)::BIGINT
+           AS n_pure,
+       (sum((dom * 1000000) // size) // count(*))::BIGINT
+           AS mean_dominant_ppm
+FROM per_c GROUP BY 1
+""")
+def q_cluster_purity(spark, sf_dir):
+    """Source purity of near-dup clusters by size band: per component
+    the dominant-source share and single-source flag, rolled up by
+    log2 size band — the cluster-level companion to
+    q_dup_source_matrix's pair-level flow map (a big MIXED-source
+    cluster is cross-feed mirroring that forces global dedup; big
+    PURE clusters are in-feed templates a shard-local pass already
+    catches). Consumes the memoized component map; joins only the
+    (doc_id, source) projection; per-component stats are exact
+    integers (dominant share in truncating ppm, no transcendental
+    except the band's floor(log2) on a BIGINT — exact for the IEEE
+    doubles both engines produce); output is O(log max-cluster-size)
+    rows."""
+    compmap = _corpus_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source")
+    per_cs = (
+        compmap.join(docs, "doc_id")
+        .groupBy("component_id", "source")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    per_c = per_cs.groupBy("component_id").agg(
+        F.sum("cnt").cast("long").alias("size"),
+        F.max("cnt").cast("long").alias("dom"),
+        F.count("*").cast("long").alias("n_sources"),
+    )
+    return (
+        per_c.groupBy(
+            F.expr("CAST(floor(log2(size)) AS BIGINT)")
+            .alias("size_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_components"),
+            F.sum(F.when(F.col("n_sources") == 1, 1).otherwise(0))
+            .cast("long").alias("n_pure"),
+            F.expr("CAST(sum((dom * 1000000) div size) div count(*)"
+                   " AS BIGINT)").alias("mean_dominant_ppm"),
+        )
     )

@@ -319,3 +319,109 @@ def session_timeout_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# -------------------------------------------------------------------
+# streaming ordered-step funnel: per-user signup -> view -> purchase
+# progression with a per-step horizon, completions emitted the moment
+# the last step lands (the low-latency twin of the batch
+# q_funnel_three_step / q_window_funnel readouts)
+# -------------------------------------------------------------------
+
+FUNNEL_STEPS = ("signup", "view", "purchase")
+FUNNEL_OUT_SCHEMA = (
+    "user_id bigint, start_us bigint, end_us bigint, latency_us bigint"
+)
+FUNNEL_STATE_SCHEMA = "stage bigint, stage_ts bigint, start_ts bigint"
+
+
+def funnel_stream(
+    stream: DataFrame,
+    steps: tuple = FUNNEL_STEPS,
+    step_horizon_us: int = 7 * 86_400_000_000,
+    idle_timeout_ms: int = 60_000,
+) -> DataFrame:
+    """Streaming ordered-step funnel (needs columns user_id, ts_us,
+    event_type): one fixed-size state tuple per user tracks the
+    furthest step reached and its event time; an event matching the
+    NEXT expected step within ``step_horizon_us`` of the previous one
+    advances the funnel, the final step EMITS the completion row
+    (start, end, latency) immediately and clears the state, and an
+    expired horizon resets progress (the resetting event itself may
+    open a new funnel if it is the first step). Dormant users are
+    dropped by the ProcessingTimeTimeout, so state is O(|users active
+    inside the horizon|), never O(|all users ever seen|).
+
+    In-order caveat (same contract as session_timeout_stream): events
+    fold in (ts_us) order WITHIN a micro-batch; rows arriving batches
+    late advance funnels in arrival order — event-time-perfect funnel
+    readouts are the batch queries; this is the low-latency trigger
+    path (alerting/activation nudges the moment a funnel completes)."""
+    first, nsteps = steps[0], len(steps)
+    step_ix = {s: i for i, s in enumerate(steps)}
+
+    empty = pd.DataFrame({
+        "user_id": pd.Series([], dtype="int64"),
+        "start_us": pd.Series([], dtype="int64"),
+        "end_us": pd.Series([], dtype="int64"),
+        "latency_us": pd.Series([], dtype="int64"),
+    })
+
+    def funnel_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # dormant: progress expired, nothing to emit. NB: a typed
+            # EMPTY frame must still be yielded — a timed-out group
+            # whose handler returns a fully empty iterator crashes the
+            # PySpark worker (Arrow stream desync, observed on 4.1:
+            # "Python worker exited unexpectedly" with EOFException)
+            state.remove()
+            yield empty
+            return
+        cur = list(state.get) if state.exists else None
+        done = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        batch = (
+            pd.concat(chunks, ignore_index=True) if chunks
+            else pd.DataFrame()
+        )
+        if len(batch):
+            for _, row in batch.sort_values("ts_us").iterrows():
+                t, ts = row["event_type"], int(row["ts_us"])
+                if t not in step_ix:
+                    continue
+                if cur is not None and ts - cur[1] > step_horizon_us:
+                    cur = None  # horizon expired: reset progress
+                if cur is None:
+                    if t == first:
+                        cur = [1, ts, ts]
+                elif step_ix[t] == cur[0]:
+                    if cur[0] + 1 == nsteps:
+                        done.append((int(cur[2]), ts))
+                        cur = None
+                    else:
+                        cur = [cur[0] + 1, ts, cur[2]]
+        if cur is not None:
+            state.update(tuple(int(x) for x in cur))
+            state.setTimeoutDuration(idle_timeout_ms)
+        elif state.exists:
+            state.remove()
+        if done:
+            yield pd.DataFrame([
+                {
+                    "user_id": key[0],
+                    "start_us": s,
+                    "end_us": e,
+                    "latency_us": e - s,
+                }
+                for s, e in done
+            ])
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        funnel_fn,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1012,3 +1012,169 @@ def test_quantile_stream_keys_isolated(tmp_path, spark):
         "SELECT * FROM qs4").collect()}
     assert abs(got["lo"] - 1.0) < 0.1
     assert abs(got["hi"] - 1000.0) / 1000.0 < 0.10
+
+
+def test_funnel_stream_completion_skip_and_order(tmp_path, spark):
+    """Ordered-step funnel: only users who hit signup -> view ->
+    purchase IN ORDER complete (emitting start/end/latency the moment
+    the purchase lands); skipping a step or starting mid-funnel emits
+    nothing."""
+    from pyspark.sql import functions as F
+
+    from document_parsing_etl_pipeline_spark.streaming import stateful
+
+    drop = tmp_path / "funnel"
+    drop.mkdir()
+    (drop / "a.json").write_text("\n".join(json.dumps(r) for r in [
+        # user 1: full ordered funnel -> one completion, 20 min latency
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1,
+         "event_type": "signup", "value": 0.0},
+        {"event_id": 2, "ts": "2024-01-01T00:10:00", "user_id": 1,
+         "event_type": "view", "value": 0.0},
+        {"event_id": 3, "ts": "2024-01-01T00:20:00", "user_id": 1,
+         "event_type": "purchase", "value": 5.0},
+        # user 2: skips the view step -> no completion
+        {"event_id": 4, "ts": "2024-01-01T00:00:00", "user_id": 2,
+         "event_type": "signup", "value": 0.0},
+        {"event_id": 5, "ts": "2024-01-01T00:20:00", "user_id": 2,
+         "event_type": "purchase", "value": 5.0},
+        # user 3: starts mid-funnel -> no completion
+        {"event_id": 6, "ts": "2024-01-01T00:00:00", "user_id": 3,
+         "event_type": "view", "value": 0.0},
+        {"event_id": 7, "ts": "2024-01-01T00:20:00", "user_id": 3,
+         "event_type": "purchase", "value": 5.0},
+    ]))
+    stream = (
+        ev.read_event_stream(spark, str(drop))
+        .select("user_id", F.unix_micros("event_time").alias("ts_us"),
+                "event_type")
+    )
+    out = stateful.funnel_stream(stream)
+    q = (out.writeStream.format("memory").queryName("funnel_a")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM funnel_a").collect()
+    assert len(rows) == 1
+    assert rows[0].user_id == 1
+    assert rows[0].latency_us == 20 * 60 * 1_000_000
+
+
+def test_funnel_stream_horizon_reset_and_state_carry(tmp_path, spark):
+    """An over-horizon next-step event RESETS funnel progress (no
+    completion from stale signups), and open-funnel state survives
+    across micro-batches via the checkpoint: a signup in batch 1
+    completes with view+purchase arriving in batch 2."""
+    from pyspark.sql import functions as F
+
+    from document_parsing_etl_pipeline_spark.streaming import stateful
+
+    drop = tmp_path / "funnel_h"
+    drop.mkdir()
+    ckpt = str(tmp_path / "funnel_h_ckpt")
+    sink = str(tmp_path / "funnel_h_out")
+    horizon_us = 60 * 60 * 1_000_000  # 1 hour
+
+    def run():
+        stream = (
+            ev.read_event_stream(spark, str(drop))
+            .select("user_id",
+                    F.unix_micros("event_time").alias("ts_us"),
+                    "event_type")
+        )
+        # idle timeout far above the test's wall clock: the DORMANT
+        # drop path is test_funnel_stream_dormant_timeout below; here
+        # the open funnel must survive into run 2
+        out = stateful.funnel_stream(stream, step_horizon_us=horizon_us,
+                                     idle_timeout_ms=30 * 60 * 1000)
+        q = (out.writeStream.format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    (drop / "a.json").write_text("\n".join(json.dumps(r) for r in [
+        # user 1: signup, then a view 2h later (over the 1h horizon):
+        # progress resets, so the later purchase completes NOTHING
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1,
+         "event_type": "signup", "value": 0.0},
+        {"event_id": 2, "ts": "2024-01-01T02:00:00", "user_id": 1,
+         "event_type": "view", "value": 0.0},
+        {"event_id": 3, "ts": "2024-01-01T02:10:00", "user_id": 1,
+         "event_type": "purchase", "value": 5.0},
+        # user 2: signup only — the open funnel must carry to batch 2
+        {"event_id": 4, "ts": "2024-01-01T00:00:00", "user_id": 2,
+         "event_type": "signup", "value": 0.0},
+    ]))
+    run()
+    (drop / "b.json").write_text("\n".join(json.dumps(r) for r in [
+        {"event_id": 5, "ts": "2024-01-01T00:30:00", "user_id": 2,
+         "event_type": "view", "value": 0.0},
+        {"event_id": 6, "ts": "2024-01-01T00:50:00", "user_id": 2,
+         "event_type": "purchase", "value": 5.0},
+    ]))
+    run()
+    # user 1's over-horizon progression completed nothing; user 2's
+    # funnel opened in run 1 and completed in run 2 (state carried)
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 1
+    assert rows[0].user_id == 2
+    assert rows[0].latency_us == 50 * 60 * 1_000_000
+
+
+def test_funnel_stream_dormant_timeout(tmp_path, spark):
+    """A dormant user's open funnel is dropped by the processing-time
+    timeout (state stays O(active users)) — and the timed-out handler
+    must not kill the worker (regression: a timed-out group yielding
+    a fully EMPTY iterator crashes the PySpark Arrow worker; the fix
+    yields a typed empty frame). After the drop, later steps within
+    the EVENT-time horizon complete nothing, and the query keeps
+    processing other users."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from document_parsing_etl_pipeline_spark.streaming import stateful
+
+    drop = tmp_path / "funnel_d"
+    drop.mkdir()
+    (drop / "a.json").write_text(json.dumps(
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1,
+         "event_type": "signup", "value": 0.0}))
+    stream = (
+        ev.read_event_stream(spark, str(drop))
+        .select("user_id", F.unix_micros("event_time").alias("ts_us"),
+                "event_type")
+    )
+    out = stateful.funnel_stream(stream, idle_timeout_ms=1_000)
+    q = (out.writeStream.format("memory").queryName("funnel_d")
+         .outputMode("append").trigger(processingTime="1 second")
+         .start())
+    try:
+        _time.sleep(12)  # several empty batches: the timeout fires
+        assert q.exception() is None  # worker survived the timeout
+        # user 1's remaining steps (in-horizon by EVENT time) now
+        # complete nothing; user 9's fresh full funnel still does
+        (drop / "b.json").write_text("\n".join(json.dumps(r) for r in [
+            {"event_id": 2, "ts": "2024-01-01T00:10:00", "user_id": 1,
+             "event_type": "view", "value": 0.0},
+            {"event_id": 3, "ts": "2024-01-01T00:20:00", "user_id": 1,
+             "event_type": "purchase", "value": 5.0},
+            {"event_id": 4, "ts": "2024-01-01T00:00:00", "user_id": 9,
+             "event_type": "signup", "value": 0.0},
+            {"event_id": 5, "ts": "2024-01-01T00:01:00", "user_id": 9,
+             "event_type": "view", "value": 0.0},
+            {"event_id": 6, "ts": "2024-01-01T00:02:00", "user_id": 9,
+             "event_type": "purchase", "value": 5.0},
+        ]))
+        deadline = _time.time() + 90
+        while _time.time() < deadline:
+            if spark.sql(
+                "SELECT count(*) c FROM funnel_d"
+            ).first().c >= 1:
+                break
+            _time.sleep(1)
+        assert q.exception() is None
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM funnel_d").collect()
+    assert [r.user_id for r in rows] == [9]
