@@ -22,7 +22,13 @@ the at-scale swap would provide:
 - reads prune files against the manifest stats BEFORE touching
   parquet (partition-pruning semantics without a partition layout);
 - commits are atomic via O_EXCL manifest creation (single winner per
-  version; losers retry on a real system — here they raise).
+  version; losers retry on a real system — here they raise);
+- row-level deletes come in BOTH open-table flavors: copy-on-write
+  (``delete_where`` rewrites boundary files) and merge-on-read
+  DELETION VECTORS (``delete_where_dv`` writes parquet tombstone
+  sidecars of (file, row position); readers anti-join them,
+  ``optimize_table`` materializes them, vacuum keeps sidecars of
+  retained snapshots alive).
 
 Everything data-sized runs in Spark (per-file stats are one
 ``input_file_name()`` aggregation); only manifest bookkeeping (file
@@ -118,6 +124,75 @@ def _write_files(
     return entries
 
 
+# ------------------------------------------------- deletion vectors
+# Row-level deletes WITHOUT file rewrites (Delta deletion vectors /
+# Iceberg position deletes): a delete commit writes a parquet SIDECAR
+# of (file name, row position) tombstones and re-references every data
+# file unchanged; readers anti-join the tombstones against the hidden
+# parquet (_metadata.file_path, _metadata.row_index) — positions are
+# stable because copy-on-write never edits a file in place. OPTIMIZE
+# materializes: it reads through read() (tombstones applied) and
+# commits rewritten files with an empty delete_vectors list.
+# File identity in the sidecar is the parquet BASENAME — Spark part
+# files embed a UUID, so basenames are unique across the table and
+# survive the root being a relative vs absolute path or a file: URI.
+
+def _dv_entries(m: dict) -> list[dict]:
+    return m.get("delete_vectors", [])
+
+
+def _dv_df(spark: SparkSession, root: str, m: dict) -> DataFrame | None:
+    """The manifest's tombstone relation (_dv_file, _dv_pos), or None."""
+    ents = _dv_entries(m)
+    if not ents:
+        return None
+    return spark.read.parquet(
+        *[os.path.join(root, e["path"]) for e in ents]
+    )
+
+
+def _with_pos(df: DataFrame) -> DataFrame:
+    """Attach (_dv_fname, _dv_rowpos) from the hidden parquet metadata
+    — must be selected directly on the scan relation."""
+    return df.select(
+        "*",
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias("_dv_fname"),
+        F.col("_metadata.row_index").alias("_dv_rowpos"),
+    )
+
+
+def _apply_dv(df_pos: DataFrame, dv: DataFrame | None) -> DataFrame:
+    """Filter tombstoned rows out of a (_dv_fname, _dv_rowpos)-carrying
+    relation; keeps the helper columns (caller drops them)."""
+    if dv is None:
+        return df_pos
+    return df_pos.join(
+        dv,
+        (df_pos["_dv_fname"] == dv["_dv_file"])
+        & (df_pos["_dv_rowpos"] == dv["_dv_pos"]),
+        "anti",
+    )
+
+
+def _read_live(
+    spark: SparkSession, root: str, m: dict, paths: list[str],
+    reader=None,
+) -> DataFrame:
+    """Read ``paths`` with the manifest's deletion vectors applied;
+    the DV scan+anti-join is skipped entirely when the manifest has
+    no tombstones (the common fast path reads plain parquet)."""
+    reader = reader or spark.read.option("mergeSchema", "true")
+    dv = _dv_df(spark, root, m)
+    if dv is None:
+        return reader.parquet(*paths)
+    cols = reader.parquet(*paths).columns
+    return _apply_dv(
+        _with_pos(reader.parquet(*paths)), dv
+    ).select(*cols)
+
+
 # ------------------------------------------------------------ public
 
 def create_table(
@@ -138,7 +213,11 @@ def _carry_meta(head: dict) -> dict:
     (stream_batch_id). Without the latter, a delete/optimize commit
     followed by expire_snapshots could erase the last recorded batch
     id and let a checkpoint replay re-apply a batch."""
-    return {k: head[k] for k in ("schema", "stream_batch_id") if k in head}
+    return {
+        k: head[k]
+        for k in ("schema", "stream_batch_id", "delete_vectors")
+        if k in head
+    }
 
 
 def _merged_schema_json(head: dict, df: DataFrame) -> str:
@@ -204,8 +283,10 @@ def read(
     # column was added (schema evolution) — union-by-name semantics,
     # old files surface the new column as NULL. Time travel to a
     # pre-evolution snapshot naturally lacks the column because its
-    # manifest references only pre-evolution files.
-    return spark.read.option("mergeSchema", "true").parquet(*paths)
+    # manifest references only pre-evolution files. Deletion vectors
+    # are per-manifest, so time travel to a pre-delete snapshot
+    # naturally resurrects the rows.
+    return _read_live(spark, root, m, paths)
 
 
 def scan(
@@ -228,9 +309,12 @@ def scan(
     # mergeSchema for the same reason read() sets it: the surviving
     # file subset can mix pre/post-evolution footers, and without it
     # the picked schema is nondeterministic (and differs from the
-    # empty-prune branch above, which goes through read()).
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(root, e["path"]) for e in keep]
+    # empty-prune branch above, which goes through read()). Stats
+    # pruning stays conservative under deletion vectors (a tombstoned
+    # row can widen a file's min/max — more files read, never fewer);
+    # the DV anti-join in _read_live enforces row-level correctness.
+    df = _read_live(
+        spark, root, m, [os.path.join(root, e["path"]) for e in keep]
     )
     return df.where(F.col(col).between(lo, hi)), len(keep), len(m["files"])
 
@@ -268,8 +352,16 @@ def merge_into(
     tag = f"v{head['version'] + 1}"
     if candidates:
         cand_paths = [os.path.join(root, e["path"]) for e in candidates]
-        cand_df = spark.read.parquet(*cand_paths).withColumn(
-            "_src", F.input_file_name()
+        dv = _dv_df(spark, root, head)
+        # deletion vectors applied BEFORE hit detection and rewrite:
+        # a tombstoned row must neither count as a match nor be
+        # resurrected into the rewritten file. _src / the position
+        # helpers attach AT SCAN TIME (input_file_name and _metadata
+        # don't resolve on post-join relations).
+        cand_df = _apply_dv(
+            _with_pos(spark.read.parquet(*cand_paths))
+            .withColumn("_src", F.input_file_name()),
+            dv,
         )
         # files that truly contain matched keys get rewritten; pruned-
         # in-name-only candidates carry over untouched
@@ -287,8 +379,11 @@ def merge_into(
         untouched += [e for e in candidates if not _is_hit(e)]
         hit = [e for e in candidates if _is_hit(e)]
         if hit:
-            hit_df = spark.read.parquet(
+            hit_raw = spark.read.parquet(
                 *[os.path.join(root, e["path"]) for e in hit]
+            )
+            hit_df = _apply_dv(_with_pos(hit_raw), dv).select(
+                *hit_raw.columns
             )
             survivors = hit_df.join(F.broadcast(keys_df), key, "anti")
             rewritten += _write_files(
@@ -325,8 +420,12 @@ def delete_where(
             rewrite.append(e)
     entries: list[dict] = []
     if rewrite:
-        df = spark.read.parquet(
-            *[os.path.join(root, e["path"]) for e in rewrite]
+        # apply outstanding deletion vectors so the rewrite doesn't
+        # resurrect tombstoned rows
+        df = _read_live(
+            spark, root, head,
+            [os.path.join(root, e["path"]) for e in rewrite],
+            reader=spark.read,
         )
         survivors = df.where(~F.col(col).between(lo, hi))
         entries = _write_files(
@@ -337,6 +436,72 @@ def delete_where(
         "operation": "delete", "stats_cols": stats_cols,
         "files": carried + entries,
         **_carry_meta(head),
+    })
+
+
+def delete_where_dv(
+    spark: SparkSession, root: str, col: str, lo, hi,
+) -> int:
+    """Range DELETE via DELETION VECTORS (Delta DV / Iceberg position
+    deletes): boundary-overlapping files are NOT rewritten — their
+    matching row positions go into a parquet tombstone sidecar and
+    the files carry over by reference, so the write cost scales with
+    the DELETED rows (tombstones), not the resident rows of every
+    touched file (the copy-on-write delete_where's cost). Files
+    wholly inside [lo,hi] still drop by reference with zero I/O.
+    Reads anti-join the tombstones (read()/scan()/read_branch());
+    optimize_table materializes them away. The merge-on-read
+    trade-off is the standard one: cheaper deletes, one extra
+    anti-join per read until the next OPTIMIZE."""
+    head = _load_manifest(root, _versions(root)[-1])
+    stats_cols = head["stats_cols"]
+    carried, overlap = [], []
+    for e in head["files"]:
+        mn, mx = e["stats"][col]
+        if mn is None or mx < lo or mn > hi:
+            carried.append(e)
+        elif lo <= mn and mx <= hi:
+            pass  # fully covered: drop the file itself, zero I/O
+        else:
+            carried.append(e)
+            overlap.append(e)
+    dvs = list(_dv_entries(head))
+    if overlap:
+        raw = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(root, e["path"]) for e in overlap]
+        )
+        hits = (
+            _with_pos(raw)
+            .where(F.col(col).between(lo, hi))
+            .select(
+                F.col("_dv_fname").alias("_dv_file"),
+                F.col("_dv_rowpos").alias("_dv_pos"),
+            )
+        )
+        # don't re-tombstone rows an earlier DV already covers
+        prior = _dv_df(spark, root, head)
+        if prior is not None:
+            hits = hits.join(prior, ["_dv_file", "_dv_pos"], "anti")
+        tag = f"v{head['version'] + 1}-dv"
+        out_dir = os.path.join(root, "data", tag)
+        hits.write.mode("error").parquet(out_dir)
+        back = spark.read.parquet(out_dir)
+        rows = (
+            back.withColumn("_f", F.input_file_name())
+            .groupBy("_f").agg(F.count("*").alias("_rows")).collect()
+        )
+        dvs += [
+            {
+                "path": os.path.relpath(_localpath(r["_f"]), root),
+                "rows": r["_rows"],
+                "stats": {},
+            }
+            for r in rows
+        ]
+    return _commit(root, {
+        "operation": "delete_dv", "stats_cols": stats_cols,
+        "files": carried,
+        **{**_carry_meta(head), "delete_vectors": dvs},
     })
 
 
@@ -384,7 +549,7 @@ def table_changes(
         if "schema" in mt else None
     )
 
-    def _read(paths):
+    def _read(paths, m):
         if not paths:
             return (
                 read(spark, root, to_version).limit(0).select(*cols)
@@ -394,12 +559,58 @@ def table_changes(
             reader = reader.schema(rec)
         else:  # legacy manifests without a recorded schema
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(
-            *[os.path.join(root, p) for p in paths]
+        # each side's deletion vectors apply to ITS snapshot: a row
+        # tombstoned at from_version was not live then and must not
+        # surface as a delete again; a to-only file whose rows were
+        # tombstoned within the span must not surface them as inserts
+        return _read_live(
+            spark, root, m, [os.path.join(root, p) for p in paths],
+            reader=reader,
         ).select(*cols)
 
-    old = _read(only_f)
-    new = _read(only_t)
+    old = _read(only_f, mf)
+    new = _read(only_t, mt)
+
+    # DV-only deletes: tombstone sidecars added between the versions
+    # whose files are in BOTH manifests (file-diff can't see them —
+    # the file set is unchanged). Cost scales with the tombstones:
+    # only the files the new sidecars actually reference are read.
+    dv_paths_f = {e["path"] for e in _dv_entries(mf)}
+    new_dv = [
+        e for e in _dv_entries(mt) if e["path"] not in dv_paths_f
+    ]
+    dv_deleted = None
+    if new_dv:
+        nd = spark.read.parquet(
+            *[os.path.join(root, e["path"]) for e in new_dv]
+        )
+        touched = {
+            r["_dv_file"] for r in nd.select("_dv_file").distinct()
+            .collect()
+        }
+        common_hit = [
+            p for p in sorted(pf & pt)
+            if os.path.basename(p) in touched
+        ]
+        if common_hit:
+            reader = (
+                spark.read.schema(rec) if rec is not None
+                else spark.read.option("mergeSchema", "true")
+            )
+            raw = reader.parquet(
+                *[os.path.join(root, p) for p in common_hit]
+            )
+            dv_deleted = (
+                _with_pos(raw)
+                .join(
+                    nd,
+                    (F.col("_dv_fname") == nd["_dv_file"])
+                    & (F.col("_dv_rowpos") == nd["_dv_pos"]),
+                    "semi",
+                )
+                .select(*cols)
+                .withColumn("_change_type", F.lit("delete"))
+            )
     if key is None:
         # full-row identity: rewritten-but-identical rows cancel out
         ins = new.exceptAll(old).withColumn(
@@ -408,7 +619,11 @@ def table_changes(
         dels = old.exceptAll(new).withColumn(
             "_change_type", F.lit("delete")
         )
-        return ins.unionByName(dels)
+        out = ins.unionByName(dels)
+        return (
+            out.unionByName(dv_deleted) if dv_deleted is not None
+            else out
+        )
     ko = old.select(F.col(key).alias("_k")).distinct()
     kn = new.select(F.col(key).alias("_k")).distinct()
     ins = new.join(ko, new[key] == ko["_k"], "anti").withColumn(
@@ -427,9 +642,15 @@ def table_changes(
     post = both_new.exceptAll(both_old).withColumn(
         "_change_type", F.lit("update_postimage")
     )
-    return (
+    out = (
         ins.drop("_k").unionByName(dels.drop("_k"))
         .unionByName(pre).unionByName(post)
+    )
+    # DV deletes surface as plain `delete` rows in key mode too (a
+    # tombstone is a row-level delete by construction; if the same key
+    # was re-inserted in the span, the insert leg reports that side)
+    return (
+        out.unionByName(dv_deleted) if dv_deleted is not None else out
     )
 
 
@@ -682,7 +903,11 @@ def expire_snapshots(root: str, keep_last: int = 1) -> dict:
     expire = [v for v in versions if v not in keep]
     live: set[str] = set(ref_live)
     for v in keep:
-        for e in _load_manifest(root, v)["files"]:
+        m = _load_manifest(root, v)
+        # deletion-vector sidecars are snapshot content too: removing
+        # one would silently RESURRECT tombstoned rows of a retained
+        # snapshot
+        for e in m["files"] + _dv_entries(m):
             live.add(os.path.normpath(os.path.join(root, e["path"])))
     removed = 0
     data_dir = os.path.join(root, "data")
@@ -768,7 +993,10 @@ def optimize_table(
     return _commit(root, {
         "operation": "optimize", "stats_cols": stats_cols,
         "files": entries,
-        **_carry_meta(head),
+        # read() applied the deletion vectors, so the rewritten files
+        # hold only live rows — OPTIMIZE is the DV materialization
+        # point and the new snapshot carries no tombstones
+        **{**_carry_meta(head), "delete_vectors": []},
     })
 
 
@@ -877,7 +1105,7 @@ def read_branch(
         schema = StructType.fromJson(json.loads(m["schema"]))
         return spark.createDataFrame([], schema=schema)
     paths = [os.path.join(root, e["path"]) for e in m["files"]]
-    return spark.read.option("mergeSchema", "true").parquet(*paths)
+    return _read_live(spark, root, m, paths)
 
 
 def fast_forward(root: str, name: str) -> int:
@@ -903,8 +1131,7 @@ def fast_forward(root: str, name: str) -> int:
         "operation": "fast_forward", "ff_branch": name,
         "ff_branch_version": head["branch_version"],
         "stats_cols": head["stats_cols"], "files": head["files"],
-        **{k: head[k] for k in ("schema", "stream_batch_id")
-           if k in head},
+        **_carry_meta(head),
     })
 
 
@@ -981,7 +1208,8 @@ def _ref_live_files(root: str) -> tuple[set[str], set[int]]:
     if os.path.isdir(bdir):
         for name in os.listdir(bdir):
             for bv in _branch_versions(root, name):
-                for e in _load_branch(root, name, bv)["files"]:
+                b = _load_branch(root, name, bv)
+                for e in b["files"] + _dv_entries(b):
                     live.add(os.path.normpath(
                         os.path.join(root, e["path"])))
     pinned: set[int] = set()

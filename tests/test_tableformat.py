@@ -580,3 +580,113 @@ def test_branch_schema_evolution_isolated(spark, table):
     assert "extra" not in tf.read(spark, table).columns
     v = tf.fast_forward(table, "schema-dev")
     assert "extra" in tf.read(spark, table, version=v).columns
+
+
+# ------------------------------------------------- deletion vectors
+
+@pytest.fixture()
+def dv_table(spark, tmp_path):
+    """Range-clustered table: 4 files with disjoint doc_id ranges
+    (~[0,24],[25,49],[50,74],[75,99])."""
+    root = str(tmp_path / "dvtbl")
+    df = spark.range(0, 100).selectExpr(
+        "id AS doc_id", "concat('t', id) AS text"
+    ).repartitionByRange(4, "doc_id")
+    tf.create_table(spark, df, root, stats_cols=["doc_id"])
+    return root
+
+
+def test_delete_dv_tombstones_without_rewrite(spark, dv_table):
+    """delete_where_dv removes rows from reads WITHOUT rewriting the
+    overlapping files (their manifest paths carry over identically);
+    wholly-covered files still drop by reference; time travel to the
+    pre-delete snapshot resurrects everything."""
+    v1_files = {e["path"] for e in tf._load_manifest(dv_table, 1)["files"]}
+    v2 = tf.delete_where_dv(spark, dv_table, "doc_id", 10, 60)
+    head = tf._load_manifest(dv_table, v2)
+    # live rows: 0-9 and 61-99
+    got = sorted(r.doc_id for r in tf.read(spark, dv_table).collect())
+    assert got == list(range(0, 10)) + list(range(61, 100))
+    # no rewrite: every surviving file path existed in v1
+    assert {e["path"] for e in head["files"]} <= v1_files
+    # the wholly-covered middle file dropped by reference
+    assert len(head["files"]) == len(v1_files) - 1
+    assert tf._dv_entries(head)  # tombstones recorded
+    # tombstone count == rows deleted from carried files (10..24, 50..60)
+    assert sum(e["rows"] for e in tf._dv_entries(head)) == 15 + 11
+    # time travel: pre-delete snapshot unaffected
+    assert tf.read(spark, dv_table, version=1).count() == 100
+    # scan() applies the tombstones too
+    df, _, _ = tf.scan(spark, dv_table, "doc_id", 0, 30)
+    assert sorted(r.doc_id for r in df.collect()) == list(range(0, 10))
+
+
+def test_delete_dv_stacks_and_merge_respects_tombstones(spark, dv_table):
+    """A second DV delete stacks onto the first; a MERGE touching a
+    tombstoned file neither resurrects tombstoned rows nor counts
+    them as matches."""
+    tf.delete_where_dv(spark, dv_table, "doc_id", 0, 3)
+    tf.delete_where_dv(spark, dv_table, "doc_id", 5, 6)
+    got = sorted(r.doc_id for r in tf.read(spark, dv_table).collect())
+    assert got == [4] + list(range(7, 100))
+    # MERGE updates doc_id 7 (same file as the tombstoned 0-6 rows)
+    upd = spark.createDataFrame(
+        [(7, "updated")], "doc_id long, text string")
+    tf.merge_into(spark, upd, dv_table, key="doc_id")
+    cur = tf.read(spark, dv_table)
+    assert cur.count() == 94
+    assert cur.where("doc_id = 7").first().text == "updated"
+    # tombstoned rows stay gone after the rewrite
+    assert cur.where("doc_id <= 3 OR doc_id IN (5, 6)").count() == 0
+    assert cur.where("doc_id = 4").first().text == "t4"
+
+
+def test_optimize_materializes_dv_and_vacuum_reclaims(spark, dv_table):
+    """OPTIMIZE materializes tombstones (head carries an empty
+    delete_vectors list, reads unchanged); once the DV snapshots
+    expire, vacuum reclaims the sidecar files."""
+    tf.delete_where_dv(spark, dv_table, "doc_id", 10, 60)
+    before = sorted(r.doc_id for r in tf.read(spark, dv_table).collect())
+    v3 = tf.optimize_table(spark, dv_table, target_file_rows=50)
+    head = tf._load_manifest(dv_table, v3)
+    assert tf._dv_entries(head) == []
+    after = sorted(r.doc_id for r in tf.read(spark, dv_table).collect())
+    assert after == before
+    res = tf.expire_snapshots(dv_table, keep_last=1)
+    assert res["removed_files"] > 0  # pre-optimize data + dv sidecars
+    # no dv parquet remains anywhere under data/
+    leftover = [
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(os.path.join(dv_table, "data"))
+        for f in fs if "-dv" in dp and f.endswith(".parquet")
+    ]
+    assert leftover == []
+    assert sorted(
+        r.doc_id for r in tf.read(spark, dv_table).collect()
+    ) == before
+
+
+def test_vacuum_keeps_dv_sidecars_of_retained_snapshots(spark, dv_table):
+    """A retained snapshot's tombstones are live content: vacuum must
+    not remove them (else its rows silently resurrect)."""
+    v2 = tf.delete_where_dv(spark, dv_table, "doc_id", 10, 60)
+    tf.append(spark, spark.createDataFrame(
+        [(200, "t200")], "doc_id long, text string"), dv_table)
+    tf.expire_snapshots(dv_table, keep_last=2)  # keeps v2 + v3
+    assert sorted(
+        r.doc_id for r in tf.read(spark, dv_table, version=v2).collect()
+    ) == list(range(0, 10)) + list(range(61, 100))
+    assert tf.read(spark, dv_table).count() == 50
+
+
+def test_table_changes_reports_dv_deletes(spark, dv_table):
+    """CDF across a DV commit reports exactly the tombstoned rows as
+    deletes; CDF across the materializing OPTIMIZE reports nothing
+    (the live rowset is unchanged)."""
+    v2 = tf.delete_where_dv(spark, dv_table, "doc_id", 95, 99)
+    ch = tf.table_changes(spark, dv_table, 1, v2)
+    rows = ch.collect()
+    assert {r._change_type for r in rows} == {"delete"}
+    assert sorted(r.doc_id for r in rows) == list(range(95, 100))
+    v3 = tf.optimize_table(spark, dv_table, target_file_rows=100)
+    assert tf.table_changes(spark, dv_table, v2, v3).count() == 0
