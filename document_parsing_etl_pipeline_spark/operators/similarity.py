@@ -245,6 +245,32 @@ def knn_ivf_probe(
     corpus.assign_nearest_centroid."""
     from pyspark.sql.window import Window
 
+    cand = ivf_probe_candidates(
+        embeddings, num_queries, num_centroids, nprobe, id_col
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def ivf_probe_candidates(
+    embeddings: DataFrame,
+    num_queries: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The IVF probe's SCANNED candidate relation (query_id, vec_id,
+    cosine) BEFORE the top-k cut — knn_ivf_probe's inner stage,
+    exposed so cost/recall planners (q_ivf_nprobe_curve) can measure
+    the scan volume the top-k result hides."""
+    from pyspark.sql.window import Window
+
     cents = embeddings.where(F.col(id_col) < num_centroids).select(
         F.col(id_col).alias("centroid_id"), F.col("embedding").alias("cv")
     )
@@ -271,7 +297,7 @@ def knn_ivf_probe(
         F.col("vid").alias("query_id"), F.col("ev").alias("qv"),
         "centroid_id",
     )
-    cand = (
+    return (
         probes.join(assign, "centroid_id")
         .where(F.col("vec_id") != F.col("query_id"))
         .join(
@@ -285,14 +311,6 @@ def knn_ivf_probe(
             "query_id", "vec_id",
             F.round(cosine_sim(F.col("qv"), F.col("cv")), 4).alias("cosine"),
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
     )
 
 

@@ -18680,3 +18680,252 @@ def q_cluster_purity(spark, sf_dir):
                    " AS BIGINT)").alias("mean_dominant_ppm"),
         )
     )
+
+
+def _ivf_curve_cte(np_val: int) -> str:
+    """Per-nprobe candidate + top-5 CTEs for the recall/cost curve
+    (names suffixed _n{np} so three instances coexist in one WITH)."""
+    return f"""
+cand_n{np_val} AS (
+    SELECT p.query_id, a.vec_id, round({_IVF_PAIR_COS}, 4) AS cosine
+    FROM (SELECT vec_id AS query_id, embedding AS qv, centroid_id
+          FROM cscored WHERE rn <= {np_val} AND vec_id < 5) p
+    JOIN assign a USING (centroid_id)
+    JOIN embeddings e ON e.vec_id = a.vec_id
+    WHERE a.vec_id <> p.query_id
+), top_n{np_val} AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rk
+        FROM cand_n{np_val}
+    ) WHERE rk <= 5
+), row_n{np_val} AS (
+    SELECT {np_val}::BIGINT AS nprobe,
+           (SELECT count(*) FROM ex)::BIGINT AS n_exact,
+           (SELECT count(*) FROM ex JOIN top_n{np_val}
+            USING (query_id, vec_id))::BIGINT AS n_hits,
+           ((SELECT count(*) FROM ex JOIN top_n{np_val}
+             USING (query_id, vec_id)) * 1000
+            // (SELECT count(*) FROM ex))::BIGINT AS recall_permille,
+           (SELECT count(*) FROM cand_n{np_val})::BIGINT
+               AS scanned_pairs,
+           ((SELECT count(*) FROM cand_n{np_val}) * 1000
+            // (5 * ((SELECT count(*) FROM embeddings) - 1)))::BIGINT
+               AS scan_permille
+)"""
+
+
+@register("q_ivf_nprobe_curve", f"""
+WITH cents AS (
+    SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+    WHERE vec_id < {_IVF_C}
+), cscored AS (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({_IVF_ASSIGN_COS}, 4) DESC,
+                                       c.centroid_id) AS rn
+    FROM embeddings e, cents c
+), assign AS (
+    SELECT vec_id, centroid_id FROM cscored WHERE rn = 1
+), ex AS (
+    SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY round({_COS_SQL}, 4) DESC,
+                                           e.vec_id) AS rank
+        FROM embeddings q, embeddings e
+        WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+    ) WHERE rank <= 5
+), {_ivf_curve_cte(1)}, {_ivf_curve_cte(2)}, {_ivf_curve_cte(4)}
+SELECT * FROM row_n1
+UNION ALL SELECT * FROM row_n2
+UNION ALL SELECT * FROM row_n4
+""")
+def q_ivf_nprobe_curve(spark, sf_dir):
+    """The ANN cost/recall PLANNING CURVE: recall@5 against the exact
+    brute-force top-5 AND the measured candidate-scan volume for
+    nprobe in (1, 2, 4) — the number an index operator actually
+    tunes (q_ivf_recall_audit pins ONE operating point's floor; this
+    shows the whole trade-off so the 100 TB deployment can pick the
+    cheapest nprobe that clears its recall SLO, and a curve that
+    flattens early says the centroid count, not the probe count, is
+    the binding constraint). One shared n x C centroid-scoring pass
+    feeds all three probe lists; per-nprobe candidates shuffle on
+    posting-list id exactly like the production path
+    (operators/similarity.py:ivf_probe_candidates); scan volume is
+    COUNTED from the candidate relation, not inferred from
+    nprobe/C."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = similarity.knn_brute_cosine(emb, num_queries=5, k=5).select(
+        "query_id", "vec_id")
+    n_emb = emb.agg(F.count("*").cast("long").alias("n_emb"))
+    out = None
+    for np_val in (1, 2, 4):
+        cand = similarity.ivf_probe_candidates(
+            emb, num_queries=5, num_centroids=_IVF_C, nprobe=np_val)
+        topk = (
+            cand.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("query_id")
+                    .orderBy(F.col("cosine").desc(), "vec_id")))
+            .where(F.col("rk") <= 5).select("query_id", "vec_id")
+        )
+        hits = brute.join(topk, ["query_id", "vec_id"], "semi").agg(
+            F.count("*").cast("long").alias("n_hits"))
+        nex = brute.agg(F.count("*").cast("long").alias("n_exact"))
+        scans = cand.agg(
+            F.count("*").cast("long").alias("scanned_pairs"))
+        row = (
+            nex.crossJoin(F.broadcast(hits))
+            .crossJoin(F.broadcast(scans))
+            .crossJoin(F.broadcast(n_emb))
+            .select(
+                F.lit(np_val).cast("long").alias("nprobe"),
+                "n_exact", "n_hits",
+                F.expr("CAST(n_hits * 1000 div n_exact AS BIGINT)")
+                .alias("recall_permille"),
+                "scanned_pairs",
+                F.expr("CAST(scanned_pairs * 1000"
+                       " div (5 * (n_emb - 1)) AS BIGINT)")
+                .alias("scan_permille"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# Wilson-Hilferty chi-square -> normal transform, shared textually:
+# z = ((g2/df)^(1/3) - (1 - 2/(9 df))) / sqrt(2/(9 df)); cbrt is the
+# one engine-varying transcendental (rounded 6dp), the rest is plain
+# IEEE arithmetic + one correctly-rounded sqrt.
+_WH_Z = ("((round(cbrt(g2 / dof), 6)"
+         " - (1.0 - 2.0 / (9.0 * dof)))"
+         " / sqrt(2.0 / (9.0 * dof)))")
+
+@register("q_markov_order_test", f"""
+WITH seq AS (
+    SELECT user_id, event_type AS c,
+           lag(event_type, 1) OVER w AS b,
+           lag(event_type, 2) OVER w AS a
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), n3 AS (
+    SELECT a, b, c, count(*)::BIGINT AS n
+    FROM seq WHERE a IS NOT NULL GROUP BY 1, 2, 3
+), n2l AS (
+    SELECT a, b, sum(n)::BIGINT AS nl FROM n3 GROUP BY 1, 2
+), n2r AS (
+    SELECT b, c, sum(n)::BIGINT AS nr FROM n3 GROUP BY 1, 2
+), n1 AS (
+    SELECT b, sum(n)::BIGINT AS nb FROM n3 GROUP BY 1
+), terms AS (
+    SELECT t.n,
+           round(ln((CAST(t.n AS DOUBLE) * m.nb)
+                    / (CAST(l.nl AS DOUBLE) * r.nr)), 6) AS lr
+    FROM n3 t
+    JOIN n2l l USING (a, b) JOIN n2r r USING (b, c) JOIN n1 m USING (b)
+), g AS (
+    SELECT sum(n)::BIGINT AS n_triples,
+           CAST(sum(n * lr::DECIMAL(18,6)) AS DOUBLE) AS s
+    FROM terms
+), dofs AS (
+    SELECT sum((na - 1) * (nc - 1))::BIGINT AS dof
+    FROM (SELECT b, count(DISTINCT a)::BIGINT AS na FROM n2l GROUP BY 1)
+    JOIN (SELECT b, count(DISTINCT c)::BIGINT AS nc FROM n2r GROUP BY 1)
+    USING (b)
+), zs AS (
+    SELECT n_triples,
+           CAST(round(s * 2000, 0) AS BIGINT) AS g2_milli,
+           greatest(dof, 1) AS dof,
+           2.0 * greatest(s, 0.0) AS g2
+    FROM g, dofs
+), ps AS (
+    SELECT n_triples, g2_milli, dof,
+           CAST(round({_WH_Z} * 1000, 0) AS BIGINT) AS z_milli,
+           {_WH_Z} AS z
+    FROM zs
+), fin AS (
+    SELECT n_triples, g2_milli, dof, z_milli,
+           CASE WHEN z < 0 THEN -z ELSE z END AS az, z
+    FROM ps
+)
+SELECT n_triples, g2_milli, dof, z_milli,
+       least(CAST(round(1000000 * (CASE WHEN z >= 0 THEN {_PHI_TAIL}
+                  ELSE 1.0 - {_PHI_TAIL} END), 0) AS BIGINT),
+             1000000) AS p_ppm,
+       (least(CAST(round(1000000 * (CASE WHEN z >= 0 THEN {_PHI_TAIL}
+                  ELSE 1.0 - {_PHI_TAIL} END), 0) AS BIGINT),
+              1000000) > 50000) AS order1_sufficient
+FROM fin
+""")
+def q_markov_order_test(spark, sf_dir):
+    """Likelihood-ratio test of Markov ORDER for the per-user event
+    chain: G^2 = 2 sum n(abc) ln(n(abc) n(b) / (n(ab) n(bc))) tests
+    order-1 against order-2 — the model-adequacy gate for everything
+    built on first-order transitions (q_entropy_rate's entropy,
+    q_markov_backtest's predictor, q_event_transitions itself): a
+    rejected test says sequences carry second-order structure those
+    estimates flatten away. Per-cell ln rounded 6dp then exact
+    decimal-weighted accumulation (entropy-rate protocol); exact
+    per-middle-state dof sum (na-1)(nc-1); significance via the
+    Wilson-Hilferty cube-root normal approximation (cbrt rounded
+    6dp) through the shared Zelen-Severo tail. The only data-sized
+    operation is the user-keyed lag window; every model relation is
+    |types|^3-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("ts div 1000"), "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("c"),
+        F.lag("event_type", 1).over(w).alias("b"),
+        F.lag("event_type", 2).over(w).alias("a"),
+    ).where(F.col("a").isNotNull())
+    n3 = seq.groupBy("a", "b", "c").agg(
+        F.count("*").cast("long").alias("n"))
+    n2l = n3.groupBy("a", "b").agg(F.sum("n").cast("long").alias("nl"))
+    n2r = n3.groupBy("b", "c").agg(F.sum("n").cast("long").alias("nr"))
+    n1 = n3.groupBy("b").agg(F.sum("n").cast("long").alias("nb"))
+    terms = (
+        n3.join(F.broadcast(n2l), ["a", "b"])
+        .join(F.broadcast(n2r), ["b", "c"])
+        .join(F.broadcast(n1), ["b"])
+        .select(
+            "n",
+            F.expr("round(ln((CAST(n AS DOUBLE) * nb)"
+                   " / (CAST(nl AS DOUBLE) * nr)), 6)").alias("lr"),
+        )
+    )
+    g = terms.agg(
+        F.sum("n").cast("long").alias("n_triples"),
+        F.expr("CAST(sum(n * CAST(lr AS DECIMAL(18,6))) AS DOUBLE)")
+        .alias("s"),
+    )
+    na = n2l.groupBy("b").agg(
+        F.countDistinct("a").cast("long").alias("na"))
+    nc = n2r.groupBy("b").agg(
+        F.countDistinct("c").cast("long").alias("nc"))
+    dofs = na.join(nc, "b").agg(
+        F.sum(F.expr("(na - 1) * (nc - 1)")).cast("long").alias("dof"))
+    zs = g.crossJoin(F.broadcast(dofs)).select(
+        "n_triples",
+        F.expr("CAST(round(s * 2000, 0) AS BIGINT)").alias("g2_milli"),
+        F.expr("greatest(dof, 1)").alias("dof"),
+        F.expr("2.0 * greatest(s, 0.0)").alias("g2"),
+    )
+    ps = zs.select(
+        "n_triples", "g2_milli", "dof",
+        F.expr(f"CAST(round({_WH_Z} * 1000, 0) AS BIGINT)")
+        .alias("z_milli"),
+        F.expr(_WH_Z).alias("z"),
+    )
+    fin = ps.withColumn(
+        "az", F.expr("CASE WHEN z < 0 THEN -z ELSE z END"))
+    p = (f"least(CAST(round(1000000 * (CASE WHEN z >= 0 THEN {_PHI_TAIL}"
+         f" ELSE 1.0 - {_PHI_TAIL} END), 0) AS BIGINT), 1000000)")
+    return fin.select(
+        "n_triples", "g2_milli", "dof", "z_milli",
+        F.expr(p).alias("p_ppm"),
+        F.expr(f"({p}) > 50000").alias("order1_sufficient"),
+    )

@@ -379,3 +379,17 @@ def test_session7d_new_query_plan_shapes(spark):
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan)
     assert "CartesianProduct" not in plan
+
+
+def test_session7e_new_query_plan_shapes(spark):
+    """Round-7 session-5 batch: the Markov model relations broadcast
+    onto the cell relation (never shuffle the types^3 grid), the lag
+    window is user-partitioned, and the nprobe curve's candidate
+    pairing has no cartesian product."""
+    plan = _executed(QUERIES["q_markov_order_test"](spark, SF_DIR))
+    assert "windowspecdefinition(user_id" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    plan = _executed(QUERIES["q_ivf_nprobe_curve"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
