@@ -12037,8 +12037,7 @@ def q_runs_test(spark, sf_dir):
 # ===================================================================
 
 
-@register("q_naive_bayes_lang", r"""
-WITH toks AS (
+_NB_CTES = r"""toks AS (
     SELECT doc_id, lang,
            unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
     FROM documents
@@ -12085,7 +12084,11 @@ params AS (
                        ORDER BY score DESC, lang) AS r
         FROM scores
     ) s WHERE s.r = 1
-)
+)"""
+
+
+@register("q_naive_bayes_lang", f"""
+WITH {_NB_CTES}
 SELECT d.lang AS true_lang, p.pred_lang, count(*)::BIGINT AS n_docs
 FROM documents d JOIN pred p USING (doc_id)
 GROUP BY 1, 2
@@ -18928,4 +18931,250 @@ def q_markov_order_test(spark, sf_dir):
         "n_triples", "g2_milli", "dof", "z_milli",
         F.expr(p).alias("p_ppm"),
         F.expr(f"({p}) > 50000").alias("order1_sufficient"),
+    )
+
+
+@register("q_nb_calibration", f"""
+WITH {_NB_CTES}, smax AS (
+    SELECT doc_id, max(score) AS sm FROM scores GROUP BY 1
+), ws AS (
+    SELECT s.doc_id, s.lang,
+           round(exp((CAST(s.score AS DOUBLE) - CAST(x.sm AS DOUBLE))
+                     / greatest(dl.len, 1)), 6)::DECIMAL(18,6) AS w
+    FROM scores s JOIN smax x USING (doc_id)
+    JOIN dlen dl USING (doc_id)
+), perdoc AS (
+    SELECT doc_id, sum(w) AS sw FROM ws GROUP BY 1
+), conf AS (
+    SELECT pd.doc_id,
+           1.0 / CAST(pd.sw AS DOUBLE) AS c,
+           (p.pred_lang = d.lang) AS correct
+    FROM perdoc pd
+    JOIN pred p USING (doc_id)
+    JOIN documents d USING (doc_id)
+), binned AS (
+    SELECT least(CAST(floor(c * 10) AS BIGINT), 9) AS conf_bin,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN correct THEN 1 ELSE 0 END)::BIGINT AS n_ok,
+           CAST(round(sum(c::DECIMAL(18,6))::DOUBLE / count(*)
+                      * 1000000, 0) AS BIGINT) AS mean_conf_ppm
+    FROM conf GROUP BY 1
+)
+SELECT conf_bin, n_docs,
+       ((n_ok * 1000000) // n_docs)::BIGINT AS accuracy_ppm,
+       mean_conf_ppm,
+       (abs((n_ok * 1000000) // n_docs - mean_conf_ppm) * n_docs)
+           ::BIGINT AS ece_contrib_ppm_docs
+FROM binned
+""")
+def q_nb_calibration(spark, sf_dir):
+    """Reliability diagram of the in-engine NB language classifier:
+    per confidence-decile bin, predicted-class confidence vs actual
+    accuracy plus the bin's ECE contribution — the 'can I trust the
+    score as a probability' audit that decides whether a model's
+    confidence can gate downstream routing (q_naive_bayes_lang's
+    confusion matrix says HOW OFTEN it's wrong; this says whether it
+    KNOWS when it's wrong). Confidence is the LENGTH-NORMALIZED
+    softmax (per-token margins — raw doc-level NB log-odds saturate
+    to 1.0 and the diagram degenerates): w = exp((s - s_max)/len)
+    rounded 6dp, conf = 1/sum(w) since the argmax margin is exactly
+    0. Reuses the one shared NB CTE chain; everything after the
+    |docs| x |langs| score relation is doc-keyed aggregation; output
+    <= 10 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")),
+                                 F.lit(r"[a-z]+"), 0)).alias("tok"),
+    )
+    dt = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("long").alias("m"))
+    dlen = dt.groupBy("doc_id").agg(F.sum("m").cast("long").alias("len"))
+    model = toks.groupBy("lang", "tok").agg(
+        F.count("*").cast("long").alias("c"))
+    lt = model.groupBy("lang").agg(F.sum("c").cast("long").alias("t_l"))
+    vocab = toks.agg(F.countDistinct("tok").cast("long").alias("v"))
+    priors = docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("nd"))
+    nn = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    params = (
+        lt.join(priors, "lang")
+        .crossJoin(F.broadcast(nn)).crossJoin(F.broadcast(vocab))
+        .select(
+            "lang", "t_l", "v",
+            F.expr("round(ln(CAST(nd AS DOUBLE) / n_docs), 6)")
+            .alias("prior6"),
+            F.expr("round(ln(1.0 / (t_l + v)), 6)").alias("ll0"),
+        )
+    )
+    matched = (
+        dt.join(model, "tok")
+        .join(F.broadcast(params), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.expr("sum(m * CAST(round(ln((c + 1.0) / (t_l + v)), 6)"
+                   " AS DECIMAL(18,6)))").alias("s_match"),
+            F.sum("m").cast("long").alias("m_matched"),
+        )
+    )
+    scores = (
+        dlen.crossJoin(F.broadcast(params.select(
+            "lang", "prior6", "ll0")))
+        .join(matched, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id", "lang", "len",
+            F.expr(
+                "coalesce(s_match, CAST(0 AS DECIMAL(18,6)))"
+                " + (len - coalesce(m_matched, 0))"
+                " * CAST(ll0 AS DECIMAL(18,6))"
+                " + CAST(prior6 AS DECIMAL(18,6))"
+            ).alias("score"),
+        )
+    )
+    wdoc = Window.partitionBy("doc_id")
+    ws = scores.select(
+        "doc_id", "lang", "score", "len",
+        F.max("score").over(wdoc).alias("sm"),
+        F.row_number().over(
+            wdoc.orderBy(F.col("score").desc(), "lang")).alias("r"),
+    ).withColumn(
+        "w",
+        F.expr("CAST(round(exp((CAST(score AS DOUBLE)"
+               " - CAST(sm AS DOUBLE)) / greatest(len, 1)), 6)"
+               " AS DECIMAL(18,6))"),
+    )
+    perdoc = ws.groupBy("doc_id").agg(
+        F.sum("w").alias("sw"),
+        F.max(F.when(F.col("r") == 1, F.col("lang"))).alias("pred_lang"),
+    )
+    conf = (
+        perdoc.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            F.expr("1.0 / CAST(sw AS DOUBLE)").alias("c"),
+            (F.col("pred_lang") == F.col("lang")).alias("correct"),
+        )
+    )
+    binned = conf.groupBy(
+        F.expr("least(CAST(floor(c * 10) AS BIGINT), 9)")
+        .alias("conf_bin")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("correct"), 1).otherwise(0)).cast("long")
+        .alias("n_ok"),
+        F.expr("CAST(round(CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE)"
+               " / count(*) * 1000000, 0) AS BIGINT)")
+        .alias("mean_conf_ppm"),
+    )
+    return binned.select(
+        "conf_bin", "n_docs",
+        F.expr("CAST((n_ok * 1000000) div n_docs AS BIGINT)")
+        .alias("accuracy_ppm"),
+        "mean_conf_ppm",
+        F.expr("CAST(abs((n_ok * 1000000) div n_docs - mean_conf_ppm)"
+               " * n_docs AS BIGINT)").alias("ece_contrib_ppm_docs"),
+    )
+
+
+@register("q_dedup_recall_capture", f"""
+WITH {_mh_sig_sql()}, {_mh_buckets_sql()}, jac_a AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cand c
+    JOIN toks ta ON ta.doc_id = c.doc_a
+    JOIN toks tb ON tb.doc_id = c.doc_b
+    WHERE round({_JACCARD_EXPR}, 4) >= 0.5
+), {_simhash_sql(p="sh_")}, sh_bands AS (
+    SELECT doc_id, simhash, band,
+           (simhash >> (8 * band)) & 255 AS bv
+    FROM sh_sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) n
+), sh_sized AS (
+    SELECT band, bv, count(*) AS n FROM sh_bands GROUP BY band, bv
+), sh_capped AS (
+    SELECT s.doc_id, s.simhash, s.band, s.bv
+    FROM sh_bands s JOIN sh_sized z ON z.band = s.band AND z.bv = s.bv
+    WHERE z.n BETWEEN 2 AND {_SH_MAXB}
+), sh_cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sh_capped a JOIN sh_capped b
+      ON a.band = b.band AND a.bv = b.bv
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= 3
+), jac_b AS (
+    SELECT c.doc_a, c.doc_b
+    FROM sh_cand c
+    JOIN toks ta ON ta.doc_id = c.doc_a
+    JOIN toks tb ON tb.doc_id = c.doc_b
+    WHERE round({_JACCARD_EXPR}, 4) >= 0.5
+), s AS (
+    SELECT (SELECT count(*) FROM jac_a)::BIGINT AS n_a,
+           (SELECT count(*) FROM jac_b)::BIGINT AS n_b,
+           (SELECT count(*) FROM jac_a JOIN jac_b
+            USING (doc_a, doc_b))::BIGINT AS n_both
+), est AS (
+    SELECT n_a, n_b, n_both,
+           greatest(((n_a + 1) * (n_b + 1)) // (n_both + 1) - 1,
+                    n_a, n_b) AS n_est
+    FROM s
+)
+SELECT n_a AS n_minhash_verified, n_b AS n_simhash_verified, n_both,
+       n_est AS est_total_pairs,
+       ((n_a * 1000000) // greatest(n_est, 1))::BIGINT
+           AS recall_minhash_ppm,
+       ((n_b * 1000000) // greatest(n_est, 1))::BIGINT
+           AS recall_simhash_ppm
+FROM est
+""")
+def q_dedup_recall_capture(spark, sf_dir):
+    """Capture-recapture estimate of near-dup RECALL without ground
+    truth: MinHash-LSH and SimHash are two independent-ish 'capture
+    occasions' over the same population (true Jaccard>=0.5 pairs), so
+    Chapman's estimator on their VERIFIED pair sets sizes the pairs
+    BOTH detectors missed — the number q_dedup_method_agreement's raw
+    overlap can't give (agreement says how much the sketches
+    disagree; this says how much truth is left on the table, the
+    recall leg of the audit triangle whose precision leg is
+    q_minhash_accuracy). Standard caveat applies and is the point:
+    correlated detectors bias the estimate UP (optimistic), so a LOW
+    estimated recall is a hard alarm. Both candidate sets are the
+    production capped-bucket paths; verification is the same exact
+    token-set Jaccard; counts are exact integers through Chapman's
+    closed form (clamped >= max(n_a, n_b))."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sh = dedup.simhash_pairs(
+        docs, max_hamming=3, max_bucket=_SH_MAXB
+    ).select("doc_a", "doc_b")
+    toks = docs.select(
+        "doc_id", dedup._norm_tokens(F.col("text")).alias("tokens"))
+    b = (
+        sh.join(toks.withColumnsRenamed(
+            {"doc_id": "doc_a", "tokens": "ta"}), "doc_a")
+        .join(toks.withColumnsRenamed(
+            {"doc_id": "doc_b", "tokens": "tb"}), "doc_b")
+        .where(
+            F.round(
+                F.size(F.array_intersect("ta", "tb"))
+                / F.size(F.array_union("ta", "tb")), 4) >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    na = a.agg(F.count("*").cast("long").alias("n_a"))
+    nb = b.agg(F.count("*").cast("long").alias("n_b"))
+    nboth = a.join(b, ["doc_a", "doc_b"], "semi").agg(
+        F.count("*").cast("long").alias("n_both"))
+    return (
+        na.crossJoin(F.broadcast(nb)).crossJoin(F.broadcast(nboth))
+        .withColumn(
+            "n_est",
+            F.expr("greatest(((n_a + 1) * (n_b + 1)) div (n_both + 1)"
+                   " - 1, n_a, n_b)"))
+        .select(
+            F.col("n_a").alias("n_minhash_verified"),
+            F.col("n_b").alias("n_simhash_verified"),
+            "n_both",
+            F.col("n_est").alias("est_total_pairs"),
+            F.expr("CAST((n_a * 1000000) div greatest(n_est, 1)"
+                   " AS BIGINT)").alias("recall_minhash_ppm"),
+            F.expr("CAST((n_b * 1000000) div greatest(n_est, 1)"
+                   " AS BIGINT)").alias("recall_simhash_ppm"),
+        )
     )

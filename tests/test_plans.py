@@ -393,3 +393,14 @@ def test_session7e_new_query_plan_shapes(spark):
     plan = _executed(QUERIES["q_ivf_nprobe_curve"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_session7f_new_query_plan_shapes(spark):
+    """Round-7 session-6 batch: calibration keeps the NB model
+    broadcast and its windows doc-partitioned; the capture-recapture
+    pair sets join without a cartesian product."""
+    plan = _executed(QUERIES["q_nb_calibration"](spark, SF_DIR))
+    assert "windowspecdefinition(doc_id" in plan
+    assert "CartesianProduct" not in plan
+    plan = _executed(QUERIES["q_dedup_recall_capture"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
