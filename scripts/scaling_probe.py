@@ -50,6 +50,12 @@ DOC_QUERIES = [
     "q_unseen_mass_estimate", # frequency-of-frequencies pass
     "q_rank_overlap_rbo",     # per-fold vocab + K x K depth join
     "q_ttr_by_length",        # tokenize + distinct per doc
+    # round-7 sessions 4-6 additions
+    "q_vocab_gini",           # freq-of-freq rank identity
+    "q_nb_calibration",       # NB scores + softmax bins
+    "q_dedup_recall_capture", # two detector pair sets + verify joins
+    "q_cluster_purity",       # component map x source rollup
+    "q_source_surprisal_drift",  # doc surprisal + source moments
 ]
 EVENT_QUERIES = [
     "q_events_sessionize",
@@ -68,6 +74,11 @@ EVENT_QUERIES = [
     "q_crosscorr_daily",      # type-pair x lag join on daily frame
     "q_tier_migration",       # per-user-half counts + full outer
     "q_gains_curve",          # band histogram + desc cumulative
+    # round-7 sessions 4-6 additions
+    "q_markov_order_test",    # user-keyed lag-2 window + types^3 grid
+    "q_linear_attribution",   # user-keyed touch join, 7d horizon
+    "q_cuped_adjustment",     # per-user conditional agg + moment sums
+    "q_bh_fdr",               # distinct (user,type) + arm join
 ]
 
 
@@ -217,6 +228,18 @@ def main():
     # it is a different, pathological one).
     decade2: dict[str, dict] = {}
     if os.environ.get("SPARK_GRAFT_SCALING_DECADE2", "1") != "0":
+        # recycle the session before the 100x leg: the 1eq phase's
+        # memoized localCheckpoint pair relations (q_cluster_purity /
+        # q_dedup_recall_capture consumers) pin block-manager heap the
+        # sf10eq setsim pass needs — observed as a Java-heap OOM when
+        # both phases share one context
+        from document_parsing_etl_pipeline_spark.plans import (
+            queries as _qmod,
+        )
+
+        _qmod._NEARDUP_MEMO.clear()
+        spark.stop()
+        spark = get_spark("scaling-decade2")
         sf10eq = "/tmp/sf10eq"
         t0 = time.time()
         build_sf10eq(spark, "/root/testdata/sf0.1", sf10eq)
