@@ -439,6 +439,71 @@ def delete_where(
     })
 
 
+def merge_into_dv(
+    spark: SparkSession, updates: DataFrame, root: str, key: str,
+    extra_meta: dict | None = None,
+) -> int:
+    """Merge-on-read MERGE (Iceberg merge-on-read write mode / Delta
+    DV-backed update): matched rows are TOMBSTONED via a deletion
+    vector and the update rows append as new files — no data file is
+    rewritten, so write cost is O(tombstones + update rows) instead
+    of copy-on-write's O(resident rows of every hit file). The read
+    path pays the one DV anti-join until OPTIMIZE materializes; the
+    result relation is identical to merge_into's (tested)."""
+    head = _load_manifest(root, _versions(root)[-1])
+    stats_cols = head["stats_cols"]
+    keys_df = updates.select(key).distinct()
+    k_lo, k_hi = keys_df.agg(F.min(key), F.max(key)).first()
+    tag = f"v{head['version'] + 1}"
+    dvs = list(_dv_entries(head))
+    candidates = [
+        e for e in head["files"]
+        if k_lo is not None
+        and e["stats"].get(key, [None, None])[0] is not None
+        and not (e["stats"][key][0] > k_hi or e["stats"][key][1] < k_lo)
+    ]
+    if candidates:
+        dv = _dv_df(spark, root, head)
+        cand = _apply_dv(
+            _with_pos(spark.read.parquet(
+                *[os.path.join(root, e["path"]) for e in candidates]
+            )),
+            dv,
+        )
+        hits = (
+            cand.join(F.broadcast(keys_df), key, "semi")
+            .select(
+                F.col("_dv_fname").alias("_dv_file"),
+                F.col("_dv_rowpos").alias("_dv_pos"),
+            )
+        )
+        out_dir = os.path.join(root, "data", f"{tag}-mdv")
+        hits.write.mode("error").parquet(out_dir)
+        back = spark.read.parquet(out_dir)
+        rows = (
+            back.withColumn("_f", F.input_file_name())
+            .groupBy("_f").agg(F.count("*").alias("_rows")).collect()
+        )
+        dvs += [
+            {
+                "path": os.path.relpath(_localpath(r["_f"]), root),
+                "rows": r["_rows"],
+                "stats": {},
+            }
+            for r in rows
+        ]
+    new_entries = _write_files(
+        spark, updates.select(*read(spark, root).columns), root,
+        f"{tag}-new", stats_cols,
+    )
+    return _commit(root, {
+        "operation": "merge_dv", "stats_cols": stats_cols,
+        "files": head["files"] + new_entries,
+        **{**_carry_meta(head), "delete_vectors": dvs},
+        **(extra_meta or {}),
+    })
+
+
 def delete_where_dv(
     spark: SparkSession, root: str, col: str, lo, hi,
 ) -> int:

@@ -690,3 +690,42 @@ def test_table_changes_reports_dv_deletes(spark, dv_table):
     assert sorted(r.doc_id for r in rows) == list(range(95, 100))
     v3 = tf.optimize_table(spark, dv_table, target_file_rows=100)
     assert tf.table_changes(spark, dv_table, v2, v3).count() == 0
+
+
+def test_merge_dv_matches_cow_merge_without_rewrites(spark, tmp_path):
+    """merge_into_dv produces the SAME live relation as copy-on-write
+    merge_into, while carrying every pre-existing data file by
+    reference (tombstones + appended update files only)."""
+    df = spark.range(0, 100).selectExpr(
+        "id AS doc_id", "concat('t', id) AS text"
+    ).repartitionByRange(4, "doc_id")
+    cow, mor = str(tmp_path / "cow"), str(tmp_path / "mor")
+    tf.create_table(spark, df, cow, stats_cols=["doc_id"])
+    tf.create_table(spark, df, mor, stats_cols=["doc_id"])
+    upd = spark.createDataFrame(
+        [(3, "updated"), (55, "also"), (999, "new")],
+        "doc_id long, text string",
+    )
+    tf.merge_into(spark, upd, cow, key="doc_id")
+    v2 = tf.merge_into_dv(spark, upd, mor, key="doc_id")
+    a = sorted(map(tuple, tf.read(spark, cow).collect()))
+    b = sorted(map(tuple, tf.read(spark, mor).collect()))
+    assert a == b and len(b) == 101
+    head = tf._load_manifest(mor, v2)
+    v1_paths = {e["path"] for e in tf._load_manifest(mor, 1)["files"]}
+    # every original file carried by reference; only new files added
+    assert v1_paths <= {e["path"] for e in head["files"]}
+    assert sum(e["rows"] for e in tf._dv_entries(head)) == 2  # 3, 55
+    # repeated MoR merge on the same key: no double-tombstoning, the
+    # previously-appended update row is tombstoned instead
+    upd2 = spark.createDataFrame(
+        [(3, "updated-again")], "doc_id long, text string")
+    v3 = tf.merge_into_dv(spark, upd2, mor, key="doc_id")
+    cur = tf.read(spark, mor)
+    assert cur.count() == 101
+    assert cur.where("doc_id = 3").first().text == "updated-again"
+    # OPTIMIZE materializes; relation unchanged
+    tf.optimize_table(spark, mor, target_file_rows=64)
+    assert sorted(map(tuple, tf.read(spark, mor).collect()))[0:0] == []
+    assert tf.read(spark, mor).count() == 101
+    assert tf._dv_entries(tf._load_manifest(mor, v3 + 1)) == []
