@@ -396,6 +396,19 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
             checkpoint_dir=os.path.join(tmp, "cp_merge"),
         ))
 
+        # the same CDC upsert through the MERGE-ON-READ sink
+        # (deletion vectors instead of file rewrites) — the
+        # write-amplification comparison point for stream_table_merge
+        tbl_root_m = os.path.join(tmp, "merge_tbl_mor")
+        tf.create_table(spark, seed, tbl_root_m, stats_cols=["user_id"])
+        run("stream_table_merge_mor",
+            table_sink.stream_merge_into_table(
+                spark, cdc_stream, tbl_root_m, key="user_id",
+                seq_col="seq",
+                checkpoint_dir=os.path.join(tmp, "cp_merge_mor"),
+                mode="mor",
+            ))
+
         # token-bucket admission control (stream_rate_limit): one
         # fixed-size state pair per user across the whole event drop
         rl_in = sev.read_event_stream(spark, ev_dir).select(

@@ -38,12 +38,18 @@ def last_committed_batch(root: str) -> int:
 
 def merge_batch(
     spark: SparkSession, batch_df: DataFrame, root: str,
-    key: str, seq_col: str, batch_id: int,
+    key: str, seq_col: str, batch_id: int, mode: str = "cow",
 ) -> bool:
     """MERGE one micro-batch into the table, exactly once: a batch
     whose id is <= the last committed stream_batch_id is a checkpoint
     replay and is skipped (returns False). Rows are first reduced to
-    the latest state per key (max_by over ``seq_col``)."""
+    the latest state per key (max_by over ``seq_col``).
+
+    ``mode="cow"`` rewrites hit files (merge_into); ``mode="mor"``
+    tombstones matched rows via deletion vectors and only appends
+    (merge_into_dv) — the low write-amplification choice for
+    high-frequency CDC streams, at the cost of the read-side DV
+    anti-join until the next OPTIMIZE."""
     if batch_id <= last_committed_batch(root):
         return False
     # Structured Streaming delivers zero-row batches (no-data batches
@@ -64,7 +70,8 @@ def merge_batch(
         )
         .select(*batch_df.columns)
     )
-    tf.merge_into(
+    merge = tf.merge_into_dv if mode == "mor" else tf.merge_into
+    merge(
         spark, latest, root, key=key,
         extra_meta={"stream_batch_id": batch_id},
     )
@@ -79,6 +86,7 @@ def stream_merge_into_table(
     seq_col: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    mode: str = "cow",
 ):
     """Start a foreachBatch writer that MERGEs each micro-batch into
     the table at ``root`` exactly once (idempotent under checkpoint
@@ -86,7 +94,8 @@ def stream_merge_into_table(
     ``key``. Returns the StreamingQuery."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        merge_batch(spark, batch_df, root, key, seq_col, batch_id)
+        merge_batch(spark, batch_df, root, key, seq_col, batch_id,
+                    mode=mode)
 
     writer = (
         stream.writeStream.foreachBatch(_sink)

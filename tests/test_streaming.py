@@ -1178,3 +1178,62 @@ def test_funnel_stream_dormant_timeout(tmp_path, spark):
         q.stop()
     rows = spark.sql("SELECT * FROM funnel_d").collect()
     assert [r.user_id for r in rows] == [9]
+
+
+def test_stream_merge_mor_exactly_once_no_rewrites(tmp_path, spark):
+    """The merge-on-read sink mode: same exactly-once + latest-state
+    semantics as the CoW sink, but every pre-existing data file is
+    carried by reference (matched rows tombstoned via deletion
+    vectors, update rows appended)."""
+    from document_parsing_etl_pipeline_spark.sources import (
+        tableformat as tf,
+    )
+    from document_parsing_etl_pipeline_spark.streaming import table_sink
+
+    root = str(tmp_path / "tblmor")
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 0)],
+        "user_id long, state string, seq long",
+    )
+    tf.create_table(spark, base, root, stats_cols=["user_id"])
+    v1_paths = {e["path"] for e in tf._load_manifest(root, 1)["files"]}
+
+    drop = tmp_path / "cdcm"
+    drop.mkdir()
+    rows = [
+        {"user_id": 1, "state": "a1", "seq": 11},
+        {"user_id": 1, "state": "a2", "seq": 12},
+        {"user_id": 4, "state": "d", "seq": 10},
+    ]
+    (drop / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.format("json")
+        .schema("user_id long, state string, seq long")
+        .load(str(drop))
+    )
+    q = table_sink.stream_merge_into_table(
+        spark, stream, root, key="user_id", seq_col="seq",
+        checkpoint_dir=str(tmp_path / "ckptm"), mode="mor",
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.state, r.seq)
+        for r in tf.read(spark, root).collect()
+    }
+    assert got == {
+        1: ("a2", 12), 2: ("b", 0), 3: ("c", 0), 4: ("d", 10),
+    }
+    head = tf._load_manifest(root, tf._versions(root)[-1])
+    assert v1_paths <= {e["path"] for e in head["files"]}  # no rewrite
+    assert sum(e["rows"] for e in tf._dv_entries(head)) == 1  # user 1
+    # replay is a no-op in MoR mode too
+    batch = spark.createDataFrame(
+        rows, "user_id long, state string, seq long")
+    assert table_sink.merge_batch(
+        spark, batch, root, key="user_id", seq_col="seq",
+        batch_id=0, mode="mor",
+    ) is False
+    assert {
+        r.user_id: (r.state, r.seq)
+        for r in tf.read(spark, root).collect()
+    } == got
