@@ -11759,19 +11759,20 @@ WITH daily AS (
            sum(v_cents * v_cents) OVER w AS ssq
     FROM daily
     WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-), scored AS (
-    SELECT day, v_cents, n::BIGINT AS n_window,
-           (s * 1000) // n AS mean_milli_cents,
-           round(sqrt((n * ssq - s * s)::DOUBLE / (n::DOUBLE * n)), 3)
-               AS sigma_cents
-    FROM win
 )
-SELECT day, v_cents, n_window, mean_milli_cents, sigma_cents,
-       (v_cents * 1000 > mean_milli_cents
-            + CAST(round(2000.0 * sigma_cents) AS BIGINT)) AS above_band,
-       (v_cents * 1000 < mean_milli_cents
-            - CAST(round(2000.0 * sigma_cents) AS BIGINT)) AS below_band
-FROM scored
+SELECT day, v_cents, n::BIGINT AS n_window,
+       (s * 1000) // n AS mean_milli_cents,
+       (1000000 * CAST(round(sqrt((n * ssq - s * s)::DOUBLE)) AS BIGINT))
+           // n AS sigma_micro_cents,
+       (n * v_cents - s > 0 AND
+        CAST(n * v_cents - s AS DECIMAL(19,0))
+            * CAST(n * v_cents - s AS DECIMAL(19,0))
+            > 4 * CAST(n * ssq - s * s AS DECIMAL(19,0))) AS above_band,
+       (n * v_cents - s < 0 AND
+        CAST(n * v_cents - s AS DECIMAL(19,0))
+            * CAST(n * v_cents - s AS DECIMAL(19,0))
+            > 4 * CAST(n * ssq - s * s AS DECIMAL(19,0))) AS below_band
+FROM win
 """)
 def q_bollinger_bands(spark, sf_dir):
     """Bollinger control chart on daily transacted value: trailing
@@ -11780,13 +11781,20 @@ def q_bollinger_bands(spark, sf_dir):
     (q_events_anomaly, global baseline) and dow-profiles
     (q_seasonal_anomaly): the trailing window adapts to level
     shifts, so a metric that steps up permanently stops alerting
-    after a week. Parity: daily values are exact integer cents
-    (decimal sum), window sums/sum-of-squares are integer, sigma =
-    sqrt of an exact integer ratio (IEEE sqrt is correctly rounded —
-    same double both engines) rounded 3dp, and the band comparisons
-    are integer milli-cents with the sigma term rounded to an
-    integer once on both sides. Scale shape: one fact pass to the
-    calendar-sized daily relation; the trailing window runs there."""
+    after a week. Parity (round-8 rewrite after the r07 driver hash
+    FAIL): the band flags are EXACT integer predicates — v > mean+2s
+    with mean = s/n and s^2 = (n*ssq - s^2)/n^2 is algebraically
+    (n*v - s) > 0 AND (n*v - s)^2 > 4*(n*ssq - s^2), all integer
+    (squared terms in DECIMAL(19,0)*DECIMAL(19,0) for headroom to
+    ~1e9-cent days, i.e. past sf10) — no rounded double ever feeds a
+    comparison. The reported sigma goes through the repo's
+    round(sqrt(BIGINT))->BIGINT protocol (one correctly-rounded IEEE
+    sqrt of an exact integer, integer-rounded once — identical both
+    engines, as q_kendall_tau) then exact integer scaling to
+    micro-cents. The previous round(sqrt(double), 3) sigma violated
+    the round-2 boundary rule and flipped at a .0005 boundary row.
+    Scale shape: one fact pass to the calendar-sized daily relation;
+    the trailing window runs there."""
     ev = load_table(spark, sf_dir, "events")
     daily = (
         ev.select(
@@ -11803,30 +11811,25 @@ def q_bollinger_bands(spark, sf_dir):
         F.sum("v_cents").over(w).alias("s"),
         F.sum(F.col("v_cents") * F.col("v_cents")).over(w).alias("ssq"),
     )
-    scored = win.select(
+    return win.select(
         "day", "v_cents",
         F.col("n").cast("long").alias("n_window"),
         F.expr("(s * 1000) div n").alias("mean_milli_cents"),
-        F.round(
-            F.sqrt(
-                (F.col("n") * F.col("ssq") - F.col("s") * F.col("s"))
-                .cast("double")
-                / (F.col("n").cast("double") * F.col("n"))
-            ),
-            3,
-        ).alias("sigma_cents"),
-    )
-    return scored.select(
-        "day", "v_cents", "n_window", "mean_milli_cents", "sigma_cents",
-        (
-            F.col("v_cents") * 1000
-            > F.col("mean_milli_cents")
-            + F.expr("CAST(round(2000.0 * sigma_cents) AS BIGINT)")
+        F.expr(
+            "(1000000 * CAST(round(sqrt(CAST(n * ssq - s * s AS DOUBLE)))"
+            " AS BIGINT)) div n"
+        ).alias("sigma_micro_cents"),
+        F.expr(
+            "n * v_cents - s > 0 AND"
+            " CAST(n * v_cents - s AS DECIMAL(19,0))"
+            " * CAST(n * v_cents - s AS DECIMAL(19,0))"
+            " > 4 * CAST(n * ssq - s * s AS DECIMAL(19,0))"
         ).alias("above_band"),
-        (
-            F.col("v_cents") * 1000
-            < F.col("mean_milli_cents")
-            - F.expr("CAST(round(2000.0 * sigma_cents) AS BIGINT)")
+        F.expr(
+            "n * v_cents - s < 0 AND"
+            " CAST(n * v_cents - s AS DECIMAL(19,0))"
+            " * CAST(n * v_cents - s AS DECIMAL(19,0))"
+            " > 4 * CAST(n * ssq - s * s AS DECIMAL(19,0))"
         ).alias("below_band"),
     )
 

@@ -317,3 +317,87 @@ def test_edge_money_rounding_parity(spark, edge_ord_dir, name):
     want_n = _normalize(res.fetchall(), ocols)
     assert sorted(cols) == sorted(ocols)
     assert got_n == want_n
+
+
+# --- q_bollinger_bands boundary fixture (round-8 regression) -------
+#
+# The r07 driver hash FAIL: sigma = round(sqrt(double), 3) flipped at
+# a .0005 boundary between Spark (BigDecimal HALF_UP on the binary
+# double) and DuckDB (x1000-then-round). The round-8 rewrite makes
+# the band flags EXACT integer predicates: (n*v - s)^2 vs
+# 4*(n*ssq - s^2). This fixture pins the worst case — a day sitting
+# EXACTLY ON the band: four days at a=1000 cents then b=1300 cents
+# gives, for the 5-day window, D = n*ssq - s^2 = 4*(a-b)^2 and
+# dev = n*b - s = 4*(b-a), so dev^2 == 4*D exactly. Strict > must
+# call it NOT a breakout on both engines; one extra cent must flip it.
+
+BOLLINGER_DAYS = [
+    ("2024-01-01", 10.00),   # n=1: D=0, dev=0 -> inside
+    ("2024-01-02", 10.00),
+    ("2024-01-03", 10.00),
+    ("2024-01-04", 10.00),
+    ("2024-01-05", 13.00),   # dev^2 == 4D exactly: ON the band
+    ("2024-01-06", 50.00),   # spike: dev^2 = 388.09M > 4D = 312.2M
+    ("2024-01-07", -100.00), # crash: dev^2 = 4.94G > 4D = 3.66G
+]
+
+
+@pytest.fixture(scope="module")
+def edge_boll_dir(tmp_path_factory, spark):
+    import shutil
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("edge_boll")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        shutil.copyfile(f"/root/testdata/sf0.001/{t}.parquet",
+                        str(d / f"{t}.parquet"))
+    tbl = pa.table({
+        "event_id": pa.array(range(len(BOLLINGER_DAYS)), pa.int64()),
+        "ts": pa.array(
+            [datetime.fromisoformat(f"{day} 12:00:00")
+             for day, _ in BOLLINGER_DAYS],
+            pa.timestamp("us"),
+        ),
+        "user_id": pa.array([1] * len(BOLLINGER_DAYS), pa.int64()),
+        "event_type": pa.array(["m"] * len(BOLLINGER_DAYS), pa.string()),
+        "value": pa.array([v for _, v in BOLLINGER_DAYS], pa.float64()),
+        "props": pa.array([None] * len(BOLLINGER_DAYS), pa.string()),
+    })
+    pq.write_table(tbl, f"{d}/events.parquet")
+    return str(d)
+
+
+def test_bollinger_on_band_boundary_parity(spark, edge_boll_dir):
+    got = QUERIES["q_bollinger_bands"](spark, edge_boll_dir)
+    cols = got.columns
+    rows = {r["day"]: r.asDict() for r in got.collect()}
+    got_n = _normalize(
+        [tuple(r) for r in QUERIES["q_bollinger_bands"](
+            spark, edge_boll_dir).collect()], cols)
+
+    # the exactly-on-band day must NOT flag (strict >) ...
+    on_band = rows[min(rows) + 4]
+    assert on_band["v_cents"] == 1300
+    assert on_band["above_band"] is False and on_band["below_band"] is False
+    # ... its sigma is the exact integer path: D = 4*300^2,
+    # sqrt = 600, (1e6*600)//5 = 120_000_000 micro-cents
+    assert on_band["sigma_micro_cents"] == 120_000_000
+    # genuine breakouts on both sides still flag (strict > satisfied
+    # with integer slack, no boundary involved)
+    assert rows[min(rows) + 5]["above_band"] is True
+    assert rows[min(rows) + 6]["below_band"] is True
+
+    con = duckdb.connect()
+    con.execute(
+        "create view events as select * from "
+        f"read_parquet('{edge_boll_dir}/events.parquet')"
+    )
+    res = con.execute(ORACLES["q_bollinger_bands"])
+    ocols = [d[0] for d in res.description]
+    want_n = _normalize(res.fetchall(), ocols)
+    assert sorted(cols) == sorted(ocols)
+    assert got_n == want_n
