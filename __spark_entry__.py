@@ -46,6 +46,12 @@ _RECHECK: dict[str, int] = {
     "q_kmeans_clusters": 6,
     # round 7: rows-only -> full closed-form value oracle
     "q_pca_projection": 7,
+    # round 8: rounded-double-comparison protocol sweep — medians of
+    # grid-valued columns re-rounded at the same grid sat exactly on
+    # the HALF_UP boundary where the engines diverge; both queries
+    # now use the integer micro/nano protocol (schema changed)
+    "q_embedding_norms": 8,
+    "q_dim_variance_prune": 8,
 }
 
 

@@ -13174,19 +13174,22 @@ def q_kneser_ney_bigram(spark, sf_dir):
 @register("q_embedding_norms", """
 WITH norms AS (
     SELECT vec_id, label,
-           round(sqrt(list_inner_product(embedding::DOUBLE[],
-                                         embedding::DOUBLE[])), 4)
-               AS l2_norm
+           CAST(round(sqrt(list_inner_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))
+                      * 1000000.0) AS BIGINT) AS l2_norm_micro
     FROM embeddings
 ), med AS (
-    SELECT round(quantile_cont(l2_norm, 0.5), 4) AS m FROM norms
+    SELECT CAST(round(2 * quantile_cont(l2_norm_micro, 0.5)) AS BIGINT)
+               AS m2 FROM norms
 ), mad AS (
-    SELECT round(quantile_cont(abs(n.l2_norm - med.m), 0.5), 4) AS d
+    SELECT CAST(round(2 * quantile_cont(
+               abs(2 * n.l2_norm_micro - med.m2), 0.5)) AS BIGINT) AS d4
     FROM norms n, med
 )
-SELECT n.vec_id, n.label, n.l2_norm,
-       round(n.l2_norm - med.m, 4) AS dev,
-       (abs(n.l2_norm - med.m) > 3 * 1.4826 * mad.d) AS is_outlier
+SELECT n.vec_id, n.label, n.l2_norm_micro,
+       2 * n.l2_norm_micro - med.m2 AS dev_micro_x2,
+       (20000 * abs(2 * n.l2_norm_micro - med.m2)
+            > 44478 * mad.d4) AS is_outlier
 FROM norms n, med, mad
 """)
 def q_embedding_norms(spark, sf_dir):
@@ -13195,50 +13198,51 @@ def q_embedding_norms(spark, sf_dir):
     norm means a dead/failed embedding (its cosine is noise), a
     huge norm distorts every un-normalized dot product, and the
     MAD (not sigma) criterion survives the very outliers it hunts.
-    Parity: the norm is one ordered fold over the array (the repo's
-    list_inner_product ≡ F.aggregate convention, proven by the knn
-    family) + IEEE sqrt, rounded 4dp BEFORE the median/MAD passes so
-    both engines see identical inputs; median and MAD follow the
-    exact interpolated-percentile protocol and are rounded before
-    the flag comparison. Scale: two aggregation passes over the
-    per-vector relation, 1-row stats broadcast back — at 100 TB the
-    medians swap to the t-digest sketch like every percentile here."""
+    Parity (round-8 rewrite, rounded-comparison protocol sweep): the
+    old 4dp-rounded norms made the median a midpoint of two 1e-4
+    grid points — an odd multiple of 5e-5 about half the time, i.e.
+    EXACTLY on the re-round's HALF_UP boundary, where Spark
+    (BigDecimal on the shortest decimal repr) and DuckDB (scale by
+    1e4 then round) measurably diverge. Now the norm is integer
+    micro-units via the blessed round-to-INTEGER step (no
+    pre-scaling asymmetry: both engines round the same double), the
+    median is doubled-then-rounded (a+b exact in double for ints
+    < 2^52), deviations are exact integers in 2x units, the MAD in
+    4x units, and the flag |dev| > 3*1.4826*MAD becomes the exact
+    integer predicate 20000*|dev2| > 44478*mad4. Scale: two
+    aggregation passes over the per-vector relation, 1-row stats
+    broadcast back — at 100 TB the medians swap to t-digest."""
     emb = load_table(spark, sf_dir, "embeddings")
     norms = emb.select(
         "vec_id", "label",
-        F.round(
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("embedding").cast("array<double>"),
-                        F.col("embedding").cast("array<double>"),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            ),
-            4,
-        ).alias("l2_norm"),
+        F.expr(
+            "CAST(round(sqrt(aggregate(zip_with(CAST(embedding AS"
+            " ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>),"
+            " (a, b) -> a * b), 0.0D, (acc, x) -> acc + x))"
+            " * 1000000.0) AS BIGINT)"
+        ).alias("l2_norm_micro"),
     )
     med = norms.agg(
-        F.round(F.percentile("l2_norm", F.lit(0.5)), 4).alias("m"))
+        F.expr(
+            "CAST(round(2 * percentile(l2_norm_micro, 0.5)) AS BIGINT)"
+        ).alias("m2"))
     mad = (
         norms.crossJoin(F.broadcast(med))
         .agg(
-            F.round(
-                F.percentile(F.abs(F.col("l2_norm") - F.col("m")),
-                             F.lit(0.5)), 4
-            ).alias("d")
+            F.expr(
+                "CAST(round(2 * percentile(abs(2 * l2_norm_micro - m2),"
+                " 0.5)) AS BIGINT)"
+            ).alias("d4")
         )
     )
     return (
         norms.crossJoin(F.broadcast(med)).crossJoin(F.broadcast(mad))
         .select(
-            "vec_id", "label", "l2_norm",
-            F.round(F.col("l2_norm") - F.col("m"), 4).alias("dev"),
-            (F.abs(F.col("l2_norm") - F.col("m"))
-             > 3 * 1.4826 * F.col("d")).alias("is_outlier"),
+            "vec_id", "label", "l2_norm_micro",
+            (2 * F.col("l2_norm_micro") - F.col("m2"))
+            .alias("dev_micro_x2"),
+            (20000 * F.abs(2 * F.col("l2_norm_micro") - F.col("m2"))
+             > 44478 * F.col("d4")).alias("is_outlier"),
         )
     )
 
@@ -13915,14 +13919,15 @@ WITH e AS (
     FROM e GROUP BY 1
 ), scored AS (
     SELECT dim, n,
-           round((n * ssq - s * s)::DOUBLE / (n::DOUBLE * n), 9)
-               AS variance
+           CAST(round((n * ssq - s * s)::DOUBLE / (n::DOUBLE * n)
+                      * 1000000000.0) AS BIGINT) AS variance_nano
     FROM stats
 ), med AS (
-    SELECT round(quantile_cont(variance, 0.5), 9) AS m FROM scored
+    SELECT CAST(round(2 * quantile_cont(variance_nano, 0.5)) AS BIGINT)
+               AS m2 FROM scored
 )
-SELECT s.dim, s.n, s.variance,
-       (s.variance * 100 < m.m) AS prune_candidate
+SELECT s.dim, s.n, s.variance_nano,
+       (200 * s.variance_nano < m.m2) AS prune_candidate
 FROM scored s, med m
 """)
 def q_dim_variance_prune(spark, sf_dir):
@@ -13933,10 +13938,15 @@ def q_dim_variance_prune(spark, sf_dir):
     (q_embedding_dim_stats reports ranges; variance is what actually
     decides pruning). EXACT variance: per-element decimal(18,9)
     sums and sum-of-squares (the centroid recipe), the n*ssq - s^2
-    identity evaluated in decimal then one double division rounded
-    9dp; the prune flag is the integer-factor comparison
-    variance*100 < median. One explode pass; dim-sized relation
-    after."""
+    identity in decimal, then ONE double division scaled to integer
+    nano-units via the blessed round-to-INTEGER step (round-8
+    protocol sweep: the old round(..., 9) put the median — a
+    midpoint of two 1e-9 grid points, i.e. a 5e-10 half-grid value
+    about half the time — exactly on the HALF_UP boundary where the
+    engines' round(double, k) implementations diverge). The median
+    is doubled-then-rounded (exact for ints < 2^52) and the prune
+    flag is the exact integer predicate 200*v_nano < med_x2. One
+    explode pass; dim-sized relation after."""
     emb = load_table(spark, sf_dir, "embeddings")
     dims = emb.select(
         F.posexplode(F.col("embedding").cast("array<double>"))
@@ -13950,15 +13960,18 @@ def q_dim_variance_prune(spark, sf_dir):
     scored = stats.select(
         F.col("dim").cast("long"), "n",
         F.expr(
-            "round(CAST(n * ssq - s * s AS DOUBLE)"
-            " / (CAST(n AS DOUBLE) * n), 9)"
-        ).alias("variance"),
+            "CAST(round(CAST(n * ssq - s * s AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * n) * 1000000000.0) AS BIGINT)"
+        ).alias("variance_nano"),
     )
     med = scored.agg(
-        F.round(F.percentile("variance", F.lit(0.5)), 9).alias("m"))
+        F.expr(
+            "CAST(round(2 * percentile(variance_nano, 0.5)) AS BIGINT)"
+        ).alias("m2"))
     return scored.crossJoin(F.broadcast(med)).select(
-        "dim", "n", "variance",
-        (F.col("variance") * 100 < F.col("m")).alias("prune_candidate"),
+        "dim", "n", "variance_nano",
+        (200 * F.col("variance_nano") < F.col("m2"))
+        .alias("prune_candidate"),
     )
 
 
