@@ -590,7 +590,11 @@ def table_changes(
       not a logical change. With ``key``, rows whose key survives on
       both sides but whose content changed surface as
       ``update_preimage`` / ``update_postimage`` (the Delta CDF
-      convention).
+      convention). Change types are WRITE-MODE INDEPENDENT: a
+      merge-on-read MERGE (DV tombstone + re-appended key) yields the
+      same feed as the equivalent copy-on-write MERGE — tombstone +
+      re-insert pairs of one key classify as updates, and identical
+      content cancels as a pure rewrite.
 
     Only the DELTA files are scanned — the cost scales with the
     changed data, not the table size (manifest set-difference is
@@ -677,26 +681,32 @@ def table_changes(
                 .withColumn("_change_type", F.lit("delete"))
             )
     if key is None:
-        # full-row identity: rewritten-but-identical rows cancel out
-        ins = new.exceptAll(old).withColumn(
-            "_change_type", F.lit("insert")
-        )
-        dels = old.exceptAll(new).withColumn(
-            "_change_type", F.lit("delete")
-        )
-        out = ins.unionByName(dels)
-        return (
-            out.unionByName(dv_deleted) if dv_deleted is not None
-            else out
-        )
+        # full-row identity: rewritten-but-identical rows cancel out.
+        # DV tombstones participate in the cancellation too, so a
+        # merge-on-read pure rewrite (tombstone + identical re-append)
+        # nets to zero changes exactly like a copy-on-write rewrite.
+        if dv_deleted is not None:
+            dv_plain = dv_deleted.drop("_change_type")
+            ins = new.exceptAll(old).exceptAll(dv_plain).withColumn(
+                "_change_type", F.lit("insert")
+            )
+            dels = (
+                old.unionByName(dv_plain).exceptAll(new)
+                .withColumn("_change_type", F.lit("delete"))
+            )
+        else:
+            ins = new.exceptAll(old).withColumn(
+                "_change_type", F.lit("insert")
+            )
+            dels = old.exceptAll(new).withColumn(
+                "_change_type", F.lit("delete")
+            )
+        return ins.unionByName(dels)
     ko = old.select(F.col(key).alias("_k")).distinct()
     kn = new.select(F.col(key).alias("_k")).distinct()
-    ins = new.join(ko, new[key] == ko["_k"], "anti").withColumn(
-        "_change_type", F.lit("insert")
-    )
-    dels = old.join(kn, old[key] == kn["_k"], "anti").withColumn(
-        "_change_type", F.lit("delete")
-    )
+    ins = new.join(ko, new[key] == ko["_k"], "anti").drop("_k")
+    dels = old.join(kn, old[key] == kn["_k"], "anti").drop("_k") \
+        .withColumn("_change_type", F.lit("delete"))
     # keys on both sides: emit pre/post images only when the row
     # content actually differs (pure rewrites cancel)
     both_old = old.join(kn, old[key] == kn["_k"], "semi")
@@ -707,15 +717,38 @@ def table_changes(
     post = both_new.exceptAll(both_old).withColumn(
         "_change_type", F.lit("update_postimage")
     )
-    out = (
-        ins.drop("_k").unionByName(dels.drop("_k"))
-        .unionByName(pre).unionByName(post)
+    if dv_deleted is None:
+        return (
+            ins.withColumn("_change_type", F.lit("insert"))
+            .unionByName(dels).unionByName(pre).unionByName(post)
+        )
+    # Merge-on-read update parity: a MoR MERGE updates a key by DV-
+    # tombstoning the old row inside a carried file and appending the
+    # new row to a to-only file — the file-diff sees an insert and the
+    # DV scan a delete, but the identical copy-on-write MERGE reports
+    # update_preimage/update_postimage. Reclassify tombstone+re-insert
+    # pairs of the same key the same way, with identical content
+    # cancelling exactly as CoW's exceptAll does for pure rewrites.
+    dv_plain = dv_deleted.drop("_change_type")
+    dvk = dv_plain.select(F.col(key).alias("_dk")).distinct()
+    ik = ins.select(F.col(key).alias("_ik")).distinct()
+    dv_pre_raw = dv_plain.join(
+        ik, dv_plain[key] == ik["_ik"], "semi")
+    dv_del = dv_plain.join(
+        ik, dv_plain[key] == ik["_ik"], "anti"
+    ).withColumn("_change_type", F.lit("delete"))
+    ins_post_raw = ins.join(dvk, ins[key] == dvk["_dk"], "semi")
+    ins_new = ins.join(dvk, ins[key] == dvk["_dk"], "anti") \
+        .withColumn("_change_type", F.lit("insert"))
+    mor_pre = dv_pre_raw.exceptAll(ins_post_raw).withColumn(
+        "_change_type", F.lit("update_preimage")
     )
-    # DV deletes surface as plain `delete` rows in key mode too (a
-    # tombstone is a row-level delete by construction; if the same key
-    # was re-inserted in the span, the insert leg reports that side)
+    mor_post = ins_post_raw.exceptAll(dv_pre_raw).withColumn(
+        "_change_type", F.lit("update_postimage")
+    )
     return (
-        out.unionByName(dv_deleted) if dv_deleted is not None else out
+        ins_new.unionByName(dels).unionByName(pre).unionByName(post)
+        .unionByName(dv_del).unionByName(mor_pre).unionByName(mor_post)
     )
 
 

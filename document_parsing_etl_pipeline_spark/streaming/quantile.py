@@ -6,7 +6,11 @@ The scale contract mirrors topk.py's: state per key is a histogram
 whose size is O(B * log(value range)) — independent of stream length
 — with a hard ``max_buckets`` cap enforced by deterministic
 resolution-halving (coarsening never needs the raw values because
-floor(idx/2) at resolution B IS the bucket at resolution B/2).
+floor(idx/2) at resolution B IS the bucket at resolution B/2), and —
+once resolution bottoms out at one bucket per octave — by saturating
+the outermost octaves into edge buckets (a double's exponent range
+spans ~2100 octaves, so halving alone cannot hold the cap against an
+adversarial magnitude spread; the edge buckets absorb the tails).
 Estimates carry a known relative-error bound: a value in bucket idx
 lies in [2^(idx/B), 2^((idx+1)/B)), so the midpoint estimate is
 within (2^(1/B)-1)/2 of the true quantile's value *relatively* —
@@ -74,6 +78,29 @@ def _coarsen(hist: dict[str, int], b: int) -> tuple[dict[str, int], int]:
     return out, nb
 
 
+def _saturate(hist: dict[str, int], max_buckets: int) -> dict[str, int]:
+    """Hard-cap fallback once b_eff == 1 (one bucket per octave): a
+    double's exponent range spans ~2100 octaves, so resolution
+    halving alone cannot guarantee ``max_buckets`` against an
+    adversarial magnitude spread. Saturate the outermost octave into
+    its inner neighbor (the edge buckets absorb the tails, trading
+    tail resolution for the cap) until the cap holds. Deterministic:
+    each step merges the end whose outermost bucket holds less mass
+    (ties merge the positive end), so replays reproduce the state."""
+    toks = sorted(hist, key=_value_order)
+    while len(toks) > max_buckets and len(toks) > 1:
+        lo, hi = toks[0], toks[-1]
+        if hist[lo] < hist[hi]:
+            dst = toks[1]
+            hist[dst] = hist.get(dst, 0) + hist.pop(lo)
+            toks.pop(0)
+        else:
+            dst = toks[-2]
+            hist[dst] = hist.get(dst, 0) + hist.pop(hi)
+            toks.pop()
+    return hist
+
+
 def _value_order(tok: str) -> tuple[int, int]:
     """Sort key placing buckets in ascending VALUE order: negatives
     (idx descending = more negative first), zero, positives."""
@@ -128,6 +155,8 @@ def quantile_stream(
             return
         while len(hist) > max_buckets and b_eff > 1:
             hist, b_eff = _coarsen(hist, b_eff)
+        if len(hist) > max_buckets:
+            hist = _saturate(hist, max_buckets)
         n += added
         seq += 1
         state.update(

@@ -339,7 +339,7 @@ def funnel_stream(
     stream: DataFrame,
     steps: tuple = FUNNEL_STEPS,
     step_horizon_us: int = 7 * 86_400_000_000,
-    idle_timeout_ms: int = 60_000,
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Streaming ordered-step funnel (needs columns user_id, ts_us,
     event_type): one fixed-size state tuple per user tracks the
@@ -352,11 +352,29 @@ def funnel_stream(
     dropped by the ProcessingTimeTimeout, so state is O(|users active
     inside the horizon|), never O(|all users ever seen|).
 
+    ``idle_timeout_ms`` must be sized to the step horizon: the timeout
+    is PROCESSING time, so an open funnel is dropped after that much
+    quiet WALL-CLOCK time even if later in-horizon steps would have
+    completed it — an undersized timeout silently undercounts
+    completions on gappy streams (round-8 advisor finding). The
+    default therefore derives from the horizon: on a live stream wall
+    time tracks event time, so the state must survive the same span
+    the horizon promises (7-day horizon -> 7-day idle timeout). Pass
+    an explicit smaller value only when state size matters more than
+    completeness (e.g. replay/backfill, where days of events drain in
+    wall-minutes and dormant state would otherwise linger).
+
     In-order caveat (same contract as session_timeout_stream): events
     fold in (ts_us) order WITHIN a micro-batch; rows arriving batches
     late advance funnels in arrival order — event-time-perfect funnel
     readouts are the batch queries; this is the low-latency trigger
-    path (alerting/activation nudges the moment a funnel completes)."""
+    path (alerting/activation nudges the moment a funnel completes).
+    """
+    if idle_timeout_ms is None:
+        # horizon is event-time µs, timeout is processing-time ms:
+        # µs -> ms keeps the SAME duration (live streams advance wall
+        # and event time together), floored at one minute
+        idle_timeout_ms = max(60_000, step_horizon_us // 1_000)
     first, nsteps = steps[0], len(steps)
     step_ix = {s: i for i, s in enumerate(steps)}
 

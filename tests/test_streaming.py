@@ -1237,3 +1237,65 @@ def test_stream_merge_mor_exactly_once_no_rewrites(tmp_path, spark):
         r.user_id: (r.state, r.seq)
         for r in tf.read(spark, root).collect()
     } == got
+
+
+def test_quantile_stream_cap_holds_on_adversarial_spread(tmp_path, spark):
+    """The max_buckets cap is HARD (round-8 advisor finding): a value
+    spread covering hundreds of octaves (a double spans ~2100) can't
+    be satisfied by resolution halving alone — after b_eff bottoms
+    out at 1, the outermost octaves must saturate into edge buckets
+    so the state bound survives any input distribution."""
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType,
+    )
+
+    from document_parsing_etl_pipeline_spark.streaming import quantile
+
+    drop = tmp_path / "qs5"
+    drop.mkdir()
+    # magnitudes from 1e-280 to 1e+280: ~1860 octaves, plus negatives
+    rows = [{"key": "k", "value": 10.0 ** e}
+            for e in range(-280, 281, 4)]
+    rows += [{"key": "k", "value": -(10.0 ** e)}
+             for e in range(-280, 281, 8)]
+    (drop / "a.json").write_text(
+        "\n".join(json.dumps(r) for r in rows))
+    schema = StructType([
+        StructField("key", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    stream = spark.readStream.format("json").schema(schema).load(str(drop))
+    out = quantile.quantile_stream(stream, max_buckets=16)
+    q = (out.writeStream.format("memory").queryName("qs5")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck5"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    r = spark.sql(
+        "SELECT * FROM qs5 ORDER BY seq DESC LIMIT 1").collect()[0]
+    assert r.n_buckets <= 16      # the cap held
+    assert r.b_eff == 1           # coarsening bottomed out first
+    assert r.n == len(rows)
+    # p50 keeps the right SIGN and a sane central magnitude even with
+    # saturated tails (2/3 of the mass is positive)
+    assert r.p50_est > 0
+
+
+def test_funnel_idle_timeout_defaults_to_horizon():
+    """The default idle timeout must match the step horizon's span
+    (round-8 advisor finding): a 7-day event-time horizon paired with
+    a 60 s processing-time timeout silently dropped open funnels
+    after one quiet wall-minute. Pin the derivation (µs -> ms, 60 s
+    floor) without running a stream."""
+    import inspect
+
+    from document_parsing_etl_pipeline_spark.streaming import stateful
+
+    sig = inspect.signature(stateful.funnel_stream)
+    assert sig.parameters["idle_timeout_ms"].default is None
+    src = inspect.getsource(stateful.funnel_stream)
+    assert "step_horizon_us // 1_000" in src
+    # the derivation: default horizon (7 days of µs) -> 7 days of ms
+    assert max(60_000, 7 * 86_400_000_000 // 1_000) == 604_800_000
+    # a short horizon floors at one minute
+    assert max(60_000, 10_000_000 // 1_000) == 60_000
