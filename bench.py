@@ -510,6 +510,7 @@ def main():
     from document_parsing_etl_pipeline_spark.plans.queries import (
         _corpus_components,
         _standing_setsim_components,
+        _standing_setsim_index,
         _standing_setsim_pairs,
     )
     t0 = time.time()
@@ -523,6 +524,10 @@ def main():
         "noop").save()
     _standing_setsim_components(spark, sf_dir).write.mode(
         "overwrite").format("noop").save()
+    # the standing INDEX (shingles + prefixes) is the third piece of
+    # the snapshot artifact: localCheckpoint materializes it eagerly,
+    # so constructing the memo here charges the build to this leg
+    _standing_setsim_index(spark, sf_dir)
     standing_pairs_build_sec = round(time.time() - t0, 3)
 
     timings: dict[str, float] = {}

@@ -1168,6 +1168,26 @@ def setsim_prefix_join(
     return _verify_pairs(cands, sh, num, den)
 
 
+def setsim_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    shingle_n: int = 3,
+    materialize: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The standing similarity-join index: (shingles, prefixes) as
+    produced by the AllPairs machinery — the artifact a continuous-
+    ingest deployment materializes once per corpus snapshot and
+    appends to per batch, so the per-ingest cost is the posting-list
+    join alone, never the corpus-wide shingle/df/rank passes. Pass
+    the result to ``setsim_incremental_pairs(precomputed=...)``."""
+    return _shingle_prefixes(
+        docs, text_col, threshold_num, threshold_den, shingle_n,
+        materialize,
+    )
+
+
 def setsim_incremental_pairs(
     docs: DataFrame,
     batch_col: str = "is_batch",
@@ -1176,6 +1196,7 @@ def setsim_incremental_pairs(
     threshold_den: int = 5,
     shingle_n: int = 3,
     materialize: bool = True,
+    precomputed: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """EXACT similarity pairs with at least one side in the ingest
     BATCH (``batch_col`` boolean on ``docs``): the quadratic half of
@@ -1189,10 +1210,20 @@ def setsim_incremental_pairs(
     exactness), so standing-pairs ∪ these pairs ≡ the from-scratch
     all-pairs join — the equality q_incremental_components'
     oracle pins. Output shape matches setsim_prefix_join with
-    doc_a < doc_b."""
+    doc_a < doc_b.
+
+    ``precomputed``: the (sh, pref) pair from ``setsim_index`` over
+    the SAME docs relation — the standing index artifact. Passing it
+    makes this call's cost the true per-ingest work (batch posting
+    join + filters + verification); omitting it rebuilds the index
+    inline (identical result, measured ~2x the wall at sf0.1)."""
     num, den = threshold_num, threshold_den
-    sh, pref = _shingle_prefixes(
-        docs, text_col, num, den, shingle_n, materialize
+    sh, pref = (
+        precomputed
+        if precomputed is not None
+        else _shingle_prefixes(
+            docs, text_col, num, den, shingle_n, materialize
+        )
     )
     flags = docs.select("doc_id", F.col(batch_col).alias("_fb"))
     preff = pref.join(flags, "doc_id")

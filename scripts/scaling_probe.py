@@ -128,6 +128,73 @@ def build_sf1eq(spark, base_sf: str, out_dir: str, n_reps: int = 10) -> None:
             shutil.copyfile(src, dst)
 
 
+def build_sf1eq_full(
+    spark, base_sf: str, out_dir: str, n_reps: int = 10,
+) -> None:
+    """sf1-equivalent corpus scaling EVERY table (the whole-registry
+    bench needs the TPC-H families to grow too, not just docs/events):
+    documents/events as build_sf1eq; customer/supplier/part/orders/
+    lineitem replicated with consistent key offsets so every foreign
+    key still joins (replica k of an order references replica k of
+    its customer — the realistic growth, more entities with the same
+    per-entity history); embeddings replicated with a deterministic
+    per-replica, per-dimension perturbation so replicas are NEAR
+    neighbors, not exact duplicates whose equality classes would
+    distort the pair joins. region/nation stay fixed (dimensions
+    don't grow with fact volume)."""
+    os.makedirs(out_dir, exist_ok=True)
+    build_sf1eq(spark, base_sf, out_dir, n_reps=n_reps)
+
+    def _mx(df, col):
+        return 1 + (df.agg(F.max(col)).first()[0] or 0)
+
+    cust = spark.read.parquet(os.path.join(base_sf, "customer.parquet"))
+    supp = spark.read.parquet(os.path.join(base_sf, "supplier.parquet"))
+    part = spark.read.parquet(os.path.join(base_sf, "part.parquet"))
+    orders = spark.read.parquet(os.path.join(base_sf, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(base_sf, "lineitem.parquet"))
+    n_cust, n_supp = _mx(cust, "c_custkey"), _mx(supp, "s_suppkey")
+    n_part, n_ord = _mx(part, "p_partkey"), _mx(orders, "o_orderkey")
+    rep = spark.range(n_reps).withColumnRenamed("id", "rep")
+
+    def _w(df, name, parts=32):
+        df.repartition(parts).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet"))
+
+    _w(cust.crossJoin(rep).select(
+        (F.col("c_custkey") + F.col("rep") * n_cust).alias("c_custkey"),
+        "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"), "customer")
+    _w(supp.crossJoin(rep).select(
+        (F.col("s_suppkey") + F.col("rep") * n_supp).alias("s_suppkey"),
+        "s_name", "s_nationkey", "s_acctbal"), "supplier")
+    _w(part.crossJoin(rep).select(
+        (F.col("p_partkey") + F.col("rep") * n_part).alias("p_partkey"),
+        "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+        "part")
+    _w(orders.crossJoin(rep).select(
+        (F.col("o_orderkey") + F.col("rep") * n_ord).alias("o_orderkey"),
+        (F.col("o_custkey") + F.col("rep") * n_cust).alias("o_custkey"),
+        "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_orderpriority"), "orders")
+    _w(li.crossJoin(rep).select(
+        (F.col("l_orderkey") + F.col("rep") * n_ord).alias("l_orderkey"),
+        (F.col("l_partkey") + F.col("rep") * n_part).alias("l_partkey"),
+        (F.col("l_suppkey") + F.col("rep") * n_supp).alias("l_suppkey"),
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+        "lineitem", parts=64)
+    emb = spark.read.parquet(os.path.join(base_sf, "embeddings.parquet"))
+    n_vec = _mx(emb, "vec_id")
+    _w(emb.crossJoin(rep).select(
+        (F.col("vec_id") + F.col("rep") * n_vec).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CAST(x +"
+            " (pmod(rep * (i + 3), 7) - 3) * 0.05 * rep / 10.0"
+            " AS FLOAT))"
+        ).alias("embedding"),
+        "label"), "embeddings")
+
+
 def build_sf10eq(spark, base_sf: str, out_dir: str) -> None:
     """100× documents with CONSTANT dup-group size: 100 replicas per
     base doc as 10 salted groups of 10. Group salt = ceil(0.5·n_tok)
