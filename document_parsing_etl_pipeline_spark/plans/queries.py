@@ -2111,9 +2111,12 @@ def q_quality_quantile_norm(spark, sf_dir):
         .withColumn("nl", F.count("*").over(wn))
         .select(
             "doc_id", "lang", "ur_ppm",
+            # row_number is INT: widen BEFORE the 1e6 multiply or the
+            # product overflows 32 bits at rank 2148+ (surfaced by the
+            # sf1-equivalent bench — invisible at sf0.1's group sizes)
             F.expr(
-                "cast((rk - 1) * 1000000 div greatest(nl - 1, 1)"
-                " as bigint)"
+                "cast((cast(rk as bigint) - 1) * 1000000"
+                " div greatest(nl - 1, 1) as bigint)"
             ).alias("quantile_ppm"),
         )
     )

@@ -237,7 +237,10 @@ def _merged_schema_json(head: dict, df: DataFrame) -> str:
     return merged.json()
 
 
-def append(spark: SparkSession, df: DataFrame, root: str) -> int:
+def append(
+    spark: SparkSession, df: DataFrame, root: str,
+    extra_meta: dict | None = None,
+) -> int:
     head = _load_manifest(root, _versions(root)[-1])
     tag = f"v{head['version'] + 1}"
     entries = _write_files(spark, df, root, tag, head["stats_cols"])
@@ -246,6 +249,7 @@ def append(spark: SparkSession, df: DataFrame, root: str) -> int:
         "files": head["files"] + entries,
         **_carry_meta(head),
         "schema": _merged_schema_json(head, df),
+        **(extra_meta or {}),
     })
 
 

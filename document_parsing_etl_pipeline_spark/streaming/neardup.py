@@ -95,8 +95,17 @@ def ingest_batch(
     flags.write.mode("overwrite").parquet(
         os.path.join(flags_root, f"batch_id={batch_id}")
     )
-    tf.merge_into(
-        spark, bb, index_root, key="doc_id",
+    # index update is an APPEND, not a MERGE (round-8 throughput fix):
+    # ingest doc_ids are new by contract and replays are skipped by
+    # the stream_batch_id guard above, so the CoW MERGE's per-batch
+    # key-bounds collect + hit-detection scan over every candidate
+    # index file (O(index) reads per batch — the doc_id ranges of a
+    # shuffled drop overlap every file) bought nothing. Re-ingesting
+    # an EXISTING doc_id under this contract would duplicate its
+    # bucket rows; an updating ingest should tf.merge_into here
+    # instead and pay the rewrite.
+    tf.append(
+        spark, bb, index_root,
         extra_meta={"stream_batch_id": batch_id},
     )
     return True
