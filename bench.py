@@ -546,16 +546,26 @@ def main():
         [n for n in BENCH_QUERIES if n in set(only.split(","))]
         if only else BENCH_QUERIES
     )
+    errors: dict[str, str] = {}
     for name in names:
         fn = QUERIES[name]
         durations = []
         pre_max = -1
-        for i in range(runs):  # best-of-N: steady state, not load noise
-            if read_stages is not None and i == runs - 1:
-                pre_max = max(read_stages(), default=-1)
-            t0 = time.time()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            durations.append(round(time.time() - t0, 3))
+        try:
+            for i in range(runs):  # best-of-N: steady state, not noise
+                if read_stages is not None and i == runs - 1:
+                    pre_max = max(read_stages(), default=-1)
+                t0 = time.time()
+                fn(spark, sf_dir).write.mode("overwrite").format(
+                    "noop").save()
+                durations.append(round(time.time() - t0, 3))
+        except Exception as e:
+            # record and keep going: one run should surface EVERY
+            # failing query (ANSI overflows at scaled-up corpora come
+            # in batches — round 8's sf1-equivalent leg found two
+            # before this guard existed, one run each)
+            errors[name] = str(e).split("\n")[0][:300]
+            continue
         timings[name] = min(durations)
         all_runs[name] = durations
         if read_stages is not None:
@@ -657,6 +667,8 @@ def main():
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "meta": meta,
     }
+    if errors:
+        out["errors"] = errors
     if streaming:
         # compact rows/s summary on the printed line; full detail in
         # BENCH_FULL.json
@@ -714,6 +726,7 @@ def main():
                        "streaming": streaming,
                        "stage_metrics": stage_metrics,
                        "shuffle_regressions": shuffle_regressions,
+                       "errors": errors,
                        "regressions": regressions}, f, indent=1)
     except OSError:
         pass  # read-only checkout: the printed line is still complete

@@ -16828,23 +16828,31 @@ WITH part_rev AS (
             + substr(cents::VARCHAR, 1, 1)::INT)::BIGINT AS band,
            count(*)::BIGINT AS n_parts, sum(cents)::BIGINT AS rev
     FROM part_rev WHERE cents > 0 GROUP BY 1
-), tot AS (SELECT sum(rev)::BIGINT AS total FROM banded),
+), tot AS (
+    SELECT sum(rev)::BIGINT AS total,
+           (1 + sum(rev) // 1000000000000)::BIGINT AS s
+    FROM banded
+),
 cum AS (
     SELECT band, n_parts, rev,
            sum(rev) OVER (ORDER BY band DESC)::BIGINT AS cum_rev
     FROM banded
 ), classed AS (
     SELECT c.band, c.n_parts, c.rev,
-           CASE WHEN ((c.cum_rev - c.rev) * 1000000) // t.total
+           CASE WHEN (((c.cum_rev - c.rev) // t.s) * 1000000)
+                     // greatest(t.total // t.s, 1)
                      < 800000 THEN 'A'
-                WHEN ((c.cum_rev - c.rev) * 1000000) // t.total
+                WHEN (((c.cum_rev - c.rev) // t.s) * 1000000)
+                     // greatest(t.total // t.s, 1)
                      < 950000 THEN 'B'
                 ELSE 'C' END AS abc_class
     FROM cum c, tot t
 )
 SELECT abc_class, sum(n_parts)::BIGINT AS n_parts,
        sum(rev)::BIGINT AS revenue_cents,
-       ((sum(rev) * 1000000) // max(t.total))::BIGINT AS rev_share_ppm
+       (((sum(rev) // max(t.s)) * 1000000)
+        // greatest(max(t.total) // max(t.s), 1))::BIGINT
+           AS rev_share_ppm
 FROM classed, tot t GROUP BY 1
 """)
 def q_abc_classification(spark, sf_dir):
@@ -16859,7 +16867,13 @@ def q_abc_classification(spark, sf_dir):
     assigned by the share BEFORE each band so the A/B boundary is
     decided identically in both engines. Class totals are exact
     integers; granularity is one band (documented trade for
-    unbounded scale)."""
+    unbounded scale). ppm shares go through the SCALE GUARD (round 8,
+    caught by the sf1-equivalent bench): `x * 1e6` overflows BIGINT
+    once total cents pass ~9.2e12, so both engines compute
+    ((x // s) * 1e6) // (total // s) with s = 1 + total // 1e12 —
+    s = 1 (bit-identical to the plain formula) until totals reach
+    1e12 cents, and an engine-IDENTICAL <=1e-6-relative approximation
+    beyond, at any corpus size."""
     li = load_table(spark, sf_dir, "lineitem")
     part_rev = li.groupBy("l_partkey").agg(
         F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
@@ -16873,24 +16887,30 @@ def q_abc_classification(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n_parts"),
              F.sum("cents").cast("long").alias("rev"))
     )
-    tot = banded.agg(F.sum("rev").cast("long").alias("total"))
+    tot = banded.agg(
+        F.sum("rev").cast("long").alias("total"),
+        F.expr("CAST(1 + sum(rev) div 1000000000000 AS BIGINT)")
+        .alias("s"),
+    )
     w = Window.orderBy(F.col("band").desc())
     cum = banded.select(
         "band", "n_parts", "rev",
         F.sum("rev").over(w).cast("long").alias("cum_rev"))
     classed = cum.crossJoin(F.broadcast(tot)).select(
-        "n_parts", "rev", "total",
+        "n_parts", "rev", "total", "s",
         F.expr(
-            "CASE WHEN ((cum_rev - rev) * 1000000) div total < 800000"
-            " THEN 'A'"
-            " WHEN ((cum_rev - rev) * 1000000) div total < 950000"
+            "CASE WHEN (((cum_rev - rev) div s) * 1000000)"
+            " div greatest(total div s, 1) < 800000 THEN 'A'"
+            " WHEN (((cum_rev - rev) div s) * 1000000)"
+            " div greatest(total div s, 1) < 950000"
             " THEN 'B' ELSE 'C' END").alias("abc_class"),
     )
     return classed.groupBy("abc_class").agg(
         F.sum("n_parts").cast("long").alias("n_parts"),
         F.sum("rev").cast("long").alias("revenue_cents"),
         F.expr(
-            "CAST((sum(rev) * 1000000) div max(total) AS BIGINT)"
+            "CAST(((sum(rev) div max(s)) * 1000000)"
+            " div greatest(max(total) div max(s), 1) AS BIGINT)"
         ).alias("rev_share_ppm"),
     )
 

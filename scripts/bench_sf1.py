@@ -80,6 +80,7 @@ def main():
     outliers.sort(key=lambda o: -o["ratio"])
     out = {
         "sf": "1eq",
+        "errors": bench.get("errors", {}),
         "corpus": CORPUS,
         "build_sec": build_sec,
         "bench_wall_sec": wall,
