@@ -713,9 +713,10 @@ def main():
         out["queries"] = dict(list(timings.items())[:40])
         out["full_n"] = len(timings)
 
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-    )
+    full_path = os.environ.get("SPARK_GRAFT_BENCH_FULL_PATH") or \
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        )
     try:
         if only:
             raise OSError  # smoke mode must not clobber the artifact

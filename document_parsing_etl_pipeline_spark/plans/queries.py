@@ -12319,11 +12319,17 @@ WITH rev AS (
     SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_customers,
            sum(rev_cents)::BIGINT AS decile_rev_cents
     FROM deciled GROUP BY 1
-), tot AS (SELECT sum(decile_rev_cents)::BIGINT AS t FROM agg)
+), tot AS (
+    SELECT sum(decile_rev_cents)::BIGINT AS t,
+           (1 + sum(decile_rev_cents) // 1000000000000)::BIGINT AS s
+    FROM agg
+)
 SELECT a.decile, a.n_customers, a.decile_rev_cents,
-       ((a.decile_rev_cents * 1000000) // t.t)::BIGINT AS share_ppm,
-       ((sum(a.decile_rev_cents) OVER (ORDER BY a.decile) * 1000000)
-            // t.t)::BIGINT AS cum_share_ppm
+       (((a.decile_rev_cents // t.s) * 1000000)
+            // greatest(t.t // t.s, 1))::BIGINT AS share_ppm,
+       (((sum(a.decile_rev_cents) OVER (ORDER BY a.decile) // t.s)
+            * 1000000) // greatest(t.t // t.s, 1))::BIGINT
+           AS cum_share_ppm
 FROM agg a, tot t
 """)
 def q_lorenz_curve(spark, sf_dir):
@@ -12338,7 +12344,10 @@ def q_lorenz_curve(spark, sf_dir):
     window on the 10-row decile relation. Scale: one fact rollup to
     per-customer revenue; the customer-sized ntile window is the
     documented trade (rank-by-sort at 100 TB, or the equi-depth
-    sketch cut q_equi_depth_histogram demonstrates)."""
+    sketch cut q_equi_depth_histogram demonstrates); ppm shares use
+    the round-8 scale guard (s = 1 + total // 1e12 — see
+    q_abc_classification) so cents totals past 9.2e12 can't overflow
+    the 1e6 multiply."""
     orders = load_table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.expr(
@@ -12354,16 +12363,24 @@ def q_lorenz_curve(spark, sf_dir):
         F.count("*").cast("long").alias("n_customers"),
         F.sum("rev_cents").cast("long").alias("decile_rev_cents"),
     )
-    tot = agg.agg(F.sum("decile_rev_cents").cast("long").alias("t"))
+    tot = agg.agg(
+        F.sum("decile_rev_cents").cast("long").alias("t"),
+        F.expr(
+            "CAST(1 + sum(decile_rev_cents) div 1000000000000"
+            " AS BIGINT)").alias("s"),
+    )
     return (
         agg.crossJoin(F.broadcast(tot))
         .select(
             "decile", "n_customers", "decile_rev_cents",
-            F.expr("CAST((decile_rev_cents * 1000000) div t AS BIGINT)")
-            .alias("share_ppm"),
             F.expr(
-                "CAST((sum(decile_rev_cents)"
-                " OVER (ORDER BY decile) * 1000000) div t AS BIGINT)"
+                "CAST(((decile_rev_cents div s) * 1000000)"
+                " div greatest(t div s, 1) AS BIGINT)"
+            ).alias("share_ppm"),
+            F.expr(
+                "CAST(((sum(decile_rev_cents)"
+                " OVER (ORDER BY decile) div s) * 1000000)"
+                " div greatest(t div s, 1) AS BIGINT)"
             ).alias("cum_share_ppm"),
         )
     )
@@ -13618,7 +13635,8 @@ WITH rev AS (
                AS rev_cents
     FROM orders GROUP BY 1
 ), tot AS (
-    SELECT sum(rev_cents)::BIGINT AS t, count(*)::BIGINT AS n
+    SELECT sum(rev_cents)::BIGINT AS t, count(*)::BIGINT AS n,
+           (1 + sum(rev_cents) // 1000000000000)::BIGINT AS s
     FROM rev
 ), walk AS (
     SELECT rev_cents,
@@ -13628,14 +13646,15 @@ WITH rev AS (
                ::BIGINT AS k
     FROM rev
 ), hit AS (
-    SELECT w.k, w.cum, t.t, t.n
+    SELECT w.k, w.cum, t.t, t.n, t.s
     FROM walk w, tot t
-    WHERE w.cum * 100 >= t.t * 80
+    WHERE (w.cum // t.s) * 100 >= (t.t // t.s) * 80
     ORDER BY w.k LIMIT 1
 )
 SELECT n AS n_customers, k AS k_top_customers,
        ((k * 1000000) // n)::BIGINT AS top_share_ppm,
-       ((cum * 1000000) // t)::BIGINT AS revenue_covered_ppm
+       (((cum // s) * 1000000) // greatest(t // s, 1))::BIGINT
+           AS revenue_covered_ppm
 FROM hit
 """)
 def q_pareto_point(spark, sf_dir):
@@ -13647,9 +13666,11 @@ def q_pareto_point(spark, sf_dir):
     curve; this extracts the decision point). Exact: decimal-cent
     revenue, descending cumulative walk with a deterministic
     (revenue, custkey) order, the crossing row picked by an integer
-    cross-multiplied predicate (cum·100 >= t·80 — no percentage
-    double). The walk's window runs on the per-customer relation
-    (same documented trade as q_lorenz_curve's ntile)."""
+    cross-multiplied predicate ((cum//s)·100 >= (t//s)·80 — no
+    percentage double; s = 1 + t // 1e12 is the round-8 scale guard,
+    1 until totals reach 1e12 cents, engine-identical at any size).
+    The walk's window runs on the per-customer relation (same
+    documented trade as q_lorenz_curve's ntile)."""
     orders = load_table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.expr(
@@ -13660,6 +13681,8 @@ def q_pareto_point(spark, sf_dir):
     tot = rev.agg(
         F.sum("rev_cents").cast("long").alias("t"),
         F.count("*").cast("long").alias("n"),
+        F.expr("CAST(1 + sum(rev_cents) div 1000000000000 AS BIGINT)")
+        .alias("s"),
     )
     w = Window.orderBy(F.col("rev_cents").desc(), "o_custkey")
     walk = rev.select(
@@ -13669,7 +13692,7 @@ def q_pareto_point(spark, sf_dir):
     )
     hit = (
         walk.crossJoin(F.broadcast(tot))
-        .where(F.col("cum") * 100 >= F.col("t") * 80)
+        .where(F.expr("(cum div s) * 100 >= (t div s) * 80"))
         .orderBy("k").limit(1)
     )
     return hit.select(
@@ -13677,8 +13700,10 @@ def q_pareto_point(spark, sf_dir):
         F.col("k").alias("k_top_customers"),
         F.expr("CAST((k * 1000000) div n AS BIGINT)")
         .alias("top_share_ppm"),
-        F.expr("CAST((cum * 1000000) div t AS BIGINT)")
-        .alias("revenue_covered_ppm"),
+        F.expr(
+            "CAST(((cum div s) * 1000000) div greatest(t div s, 1)"
+            " AS BIGINT)"
+        ).alias("revenue_covered_ppm"),
     )
 
 
@@ -17738,12 +17763,16 @@ WITH bounds AS (
            sum(c0)::BIGINT AS p0q0,
            sum((c1 * q0) // q1)::BIGINT AS p1q0,
            sum(c1)::BIGINT AS p1q1,
-           sum((c0 * q1) // q0)::BIGINT AS p0q1
+           sum((c0 * q1) // q0)::BIGINT AS p0q1,
+           (1 + (sum(c0) + sum((c1 * q0) // q1) + sum(c1)
+                 + sum((c0 * q1) // q0)) // 1000000000000)::BIGINT AS s
     FROM both_h
 )
 SELECT n_parts,
-       ((p1q0 * 1000000) // p0q0)::BIGINT AS laspeyres_ppm,
-       ((p1q1 * 1000000) // p0q1)::BIGINT AS paasche_ppm,
+       (((p1q0 // s) * 1000000) // greatest(p0q0 // s, 1))::BIGINT
+           AS laspeyres_ppm,
+       (((p1q1 // s) * 1000000) // greatest(p0q1 // s, 1))::BIGINT
+           AS paasche_ppm,
        CAST(round(sqrt((CAST(p1q0 AS DOUBLE) / p0q0)
                        * (CAST(p1q1 AS DOUBLE) / p0q1)) * 1000000, 0)
             AS BIGINT) AS fisher_ppm
@@ -17801,13 +17830,24 @@ def q_price_index(spark, sf_dir):
         F.sum(F.expr("(c1 * q0) div q1")).cast("long").alias("p1q0"),
         F.sum("c1").cast("long").alias("p1q1"),
         F.sum(F.expr("(c0 * q1) div q0")).cast("long").alias("p0q1"),
+        # round-8 scale guard (see q_abc_classification): all four
+        # cents-scale sums share one reducer so the 1e6 ppm multiply
+        # can't overflow at any corpus size
+        F.expr(
+            "CAST(1 + (sum(c0) + sum((c1 * q0) div q1) + sum(c1)"
+            " + sum((c0 * q1) div q0)) div 1000000000000 AS BIGINT)"
+        ).alias("s"),
     )
     return sums.select(
         "n_parts",
-        F.expr("CAST((p1q0 * 1000000) div p0q0 AS BIGINT)")
-        .alias("laspeyres_ppm"),
-        F.expr("CAST((p1q1 * 1000000) div p0q1 AS BIGINT)")
-        .alias("paasche_ppm"),
+        F.expr(
+            "CAST(((p1q0 div s) * 1000000) div greatest(p0q0 div s, 1)"
+            " AS BIGINT)"
+        ).alias("laspeyres_ppm"),
+        F.expr(
+            "CAST(((p1q1 div s) * 1000000) div greatest(p0q1 div s, 1)"
+            " AS BIGINT)"
+        ).alias("paasche_ppm"),
         F.expr(
             "CAST(round(sqrt((CAST(p1q0 AS DOUBLE) / p0q0)"
             " * (CAST(p1q1 AS DOUBLE) / p0q1)) * 1000000, 0)"

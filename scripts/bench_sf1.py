@@ -48,6 +48,8 @@ def main():
         SPARK_GRAFT_SF_DIR=CORPUS,
         SPARK_GRAFT_BENCH_RUNS="2",
         SPARK_GRAFT_BENCH_STREAMING="0",  # streaming legs are SF-free
+        # keep the committed sf0.1 BENCH_FULL.json artifact intact
+        SPARK_GRAFT_BENCH_FULL_PATH="/tmp/BENCH_FULL_sf1eq.json",
     )
     t0 = time.time()
     proc = subprocess.run(
@@ -61,8 +63,10 @@ def main():
         raise SystemExit(f"bench.py failed rc={proc.returncode}")
     bench = json.loads(line[-1])
 
+    # anchors: the committed FULL per-query sf0.1 detail (the printed
+    # BENCH_LOCAL subset only covers the r01-comparable queries)
     anchors = {}
-    anchor_path = os.path.join(REPO, "BENCH_LOCAL_r07.json")
+    anchor_path = os.path.join(REPO, "BENCH_FULL.json")
     if os.path.exists(anchor_path):
         with open(anchor_path) as f:
             anchors = json.load(f).get("queries", {})
