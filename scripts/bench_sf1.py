@@ -62,6 +62,12 @@ def main():
         sys.stderr.write(proc.stdout[-4000:] + "\n" + proc.stderr[-4000:])
         raise SystemExit(f"bench.py failed rc={proc.returncode}")
     bench = json.loads(line[-1])
+    # the printed line carries only the r01-comparable query subset;
+    # the full 313-query detail lands in the redirected full artifact
+    with open(env["SPARK_GRAFT_BENCH_FULL_PATH"]) as f:
+        full = json.load(f)
+    bench["queries"] = full.get("queries", bench.get("queries", {}))
+    bench.setdefault("errors", full.get("errors", {}))
 
     # anchors: the committed FULL per-query sf0.1 detail (the printed
     # BENCH_LOCAL subset only covers the r01-comparable queries)
