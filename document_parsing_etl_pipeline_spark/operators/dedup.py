@@ -1001,9 +1001,39 @@ def _positional_bound_filter(grouped: DataFrame, num: int, den: int):
     ).select("doc_a", "doc_b", "na", "nb")
 
 
+def suffix_histograms(sh: DataFrame, buckets: int = 128) -> DataFrame:
+    """Per-doc ≤``buckets``-entry hash-bucket count maps — the
+    suffix-filter signature relation. Corpus-linear to build; a
+    standing-index deployment materializes it once per snapshot and
+    probes it per ingest (see setsim_index)."""
+    return (
+        sh.groupBy(
+            "doc_id",
+            F.pmod(F.xxhash64("term"), F.lit(buckets))
+            .cast("int").alias("bk"),
+        )
+        .agg(F.count("*").cast("int").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bk", "c"))
+            ).alias("hist")
+        )
+    )
+
+
+def doc_term_arrays(sh: DataFrame) -> DataFrame:
+    """Per-doc shingle ARRAY relation consumed by exact verification
+    — the other standing-index component (see setsim_index)."""
+    return sh.groupBy("doc_id").agg(
+        F.collect_list("term").alias("terms")
+    )
+
+
 def _suffix_histogram_filter(
     cands: DataFrame, sh: DataFrame, num: int, den: int,
     buckets: int = 128,
+    hist: DataFrame | None = None,
 ):
     """PPJoin+ suffix filtering (Xiao et al. 2008 §4.2), vectorized:
     the published divide-and-conquer suffix filter recursively
@@ -1018,21 +1048,11 @@ def _suffix_histogram_filter(
     rejected here never pull full arrays through the verification
     join. overlap(a,b) ≤ Σ_bk min(ha[bk], hb[bk]); Jaccard ≥ t
     needs overlap ≥ ceil(t·(na+nb)/(1+t)), all-integer:
-    keep iff bound·(num+den) ≥ num·(na+nb)."""
-    hist = (
-        sh.groupBy(
-            "doc_id",
-            F.pmod(F.xxhash64("term"), F.lit(buckets))
-            .cast("int").alias("bk"),
-        )
-        .agg(F.count("*").cast("int").alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("bk", "c"))
-            ).alias("hist")
-        )
-    )
+    keep iff bound·(num+den) ≥ num·(na+nb). Pass ``hist`` (the
+    suffix_histograms relation, built with the SAME bucket count) to
+    probe a standing signature index instead of rebuilding it."""
+    if hist is None:
+        hist = suffix_histograms(sh, buckets)
     return (
         cands.join(
             hist.select(
@@ -1058,12 +1078,16 @@ def _suffix_histogram_filter(
     )
 
 
-def _verify_pairs(cands: DataFrame, sh: DataFrame, num: int, den: int):
+def _verify_pairs(
+    cands: DataFrame, sh: DataFrame, num: int, den: int,
+    docsets: DataFrame | None = None,
+):
     """Exact verification of candidate pairs by per-doc shingle
-    ARRAYS (array_intersect in codegen) — see setsim_prefix_join."""
-    docsets = sh.groupBy("doc_id").agg(
-        F.collect_list("term").alias("terms")
-    )
+    ARRAYS (array_intersect in codegen) — see setsim_prefix_join.
+    Pass ``docsets`` (the doc_term_arrays relation) to probe a
+    standing index instead of rebuilding it."""
+    if docsets is None:
+        docsets = doc_term_arrays(sh)
     inter = (
         cands.join(
             docsets.select(
@@ -1207,17 +1231,23 @@ def setsim_index(
     threshold_den: int = 5,
     shingle_n: int = 3,
     materialize: bool = True,
-) -> tuple[DataFrame, DataFrame]:
-    """The standing similarity-join index: (shingles, prefixes) as
-    produced by the AllPairs machinery — the artifact a continuous-
+    suffix_buckets: int = 128,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The standing similarity-join index: (shingles, prefixes,
+    suffix-histograms, term-arrays) — the four corpus-linear
+    relations the AllPairs machinery derives, which a continuous-
     ingest deployment materializes once per corpus snapshot and
-    appends to per batch, so the per-ingest cost is the posting-list
-    join alone, never the corpus-wide shingle/df/rank passes. Pass
-    the result to ``setsim_incremental_pairs(precomputed=...)``."""
-    return _shingle_prefixes(
+    appends to per batch. With the full index precomputed, the
+    per-ingest cost of ``setsim_incremental_pairs(precomputed=...)``
+    is ONLY the batch posting join + filter probes + candidate-
+    bounded verification — no corpus-wide shingle/df/rank/signature/
+    array pass per ingest."""
+    sh, pref = _shingle_prefixes(
         docs, text_col, threshold_num, threshold_den, shingle_n,
         materialize,
     )
+    return sh, pref, suffix_histograms(sh, suffix_buckets), \
+        doc_term_arrays(sh)
 
 
 def setsim_incremental_pairs(
@@ -1244,19 +1274,25 @@ def setsim_incremental_pairs(
     oracle pins. Output shape matches setsim_prefix_join with
     doc_a < doc_b.
 
-    ``precomputed``: the (sh, pref) pair from ``setsim_index`` over
-    the SAME docs relation — the standing index artifact. Passing it
-    makes this call's cost the true per-ingest work (batch posting
-    join + filters + verification); omitting it rebuilds the index
-    inline (identical result, measured ~2x the wall at sf0.1)."""
+    ``precomputed``: the (sh, pref, hist, docsets) tuple from
+    ``setsim_index`` over the SAME docs relation — the standing index
+    artifact ((sh, pref) alone also accepted; the signature/array
+    relations are then derived inline). Passing the full index makes
+    this call's cost the true per-ingest work (batch posting join +
+    filter probes + candidate-bounded verification); omitting it
+    rebuilds everything inline (identical result, measured ~2x the
+    wall at sf0.1)."""
     num, den = threshold_num, threshold_den
-    sh, pref = (
-        precomputed
-        if precomputed is not None
-        else _shingle_prefixes(
+    hist = docsets = None
+    if precomputed is not None:
+        if len(precomputed) == 4:
+            sh, pref, hist, docsets = precomputed
+        else:
+            sh, pref = precomputed
+    else:
+        sh, pref = _shingle_prefixes(
             docs, text_col, num, den, shingle_n, materialize
         )
-    )
     flags = docs.select("doc_id", F.col(batch_col).alias("_fb"))
     preff = pref.join(flags, "doc_id")
     a = preff.where(F.col("_fb")).select(
@@ -1297,8 +1333,8 @@ def setsim_incremental_pairs(
         F.sort_array(F.collect_list(F.struct("ia", "ib"))).alias("ps")
     )
     cands = _positional_bound_filter(grouped, num, den)
-    cands = _suffix_histogram_filter(cands, sh, num, den)
-    return _verify_pairs(cands, sh, num, den)
+    cands = _suffix_histogram_filter(cands, sh, num, den, hist=hist)
+    return _verify_pairs(cands, sh, num, den, docsets=docsets)
 
 
 def incremental_components(
@@ -1353,10 +1389,44 @@ def incremental_components(
             F.coalesce("cb", "doc_b").alias("doc_b"),
         )
         .where(F.col("doc_a") != F.col("doc_b"))
+        .localCheckpoint()  # counted once, consumed twice below
     )
-    cc1 = connected_components(contracted, max_iter=max_iter).select(
-        F.col("doc_id").alias("node"), F.col("component_id").alias("nl")
-    )
+    # the contracted graph is BATCH-pair-sized by construction; below
+    # a guard threshold a driver union-find produces the identical
+    # min-label map in one job instead of 2 Spark jobs per min-label
+    # propagation round — the fixed per-round latency dominates on
+    # small graphs (same small-graph shortcut GraphFrames-style
+    # engines take). Above the guard, the distributed propagation
+    # runs exactly as before.
+    n_edges = contracted.count()
+    if n_edges <= 100_000:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in contracted.collect():
+            a, b = row["doc_a"], row["doc_b"]
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = set(parent)
+        nodes.update(find(x) for x in list(parent))
+        spark = standing_pairs.sparkSession
+        cc1 = spark.createDataFrame(
+            [(int(x), int(find(x))) for x in sorted(nodes)],
+            "node long, nl long",
+        )
+    else:
+        cc1 = connected_components(contracted, max_iter=max_iter).select(
+            F.col("doc_id").alias("node"),
+            F.col("component_id").alias("nl"),
+        )
     # expand: every vertex v maps through node(v) = standing label or
     # itself, then through the contracted result if present
     verts = (

@@ -1610,13 +1610,15 @@ def _standing_setsim_components(spark, sf_dir):
 
 def _standing_setsim_index(spark, sf_dir):
     """The standing similarity-join INDEX over the full corpus —
-    shingles + df-ranked prefixes (dedup.setsim_index) — the third
+    shingles, df-ranked prefixes, suffix-filter histogram signatures,
+    and verification term arrays (dedup.setsim_index) — the third
     piece of the previous snapshot's materialized state: a continuous
-    -ingest deployment appends each batch's shingles to this index
-    rather than re-shingling the corpus per ingest, so the honest
-    per-ingest cost excludes the corpus-wide linear passes. Memoized
-    like the pair/component artifacts; bench.py records its one-time
-    build in the standing-artifact leg."""
+    -ingest deployment appends each batch to these four corpus-linear
+    relations rather than re-deriving them per ingest, so the honest
+    per-ingest cost is the batch posting join + filter probes +
+    candidate-bounded verification only. Memoized like the pair/
+    component artifacts; bench.py records its one-time build in the
+    standing-artifact leg."""
     key = ("setsim_index", spark.sparkContext.applicationId, sf_dir)
     if key in _NEARDUP_MEMO:
         return _NEARDUP_MEMO[key]
@@ -1629,20 +1631,21 @@ def _standing_setsim_index(spark, sf_dir):
 
     base = artifacts.artifacts_root()
     if base is None:
-        sh, pref = _build()
-        _NEARDUP_MEMO[key] = (
-            sh.localCheckpoint(), pref.localCheckpoint()
+        _NEARDUP_MEMO[key] = tuple(
+            df.localCheckpoint() for df in _build()
         )
         return _NEARDUP_MEMO[key]
-    sh = artifacts.load_or_build(
-        spark, sf_dir, "setsim_index_sh", lambda: _build()[0],
-        _NEARDUP_MEMO, key + ("sh",),
+    names = ("setsim_index_sh", "setsim_index_pref",
+             "setsim_index_hist", "setsim_index_arrays")
+    parts = tuple(
+        artifacts.load_or_build(
+            spark, sf_dir, name,
+            (lambda i_: lambda: _build()[i_])(i),
+            _NEARDUP_MEMO, key + (name,),
+        )
+        for i, name in enumerate(names)
     )
-    pref = artifacts.load_or_build(
-        spark, sf_dir, "setsim_index_pref", lambda: _build()[1],
-        _NEARDUP_MEMO, key + ("pref",),
-    )
-    _NEARDUP_MEMO[key] = (sh, pref)
+    _NEARDUP_MEMO[key] = parts
     return _NEARDUP_MEMO[key]
 
 
