@@ -8,10 +8,12 @@ The standing index is a snapshot-manifest table
 (doc_id, band, bh): the batch's bucket keys broadcast and
 semi-join-prune the index scan, pair fanout is batch×bucket under the
 index-side cap — the corpus is never paired with itself
-(operators/dedup.py:lsh_flag_against_index, the same core the batch
-query q_incremental_dedup verifies against its oracle).
+(operators/dedup.py:lsh_flag_ingest, the one-action fusion of the
+lsh_flag_against_index core the batch query q_incremental_dedup
+verifies against its oracle; equivalence pinned by
+test_lsh_flag_ingest_equals_two_call_composition).
 
-Exactly-once: the index MERGE records stream_batch_id in the
+Exactly-once: the index APPEND records stream_batch_id in the
 committed manifest (the table_sink recipe) and replayed batches are
 skipped; the per-batch flag output writes to a batch_id-keyed
 directory with overwrite, so replays rewrite identical bytes instead
@@ -30,7 +32,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import lsh_flag_against_index, minhash_buckets
+from ..operators.dedup import lsh_flag_ingest, minhash_buckets
 from ..sources import tableformat as tf
 from .table_sink import last_committed_batch
 
@@ -54,43 +56,14 @@ def ingest_batch(
         return False
     bb = minhash_buckets(
         batch_df, num_hashes=num_hashes, band_size=band_size
-    ).localCheckpoint()  # feeds flagging (2 sides) + the index MERGE
+    ).localCheckpoint()  # feeds flagging (3 refs) + the index append
     index = tf.read(spark, index_root)
-    vs_index = lsh_flag_against_index(
+    # one-pass flagging against index AND own-batch smaller ids
+    # (round-8: fuses the former two lsh_flag_against_index actions +
+    # reconciliation join into a single action — the leg's cost was
+    # fixed per-job latency, not data volume)
+    flags = lsh_flag_ingest(
         batch_df.select("doc_id"), bb, index, max_bucket
-    )
-    vs_batch = lsh_flag_against_index(
-        batch_df.select("doc_id"),
-        bb,
-        bb,  # own batch as a second index...
-        max_bucket,
-    ).where(  # ...restricted to strictly-smaller ids (no self-match;
-        # -1 means "no match" and must not count as one)
-        (F.col("first_match_doc") >= 0)
-        & (F.col("first_match_doc") < F.col("doc_id"))
-    )
-    flags = (
-        vs_index.alias("i")
-        .join(
-            vs_batch.select(
-                F.col("doc_id").alias("doc_id_b"),
-                F.col("first_match_doc").alias("fm_b"),
-            ),
-            F.col("doc_id") == F.col("doc_id_b"),
-            "left",
-        )
-        .select(
-            "doc_id",
-            (F.col("is_dup") | F.col("fm_b").isNotNull()).alias("is_dup"),
-            F.when(
-                F.col("first_match_doc") >= 0,
-                F.least(
-                    F.col("first_match_doc"),
-                    F.coalesce(F.col("fm_b"), F.col("first_match_doc")),
-                ),
-            ).otherwise(F.coalesce(F.col("fm_b"), F.lit(-1)))
-            .cast("long").alias("first_match_doc"),
-        )
     )
     flags.write.mode("overwrite").parquet(
         os.path.join(flags_root, f"batch_id={batch_id}")

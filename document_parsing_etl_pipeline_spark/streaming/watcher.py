@@ -29,12 +29,20 @@ DOC_SCHEMA = StructType([
 
 
 def watch_documents(spark: SparkSession, watch_dir: str,
-                    fmt: str = "json") -> DataFrame:
-    """readStream over a drop directory (one JSON doc per line)."""
+                    fmt: str = "json",
+                    max_files_per_trigger: int = 16) -> DataFrame:
+    """readStream over a drop directory (one JSON doc per line).
+
+    ``max_files_per_trigger`` is the throughput/latency lever: per
+    micro-batch the streaming engine pays ~200 ms of fixed cost
+    (offset log, WAL, planning, sink commit — measured ~36% of a
+    16-file batch at sf0.1), so larger triggers amortize it toward
+    the raw parse+chunk+write rate, smaller ones cut per-doc
+    latency."""
     return (
         spark.readStream.format(fmt)
         .schema(DOC_SCHEMA)
-        .option("maxFilesPerTrigger", 16)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(watch_dir)
     )
 
@@ -48,11 +56,13 @@ def parse_stream(stream: DataFrame) -> DataFrame:
 
 
 def start_pipeline(spark: SparkSession, watch_dir: str, out_dir: str,
-                   checkpoint_dir: str, available_now: bool = True):
+                   checkpoint_dir: str, available_now: bool = True,
+                   max_files_per_trigger: int = 16):
     """Wire watcher → parse → chunk → parquet sink with checkpointing
     (the exactly-once replacement for the reference's Postgres
     transaction per document)."""
-    chunks = parse_stream(watch_documents(spark, watch_dir))
+    chunks = parse_stream(watch_documents(
+        spark, watch_dir, max_files_per_trigger=max_files_per_trigger))
     writer = (
         chunks.writeStream.format("parquet")
         .option("path", out_dir)

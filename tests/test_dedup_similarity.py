@@ -543,3 +543,72 @@ def test_artifact_tables_survive_session_restart(spark, tmp_path, monkeypatch):
 
     monkeypatch.delenv("SPARK_GRAFT_ARTIFACTS")
     Q._NEARDUP_MEMO.clear()
+
+
+def test_lsh_flag_ingest_equals_two_call_composition(spark, tmp_path):
+    """The fused one-pass ingest flagging (round-8 streaming
+    throughput fix) must produce EXACTLY the output of the original
+    two lsh_flag_against_index calls (vs index; vs own batch
+    restricted to smaller ids) reconciled — per-source cap semantics
+    included — across incremental batches of a dup-dense corpus."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from document_parsing_etl_pipeline_spark.catalog import load_table
+    from document_parsing_etl_pipeline_spark.operators.dedup import (
+        lsh_flag_against_index, lsh_flag_ingest, minhash_buckets,
+    )
+    from document_parsing_etl_pipeline_spark.sources import (
+        tableformat as tf,
+    )
+    from document_parsing_etl_pipeline_spark.streaming import neardup
+
+    docs = load_table(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    neardup.create_index(spark, idx)
+    # a tiny cap forces the per-source cap semantics to matter
+    for i in range(3):
+        b = docs.where(f"doc_id % 3 = {i}").localCheckpoint()
+        bb = minhash_buckets(b, num_hashes=8, band_size=2) \
+            .localCheckpoint()
+        index = tf.read(spark, idx)
+        for cap in (3, 50):
+            vs_index = lsh_flag_against_index(
+                b.select("doc_id"), bb, index, cap)
+            vs_batch = lsh_flag_against_index(
+                b.select("doc_id"), bb, bb, cap
+            ).where(
+                (F.col("first_match_doc") >= 0)
+                & (F.col("first_match_doc") < F.col("doc_id"))
+            )
+            old = (
+                vs_index.alias("i")
+                .join(
+                    vs_batch.select(
+                        F.col("doc_id").alias("doc_id_b"),
+                        F.col("first_match_doc").alias("fm_b"),
+                    ),
+                    F.col("doc_id") == F.col("doc_id_b"), "left",
+                )
+                .select(
+                    "doc_id",
+                    (F.col("is_dup") | F.col("fm_b").isNotNull())
+                    .alias("is_dup"),
+                    F.when(
+                        F.col("first_match_doc") >= 0,
+                        F.least(
+                            F.col("first_match_doc"),
+                            F.coalesce(F.col("fm_b"),
+                                       F.col("first_match_doc")),
+                        ),
+                    ).otherwise(F.coalesce(F.col("fm_b"), F.lit(-1)))
+                    .cast("long").alias("first_match_doc"),
+                )
+            )
+            new = lsh_flag_ingest(b.select("doc_id"), bb, index, cap)
+            assert sorted(map(tuple, new.collect())) == \
+                sorted(map(tuple, old.collect())), f"batch {i} cap {cap}"
+        tf.append(spark, bb, idx, extra_meta={"stream_batch_id": i})
