@@ -4708,7 +4708,7 @@ WITH m AS (
     SELECT event_type,
            count(*) AS n,
            (sum(value::DECIMAL(18,6))::DOUBLE) AS s1,
-           (sum((value * value)::DECIMAL(28,12))::DOUBLE) AS s2
+           (sum((value * value)::DECIMAL(38,12))::DOUBLE) AS s2
     FROM events GROUP BY 1
 )
 SELECT e.event_id, e.event_type,
@@ -4733,7 +4733,7 @@ def q_events_anomaly(spark, sf_dir):
     m = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(_dec(F.col("value"))).cast("double").alias("s1"),
-        F.sum((F.col("value") * F.col("value")).cast("decimal(28,12)"))
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,12)"))
         .cast("double").alias("s2"),
     )
     j = ev.join(F.broadcast(m), "event_type")
@@ -6198,9 +6198,17 @@ WITH rev AS (
 SELECT r.n_name,
        count(*) AS n_suppliers,
        t.total_cents,
-       CAST(sum((r.cents * 10000 // t.total_cents)
-                * (r.cents * 10000 // t.total_cents)) AS BIGINT)
-           AS hhi_pm2
+       CAST(sum(((r.cents // (1 + t.total_cents // 100000000000000))
+                 * 10000
+                 // greatest(t.total_cents
+                             // (1 + t.total_cents
+                                 // 100000000000000), 1))
+                * ((r.cents // (1 + t.total_cents // 100000000000000))
+                   * 10000
+                   // greatest(t.total_cents
+                               // (1 + t.total_cents
+                                   // 100000000000000), 1)))
+            AS BIGINT) AS hhi_pm2
 FROM rev r JOIN tot t USING (n_name)
 GROUP BY r.n_name, t.total_cents
 """)
@@ -6234,9 +6242,19 @@ def q_supplier_hhi(spark, sf_dir):
         .groupBy("n_name", "total_cents")
         .agg(
             F.count("*").alias("n_suppliers"),
+            # round-8 permyriad scale guard (s = 1 + total // 1e14:
+            # the scaled total must stay under 1e14 so the x10000
+            # multiply fits) — see q_abc_classification
             F.sum(
-                F.expr("(cents * 10000 div total_cents)"
-                       " * (cents * 10000 div total_cents)")
+                F.expr(
+                    "((cents div (1 + total_cents div 100000000000000))"
+                    " * 10000 div greatest(total_cents"
+                    " div (1 + total_cents div 100000000000000), 1))"
+                    " * ((cents div (1 + total_cents"
+                    " div 100000000000000)) * 10000"
+                    " div greatest(total_cents div (1 + total_cents"
+                    " div 100000000000000), 1))"
+                )
             ).cast("long").alias("hhi_pm2"),
         )
         .select("n_name", "n_suppliers", "total_cents", "hhi_pm2")
@@ -8992,8 +9010,14 @@ SELECT cur.yr AS yr, CAST(cur.mo AS BIGINT) AS mo,
        prev.revenue_cents AS prev_year_cents,
        CASE WHEN prev.revenue_cents IS NULL OR prev.revenue_cents = 0
             THEN NULL
-            ELSE ((cur.revenue_cents - prev.revenue_cents) * 1000000)
-                 // prev.revenue_cents
+            ELSE (((cur.revenue_cents - prev.revenue_cents)
+                   // (1 + greatest(cur.revenue_cents,
+                                    prev.revenue_cents)
+                       // 1000000000000)) * 1000000)
+                 // greatest(prev.revenue_cents
+                             // (1 + greatest(cur.revenue_cents,
+                                              prev.revenue_cents)
+                                 // 1000000000000), 1)
        END AS yoy_growth_ppm
 FROM m cur LEFT JOIN m prev
   ON prev.yr = cur.yr - 1 AND prev.mo = cur.mo
@@ -9032,9 +9056,15 @@ def q_yoy_growth(spark, sf_dir):
                 F.lit(None).cast("long"),
             )
             .otherwise(
+                # round-8 ppm scale guard (see q_abc_classification):
+                # per-row s from the larger of the two month totals
                 F.expr(
-                    "((revenue_cents - prev_year_cents) * 1000000)"
-                    " div prev_year_cents"
+                    "(((revenue_cents - prev_year_cents)"
+                    " div (1 + greatest(revenue_cents,"
+                    " prev_year_cents) div 1000000000000)) * 1000000)"
+                    " div greatest(prev_year_cents"
+                    " div (1 + greatest(revenue_cents,"
+                    " prev_year_cents) div 1000000000000), 1)"
                 )
             )
             .cast("long").alias("yoy_growth_ppm"),
@@ -9526,16 +9556,17 @@ WITH cust AS (
     FROM cust
 ), s AS (
     SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS sx,
-           sum(i * cents)::BIGINT AS sxi
+           sum(i::HUGEINT * cents) AS sxi
     FROM ranked
 ), topd AS (
     SELECT sum(r.cents)::BIGINT AS top_cents
     FROM ranked r, s WHERE r.i > s.n - (s.n // 10)
 )
 SELECT s.n AS n_customers, s.sx AS total_cents,
-       ((2 * s.sxi - (s.n + 1) * s.sx)
-        // greatest((s.n * s.sx) // 1000000, 1))::BIGINT AS gini_ppm,
-       ((topd.top_cents * 1000000) // s.sx)::BIGINT
+       CAST((2 * s.sxi - (s.n + 1)::HUGEINT * s.sx)
+            // greatest((s.n::HUGEINT * s.sx) // 1000000, 1)
+            AS BIGINT) AS gini_ppm,
+       CAST((topd.top_cents::HUGEINT * 1000000) // s.sx AS BIGINT)
            AS top_decile_share_ppm
 FROM s, topd
 """)
@@ -9543,10 +9574,13 @@ def q_revenue_gini(spark, sf_dir):
     """Revenue concentration: Gini coefficient + top-decile share
     over per-customer lifetime revenue — the inequality readout
     behind 'whale' analyses and account-risk concentration limits.
-    Exact protocol: revenue lands as integer cents, the Gini closed
-    form G = (2·Σi·x_i − (n+1)·Σx) / (n·Σx) is evaluated in pure
-    BIGINT with the denominator pre-scaled to ppm (num div (den div
-    1e6)) so nothing overflows and both engines floor identically.
+    Exact protocol: revenue lands as integer cents; the Gini closed
+    form G = (2·Σi·x_i − (n+1)·Σx) / (n·Σx) is evaluated in WIDE
+    exact integers (Spark DECIMAL(38,0), DuckDB HUGEINT — round 8:
+    Σi·x and n·Σx exceed BIGINT once n·total_cents passes ~9.2e18,
+    caught by the magnitude-stress sweep) with the denominator
+    pre-scaled to ppm; exact integer arithmetic is engine-identical
+    at any width.
     Scale shape: one fact shuffle to customers; the rank window runs
     over the CUSTOMER aggregate relation (the ntile/deciles
     precedent), never over orders; the two scalars meet by
@@ -9562,7 +9596,8 @@ def q_revenue_gini(spark, sf_dir):
     s = ranked.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("cents").cast("long").alias("sx"),
-        F.sum(F.col("i") * F.col("cents")).cast("long").alias("sxi"),
+        F.sum(F.col("i").cast("decimal(19,0)") * F.col("cents"))
+        .alias("sxi"),
     )
     topd = (
         ranked.crossJoin(F.broadcast(s))
@@ -9575,11 +9610,14 @@ def q_revenue_gini(spark, sf_dir):
             F.col("n").alias("n_customers"),
             F.col("sx").alias("total_cents"),
             F.expr(
-                "CAST((2 * sxi - (n + 1) * sx)"
-                " div greatest((n * sx) div 1000000, 1) AS BIGINT)"
+                "CAST((2 * sxi - CAST(n + 1 AS DECIMAL(19,0)) * sx)"
+                " div greatest((CAST(n AS DECIMAL(19,0)) * sx)"
+                " div 1000000, 1) AS BIGINT)"
             ).alias("gini_ppm"),
-            F.expr("CAST((top_cents * 1000000) div sx AS BIGINT)")
-            .alias("top_decile_share_ppm"),
+            F.expr(
+                "CAST((CAST(top_cents AS DECIMAL(38,0)) * 1000000)"
+                " div sx AS BIGINT)"
+            ).alias("top_decile_share_ppm"),
         )
     )
 
@@ -11813,23 +11851,22 @@ WITH daily AS (
 ), win AS (
     SELECT day, v_cents,
            count(*) OVER w AS n,
-           sum(v_cents) OVER w AS s,
-           sum(v_cents * v_cents) OVER w AS ssq
+           sum(v_cents::HUGEINT) OVER w AS s,
+           sum(v_cents::HUGEINT * v_cents) OVER w AS ssq
     FROM daily
     WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 )
 SELECT day, v_cents, n::BIGINT AS n_window,
-       (s * 1000) // n AS mean_milli_cents,
-       (1000000 * CAST(round(sqrt((n * ssq - s * s)::DOUBLE)) AS BIGINT))
-           // n AS sigma_micro_cents,
+       CAST((s * 1000) // n AS BIGINT) AS mean_milli_cents,
+       CAST((1000000 * CAST(round(sqrt((n * ssq - s * s)::DOUBLE))
+                            AS HUGEINT)) // n AS BIGINT)
+           AS sigma_micro_cents,
        (n * v_cents - s > 0 AND
-        CAST(n * v_cents - s AS DECIMAL(19,0))
-            * CAST(n * v_cents - s AS DECIMAL(19,0))
-            > 4 * CAST(n * ssq - s * s AS DECIMAL(19,0))) AS above_band,
+        (n * v_cents - s) * (n * v_cents - s)
+            > 4 * (n * ssq - s * s)) AS above_band,
        (n * v_cents - s < 0 AND
-        CAST(n * v_cents - s AS DECIMAL(19,0))
-            * CAST(n * v_cents - s AS DECIMAL(19,0))
-            > 4 * CAST(n * ssq - s * s AS DECIMAL(19,0))) AS below_band
+        (n * v_cents - s) * (n * v_cents - s)
+            > 4 * (n * ssq - s * s)) AS below_band
 FROM win
 """)
 def q_bollinger_bands(spark, sf_dir):
@@ -11866,28 +11903,35 @@ def q_bollinger_bands(spark, sf_dir):
     win = daily.select(
         "day", "v_cents",
         F.count("*").over(w).alias("n"),
-        F.sum("v_cents").over(w).alias("s"),
-        F.sum(F.col("v_cents") * F.col("v_cents")).over(w).alias("ssq"),
+        F.sum(F.col("v_cents").cast("decimal(20,0)")).over(w).alias("s"),
+        F.sum(
+            F.col("v_cents").cast("decimal(19,0)")
+            * F.col("v_cents").cast("decimal(19,0)")
+        ).over(w).alias("ssq"),
     )
+    # wide-integer arithmetic (round-8 magnitude-stress fix): the
+    # window sums/squares and all derived terms run in DECIMAL(38,0)
+    # here and HUGEINT in the oracle — exact integers are engine-
+    # identical at any width, and BIGINT ssq overflowed once daily
+    # volume passed ~3e9 cents ($30M/day)
     return win.select(
         "day", "v_cents",
         F.col("n").cast("long").alias("n_window"),
-        F.expr("(s * 1000) div n").alias("mean_milli_cents"),
+        F.expr("CAST((s * 1000) div n AS BIGINT)")
+        .alias("mean_milli_cents"),
         F.expr(
-            "(1000000 * CAST(round(sqrt(CAST(n * ssq - s * s AS DOUBLE)))"
-            " AS BIGINT)) div n"
+            "CAST((1000000 * CAST(round(sqrt(CAST(n * ssq - s * s"
+            " AS DOUBLE))) AS DECIMAL(38,0))) div n AS BIGINT)"
         ).alias("sigma_micro_cents"),
         F.expr(
             "n * v_cents - s > 0 AND"
-            " CAST(n * v_cents - s AS DECIMAL(19,0))"
-            " * CAST(n * v_cents - s AS DECIMAL(19,0))"
-            " > 4 * CAST(n * ssq - s * s AS DECIMAL(19,0))"
+            " (n * v_cents - s) * (n * v_cents - s)"
+            " > 4 * (n * ssq - s * s)"
         ).alias("above_band"),
         F.expr(
             "n * v_cents - s < 0 AND"
-            " CAST(n * v_cents - s AS DECIMAL(19,0))"
-            " * CAST(n * v_cents - s AS DECIMAL(19,0))"
-            " > 4 * CAST(n * ssq - s * s AS DECIMAL(19,0))"
+            " (n * v_cents - s) * (n * v_cents - s)"
+            " > 4 * (n * ssq - s * s)"
         ).alias("below_band"),
     )
 
