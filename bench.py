@@ -377,6 +377,18 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
             available_now=True,
         ))
 
+        # same pipeline at a 48-file trigger: records the documented
+        # throughput/latency lever (fixed streaming overhead is ~36%
+        # of a 16-file batch — bigger triggers amortize it toward the
+        # raw parse+chunk+write rate)
+        run("stream_watcher_mft48", watcher.start_pipeline(
+            spark, doc_dir,
+            os.path.join(tmp, "chunks_out48"),
+            os.path.join(tmp, "cp_watch48"),
+            available_now=True,
+            max_files_per_trigger=48,
+        ))
+
         # exactly-once streaming MERGE into the snapshot table format
         # (stream_table_merge): CDC events upsert user latest-state
         # through foreachBatch + copy-on-write MERGE. Note:
