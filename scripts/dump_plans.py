@@ -35,7 +35,8 @@ PICKS = {
     "q_uniform_sample_exact": "TakeOrderedAndProject: per-partition top-k heaps, no global sort or range exchange",
     "q_weighted_sample": "Efraimidis-Spirakis keys in codegen; exact top-k as TakeOrderedAndProject, rank window over the k-row result",
     "q_zorder3_layout": "one fact scan -> 24-bit interleave projection -> three layout aggs; bounds/box as 1-row broadcasts",
-    "q_incremental_components": "batch-prefix x corpus-prefix candidate join (never corpus x corpus); contraction joins against the checkpointed standing map",
+    "q_incremental_components": "batch-prefix x standing-index posting join (never corpus x corpus, no per-run re-shingling); contraction joins against the checkpointed standing map",
+    "dedup_simhash": "byte-band bucket join with count+join cap; smallest-shared-band predicate replaces the pair-set distinct() shuffle",
     "q_spearman_rank_corr": "rank = value-partitioned row_number + value-domain running offset; no corpus-sized global sort",
     "q_event_pattern_match": "one groupBy(user) collect -> codegen regexp counts; no window, no join",
 }
