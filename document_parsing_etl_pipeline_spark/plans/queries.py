@@ -20,6 +20,7 @@ matches):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -12163,11 +12164,12 @@ _NB_CTES = r"""toks AS (
 params AS (
     SELECT l.lang, l.t_l, p.nd, n.n_docs, vb.v,
            round(ln(p.nd::DOUBLE / n.n_docs), 6) AS prior6,
-           round(ln(1.0 / (l.t_l + vb.v)), 6) AS ll0
+           round(ln(CAST(1.0 AS DOUBLE) / (l.t_l + vb.v)), 6) AS ll0
     FROM lt l JOIN priors p USING (lang), nn n, vocab vb
 ), matched AS (
     SELECT d.doc_id, mo.lang,
-           sum(d.m * round(ln((mo.c + 1.0) / (pa.t_l + pa.v)), 6)
+           sum(d.m * round(ln((mo.c + CAST(1.0 AS DOUBLE))
+                              / (pa.t_l + pa.v)), 6)
                    ::DECIMAL(18,6)) AS s_match,
            sum(d.m)::BIGINT AS m_matched
     FROM dt d JOIN model mo USING (tok)
@@ -12242,7 +12244,7 @@ def q_naive_bayes_lang(spark, sf_dir):
             "lang", "t_l", "v",
             F.expr("round(ln(CAST(nd AS DOUBLE) / n_docs), 6)")
             .alias("prior6"),
-            F.expr("round(ln(1.0 / (t_l + v)), 6)").alias("ll0"),
+            F.expr("round(ln(CAST(1.0 AS DOUBLE) / (t_l + v)), 6)").alias("ll0"),
         )
     )
     matched = (
@@ -12251,7 +12253,7 @@ def q_naive_bayes_lang(spark, sf_dir):
         .groupBy("doc_id", "lang")
         .agg(
             F.expr(
-                "sum(m * CAST(round(ln((c + 1.0) / (t_l + v)), 6)"
+                "sum(m * CAST(round(ln((c + CAST(1.0 AS DOUBLE)) / (t_l + v)), 6)"
                 " AS DECIMAL(18,6)))"
             ).alias("s_match"),
             F.sum("m").cast("long").alias("m_matched"),
@@ -13177,6 +13179,11 @@ def q_dedup_token_savings(spark, sf_dir):
 
 
 _KN_D = 0.75
+# e-notation form for BOTH engine texts: bare `0.75` types as DECIMAL
+# in Spark so (c - 0.75) / c1 becomes decimal division (engine-
+# divergent result scale; the q_gumbel_maxima class) — `0.75e0` is
+# DOUBLE in Spark and DuckDB alike.
+_KN_D_SQL = "0.75e0"
 _KN_TOPK = 100
 
 
@@ -13217,7 +13224,7 @@ FROM (
     SELECT *, row_number() OVER (ORDER BY c DESC, w1, w2) AS rank
     FROM scored
 ) WHERE rank <= {k}
-""".replace("{d}", str(_KN_D)).replace("{k}", str(_KN_TOPK)))
+""".replace("{d}", _KN_D_SQL).replace("{k}", str(_KN_TOPK)))
 def q_kneser_ney_bigram(spark, sf_dir):
     """Interpolated Kneser-Ney bigram probabilities vs MLE for the
     top-{k} bigrams — the LM-smoothing upgrade over the Laplace
@@ -13262,8 +13269,8 @@ def q_kneser_ney_bigram(spark, sf_dir):
         .select(
             "w1", "w2", "c", "c1",
             F.expr(
-                f"round((c - {_KN_D}) / c1"
-                f" + ({_KN_D} * n1f / c1)"
+                f"round((c - {_KN_D_SQL}) / c1"
+                f" + ({_KN_D_SQL} * n1f / c1)"
                 f" * (CAST(n1p AS DOUBLE) / b_total), 6)"
             ).alias("p_kn"),
             F.expr("round(CAST(c AS DOUBLE) / c1, 6)").alias("p_mle"),
@@ -14759,6 +14766,13 @@ def q_token_coverage(spark, sf_dir):
 
 _GUMBEL_GAMMA = 0.5772156649
 _GUMBEL_RET_BLOCKS = 52
+# ln(-ln(1 - 1/T)) precomputed in Python doubles and interpolated into
+# BOTH engine texts: writing the expression inline types `1.0 - 1.0/52`
+# as DECIMAL(8,6) in Spark (lnln -3.941538) vs double in DuckDB
+# (-3.941550) — the q_conversion_wilson bare-literal class. One shared
+# 6dp literal keeps the composed return level bit-identical.
+_GUMBEL_LNLN = round(math.log(
+    -math.log(1.0 - 1.0 / _GUMBEL_RET_BLOCKS)), 6)
 
 @register("q_gumbel_maxima", f"""
 WITH daily AS (
@@ -14789,7 +14803,7 @@ SELECT nb AS n_blocks, max_m AS max_weekly_peak,
              - round(sqrt((nb::DOUBLE * smm - sm::DOUBLE * sm)
                           / (nb::DOUBLE * (nb - 1)))
                      * 0.7796968012336761, 6)
-               * round(ln(-ln(1.0 - 1.0 / {_GUMBEL_RET_BLOCKS})), 6),
+               * CAST({_GUMBEL_LNLN} AS DOUBLE),
              4) AS return_level_{_GUMBEL_RET_BLOCKS}wk
 FROM s
 """)
@@ -14802,8 +14816,10 @@ def q_gumbel_maxima(spark, sf_dir):
     sigma under-calls because maxima are Gumbel-, not normal-,
     tailed. Parity: moments come from exact integer (sum, sumsq)
     over the calendar-bounded block frame; sqrt is IEEE-exact;
-    sqrt(6)/pi is one shared literal; each ln application is rounded
-    6dp (the zipf protocol) and every derived stat is rounded before
+    sqrt(6)/pi is one shared literal; the ln(-ln(1-1/T)) constant is
+    precomputed in Python doubles and interpolated into BOTH engine
+    texts (inline it types as Spark DECIMAL(8,6) vs DuckDB double —
+    the r08 driver FAIL), and every derived stat is rounded before
     REUSE so both engines compose identical doubles. One output
     row; the only fact-sized work is the daily pre-aggregation."""
     ev = load_table(spark, sf_dir, "events")
@@ -14826,7 +14842,7 @@ def q_gumbel_maxima(spark, sf_dir):
     mu = (
         f"round(CAST(sm AS DOUBLE) / nb - {_GUMBEL_GAMMA} * {beta}, 6)"
     )
-    lnln = f"round(ln(-ln(1.0 - 1.0 / {_GUMBEL_RET_BLOCKS})), 6)"
+    lnln = f"CAST({_GUMBEL_LNLN} AS DOUBLE)"
     return s.select(
         F.col("nb").alias("n_blocks"),
         F.col("max_m").alias("max_weekly_peak"),
@@ -15051,7 +15067,7 @@ terms AS (
     FROM jac j CROSS JOIN cfg
 )
 SELECT b::BIGINT AS n_bands, r::BIGINT AS rows_per_band,
-       round(pow(1.0 / b, 1.0 / r), 6) AS s50_threshold,
+       round(pow(1.0e0 / b, 1.0e0 / r), 6) AS s50_threshold,
        count(*)::BIGINT AS n_cand_pairs,
        sum(is_true)::BIGINT AS n_true_pairs,
        round(sum(CASE WHEN is_true = 1 THEN p ELSE 0 END)::DOUBLE, 4)
@@ -15093,7 +15109,7 @@ def q_lsh_band_planner(spark, sf_dir):
         ).alias("p"),
     )
     return terms.groupBy("b", "r").agg(
-        F.expr("round(pow(1.0 / b, 1.0 / r), 6)").alias("s50_threshold"),
+        F.expr("round(pow(1.0e0 / b, 1.0e0 / r), 6)").alias("s50_threshold"),
         F.count("*").cast("long").alias("n_cand_pairs"),
         F.sum("is_true").cast("long").alias("n_true_pairs"),
         F.expr(
@@ -15641,7 +15657,7 @@ fpr AS (
     SELECT cfg.mpn,
            CAST(round(cfg.mpn * 0.693147, 0) AS BIGINT) AS k,
            round(pow(1.0 - round(exp(-(CAST(round(cfg.mpn * 0.693147, 0)
-                                            AS BIGINT) * 1.0) / cfg.mpn),
+                                            AS BIGINT) * 1.0e0) / cfg.mpn),
                                  6),
                      CAST(round(cfg.mpn * 0.693147, 0) AS BIGINT)), 6)
                AS fp_rate
@@ -15687,7 +15703,7 @@ def q_bloom_planner(spark, sf_dir):
     fpr = cfg.select(
         "mpn", F.expr(kexpr).alias("k"),
         F.expr(
-            f"round(pow(1.0 - round(exp(-({kexpr} * 1.0) / mpn), 6),"
+            f"round(pow(1.0 - round(exp(-({kexpr} * 1.0e0) / mpn), 6),"
             f" {kexpr}), 6)"
         ).alias("fp_rate"),
     )
@@ -17901,6 +17917,15 @@ def q_price_index(spark, sf_dir):
             " AS BIGINT)").alias("fisher_ppm"),
     )
 
+# SPRT boundaries ln((1-b)/a)=ln(16), ln(b/(1-a))=ln(0.2/0.95)
+# precomputed in Python doubles and interpolated into BOTH engine
+# texts: inline `0.2 / 0.95` is DECIMAL/DECIMAL division whose result
+# scale differs per engine (the q_gumbel_maxima bare-literal class —
+# it hash-passed only by coincidence of decimal scale).
+_SPRT_UPPER = round(math.log(16.0), 4)
+_SPRT_LOWER = round(math.log(0.2 / 0.95), 4)
+
+
 @register("q_sprt_status", f"""
 WITH {_AB_ARMS_SQL}, wide AS (
     SELECT
@@ -17926,10 +17951,10 @@ WITH {_AB_ARMS_SQL}, wide AS (
 )
 SELECT na AS n_control, xa AS x_control, nb AS n_treat, xb AS x_treat,
        p0_ppm, llr_b,
-       round(ln(16.0), 4) AS upper_bound,
-       round(ln(0.2 / 0.95), 4) AS lower_bound,
-       CASE WHEN llr_b >= round(ln(16.0), 4) THEN 'accept_h1'
-            WHEN llr_b <= round(ln(0.2 / 0.95), 4) THEN 'accept_h0'
+       CAST({_SPRT_UPPER} AS DOUBLE) AS upper_bound,
+       CAST({_SPRT_LOWER} AS DOUBLE) AS lower_bound,
+       CASE WHEN llr_b >= CAST({_SPRT_UPPER} AS DOUBLE) THEN 'accept_h1'
+            WHEN llr_b <= CAST({_SPRT_LOWER} AS DOUBLE) THEN 'accept_h0'
             ELSE 'continue' END AS decision
 FROM llr
 """)
@@ -17965,11 +17990,13 @@ def q_sprt_status(spark, sf_dir):
         F.col("nb").alias("n_treat"), F.col("xb").alias("x_treat"),
         F.expr(f"CAST({p0_ppm} AS BIGINT)").alias("p0_ppm"),
         F.expr(llr).alias("llr_b"),
-        F.expr("round(ln(16.0), 4)").alias("upper_bound"),
-        F.expr("round(ln(0.2 / 0.95), 4)").alias("lower_bound"),
+        F.expr(f"CAST({_SPRT_UPPER} AS DOUBLE)").alias("upper_bound"),
+        F.expr(f"CAST({_SPRT_LOWER} AS DOUBLE)").alias("lower_bound"),
         F.expr(
-            f"CASE WHEN {llr} >= round(ln(16.0), 4) THEN 'accept_h1'"
-            f" WHEN {llr} <= round(ln(0.2 / 0.95), 4) THEN 'accept_h0'"
+            f"CASE WHEN {llr} >= CAST({_SPRT_UPPER} AS DOUBLE)"
+            " THEN 'accept_h1'"
+            f" WHEN {llr} <= CAST({_SPRT_LOWER} AS DOUBLE)"
+            " THEN 'accept_h0'"
             " ELSE 'continue' END").alias("decision"),
     )
 
@@ -18191,16 +18218,16 @@ def q_hill_tail_index(spark, sf_dir):
 # both engines compose the identical IEEE double expression; the one
 # genuinely engine-varying transcendental (exp) is rounded 6dp first.
 _PHI_TAIL = (
-    "(round(exp(-(({z}) * ({z})) / 2.0), 6) * 0.3989422804014327"
+    "(round(exp(-(({z}) * ({z})) / 2.0e0), 6) * 0.3989422804014327"
     " * ((((1.330274429 * {t} - 1.821255978) * {t} + 1.781477937)"
     " * {t} - 0.356563782) * {t} + 0.319381530) * {t})"
-).format(z="az", t="(1.0 / (1.0 + 0.2316419 * az))")
+).format(z="az", t="(1.0e0 / (1.0e0 + 0.2316419 * az))")
 
 _BH_Z = ("CASE WHEN xa + xb = 0 OR xa + xb = na + nb THEN 0.0 ELSE"
          " (CAST(xb AS DOUBLE) / nb - CAST(xa AS DOUBLE) / na)"
          " / sqrt((CAST(xa + xb AS DOUBLE) / (na + nb))"
          " * (1.0 - CAST(xa + xb AS DOUBLE) / (na + nb))"
-         " * (1.0 / na + 1.0 / nb)) END")
+         " * (1.0e0 / na + 1.0e0 / nb)) END")
 
 @register("q_bh_fdr", f"""
 WITH {_AB_ARMS_SQL}, part AS (
@@ -18671,7 +18698,7 @@ WITH dsir AS ({_DSIR_ORACLE}),
 m AS (
     SELECT max(dsir_micro_nats) AS mx FROM dsir
 ), w AS (
-    SELECT round(exp((dsir_micro_nats - m.mx) / 1000000.0),
+    SELECT round(exp((dsir_micro_nats - m.mx) / 1000000.0e0),
                  6)::DECIMAL(18,6) AS w
     FROM dsir, m
 ), s AS (
@@ -18705,8 +18732,8 @@ def q_ess_dsir(spark, sf_dir):
     ).select("dsir_micro_nats")
     m = lw.agg(F.max("dsir_micro_nats").alias("mx"))
     w = lw.crossJoin(F.broadcast(m)).select(
-        F.expr("CAST(round(exp((dsir_micro_nats - mx) / 1000000.0), 6)"
-               " AS DECIMAL(18,6))").alias("w"))
+        F.expr("CAST(round(exp((dsir_micro_nats - mx) / 1000000.0e0),"
+               " 6) AS DECIMAL(18,6))").alias("w"))
     s = w.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("w").alias("sw"),
@@ -18982,8 +19009,8 @@ def q_ivf_nprobe_curve(spark, sf_dir):
 # one engine-varying transcendental (rounded 6dp), the rest is plain
 # IEEE arithmetic + one correctly-rounded sqrt.
 _WH_Z = ("((round(cbrt(g2 / dof), 6)"
-         " - (1.0 - 2.0 / (9.0 * dof)))"
-         " / sqrt(2.0 / (9.0 * dof)))")
+         " - (1.0 - 2.0e0 / (9.0 * dof)))"
+         " / sqrt(2.0e0 / (9.0 * dof)))")
 
 @register("q_markov_order_test", f"""
 WITH seq AS (
@@ -19183,7 +19210,7 @@ def q_nb_calibration(spark, sf_dir):
             "lang", "t_l", "v",
             F.expr("round(ln(CAST(nd AS DOUBLE) / n_docs), 6)")
             .alias("prior6"),
-            F.expr("round(ln(1.0 / (t_l + v)), 6)").alias("ll0"),
+            F.expr("round(ln(CAST(1.0 AS DOUBLE) / (t_l + v)), 6)").alias("ll0"),
         )
     )
     matched = (
@@ -19191,7 +19218,7 @@ def q_nb_calibration(spark, sf_dir):
         .join(F.broadcast(params), "lang")
         .groupBy("doc_id", "lang")
         .agg(
-            F.expr("sum(m * CAST(round(ln((c + 1.0) / (t_l + v)), 6)"
+            F.expr("sum(m * CAST(round(ln((c + CAST(1.0 AS DOUBLE)) / (t_l + v)), 6)"
                    " AS DECIMAL(18,6)))").alias("s_match"),
             F.sum("m").cast("long").alias("m_matched"),
         )

@@ -35,7 +35,13 @@ def normalize(rows, columns):
         for i in order:
             v = row[i]
             if isinstance(v, float):
-                v = f"{v:.6g}"
+                # repr = shortest round-trip form: two distinct doubles
+                # ALWAYS stringify differently, matching the driver's
+                # full-precision hash. The old %.6g collapsed
+                # 3509.4199/3509.4203 (the r08 q_gumbel_maxima driver
+                # FAIL passed this gate) — the local gate must be at
+                # least as strict as the driver.
+                v = repr(v)
             elif isinstance(v, bytes):
                 v = v.hex()
             vals.append(str(v))

@@ -82,7 +82,11 @@ def _normalize(rows, columns):
         for i in order:
             v = row[i]
             if isinstance(v, float):
-                v = f"{v:.6g}"
+                # repr = shortest round-trip: distinct doubles always
+                # differ (the %.6g form masked the r08 q_gumbel_maxima
+                # 4th-decimal divergence; the driver hashes full
+                # precision, so must this gate)
+                v = repr(v)
             vals.append(str(v))
         out.append(tuple(vals))
     return sorted(out)
@@ -401,3 +405,90 @@ def test_bollinger_on_band_boundary_parity(spark, edge_boll_dir):
     want_n = _normalize(res.fetchall(), ocols)
     assert sorted(cols) == sorted(ocols)
     assert got_n == want_n
+
+
+# --- q_gumbel_maxima literal-typing fixture (round-9 regression) ----
+#
+# The r08 driver hash FAIL: the return-level term ln(-ln(1 - 1/52))
+# written inline typed `1.0 - 1.0/52` as DECIMAL(8,6) in Spark
+# (lnln -3.941538) vs double in DuckDB (-3.941550). The fix
+# interpolates ONE Python-precomputed 6dp literal into both engine
+# texts. This fixture makes beta large enough (~30) that the old
+# 1.2e-5 constant gap would shift the 4dp return level by ~3.6e-4 —
+# a guaranteed full-precision divergence on the old code.
+
+GUMBEL_WEEK_PEAKS = [10, 30, 60, 100]
+
+
+@pytest.fixture(scope="module")
+def edge_gumbel_dir(tmp_path_factory, spark):
+    import shutil
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("edge_gumbel")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        shutil.copyfile(f"/root/testdata/sf0.001/{t}.parquet",
+                        str(d / f"{t}.parquet"))
+    # 2024-01-04 is epoch day 19726 = 7*2818: each peak sits in its
+    # own day//7 block, so weekly maxima are exactly GUMBEL_WEEK_PEAKS
+    base = datetime(2024, 1, 4, 12, 0, 0)
+    ts, eid = [], 0
+    for w, peak in enumerate(GUMBEL_WEEK_PEAKS):
+        for day in range(7):
+            n = peak if day == 0 else 1
+            for _ in range(n):
+                ts.append(base + timedelta(days=7 * w + day))
+                eid += 1
+    tbl = pa.table({
+        "event_id": pa.array(range(eid), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1] * eid, pa.int64()),
+        "event_type": pa.array(["m"] * eid, pa.string()),
+        "value": pa.array([1.0] * eid, pa.float64()),
+        "props": pa.array([None] * eid, pa.string()),
+    })
+    pq.write_table(tbl, f"{d}/events.parquet")
+    return str(d)
+
+
+def test_gumbel_return_level_parity(spark, edge_gumbel_dir):
+    import math
+
+    got = QUERIES["q_gumbel_maxima"](spark, edge_gumbel_dir)
+    cols = got.columns
+    row = got.collect()[0].asDict()
+    assert row["n_blocks"] == len(GUMBEL_WEEK_PEAKS)
+    assert row["max_weekly_peak"] == max(GUMBEL_WEEK_PEAKS)
+    # beta must be large enough that the old constant gap (1.2e-5)
+    # would move the 4dp-rounded return level — i.e. this fixture
+    # would have caught the r08 bug
+    assert row["gumbel_beta"] * 1.2e-5 > 2e-4
+
+    con = duckdb.connect()
+    con.execute(
+        "create view events as select * from "
+        f"read_parquet('{edge_gumbel_dir}/events.parquet')"
+    )
+    res = con.execute(ORACLES["q_gumbel_maxima"])
+    ocols = [d[0] for d in res.description]
+    assert sorted(cols) == sorted(ocols)
+    got_n = _normalize([tuple(r) for r in
+                        QUERIES["q_gumbel_maxima"](
+                            spark, edge_gumbel_dir).collect()], cols)
+    want_n = _normalize(res.fetchall(), ocols)
+    assert got_n == want_n
+
+    # the composed value is the closed form from the shared constants
+    peaks = GUMBEL_WEEK_PEAKS
+    nb = len(peaks)
+    mean = sum(peaks) / nb
+    var = (nb * sum(p * p for p in peaks) - sum(peaks) ** 2) \
+        / (nb * (nb - 1))
+    beta = round(math.sqrt(var) * 0.7796968012336761, 6)
+    mu = round(mean - 0.5772156649 * beta, 6)
+    lnln = round(math.log(-math.log(1 - 1 / 52)), 6)
+    assert row["return_level_52wk"] == round(mu - beta * lnln, 4)

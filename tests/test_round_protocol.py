@@ -118,7 +118,7 @@ WHITELIST = {
         "ROUND_THEN_RESCALE",
     ("q_reciprocal_rank_fusion", 6,
      "ln(((t.n_docs - d.df)::DOUBLE + 0.5) / ("): "ROUND_THEN_RESCALE",
-    ("q_kneser_ney_bigram", 6, "(g.c - 0.75) / u.c1 + (0.75 * u.n1f / u."):
+    ("q_kneser_ney_bigram", 6, "(g.c - 0.75e0) / u.c1 + (0.75e0 * u.n1f "):
         "ROUND_THEN_RESCALE",
     ("q_kneser_ney_bigram", 6, "g.c::DOUBLE / u.c1"):
         "ROUND_THEN_RESCALE",
@@ -135,8 +135,6 @@ WHITELIST = {
     # --- both compare sides from the same rounded columns ---
     ("q_sprt_status", 4, "xb * round(ln(p1 / p0), 6) + (nb - xb) *"):
         "IDENTICAL_DERIVATION",
-    ("q_sprt_status", 4, "ln(16.0)"): "EXACT_CONSTANT",
-    ("q_sprt_status", 4, "ln(0.2 / 0.95)"): "EXACT_CONSTANT",
     ("q_zipf_slope", 6, "(n * (sxy::DOUBLE) - (sx::DOUBLE) * (sy:"):
         "IDENTICAL_DERIVATION",
 }
@@ -176,6 +174,67 @@ def test_whitelist_entries_still_exist():
     assert not stale, f"stale whitelist entries: {stale}"
     bad = {k: v for k, v in WHITELIST.items() if v not in _CLASSES}
     assert not bad, f"unknown justification class: {bad}"
+
+
+def test_no_unwhitelisted_literal_divisions():
+    """Round-9 lint (after the q_gumbel_maxima driver FAIL): a bare
+    decimal literal in a division with no double-forcing marker on
+    either operand is decimal division in Spark but double division in
+    DuckDB. Every such site must be rewritten (e-notation `1.0e0` /
+    CAST AS DOUBLE / a Python-precomputed shared constant) or carry a
+    written whitelist justification in scripts/round_lint.py."""
+    from scripts.round_lint import lint_literal_typing
+
+    findings = lint_literal_typing(ORACLES)
+    assert not findings, (
+        "decimal-literal divisions with engine-divergent typing "
+        f"(fix with e-notation or whitelist with a scale argument): "
+        f"{findings}"
+    )
+
+
+def test_literal_typing_whitelist_not_stale():
+    from scripts.round_lint import (_DOUBLE_MARK, _LIT,
+                                    _LIT_DIV_WHITELIST, _operand_left,
+                                    _operand_right)
+    import re
+
+    live = set()
+    for name, sql in ORACLES.items():
+        for m in re.finditer(r"(?<![/])/(?![/])", sql):
+            i = m.start()
+            lo = _operand_left(sql, i)
+            ro = _operand_right(sql, i + 1)
+            if not (_LIT.search(lo) or _LIT.search(ro)):
+                continue
+            if _DOUBLE_MARK.search(lo) or _DOUBLE_MARK.search(ro):
+                continue
+            site = re.sub(r"\s+", " ",
+                          lo.strip()[-44:] + " / " + ro.strip()[:44])
+            for (q, frag) in _LIT_DIV_WHITELIST:
+                if q == name and frag in site:
+                    live.add((q, frag))
+    stale = [k for k in _LIT_DIV_WHITELIST if k not in live]
+    assert not stale, f"stale literal-typing whitelist entries: {stale}"
+
+
+def test_bare_decimal_literal_division_diverges(spark):
+    """Documents WHY the literal lint exists: `1.0 - 1.0/52` is
+    DECIMAL(8,6) in Spark (0.980769, truncated) but DOUBLE in DuckDB —
+    the exact q_gumbel_maxima r08 driver FAIL — while the e-notation
+    form agrees bit-for-bit."""
+    import duckdb
+    import math
+
+    con = duckdb.connect()
+    expr = "round(ln(-ln(1.0 - 1.0 / 52)), 6)"
+    d = con.execute(f"select {expr}").fetchone()[0]
+    s = spark.sql(f"select {expr} as r").collect()[0]["r"]
+    assert d != s, "engines now agree on bare-decimal ln composition"
+    fixed = "round(ln(-ln(1.0e0 - 1.0e0 / 52)), 6)"
+    d2 = con.execute(f"select {fixed}").fetchone()[0]
+    s2 = spark.sql(f"select {fixed} as r").collect()[0]["r"]
+    assert d2 == s2 == round(math.log(-math.log(1 - 1 / 52)), 6)
 
 
 def test_half_grid_divergence_exists(spark):
