@@ -1572,6 +1572,7 @@ def _jaccard_pairs(spark, sf_dir):
             threshold=0.5,
         ),
         _NEARDUP_MEMO, key,
+        params=f"jaccard.mh{_MH_K}.band{_MH_BAND}.maxb{_MH_MAXB}.t0.5",
     )
 
 
@@ -1591,6 +1592,7 @@ def _standing_setsim_pairs(spark, sf_dir):
             threshold_num=3, threshold_den=5,
         ),
         _NEARDUP_MEMO, key,
+        params="setsim.t3-5.standing-mod5",
     )
 
 
@@ -1606,6 +1608,7 @@ def _standing_setsim_components(spark, sf_dir):
             _standing_setsim_pairs(spark, sf_dir), max_iter=30
         ),
         _NEARDUP_MEMO, key,
+        params="cc30.over.setsim.t3-5.standing-mod5",
     )
 
 
@@ -1630,24 +1633,17 @@ def _standing_setsim_index(spark, sf_dir):
             threshold_num=3, threshold_den=5,
         )
 
-    base = artifacts.artifacts_root()
-    if base is None:
-        _NEARDUP_MEMO[key] = tuple(
-            df.localCheckpoint() for df in _build()
-        )
-        return _NEARDUP_MEMO[key]
-    names = ("setsim_index_sh", "setsim_index_pref",
-             "setsim_index_hist", "setsim_index_arrays")
-    parts = tuple(
-        artifacts.load_or_build(
-            spark, sf_dir, name,
-            (lambda i_: lambda: _build()[i_])(i),
-            _NEARDUP_MEMO, key + (name,),
-        )
-        for i, name in enumerate(names)
+    # ONE _build() serves all four relations whichever mode runs —
+    # in artifact mode load_or_build_many writes every member table
+    # from the same derivation (the shingle pass runs once, and the
+    # persisted relations are mutually consistent by construction)
+    return artifacts.load_or_build_many(
+        spark, sf_dir,
+        ("setsim_index_sh", "setsim_index_pref",
+         "setsim_index_hist", "setsim_index_arrays"),
+        _build, _NEARDUP_MEMO, key,
+        params="setsimindex.t3-5.sh3.sb128",
     )
-    _NEARDUP_MEMO[key] = parts
-    return _NEARDUP_MEMO[key]
 
 
 def _corpus_components(spark, sf_dir):
@@ -1664,6 +1660,8 @@ def _corpus_components(spark, sf_dir):
             _jaccard_pairs(spark, sf_dir), max_iter=30
         ),
         _NEARDUP_MEMO, key,
+        params=f"cc30.over.jaccard.mh{_MH_K}.band{_MH_BAND}"
+               f".maxb{_MH_MAXB}.t0.5",
     )
 
 

@@ -18,6 +18,13 @@ format tables under ``<dir>/<corpus-slug>/<artifact>``:
 - later requests — INCLUDING after a session restart — read the
   committed snapshot instead of recomputing (tested in
   tests/test_dedup_similarity.py);
+- every commit records an ``artifact_fingerprint`` = md5 of the
+  source-table file stats (size + mtime_ns per file) and the build
+  parameter string. A later request whose fingerprint differs —
+  corpus regenerated in place, or dedup parameters changed — REPLACES
+  the table with a fresh build instead of silently serving stale
+  rows; a table written before fingerprints existed counts as stale
+  (fail loud on the side of rebuilding).
 - ``expire_snapshots`` / ``optimize_table`` apply like any table.
 
 Unset (the default, and what the driver's correctness/bench runs
@@ -31,9 +38,10 @@ the BATCH artifacts to the same story.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -57,6 +65,58 @@ def exists(root: str) -> bool:
     return bool(tf._versions(root))
 
 
+def fingerprint(
+    sf_dir: str, params: str,
+    source_tables: Sequence[str] = ("documents",),
+) -> str:
+    """Identity of an artifact build: the stat signature (size +
+    mtime_ns per file) of every source table the builder reads, plus
+    the build-parameter string. Cheap (no data read), and any
+    in-place corpus regeneration or parameter change flips it."""
+    parts = [f"params={params}"]
+    for t in source_tables:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(path):
+            for fn in sorted(os.listdir(path)):
+                st = os.stat(os.path.join(path, fn))
+                parts.append(f"{t}/{fn}:{st.st_size}:{st.st_mtime_ns}")
+        elif os.path.exists(path):
+            st = os.stat(path)
+            parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+        else:
+            parts.append(f"{t}:absent")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
+def _stored_fingerprint(root: str) -> str | None:
+    versions = tf._versions(root)
+    if not versions:
+        return None
+    return tf._load_manifest(root, versions[-1]).get(
+        "artifact_fingerprint")
+
+
+def _ensure_table(
+    spark: SparkSession, root: str, df_fn: Callable[[], DataFrame],
+    fp: str,
+) -> bool:
+    """Create or fingerprint-refresh one artifact table. Returns True
+    if a (re)build happened."""
+    if not exists(root):
+        df = df_fn()
+        tf.create_table(spark, df, root, stats_cols=[df.columns[0]],
+                        extra_meta={"artifact_fingerprint": fp})
+        return True
+    if _stored_fingerprint(root) != fp:
+        # stale (corpus or params changed) or pre-fingerprint table:
+        # REPLACE with a fresh build — never serve stale rows to a
+        # hash-validated query
+        tf.replace(spark, df_fn(), root,
+                   extra_meta={"artifact_fingerprint": fp})
+        return True
+    return False
+
+
 def load_or_build(
     spark: SparkSession,
     sf_dir: str,
@@ -64,12 +124,15 @@ def load_or_build(
     builder: Callable[[], DataFrame],
     memo: dict,
     memo_key: tuple,
+    params: str = "",
+    source_tables: Sequence[str] = ("documents",),
 ) -> DataFrame:
     """The artifact access path shared by the plans-layer memo
     helpers: table-format table when SPARK_GRAFT_ARTIFACTS is set
-    (compute-once-per-snapshot, survives session restart), else the
-    in-session localCheckpoint memo. The in-memory memo fronts both
-    modes so one session never re-reads the table per consumer."""
+    (compute-once-per-snapshot, survives session restart, rebuilt
+    when the source fingerprint changes), else the in-session
+    localCheckpoint memo. The in-memory memo fronts both modes so one
+    session never re-reads the table per consumer."""
     if memo_key in memo:
         return memo[memo_key]
     base = artifacts_root()
@@ -77,10 +140,56 @@ def load_or_build(
         memo[memo_key] = builder().localCheckpoint()
         return memo[memo_key]
     root = table_root(base, sf_dir, name)
-    if not exists(root):
-        df = builder()
-        # stats on the leading column give later point reads file
-        # pruning for free; every artifact leads with a doc id
-        tf.create_table(spark, df, root, stats_cols=[df.columns[0]])
+    _ensure_table(spark, root, builder,
+                  fingerprint(sf_dir, params, source_tables))
     memo[memo_key] = tf.read(spark, root)
+    return memo[memo_key]
+
+
+def load_or_build_many(
+    spark: SparkSession,
+    sf_dir: str,
+    names: Sequence[str],
+    builder_all: Callable[[], tuple[DataFrame, ...]],
+    memo: dict,
+    memo_key: tuple,
+    params: str = "",
+    source_tables: Sequence[str] = ("documents",),
+) -> tuple[DataFrame, ...]:
+    """Group variant for artifacts that come out of ONE derivation
+    (the setsim index's four relations): if ANY member table is
+    missing or fingerprint-stale, run ``builder_all`` exactly once
+    and write every missing/stale member from that same build — the
+    four persisted relations are then mutually consistent by
+    construction, not by hoping four independent builds tie-break
+    identically. In memo mode the single build is localCheckpointed
+    per member as before."""
+    if memo_key in memo:
+        return memo[memo_key]
+    base = artifacts_root()
+    if base is None:
+        memo[memo_key] = tuple(
+            df.localCheckpoint() for df in builder_all())
+        return memo[memo_key]
+    fp = fingerprint(sf_dir, params, source_tables)
+    roots = [table_root(base, sf_dir, n) for n in names]
+    stale = [
+        r for r in roots
+        if not exists(r) or _stored_fingerprint(r) != fp
+    ]
+    if stale:
+        # ANY stale member invalidates the whole group: every table is
+        # rewritten from the one build, so the persisted relations are
+        # mutually consistent by construction (df-rank tie-breaking
+        # included), not by determinism across separate builds
+        built = builder_all()
+        for root, df in zip(roots, built):
+            if exists(root):
+                tf.replace(spark, df, root,
+                           extra_meta={"artifact_fingerprint": fp})
+            else:
+                tf.create_table(spark, df, root,
+                                stats_cols=[df.columns[0]],
+                                extra_meta={"artifact_fingerprint": fp})
+    memo[memo_key] = tuple(tf.read(spark, r) for r in roots)
     return memo[memo_key]

@@ -197,25 +197,51 @@ def _read_live(
 
 def create_table(
     spark: SparkSession, df: DataFrame, root: str,
-    stats_cols: list[str],
+    stats_cols: list[str], extra_meta: dict | None = None,
 ) -> int:
     """v1 snapshot of ``df`` with stats on ``stats_cols``."""
     entries = _write_files(spark, df, root, "v1", stats_cols)
     return _commit(root, {
         "operation": "create", "stats_cols": stats_cols, "files": entries,
         "schema": df.schema.json(),
+        **(extra_meta or {}),
+    })
+
+
+def replace(
+    spark: SparkSession, df: DataFrame, root: str,
+    extra_meta: dict | None = None,
+) -> int:
+    """REPLACE TABLE: a new snapshot whose live file set is ONLY the
+    new files (Iceberg's replace semantics). Prior snapshots stay
+    readable via time travel until expire_snapshots. Deletion vectors
+    are NOT carried — they reference replaced files."""
+    head = _load_manifest(root, _versions(root)[-1])
+    tag = f"v{head['version'] + 1}"
+    entries = _write_files(spark, df, root, tag, head["stats_cols"])
+    carried = {k: head[k] for k in ("stream_batch_id",) if k in head}
+    return _commit(root, {
+        "operation": "replace", "stats_cols": head["stats_cols"],
+        "files": entries,
+        "schema": df.schema.json(),
+        **carried,
+        **(extra_meta or {}),
     })
 
 
 def _carry_meta(head: dict) -> dict:
     """Manifest metadata every commit must propagate from its parent:
-    the table schema and the streaming sink's exactly-once watermark
-    (stream_batch_id). Without the latter, a delete/optimize commit
-    followed by expire_snapshots could erase the last recorded batch
-    id and let a checkpoint replay re-apply a batch."""
+    the table schema, the streaming sink's exactly-once watermark
+    (stream_batch_id), and the artifact-store source fingerprint.
+    Without the watermark, a delete/optimize commit followed by
+    expire_snapshots could erase the last recorded batch id and let a
+    checkpoint replay re-apply a batch; without the fingerprint, an
+    OPTIMIZE of an artifact table would falsely mark it stale and
+    trigger a rebuild (sources/artifacts.py)."""
     return {
         k: head[k]
-        for k in ("schema", "stream_batch_id", "delete_vectors")
+        for k in ("schema", "stream_batch_id", "delete_vectors",
+                  "artifact_fingerprint")
         if k in head
     }
 
@@ -574,6 +600,49 @@ def delete_where_dv(
     })
 
 
+def _pair_update_images(
+    pre_raw: DataFrame, post_raw: DataFrame, key: str, cols: list[str],
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Per-key rank pairing of changed old/new rows (Delta CDF's
+    per-ROW update semantics): within each key, old and new rows are
+    ranked by full row content; matched ranks become the
+    update_preimage/update_postimage pair, surplus NEW rows are
+    inserts, surplus OLD rows deletes. With one row per side per key
+    (the common case) this is exactly the previous behavior; with 1
+    tombstone + N re-inserts it yields 1 update + (N-1) inserts
+    instead of an asymmetric 1-pre/N-post feed. Cost: two window
+    passes over the CHANGED rows only."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(
+        *[F.col(c) for c in cols if c != key])
+    n_post = post_raw.groupBy(key).agg(
+        F.count("*").alias("_n_other"))
+    n_pre = pre_raw.groupBy(key).agg(
+        F.count("*").alias("_n_other"))
+    pre_r = (
+        pre_raw.withColumn("_r", F.row_number().over(w))
+        .join(n_post, key, "left")
+        .withColumn("_n_other", F.coalesce("_n_other", F.lit(0)))
+    )
+    post_r = (
+        post_raw.withColumn("_r", F.row_number().over(w))
+        .join(n_pre, key, "left")
+        .withColumn("_n_other", F.coalesce("_n_other", F.lit(0)))
+    )
+    pre = pre_r.where(F.col("_r") <= F.col("_n_other")) \
+        .select(*cols).withColumn(
+            "_change_type", F.lit("update_preimage"))
+    surplus_del = pre_r.where(F.col("_r") > F.col("_n_other")) \
+        .select(*cols).withColumn("_change_type", F.lit("delete"))
+    post = post_r.where(F.col("_r") <= F.col("_n_other")) \
+        .select(*cols).withColumn(
+            "_change_type", F.lit("update_postimage"))
+    surplus_ins = post_r.where(F.col("_r") > F.col("_n_other")) \
+        .select(*cols).withColumn("_change_type", F.lit("insert"))
+    return pre, post, surplus_ins, surplus_del
+
+
 def table_changes(
     spark: SparkSession, root: str, from_version: int, to_version: int,
     key: str | None = None,
@@ -712,19 +781,22 @@ def table_changes(
     dels = old.join(kn, old[key] == kn["_k"], "anti").drop("_k") \
         .withColumn("_change_type", F.lit("delete"))
     # keys on both sides: emit pre/post images only when the row
-    # content actually differs (pure rewrites cancel)
+    # content actually differs (pure rewrites cancel), PAIRED per key
+    # by rank — Delta CDF updates are per-ROW, so 1 old + N new rows
+    # of one key is 1 update pair + (N-1) inserts, never an
+    # asymmetric 1-preimage/N-postimage feed (and symmetrically for
+    # shrinking keys)
     both_old = old.join(kn, old[key] == kn["_k"], "semi")
     both_new = new.join(ko, new[key] == ko["_k"], "semi")
-    pre = both_old.exceptAll(both_new).withColumn(
-        "_change_type", F.lit("update_preimage")
-    )
-    post = both_new.exceptAll(both_old).withColumn(
-        "_change_type", F.lit("update_postimage")
+    pre, post, pair_ins, pair_del = _pair_update_images(
+        both_old.exceptAll(both_new), both_new.exceptAll(both_old),
+        key, cols,
     )
     if dv_deleted is None:
         return (
             ins.withColumn("_change_type", F.lit("insert"))
             .unionByName(dels).unionByName(pre).unionByName(post)
+            .unionByName(pair_ins).unionByName(pair_del)
         )
     # Merge-on-read update parity: a MoR MERGE updates a key by DV-
     # tombstoning the old row inside a carried file and appending the
@@ -744,15 +816,20 @@ def table_changes(
     ins_post_raw = ins.join(dvk, ins[key] == dvk["_dk"], "semi")
     ins_new = ins.join(dvk, ins[key] == dvk["_dk"], "anti") \
         .withColumn("_change_type", F.lit("insert"))
-    mor_pre = dv_pre_raw.exceptAll(ins_post_raw).withColumn(
-        "_change_type", F.lit("update_preimage")
-    )
-    mor_post = ins_post_raw.exceptAll(dv_pre_raw).withColumn(
-        "_change_type", F.lit("update_postimage")
+    # same per-key rank pairing as the CoW path above: one tombstone
+    # plus N re-inserts of a key is 1 update pair + (N-1) inserts, so
+    # the MoR feed stays write-mode identical to CoW even on
+    # multi-insert-per-key spans
+    mor_pre, mor_post, mor_ins, mor_del = _pair_update_images(
+        dv_pre_raw.exceptAll(ins_post_raw),
+        ins_post_raw.exceptAll(dv_pre_raw),
+        key, cols,
     )
     return (
         ins_new.unionByName(dels).unionByName(pre).unionByName(post)
+        .unionByName(pair_ins).unionByName(pair_del)
         .unionByName(dv_del).unionByName(mor_pre).unionByName(mor_post)
+        .unionByName(mor_ins).unionByName(mor_del)
     )
 
 

@@ -37,6 +37,35 @@ from ..sources import tableformat as tf
 from .table_sink import last_committed_batch
 
 
+def _assert_ids_new(spark, bb: DataFrame, index_root: str) -> None:
+    """Enforce the append contract 'ingest doc_ids are new': the
+    manifest's per-file doc_id stats prune the check to files whose
+    range overlaps the batch's — for monotone ingest ids that is ZERO
+    files (one driver-side manifest pass + one tiny agg on the
+    already-checkpointed bucket relation), and only a genuinely
+    overlapping range pays a pruned semi-join. A violation raises
+    instead of silently duplicating the violator's bucket rows."""
+    lo, hi = bb.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:
+        return
+    pruned, files_read, _ = tf.scan(spark, index_root, "doc_id", lo, hi)
+    if files_read == 0:
+        return
+    hits = [
+        r["doc_id"]
+        for r in pruned.select("doc_id").distinct()
+        .join(bb.select("doc_id").distinct(), "doc_id", "left_semi")
+        .limit(5).collect()
+    ]
+    if hits:
+        raise ValueError(
+            f"near-dup ingest contract violation: doc_ids {hits} are "
+            f"already in the standing index {index_root!r}. Appending "
+            "would duplicate their bucket rows — use tf.merge_into "
+            "for an updating ingest, or fix the id assignment."
+        )
+
+
 def ingest_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -46,6 +75,7 @@ def ingest_batch(
     num_hashes: int = 8,
     band_size: int = 2,
     max_bucket: int = 50,
+    validate_new_ids: bool = True,
 ) -> bool:
     """Flag one micro-batch against the standing index, write the
     flags, and MERGE the batch's buckets into the index exactly once.
@@ -57,6 +87,8 @@ def ingest_batch(
     bb = minhash_buckets(
         batch_df, num_hashes=num_hashes, band_size=band_size
     ).localCheckpoint()  # feeds flagging (3 refs) + the index append
+    if validate_new_ids:
+        _assert_ids_new(spark, bb, index_root)
     index = tf.read(spark, index_root)
     # one-pass flagging against index AND own-batch smaller ids
     # (round-8: fuses the former two lsh_flag_against_index actions +
@@ -69,14 +101,13 @@ def ingest_batch(
         os.path.join(flags_root, f"batch_id={batch_id}")
     )
     # index update is an APPEND, not a MERGE (round-8 throughput fix):
-    # ingest doc_ids are new by contract and replays are skipped by
-    # the stream_batch_id guard above, so the CoW MERGE's per-batch
-    # key-bounds collect + hit-detection scan over every candidate
-    # index file (O(index) reads per batch — the doc_id ranges of a
-    # shuffled drop overlap every file) bought nothing. Re-ingesting
-    # an EXISTING doc_id under this contract would duplicate its
-    # bucket rows; an updating ingest should tf.merge_into here
-    # instead and pay the rewrite.
+    # ingest doc_ids are new by contract — now ENFORCED by
+    # _assert_ids_new's stats-pruned check above — and replays are
+    # skipped by the stream_batch_id guard, so the CoW MERGE's
+    # per-batch key-bounds collect + hit-detection scan over every
+    # candidate index file (O(index) reads per batch) bought nothing.
+    # An updating ingest should tf.merge_into here and pay the
+    # rewrite.
     tf.append(
         spark, bb, index_root,
         extra_meta={"stream_batch_id": batch_id},
@@ -103,6 +134,7 @@ def stream_neardup_ingest(
     num_hashes: int = 8,
     band_size: int = 2,
     max_bucket: int = 50,
+    validate_new_ids: bool = True,
 ):
     """Start the foreachBatch near-dup ingest over a document stream
     (needs doc_id + text columns). The index table must exist
@@ -112,7 +144,7 @@ def stream_neardup_ingest(
         ingest_batch(
             spark, batch_df, index_root, flags_root, batch_id,
             num_hashes=num_hashes, band_size=band_size,
-            max_bucket=max_bucket,
+            max_bucket=max_bucket, validate_new_ids=validate_new_ids,
         )
 
     writer = (

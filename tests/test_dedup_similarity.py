@@ -612,3 +612,134 @@ def test_lsh_flag_ingest_equals_two_call_composition(spark, tmp_path):
             assert sorted(map(tuple, new.collect())) == \
                 sorted(map(tuple, old.collect())), f"batch {i} cap {cap}"
         tf.append(spark, bb, idx, extra_meta={"stream_batch_id": i})
+
+
+def test_artifact_fingerprint_invalidation(spark, tmp_path, monkeypatch):
+    """Round-9 ADVICE item: artifact tables are keyed by a SOURCE
+    FINGERPRINT (file stats of the tables the builder reads + the
+    build-parameter string), not just the sf_dir slug. Regenerating
+    the corpus in place must trigger a REPLACE rebuild that serves the
+    new corpus; a pre-fingerprint table counts as stale; snapshot
+    maintenance (optimize/expire) must NOT trigger a rebuild."""
+    import os
+    import shutil
+
+    from document_parsing_etl_pipeline_spark.plans import queries as Q
+    from document_parsing_etl_pipeline_spark.sources import (
+        artifacts, tableformat as tf,
+    )
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents",
+              "embeddings"):
+        shutil.copyfile(f"/root/testdata/sf0.001/{t}.parquet",
+                        str(corpus / f"{t}.parquet"))
+    sf = str(corpus)
+    store = str(tmp_path / "store")
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", store)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    Q._NEARDUP_MEMO.clear()
+    first = rows(Q.QUERIES["dedup_components"](spark, sf))
+    root = artifacts.table_root(store, sf, "neardup_components")
+    assert tf._versions(root) == [1]
+    assert artifacts._stored_fingerprint(root)
+
+    # unchanged corpus, new "session": read-only, no new version
+    Q._NEARDUP_MEMO.clear()
+    assert rows(Q.QUERIES["dedup_components"](spark, sf)) == first
+    assert tf._versions(root) == [1]
+
+    # snapshot maintenance must carry the fingerprint (no rebuild)
+    tf.optimize_table(spark, root, target_file_rows=1_000_000)
+    n_after_opt = len(tf._versions(root))
+    Q._NEARDUP_MEMO.clear()
+    assert rows(Q.QUERIES["dedup_components"](spark, sf)) == first
+    assert len(tf._versions(root)) == n_after_opt
+
+    # regenerate the corpus IN PLACE (half the docs): the fingerprint
+    # flips, the next access REPLACES the artifact, and the served
+    # rows match a from-scratch memo-mode run on the new corpus
+    docs = spark.read.parquet(f"{sf}/documents.parquet") \
+        .where("doc_id % 2 = 0").localCheckpoint()
+    pdf = docs.toPandas()
+    os.remove(f"{sf}/documents.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   f"{sf}/documents.parquet")
+
+    monkeypatch.delenv("SPARK_GRAFT_ARTIFACTS")
+    Q._NEARDUP_MEMO.clear()
+    want_new = rows(Q.QUERIES["dedup_components"](spark, sf))
+    assert want_new != first
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", store)
+    Q._NEARDUP_MEMO.clear()
+    got_new = rows(Q.QUERIES["dedup_components"](spark, sf))
+    assert got_new == want_new
+    head = tf._load_manifest(root, tf._versions(root)[-1])
+    assert head["operation"] == "replace"
+
+    # a pre-fingerprint table (written before round 9) counts as
+    # stale: strip the fingerprint, next access rebuilds
+    head.pop("artifact_fingerprint")
+    import json as _json
+    with open(tf._manifest_path(root, head["version"]), "w") as f:
+        _json.dump(head, f)
+    n_before = len(tf._versions(root))
+    Q._NEARDUP_MEMO.clear()
+    assert rows(Q.QUERIES["dedup_components"](spark, sf)) == want_new
+    assert len(tf._versions(root)) == n_before + 1
+
+    monkeypatch.delenv("SPARK_GRAFT_ARTIFACTS")
+    Q._NEARDUP_MEMO.clear()
+
+
+def test_setsim_index_group_build_consistency(spark, tmp_path,
+                                              monkeypatch):
+    """The four setsim-index artifact tables must come from ONE build
+    (round-9 ADVICE item): deleting one member and re-accessing must
+    rewrite the WHOLE group from a single derivation (every member
+    gains a version), and the artifact-mode incremental-components
+    result must equal memo mode exactly."""
+    import shutil
+
+    from document_parsing_etl_pipeline_spark.plans import queries as Q
+    from document_parsing_etl_pipeline_spark.sources import (
+        artifacts, tableformat as tf,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    store = str(tmp_path / "store")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    Q._NEARDUP_MEMO.clear()
+    want = rows(Q.QUERIES["q_incremental_components"](spark, sf))
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", store)
+    Q._NEARDUP_MEMO.clear()
+    assert rows(Q.QUERIES["q_incremental_components"](spark, sf)) == want
+
+    names = ["setsim_index_sh", "setsim_index_pref",
+             "setsim_index_hist", "setsim_index_arrays"]
+    roots = {n: artifacts.table_root(store, sf, n) for n in names}
+    assert all(tf._versions(r) == [1] for r in roots.values())
+
+    # drop one member: the whole group rebuilds from one derivation
+    shutil.rmtree(roots["setsim_index_hist"])
+    Q._NEARDUP_MEMO.clear()
+    assert rows(Q.QUERIES["q_incremental_components"](spark, sf)) == want
+    assert tf._versions(roots["setsim_index_hist"]) == [1]
+    for n in names:
+        if n != "setsim_index_hist":
+            assert tf._versions(roots[n]) == [1, 2], n
+
+    monkeypatch.delenv("SPARK_GRAFT_ARTIFACTS")
+    Q._NEARDUP_MEMO.clear()

@@ -429,6 +429,32 @@ def test_stream_neardup_ingest_flags_and_exactly_once(tmp_path, spark):
     ) is False
     assert tf.read(spark, index_root).count() == n_rows
 
+    # round-9 ADVICE item: the 'ids are new' append contract is now
+    # ENFORCED — re-ingesting an already-indexed doc_id as a NEW batch
+    # id raises (instead of silently duplicating its bucket rows), and
+    # the index is untouched
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="contract violation"):
+        neardup.ingest_batch(
+            spark, last_batch, index_root, flags_root, bid + 1
+        )
+    assert tf.read(spark, index_root).count() == n_rows
+    # genuinely-new ids (beyond every file's doc_id stats range) pass
+    # through the zero-files-read manifest fast path and append
+    fresh = spark.createDataFrame(
+        [(100, "an entirely new document about bloom filter sizing "
+          * 8)], "doc_id long, text string")
+    assert neardup.ingest_batch(
+        spark, fresh, index_root, flags_root, bid + 1
+    ) is True
+    assert tf.read(spark, index_root).count() > n_rows
+    # the updating-ingest escape hatch stays available: with the guard
+    # off, the caller owns dedup semantics
+    assert neardup.ingest_batch(
+        spark, last_batch, index_root, flags_root, bid + 2,
+        validate_new_ids=False,
+    ) is True
+
 
 def test_interval_join_left_outer_emits_unmatched_after_watermark(
     tmp_path, spark

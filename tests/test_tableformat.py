@@ -779,3 +779,65 @@ def test_table_changes_mor_merge_matches_cow_change_feed(spark, tmp_path):
     ch = tf.table_changes(spark, mor, v3, v4, key="doc_id")
     assert {(r._change_type, r.doc_id) for r in ch.collect()} == {
         ("delete", 90), ("delete", 91), ("delete", 92)}
+
+
+def test_table_changes_multi_insert_per_key_pairs_per_row(spark,
+                                                          tmp_path):
+    """Round-9 ADVICE item: a span with ONE tombstoned row of a key
+    and N>1 re-inserted rows of that key must feed the CDF as 1
+    update pair + (N-1) inserts (Delta's per-ROW update semantics),
+    not an asymmetric 1-preimage/N-postimage set — and the feed must
+    stay write-mode identical between MoR (DV tombstone + appends)
+    and CoW (file-rewrite delete + appends)."""
+    df = spark.range(0, 40).selectExpr(
+        "id AS doc_id", "concat('t', id) AS text"
+    ).repartitionByRange(2, "doc_id")
+    cow, mor = str(tmp_path / "cow"), str(tmp_path / "mor")
+    tf.create_table(spark, df, cow, stats_cols=["doc_id"])
+    tf.create_table(spark, df, mor, stats_cols=["doc_id"])
+
+    # one key (7): tombstone its row, then re-insert TWO rows of it
+    dup = spark.createDataFrame(
+        [(7, "seven-a"), (7, "seven-b")], "doc_id long, text string")
+    tf.delete_where(spark, cow, "doc_id", 7, 7)
+    vc = tf.append(spark, dup, cow)
+    tf.delete_where_dv(spark, mor, "doc_id", 7, 7)
+    vm = tf.append(spark, dup, mor)
+
+    def feed(root, v):
+        return sorted(
+            (r._change_type, r.doc_id, r.text)
+            for r in tf.table_changes(spark, root, 1, v, key="doc_id")
+            .collect()
+        )
+
+    got_cow, got_mor = feed(cow, vc), feed(mor, vm)
+    assert got_mor == got_cow
+    types = [ct for ct, _, _ in got_cow]
+    assert types.count("update_preimage") == 1
+    assert types.count("update_postimage") == 1
+    assert types.count("insert") == 1
+    assert types.count("delete") == 0
+    assert ("update_preimage", 7, "t7") in got_cow
+    # the paired postimage and the surplus insert partition the two
+    # new rows (rank pairing is content-ordered and deterministic)
+    new_rows = {(ct, t) for ct, d, t in got_cow if d == 7
+                and ct in ("update_postimage", "insert")}
+    assert new_rows == {("update_postimage", "seven-a"),
+                        ("insert", "seven-b")}
+
+    # shrinking key: 2 old rows -> 1 new row is 1 update + 1 delete
+    shrink_src = spark.createDataFrame(
+        [(7, "seven-final")], "doc_id long, text string")
+    tf.delete_where(spark, cow, "doc_id", 7, 7)
+    vc2 = tf.append(spark, shrink_src, cow)
+    ch2 = sorted(
+        (r._change_type, r.doc_id, r.text)
+        for r in tf.table_changes(spark, cow, vc, vc2, key="doc_id")
+        .collect()
+    )
+    t2 = [ct for ct, _, _ in ch2]
+    assert t2.count("update_preimage") == 1
+    assert t2.count("update_postimage") == 1
+    assert t2.count("delete") == 1
+    assert t2.count("insert") == 0
