@@ -310,11 +310,26 @@ def simhash_signature(docs: DataFrame, text_col: str = "text",
     return votes.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def simhash_buckets(docs: DataFrame, text_col: str = "text",
+                    materialize: bool = False,
+                    sigs: DataFrame | None = None) -> DataFrame:
     """Simhash band membership: (doc_id, simhash, band, bv) with bv =
     the signature's byte for that band. Shared by the pair generator
-    and the bucket-load diagnostics (q_lsh_bucket_stats)."""
-    sigs = simhash_signature(docs, text_col)
+    and the bucket-load diagnostics (q_lsh_bucket_stats).
+
+    ``sigs`` injects a precomputed (doc_id, simhash) relation — the
+    standing per-corpus-snapshot signature artifact (the simhash
+    index; plans/queries._simhash_sigs) — so consumers pay only the
+    band explode. Otherwise ``materialize`` checkpoints the doc-sized
+    signature relation first: a consumer that references the bucket
+    relation several times (simhash_pairs: the cap count + both join
+    sides) then pays the token explode + 32-column majority aggregate
+    ONCE instead of per reference — the band explode left downstream
+    is 4 rows per doc, trivial to recompute."""
+    if sigs is None:
+        sigs = simhash_signature(docs, text_col)
+        if materialize:
+            sigs = sigs.localCheckpoint()
     return sigs.select(
         "doc_id",
         "simhash",
@@ -333,7 +348,8 @@ def simhash_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def simhash_pairs(docs: DataFrame, text_col: str = "text",
                   max_hamming: int = 3,
-                  max_bucket: int = 200) -> DataFrame:
+                  max_bucket: int = 200,
+                  sigs: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Banding: the 32-bit signature splits into 4 byte-wide bands;
@@ -361,7 +377,10 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
     the lower-band check consult exactly the buckets the join
     consults)."""
     assert max_hamming < SIMHASH_BANDS, "pigeonhole needs hamming < bands"
-    bands = simhash_buckets(docs, text_col)
+    # the bucket relation is consumed three times below (cap counts +
+    # both self-join sides): take the standing signature artifact when
+    # provided, else materialize the signature pass once
+    bands = simhash_buckets(docs, text_col, materialize=True, sigs=sigs)
     counts = (
         bands.groupBy("band", "bv")
         .agg(F.count("*").alias("n"))

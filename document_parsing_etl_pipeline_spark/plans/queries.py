@@ -1731,11 +1731,30 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def _simhash_sigs(spark, sf_dir):
+    """The standing per-corpus simhash SIGNATURE relation (doc_id,
+    simhash) — the simhash index: like the jaccard pair/setsim
+    artifacts, a deployment computes signatures once per corpus
+    snapshot and every consumer (pair join, bucket-load stats, method
+    agreement, recall capture) reuses them; bench.py records the
+    one-time build in the standing-artifact leg. Memoized per
+    (session, corpus), or a fingerprinted table with
+    SPARK_GRAFT_ARTIFACTS set."""
+    key = ("simhash_sigs", spark.sparkContext.applicationId, sf_dir)
+    return artifacts.load_or_build(
+        spark, sf_dir, "simhash_sigs",
+        lambda: dedup.simhash_signature(
+            load_table(spark, sf_dir, "documents")),
+        _NEARDUP_MEMO, key,
+        params=f"simhash.bits{dedup.SIMHASH_BITS}",
+    )
+
+
 @register("dedup_simhash", _SH_PAIRS_SQL)
 def q_dedup_simhash(spark, sf_dir):
     df = dedup.simhash_pairs(
         load_table(spark, sf_dir, "documents"), max_hamming=3,
-        max_bucket=_SH_MAXB,
+        max_bucket=_SH_MAXB, sigs=_simhash_sigs(spark, sf_dir),
     )
     return _long(df, "hamming")
 
@@ -2593,7 +2612,8 @@ def q_dedup_method_agreement(spark, sf_dir):
         docs, num_hashes=_MH_K, band_size=_MH_BAND, max_bucket=_MH_MAXB
     )
     sh = dedup.simhash_pairs(
-        docs, max_hamming=3, max_bucket=_SH_MAXB
+        docs, max_hamming=3, max_bucket=_SH_MAXB,
+        sigs=_simhash_sigs(spark, sf_dir),
     ).select(
         F.col("doc_a").alias("sa"), F.col("doc_b").alias("sb")
     )
@@ -5304,7 +5324,8 @@ def q_lsh_bucket_stats(spark, sf_dir):
 
     mh = dedup.minhash_buckets(docs, num_hashes=_MH_K, band_size=_MH_BAND) \
         .groupBy("band", "bh").agg(F.count("*").alias("n"))
-    sh = dedup.simhash_buckets(docs) \
+    sh = dedup.simhash_buckets(
+        docs, sigs=_simhash_sigs(spark, sf_dir)) \
         .groupBy("band", "bv").agg(F.count("*").alias("n"))
     return stats(mh, _MH_MAXB, "minhash").unionByName(
         stats(sh, _SH_MAXB, "simhash")
@@ -19345,7 +19366,8 @@ def q_dedup_recall_capture(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     a = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     sh = dedup.simhash_pairs(
-        docs, max_hamming=3, max_bucket=_SH_MAXB
+        docs, max_hamming=3, max_bucket=_SH_MAXB,
+        sigs=_simhash_sigs(spark, sf_dir),
     ).select("doc_a", "doc_b")
     toks = docs.select(
         "doc_id", dedup._norm_tokens(F.col("text")).alias("tokens"))
