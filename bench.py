@@ -320,7 +320,13 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
             "doc_id", "text", "lang", "source", "n_chars"
         )
         n_docs = docs_df.count()
-        docs_df.repartition(48).write.mode("overwrite").json(doc_dir)
+        # id-ordered drop files (round 9): a real ingest assigns ids
+        # monotonically, so each micro-batch carries a fresh id range
+        # — which is also what lets the neardup new-ids guard take its
+        # zero-read manifest fast path instead of paying a semi-join
+        # per batch on artificially shuffled ids
+        docs_df.repartitionByRange(48, "doc_id").write.mode(
+            "overwrite").json(doc_dir)
 
         def run(name: str, q, true_rows: int | None = None) -> None:
             """``true_rows``: the actual drop size for foreachBatch
@@ -480,6 +486,25 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
         run("stream_neardup", neardup.stream_neardup_ingest(
             spark, nd_stream, nd_index, os.path.join(tmp, "nd_flags"),
             os.path.join(tmp, "cp_nd"),
+        ), true_rows=n_docs)
+
+        # trigger-size lever (the watcher's mft48 leg, applied to the
+        # ingest): same pipeline at 48-file triggers — per-batch fixed
+        # job cost amortized over 3x the docs
+        nd_index48 = os.path.join(tmp, "nd_index48")
+        neardup.create_index(spark, nd_index48)
+        nd_stream48 = (
+            spark.readStream.format("json")
+            .schema("doc_id long, text string, lang string,"
+                    " source string, n_chars long")
+            .option("maxFilesPerTrigger", "48")
+            .load(doc_dir)
+            .select("doc_id", "text")
+        )
+        run("stream_neardup_mft48", neardup.stream_neardup_ingest(
+            spark, nd_stream48, nd_index48,
+            os.path.join(tmp, "nd_flags48"),
+            os.path.join(tmp, "cp_nd48"),
         ), true_rows=n_docs)
 
         # streaming quantile estimation (stream_quantile): bounded

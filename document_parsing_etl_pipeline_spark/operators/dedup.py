@@ -761,28 +761,31 @@ def lsh_flag_ingest(
     Cap semantics are preserved PER SOURCE: index buckets cap by
     index-side population over the key-pruned scan, batch buckets by
     batch-side population — identical to the separate calls."""
+    from pyspark.sql.window import Window
+
+    wkey = Window.partitionBy("band", "bh")
     keys = batch_buckets.select("band", "bh").distinct()
     pruned = index_buckets.join(
         F.broadcast(keys), ["band", "bh"], "left_semi")
-    sized_i = (
-        pruned.groupBy("band", "bh")
-        .agg(F.count("*").alias("n"))
-        .where(F.col("n") <= max_bucket)
+    # per-source cap via a count window instead of groupBy+re-join
+    # (round-9: one shuffle per side instead of two — the leg's cost
+    # is per-stage scheduling, not data volume; identical row set,
+    # pinned by test_lsh_flag_ingest_equals_two_call_composition)
+    capped_i = (
+        pruned.withColumn("_n", F.count("*").over(wkey))
+        .where(F.col("_n") <= max_bucket)
+        .select(
+            "band", "bh", F.col("doc_id").alias("corpus_doc"),
+            F.lit(False).alias("own"),
+        )
     )
-    capped_i = pruned.join(sized_i.drop("n"), ["band", "bh"]).select(
-        "band", "bh", F.col("doc_id").alias("corpus_doc"),
-        F.lit(False).alias("own"),
-    )
-    sized_b = (
-        batch_buckets.groupBy("band", "bh")
-        .agg(F.count("*").alias("n"))
-        .where(F.col("n") <= max_bucket)
-    )
-    capped_b = batch_buckets.join(
-        sized_b.drop("n"), ["band", "bh"]
-    ).select(
-        "band", "bh", F.col("doc_id").alias("corpus_doc"),
-        F.lit(True).alias("own"),
+    capped_b = (
+        batch_buckets.withColumn("_n", F.count("*").over(wkey))
+        .where(F.col("_n") <= max_bucket)
+        .select(
+            "band", "bh", F.col("doc_id").alias("corpus_doc"),
+            F.lit(True).alias("own"),
+        )
     )
     side = capped_i.unionByName(capped_b)
     pairs = (
@@ -795,7 +798,8 @@ def lsh_flag_ingest(
     )
     return (
         batch_ids.select("doc_id")
-        .join(pairs, F.col("doc_id") == F.col("batch_doc"), "left")
+        .join(F.broadcast(pairs),
+              F.col("doc_id") == F.col("batch_doc"), "left")
         .select(
             "doc_id",
             F.col("first_match_doc").isNotNull().alias("is_dup"),

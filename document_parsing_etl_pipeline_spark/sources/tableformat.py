@@ -349,6 +349,39 @@ def scan(
     return df.where(F.col(col).between(lo, hi)), len(keep), len(m["files"])
 
 
+def scan_keys(
+    spark: SparkSession, root: str, col: str, keys: list,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Manifest-pruned KEY-SET scan (the IN-list pushdown): only
+    files whose [min,max] stats contain at least one of ``keys`` are
+    read; returns (df, files_read, files_total). The returned df is
+    NOT row-filtered — callers that need row-level key matching join
+    it (stats pruning is an I/O optimization, exactly like scan()).
+    With files written CLUSTERED on ``col`` (e.g. the streaming LSH
+    index appends sorted by bucket hash), a probe whose key set is
+    small relative to the table prunes to O(|keys|) files instead of
+    scanning the whole snapshot."""
+    m = _load_manifest(root, version or _versions(root)[-1])
+    ks = sorted(keys)
+    import bisect
+
+    def _hit(e: dict) -> bool:
+        lo, hi = e["stats"][col]
+        if lo is None:
+            return False
+        i = bisect.bisect_left(ks, lo)
+        return i < len(ks) and ks[i] <= hi
+
+    keep = [e for e in m["files"] if _hit(e)]
+    if not keep:
+        return read(spark, root, version).limit(0), 0, len(m["files"])
+    df = _read_live(
+        spark, root, m, [os.path.join(root, e["path"]) for e in keep]
+    )
+    return df, len(keep), len(m["files"])
+
+
 def merge_into(
     spark: SparkSession, updates: DataFrame, root: str, key: str,
     extra_meta: dict | None = None,
@@ -1112,6 +1145,7 @@ def optimize_table(
     root: str,
     target_file_rows: int,
     zorder: tuple[str, ...] | None = None,
+    cluster_by: str | None = None,
 ) -> int:
     """OPTIMIZE (Delta OPTIMIZE [ZORDER BY] / Iceberg rewrite_data_
     files): rewrite the current snapshot into ~target_file_rows-sized
@@ -1166,6 +1200,14 @@ def optimize_table(
             *[f"_hi{i}" for i in range(len(zcols))],
         )
         clustered = z.repartitionByRange(n_files, "_z").drop("_z")
+    elif cluster_by is not None:
+        # single-column range clustering (Delta OPTIMIZE ... ZORDER on
+        # one column degenerates to this; works for STRING keys the
+        # z-curve quantization can't take): disjoint per-file ranges
+        # of cluster_by, so scan()/scan_keys() prune on it — the
+        # maintenance pass that keeps the streaming LSH index's
+        # bucket-key pushdown sharp as appends accumulate
+        clustered = df.repartitionByRange(n_files, cluster_by)
     else:
         clustered = df.repartition(n_files)
     entries = _write_files(spark, clustered, root, tag, stats_cols)

@@ -1325,3 +1325,66 @@ def test_funnel_idle_timeout_defaults_to_horizon():
     assert max(60_000, 7 * 86_400_000_000 // 1_000) == 604_800_000
     # a short horizon floors at one minute
     assert max(60_000, 10_000_000 // 1_000) == 60_000
+
+
+def test_neardup_index_pushdown_prunes_and_matches_full_read(
+    tmp_path, spark
+):
+    """Round-9 scale lever: the standing LSH index is appended
+    CLUSTERED on bh, so once the index spans many files a batch's
+    bucket-key set prunes the snapshot scan (scan_keys) to a subset
+    of files — and the pruned flag join returns EXACTLY the full-read
+    answer (files without a matching key hold no matching rows)."""
+    from pyspark.sql import functions as F
+
+    from document_parsing_etl_pipeline_spark.catalog import load_table
+    from document_parsing_etl_pipeline_spark.operators.dedup import (
+        lsh_flag_ingest, minhash_buckets,
+    )
+    from document_parsing_etl_pipeline_spark.sources import (
+        tableformat as tf,
+    )
+    from document_parsing_etl_pipeline_spark.streaming import neardup
+
+    docs = load_table(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    neardup.create_index(spark, idx)
+    # 20 micro-batches x INDEX_FILES_PER_BATCH files: enough files
+    # that a small probe's key set cannot hit them all
+    for i in range(20):
+        b = docs.where(f"doc_id % 20 = {i}").localCheckpoint()
+        assert neardup.ingest_batch(
+            spark, b, idx, str(tmp_path / "fl"), i + 1,
+            validate_new_ids=False,  # mod-20 slices interleave ids
+        )
+    head = tf._load_manifest(idx, tf._versions(idx)[-1])
+    assert len(head["files"]) > neardup.PUSHDOWN_MIN_FILES
+    assert "bh" in head["stats_cols"]
+
+    # the maintenance pass of the deployment story: re-cluster the
+    # whole index on bh so per-file bucket-hash ranges are NARROW and
+    # disjoint (per-batch appends only cluster within their batch)
+    total = tf.read(spark, idx).count()
+    tf.optimize_table(spark, idx, target_file_rows=max(1, total // 64),
+                      cluster_by="bh")
+
+    # probe: 3 docs re-hashed (dups of ingested docs)
+    probe = docs.where("doc_id IN (3, 7, 11)").localCheckpoint()
+    pb = minhash_buckets(probe, num_hashes=8, band_size=2) \
+        .localCheckpoint()
+    keys = [r["bh"] for r in pb.select("bh").distinct().collect()]
+    pruned, files_read, files_total = tf.scan_keys(
+        spark, idx, "bh", keys)
+    assert 0 < files_read < files_total, (files_read, files_total)
+
+    full = tf.read(spark, idx)
+    want = sorted(map(tuple, lsh_flag_ingest(
+        probe.select("doc_id"), pb, full, 50).collect()))
+    got = sorted(map(tuple, lsh_flag_ingest(
+        probe.select("doc_id"), pb, pruned, 50).collect()))
+    assert got == want
+    # the probes are true dups of indexed docs: flagged unless every
+    # shared bucket was cap-dropped (cap semantics allow that)
+    assert any(r[1] for r in got)
