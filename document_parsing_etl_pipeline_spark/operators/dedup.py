@@ -1010,6 +1010,87 @@ def span_dedup_profile(
     )
 
 
+def span_longest_match(
+    docs: DataFrame, k: int = 12, text_col: str = "text"
+) -> DataFrame:
+    """Longest-duplicated-span profile — the suffix-array companion to
+    span_dedup_profile: per document, the length (tokens) of the
+    LONGEST span all of whose k-token windows occur >= 2 times
+    corpus-wide, plus the number of maximal such spans. This is the
+    quantity a suffix-array pass reads off the LCP array (longest
+    repeated substring, floored at k); here it is exact for spans
+    >= k by the window-chain identity — a span of length m >= k is
+    fully duplicated iff all its m-k+1 windows are hot — computed as
+    (longest consecutive run of duplicated window starts) + k - 1.
+
+    Scale shape: identical to span_dedup_profile up to the hot-window
+    join (window explode, ONE md5-hash shuffle, join back), then a
+    per-doc sort window turns starts into gap-runs (run id = start -
+    row_number, the sort-based islands trick) and one groupBy reads
+    off run lengths. Everything after the hash join is dup-window-
+    sized, not corpus-sized."""
+    from pyspark.sql.window import Window as _W
+
+    toks = docs.select(
+        "doc_id",
+        F.expr(f"regexp_extract_all({text_col}, '\\\\S+', 0)").alias("tk"),
+    )
+    base = toks.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.greatest(F.size("tk") - F.lit(k - 1), F.lit(0))
+        .cast("long").alias("n_windows"),
+        "tk",
+    )
+    wins = (
+        base.where(F.col("n_windows") >= 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, int(n_windows)),"
+                    f" s -> struct(s AS win_start,"
+                    f" md5(concat_ws(' ', slice(tk, s, {k}))) AS h))"
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", "w.win_start", "w.h")
+    )
+    hot = wins.groupBy("h").count().where(F.col("count") >= 2).select("h")
+    dup = wins.join(hot, "h").select("doc_id", "win_start")
+    w_doc = _W.partitionBy("doc_id").orderBy("win_start")
+    runs = (
+        dup.withColumn(
+            "grp", F.col("win_start") - F.row_number().over(w_doc))
+        .groupBy("doc_id", "grp")
+        .agg(F.count("*").cast("long").alias("run_len"))
+    )
+    agg = runs.groupBy("doc_id").agg(
+        F.max("run_len").cast("long").alias("max_run"),
+        F.count("*").cast("long").alias("n_dup_spans"),
+    )
+    return (
+        base.drop("tk")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("max_run") + F.lit(k - 1), F.lit(0))
+            .cast("long").alias("longest_dup_span_tokens"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long")
+            .alias("n_dup_spans"),
+            F.when(F.col("n_tokens") == 0, F.lit(0))
+            .otherwise(
+                F.expr(
+                    f"(1000000L * coalesce(max_run + {k - 1}, 0L))"
+                    " div n_tokens"
+                )
+            )
+            .cast("long").alias("longest_span_ppm"),
+        )
+    )
+
+
 def _shingle_prefixes(
     docs: DataFrame,
     text_col: str,

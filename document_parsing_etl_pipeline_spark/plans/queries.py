@@ -19403,3 +19403,189 @@ def q_dedup_recall_capture(spark, sf_dir):
                    " AS BIGINT)").alias("recall_simhash_ppm"),
         )
     )
+
+
+# ===================================================================
+# round 9 — SURVEY §7.15 candidates: suffix-array span-dedup variant
+# and the broadcast-threshold planner
+# ===================================================================
+
+
+@register("q_span_longest_match", f"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk
+    FROM documents
+), base AS (
+    SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+           greatest(len(tk) - {_SPAN_K - 1}, 0)::BIGINT AS n_windows, tk
+    FROM toks
+), wins AS (
+    SELECT doc_id, s.s AS win_start,
+           md5(array_to_string(tk[s.s : s.s + {_SPAN_K - 1}], ' ')) AS h
+    FROM base, unnest(generate_series(1, n_windows)) AS s(s)
+    WHERE n_windows >= 1
+), hot AS (
+    SELECT h FROM wins GROUP BY h HAVING count(*) >= 2
+), dup AS (
+    SELECT w.doc_id, w.win_start FROM wins w JOIN hot USING (h)
+), runs AS (
+    SELECT doc_id,
+           win_start - row_number() OVER (
+               PARTITION BY doc_id ORDER BY win_start) AS grp
+    FROM dup
+), spans AS (
+    SELECT doc_id, grp, count(*)::BIGINT AS run_len
+    FROM runs GROUP BY doc_id, grp
+), agg AS (
+    SELECT doc_id, max(run_len)::BIGINT AS max_run,
+           count(*)::BIGINT AS n_dup_spans
+    FROM spans GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       coalesce(a.max_run + {_SPAN_K - 1}, 0)::BIGINT
+           AS longest_dup_span_tokens,
+       coalesce(a.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       CASE WHEN b.n_tokens = 0 THEN 0
+            ELSE (1000000 * coalesce(a.max_run + {_SPAN_K - 1}, 0))
+                 // b.n_tokens END::BIGINT AS longest_span_ppm
+FROM base b LEFT JOIN agg a USING (doc_id)
+""")
+def q_span_longest_match(spark, sf_dir):
+    """Longest duplicated span per document — the suffix-array
+    LCP-array reading (longest repeated substring, floored at the
+    {_SPAN_K}-token granularity) as a distributable window-chain
+    query, next to q_span_dedup's coverage profile: coverage says how
+    MUCH of a doc is duplicated text, this says how LONG its worst
+    block is — the number that separates scattered boilerplate (many
+    short spans) from wholesale copying (one giant span), which is
+    the Lee et al. 2021 removal decision. Exact for spans >= k: a
+    span is fully duplicated iff every one of its k-windows is hot,
+    so the longest one is (longest consecutive duplicated-start run)
+    + k - 1. Scale shape: the one corpus-sized shuffle is the window-
+    hash count (shared shape with q_span_dedup); the run/span passes
+    see only duplicated windows. Engine parity: md5 window hashes,
+    exact integer run arithmetic, ppm via integer div."""
+    return dedup.span_longest_match(
+        load_table(spark, sf_dir, "documents"), k=_SPAN_K
+    )
+
+
+# broadcast-size model: the measured in-memory width of each row
+# (fixed 8 bytes per numeric + byte length of strings, the
+# q_partition_planner convention) times the documented 2x
+# HashedRelation overhead (boxed keys + hash table load factor).
+_BCAST_OVERHEAD_NUM = 2
+_BCAST_DEFAULT_MB = 10  # spark.sql.autoBroadcastJoinThreshold default
+
+
+@register("q_broadcast_planner", f"""
+WITH dims AS (
+    SELECT 'region' AS dim_name, count(*)::BIGINT AS n_rows,
+           sum(8 + strlen(r_name))::BIGINT AS est_bytes
+    FROM region
+    UNION ALL
+    SELECT 'nation', count(*)::BIGINT,
+           sum(8 + 8 + strlen(n_name))::BIGINT
+    FROM nation
+    UNION ALL
+    SELECT 'supplier', count(*)::BIGINT,
+           sum(8 + 8 + 8 + strlen(s_name))::BIGINT
+    FROM supplier
+    UNION ALL
+    SELECT 'customer', count(*)::BIGINT,
+           sum(8 + 8 + 8 + strlen(c_name) + strlen(c_mktsegment))
+               ::BIGINT
+    FROM customer
+    UNION ALL
+    SELECT 'part', count(*)::BIGINT,
+           sum(8 + 8 + 8 + strlen(p_name) + strlen(p_brand)
+               + strlen(p_type))::BIGINT
+    FROM part
+    UNION ALL
+    SELECT 'open_order_keys', count(*)::BIGINT,
+           (count(*) * 8)::BIGINT
+    FROM orders WHERE o_orderstatus = 'O'
+)
+SELECT dim_name, n_rows, est_bytes,
+       (est_bytes * {_BCAST_OVERHEAD_NUM})::BIGINT AS bcast_bytes,
+       ((est_bytes * {_BCAST_OVERHEAD_NUM}) // (1024 * 1024))::BIGINT
+           AS bcast_mb,
+       (est_bytes * {_BCAST_OVERHEAD_NUM}
+        <= {_BCAST_DEFAULT_MB} * 1024 * 1024) AS fits_default,
+       greatest((est_bytes * {_BCAST_OVERHEAD_NUM} + 1024 * 1024 - 1)
+                // (1024 * 1024), 1)::BIGINT AS min_threshold_mb
+FROM dims
+""")
+def q_broadcast_planner(spark, sf_dir):
+    """Broadcast-join threshold planner from MEASURED dimension
+    sizes (SURVEY §7.15's per-SF broadcast-threshold tuning, the
+    q_partition_planner shape applied to
+    spark.sql.autoBroadcastJoinThreshold): per broadcast candidate —
+    every TPC-H dimension plus the derived open-orders key set the
+    bloom planner sizes — the exact row count, a deterministic
+    in-memory byte estimate, the broadcast footprint under the 2x
+    HashedRelation overhead, whether it fits the 10 MB default
+    threshold, and the minimum threshold (MB) that would broadcast
+    it. This is the decision table that says WHICH joins stay
+    broadcast as the corpus scales 1000x — the planner input every
+    q5/q7/q8-style star join depends on — derived from the data
+    instead of guessed. One map-side-combined aggregate per
+    dimension; exact integer ceil-division."""
+    mb = 1024 * 1024
+    parts = [
+        load_table(spark, sf_dir, "region").agg(
+            F.lit("region").alias("dim_name"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.expr("8 + octet_length(r_name)"))
+            .cast("long").alias("est_bytes"),
+        ),
+        load_table(spark, sf_dir, "nation").agg(
+            F.lit("nation").alias("dim_name"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.expr("8 + 8 + octet_length(n_name)"))
+            .cast("long").alias("est_bytes"),
+        ),
+        load_table(spark, sf_dir, "supplier").agg(
+            F.lit("supplier").alias("dim_name"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.expr("8 + 8 + 8 + octet_length(s_name)"))
+            .cast("long").alias("est_bytes"),
+        ),
+        load_table(spark, sf_dir, "customer").agg(
+            F.lit("customer").alias("dim_name"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.expr(
+                "8 + 8 + 8 + octet_length(c_name)"
+                " + octet_length(c_mktsegment)"))
+            .cast("long").alias("est_bytes"),
+        ),
+        load_table(spark, sf_dir, "part").agg(
+            F.lit("part").alias("dim_name"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.expr(
+                "8 + 8 + 8 + octet_length(p_name)"
+                " + octet_length(p_brand) + octet_length(p_type)"))
+            .cast("long").alias("est_bytes"),
+        ),
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O").agg(
+            F.lit("open_order_keys").alias("dim_name"),
+            F.count("*").cast("long").alias("n_rows"),
+            (F.count("*") * 8).cast("long").alias("est_bytes"),
+        ),
+    ]
+    dims = parts[0]
+    for x in parts[1:]:
+        dims = dims.unionAll(x)
+    ov = _BCAST_OVERHEAD_NUM
+    return dims.select(
+        "dim_name", "n_rows", "est_bytes",
+        F.expr(f"CAST(est_bytes * {ov} AS BIGINT)").alias("bcast_bytes"),
+        F.expr(f"CAST((est_bytes * {ov}) div {mb} AS BIGINT)")
+        .alias("bcast_mb"),
+        F.expr(f"est_bytes * {ov} <= {_BCAST_DEFAULT_MB} * {mb}")
+        .alias("fits_default"),
+        F.expr(
+            f"CAST(greatest((est_bytes * {ov} + {mb} - 1) div {mb}, 1)"
+            " AS BIGINT)").alias("min_threshold_mb"),
+    )

@@ -52,6 +52,10 @@ EDGE_QUERIES = [
     "q_weighted_sample", "q_quality_quantile_norm", "q_ccnet_buckets",
     "q_source_dup_rates", "q_incremental_components",
     "q_dedup_threshold_curve",
+    # round-9 additions: the span-dedup pair must agree on zero-token
+    # and shorter-than-one-window docs (n_windows = 0 -> zero spans,
+    # never a crash or a negative length)
+    "q_span_dedup", "q_span_longest_match",
 ]
 
 
