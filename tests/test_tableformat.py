@@ -841,3 +841,31 @@ def test_table_changes_multi_insert_per_key_pairs_per_row(spark,
     assert t2.count("update_postimage") == 1
     assert t2.count("delete") == 1
     assert t2.count("insert") == 0
+
+
+def test_scan_keys_prunes_on_clustered_table(spark, tmp_path):
+    """scan_keys (round-9): manifest IN-list pruning on a clustered
+    column — keys inside one file's range read just that file; keys
+    outside every range read nothing; the unpruned rows are a superset
+    of exact matches (stats pruning is I/O, not the predicate)."""
+    root = str(tmp_path / "t")
+    df = spark.range(0, 1000).selectExpr(
+        "id AS k", "concat('v', id) AS v"
+    ).repartitionByRange(8, "k")
+    tf.create_table(spark, df, root, stats_cols=["k"])
+
+    got, files_read, files_total = tf.scan_keys(spark, root, "k", [3, 7])
+    assert files_total == 8 and files_read == 1
+    assert {r.k for r in got.where("k in (3, 7)").collect()} == {3, 7}
+
+    # keys beyond every file range: zero files, empty relation
+    got0, fr0, ft0 = tf.scan_keys(spark, root, "k", [5000])
+    assert fr0 == 0 and ft0 == 8 and got0.count() == 0
+
+    # empty key set: zero files
+    gote, fre, _ = tf.scan_keys(spark, root, "k", [])
+    assert fre == 0 and gote.count() == 0
+
+    # keys spanning several ranges read only the covering files
+    _, frm, _ = tf.scan_keys(spark, root, "k", [10, 990])
+    assert frm == 2
