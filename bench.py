@@ -327,6 +327,14 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
         # per batch on artificially shuffled ids
         docs_df.repartitionByRange(48, "doc_id").write.mode(
             "overwrite").json(doc_dir)
+        # shuffled-id drop (round 10, the r09 advisory): every batch's
+        # id range overlaps the index's, so the new-ids guard pays its
+        # pruned semi-join instead of the zero-read fast path — the
+        # mft16 neardup leg reads THIS layout to keep the overlap path
+        # anchored (and stays comparable with the pre-r09 shuffled
+        # baselines); the mft48 leg keeps the monotone-ingest shape
+        doc_dir_shuf = os.path.join(tmp, "docs_in_shuf")
+        docs_df.repartition(48).write.mode("overwrite").json(doc_dir_shuf)
 
         def run(name: str, q, true_rows: int | None = None) -> None:
             """``true_rows``: the actual drop size for foreachBatch
@@ -480,7 +488,7 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
             .schema("doc_id long, text string, lang string,"
                     " source string, n_chars long")
             .option("maxFilesPerTrigger", "16")
-            .load(doc_dir)
+            .load(doc_dir_shuf)
             .select("doc_id", "text")
         )
         run("stream_neardup", neardup.stream_neardup_ingest(
@@ -758,23 +766,75 @@ def main():
             out["comparable_total"] = round(
                 sum(t for n, t in timings.items() if n in r01), 3
             )
-            # regression guard covers r01 + the extended round-2 anchors
+            # regression guard covers r01 + the extended round-2 anchors.
+            # Round-10 noise policy (the r09 box showed ~30% warm-run
+            # spread; wall-only flags were unstable across idle runs of
+            # identical code): a >1.5x wall candidate is CONFIRMED only
+            # if (a) the same query also moved on the load-independent
+            # volume axis (shuffle regression or disk spill where the
+            # baseline had none), or (b) it reproduces — up to 3 extra
+            # trials, and a SINGLE under-threshold trial retires the
+            # flag (min-of-runs semantics, matching how anchors were
+            # taken). Retired flags are recorded in
+            # meta.wall_flags_retired so the evidence is in the
+            # artifact, not a manual ROUND_NOTES paragraph.
             anchors = dict(loaded.get("extended_queries", {}), **r01)
-            regressions = {
-                n: {"now": t, "baseline": anchors[n],
-                    "ratio": round(t / anchors[n], 2)}
-                for n, t in timings.items()
+            candidates = {
+                n: t for n, t in timings.items()
                 if n in anchors and anchors[n] > 0.2 and t > 1.5 * anchors[n]
             }
+            retired: dict[str, dict] = {}
+            for n, t in candidates.items():
+                vol = n in shuffle_regressions or (
+                    stage_metrics.get(n, {}).get("spill_disk_bytes", 0)
+                    > 16 * 1024**2
+                )
+                if vol:
+                    regressions[n] = {
+                        "now": t, "baseline": anchors[n],
+                        "ratio": round(t / anchors[n], 2),
+                        "confirmed_by": "volume_delta",
+                    }
+                    continue
+                best = t
+                try:
+                    for _ in range(3):
+                        t0 = time.time()
+                        QUERIES[n](spark, sf_dir).write.mode(
+                            "overwrite").format("noop").save()
+                        best = min(best, round(time.time() - t0, 3))
+                        if best <= 1.5 * anchors[n]:
+                            break
+                except Exception:
+                    pass  # the timed loop above already ran it clean
+                if best > 1.5 * anchors[n]:
+                    regressions[n] = {
+                        "now": best, "baseline": anchors[n],
+                        "ratio": round(best / anchors[n], 2),
+                        "confirmed_by": "reproduced_best_of_5",
+                    }
+                else:
+                    retired[n] = {
+                        "first_min": t, "retry_best": best,
+                        "baseline": anchors[n],
+                    }
+            if retired:
+                meta["wall_flags_retired"] = retired
             if regressions:
                 out["n_regressions"] = len(regressions)
     else:
         out["queries"] = dict(list(timings.items())[:40])
         out["full_n"] = len(timings)
 
+    # default dump path is the UNCOMMITTED driver scratch file: the
+    # committed BENCH_FULL.json is a curated idle-run artifact, and a
+    # load-tainted driver run silently shadowing it in the working
+    # tree misled the round-8/9 reviews. Curated runs opt in with
+    # SPARK_GRAFT_BENCH_FULL_PATH=BENCH_FULL.json.
     full_path = os.environ.get("SPARK_GRAFT_BENCH_FULL_PATH") or \
         os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_FULL_driver.json",
         )
     try:
         if only:

@@ -77,9 +77,18 @@ def fingerprint(
     for t in source_tables:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(path):
-            for fn in sorted(os.listdir(path)):
-                st = os.stat(os.path.join(path, fn))
-                parts.append(f"{t}/{fn}:{st.st_size}:{st.st_mtime_ns}")
+            # recursive walk: a partitioned table (key=val subdirs)
+            # regenerated in place changes file stats INSIDE the
+            # subdirectories while the top-level entry list stays
+            # identical — a flat listdir would keep the stale
+            # fingerprint and serve a stale artifact
+            for dirpath, dirs, files in os.walk(path):
+                dirs.sort()
+                rel = os.path.relpath(dirpath, path)
+                for fn in sorted(files):
+                    st = os.stat(os.path.join(dirpath, fn))
+                    parts.append(
+                        f"{t}/{rel}/{fn}:{st.st_size}:{st.st_mtime_ns}")
         elif os.path.exists(path):
             st = os.stat(path)
             parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")

@@ -229,21 +229,27 @@ def replace(
     })
 
 
-def _carry_meta(head: dict) -> dict:
+def _carry_meta(head: dict, row_preserving: bool = False) -> dict:
     """Manifest metadata every commit must propagate from its parent:
     the table schema, the streaming sink's exactly-once watermark
-    (stream_batch_id), and the artifact-store source fingerprint.
-    Without the watermark, a delete/optimize commit followed by
-    expire_snapshots could erase the last recorded batch id and let a
-    checkpoint replay re-apply a batch; without the fingerprint, an
-    OPTIMIZE of an artifact table would falsely mark it stale and
-    trigger a rebuild (sources/artifacts.py)."""
-    return {
-        k: head[k]
-        for k in ("schema", "stream_batch_id", "delete_vectors",
-                  "artifact_fingerprint")
-        if k in head
-    }
+    (stream_batch_id), and — for ROW-PRESERVING maintenance commits
+    only (OPTIMIZE, branch create, fast-forward) — the artifact-store
+    source fingerprint. Without the watermark, a delete/optimize
+    commit followed by expire_snapshots could erase the last recorded
+    batch id and let a checkpoint replay re-apply a batch; without
+    the fingerprint, an OPTIMIZE of an artifact table would falsely
+    mark it stale and trigger a rebuild (sources/artifacts.py). A
+    ROW-MUTATING commit (append / merge / delete) must DROP the
+    fingerprint: the table's rows no longer equal the builder's
+    output, so artifacts._ensure_table has to read it as stale and
+    rebuild rather than silently serve mutated rows. A mutating
+    caller that legitimately refreshes the artifact (the store's own
+    replace path) passes the new fingerprint via extra_meta, which
+    merges after this and wins."""
+    keys = ("schema", "stream_batch_id", "delete_vectors")
+    if row_preserving:
+        keys += ("artifact_fingerprint",)
+    return {k: head[k] for k in keys if k in head}
 
 
 def _merged_schema_json(head: dict, df: DataFrame) -> str:
@@ -328,10 +334,15 @@ def scan(
     The df still carries the filter — stats pruning is an I/O
     optimization, not the predicate."""
     m = _load_manifest(root, version or _versions(root)[-1])
+    # missing stats for col (mixed stats_cols history) → conservative
+    # keep: the file is read and the row filter below decides
     keep = [
         e for e in m["files"]
-        if e["stats"][col][0] is not None
-        and not (e["stats"][col][0] > hi or e["stats"][col][1] < lo)
+        if e["stats"].get(col) is None
+        or (
+            e["stats"][col][0] is not None
+            and not (e["stats"][col][0] > hi or e["stats"][col][1] < lo)
+        )
     ]
     if not keep:
         empty = read(spark, root, version).limit(0)
@@ -367,7 +378,13 @@ def scan_keys(
     import bisect
 
     def _hit(e: dict) -> bool:
-        lo, hi = e["stats"][col]
+        # a file entry with NO recorded stats for col (older commits
+        # written under a different stats_cols set) must be READ —
+        # pruning degrades to a full read, never to a wrong skip
+        st = e["stats"].get(col)
+        if st is None:
+            return True
+        lo, hi = st
         if lo is None:
             return False
         i = bisect.bisect_left(ks, lo)
@@ -474,7 +491,12 @@ def delete_where(
     stats_cols = head["stats_cols"]
     carried, rewrite, dropped = [], [], 0
     for e in head["files"]:
-        mn, mx = e["stats"][col]
+        # no stats for col (mixed stats_cols history) → must rewrite:
+        # the file may hold matching rows and only a read can tell
+        mn, mx = e["stats"].get(col) or [None, None]
+        if mn is None and e["stats"].get(col) is None:
+            rewrite.append(e)
+            continue
         if mn is None or mx < lo or mn > hi:
             carried.append(e)
         elif lo <= mn and mx <= hi:
@@ -585,7 +607,13 @@ def delete_where_dv(
     stats_cols = head["stats_cols"]
     carried, overlap = [], []
     for e in head["files"]:
-        mn, mx = e["stats"][col]
+        # no stats for col → treat as boundary-overlapping: carry the
+        # file and tombstone whatever rows actually match
+        mn, mx = e["stats"].get(col) or [None, None]
+        if mn is None and e["stats"].get(col) is None:
+            carried.append(e)
+            overlap.append(e)
+            continue
         if mn is None or mx < lo or mn > hi:
             carried.append(e)
         elif lo <= mn and mx <= hi:
@@ -647,8 +675,12 @@ def _pair_update_images(
     passes over the CHANGED rows only."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(key).orderBy(
-        *[F.col(c) for c in cols if c != key])
+    # a table whose ONLY column is the key has no non-key columns to
+    # rank by; an empty orderBy raises at analysis, so fall back to
+    # the key itself (ranks are arbitrary-but-matched, which is all
+    # the pairing needs — the rows are indistinguishable anyway)
+    order_cols = [F.col(c) for c in cols if c != key] or [F.col(key)]
+    w = Window.partitionBy(key).orderBy(*order_cols)
     n_post = post_raw.groupBy(key).agg(
         F.count("*").alias("_n_other"))
     n_pre = pre_raw.groupBy(key).agg(
@@ -1217,7 +1249,8 @@ def optimize_table(
         # read() applied the deletion vectors, so the rewritten files
         # hold only live rows — OPTIMIZE is the DV materialization
         # point and the new snapshot carries no tombstones
-        **{**_carry_meta(head), "delete_vectors": []},
+        **{**_carry_meta(head, row_preserving=True),
+           "delete_vectors": []},
     })
 
 
@@ -1273,7 +1306,7 @@ def create_branch(
         "operation": "branch_create", "branch": name,
         "branch_version": 1, "base_version": base_v,
         "stats_cols": base["stats_cols"], "files": base["files"],
-        **_carry_meta(base),
+        **_carry_meta(base, row_preserving=True),
         "committed_us": time.time_ns() // 1_000,
     }
     path = os.path.join(_branch_dir(root, name), "b1.json")
@@ -1352,7 +1385,7 @@ def fast_forward(root: str, name: str) -> int:
         "operation": "fast_forward", "ff_branch": name,
         "ff_branch_version": head["branch_version"],
         "stats_cols": head["stats_cols"], "files": head["files"],
-        **_carry_meta(head),
+        **_carry_meta(head, row_preserving=True),
     })
 
 

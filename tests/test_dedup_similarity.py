@@ -743,3 +743,33 @@ def test_setsim_index_group_build_consistency(spark, tmp_path,
 
     monkeypatch.delenv("SPARK_GRAFT_ARTIFACTS")
     Q._NEARDUP_MEMO.clear()
+
+
+def test_fingerprint_walks_partitioned_source_recursively(tmp_path):
+    """Round-10 (r09 advisory): a partitioned source table (key=val
+    subdirectories) regenerated IN PLACE changes file stats only
+    inside the subdirectories — the fingerprint must see that (a flat
+    top-level listdir kept the stale fingerprint and served a stale
+    artifact)."""
+    import os
+
+    from document_parsing_etl_pipeline_spark.sources import artifacts
+
+    sf = tmp_path / "corpus"
+    part = sf / "documents.parquet" / "lang=en"
+    part.mkdir(parents=True)
+    inner = part / "part-000.parquet"
+    inner.write_bytes(b"AAAA")
+
+    fp0 = artifacts.fingerprint(str(sf), "p")
+    # same-size in-place rewrite: bump mtime only (the subdir's entry
+    # list and sizes are unchanged — exactly the flat-listdir blind
+    # spot)
+    st = os.stat(inner)
+    os.utime(inner, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    assert artifacts.fingerprint(str(sf), "p") != fp0
+
+    # a NEW file deeper in the tree flips it too
+    (part / "part-001.parquet").write_bytes(b"BBBB")
+    assert artifacts.fingerprint(str(sf), "p") not in (
+        fp0, artifacts.fingerprint(str(sf), "q"))

@@ -869,3 +869,93 @@ def test_scan_keys_prunes_on_clustered_table(spark, tmp_path):
     # keys spanning several ranges read only the covering files
     _, frm, _ = tf.scan_keys(spark, root, "k", [10, 990])
     assert frm == 2
+
+
+def test_fingerprint_dropped_by_mutating_kept_by_maintenance(
+    spark, tmp_path,
+):
+    """Round-10 (r09 advisory): artifact_fingerprint must survive
+    ROW-PRESERVING maintenance (optimize) but be DROPPED by any
+    row-mutating commit (append/merge/delete) — a mutated artifact
+    table no longer equals the builder's output and has to read as
+    stale so artifacts._ensure_table rebuilds instead of serving it."""
+    root = str(tmp_path / "t")
+    df = spark.range(0, 50).selectExpr(
+        "id AS doc_id", "concat('t', id) AS text"
+    ).repartition(2, "doc_id")
+    tf.create_table(spark, df, root, stats_cols=["doc_id"],
+                    extra_meta={"artifact_fingerprint": "fp0"})
+
+    def head():
+        return tf._load_manifest(root, tf._versions(root)[-1])
+
+    tf.optimize_table(spark, root, target_file_rows=25)
+    assert head().get("artifact_fingerprint") == "fp0"
+
+    tf.append(spark, spark.range(50, 60).selectExpr(
+        "id AS doc_id", "concat('t', id) AS text"), root)
+    assert "artifact_fingerprint" not in head()
+
+    # rebuild the fingerprint via the store's replace path, then check
+    # each other mutating commit type drops it again
+    tf.replace(spark, df, root,
+               extra_meta={"artifact_fingerprint": "fp1"})
+    assert head().get("artifact_fingerprint") == "fp1"
+    tf.merge_into(spark, spark.createDataFrame(
+        [(3, "u")], "doc_id long, text string"), root, "doc_id")
+    assert "artifact_fingerprint" not in head()
+
+    tf.replace(spark, df, root,
+               extra_meta={"artifact_fingerprint": "fp2"})
+    tf.delete_where(spark, root, "doc_id", 0, 5)
+    assert "artifact_fingerprint" not in head()
+
+    tf.replace(spark, df, root,
+               extra_meta={"artifact_fingerprint": "fp3"})
+    tf.delete_where_dv(spark, root, "doc_id", 0, 5)
+    assert "artifact_fingerprint" not in head()
+
+
+def test_scan_degrades_to_full_read_without_stats(spark, tmp_path):
+    """Round-10 (r09 advisory): scan/scan_keys on a column with NO
+    recorded stats (older commits under a different stats_cols set)
+    must read every such file — pruning degrades to correctness, the
+    public API never raises KeyError."""
+    root = str(tmp_path / "t")
+    df = spark.range(0, 100).selectExpr(
+        "id AS k", "id % 10 AS v"
+    ).repartitionByRange(4, "k")
+    tf.create_table(spark, df, root, stats_cols=["k"])
+
+    # probe a column that has no stats: all files conservatively read
+    got, fr, ft = tf.scan(spark, root, "v", 3, 3)
+    assert fr == ft == 4
+    assert got.count() == 10  # the row filter still applies
+
+    gk, frk, ftk = tf.scan_keys(spark, root, "v", [3])
+    assert frk == ftk == 4
+    assert gk.where("v = 3").count() == 10
+
+    # and delete_where on the stat-less column still deletes correctly
+    tf.delete_where(spark, root, "v", 3, 3)
+    assert tf.read(spark, root).where("v = 3").count() == 0
+    assert tf.read(spark, root).count() == 90
+
+
+def test_table_changes_on_key_only_table(spark, tmp_path):
+    """Round-10 (r09 advisory): a table whose ONLY column is the key
+    has no non-key columns to rank _pair_update_images by; the CDF
+    must fall back instead of raising on an empty orderBy."""
+    root = str(tmp_path / "t")
+    df = spark.range(0, 10).selectExpr("id AS k")
+    tf.create_table(spark, df, root, stats_cols=["k"])
+    tf.merge_into(spark, spark.range(5, 15).selectExpr("id AS k"),
+                  root, "k")
+    ch = tf.table_changes(spark, root, 1, 2, key="k")
+    by_type = {r["_change_type"]: r["n"] for r in ch.groupBy(
+        "_change_type").count().withColumnRenamed(
+        "count", "n").collect()}
+    # keys 10-14 are inserts; keys 5-9 were rewritten identical (merge
+    # rewrote their file) and must NOT surface as changes
+    assert by_type.get("insert") == 5
+    assert "delete" not in by_type
