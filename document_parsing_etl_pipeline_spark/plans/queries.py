@@ -19589,3 +19589,212 @@ def q_broadcast_planner(spark, sf_dir):
             f"CAST(greatest((est_bytes * {ov} + {mb} - 1) div {mb}, 1)"
             " AS BIGINT)").alias("min_threshold_mb"),
     )
+
+
+# ===================================================================
+# round 10 — standing-index OPTIMIZE-cadence planner + LSH cap tuner
+# ===================================================================
+
+# Streaming LSH-index maintenance model (q_index_optimize_planner):
+# the stream_neardup ingest appends _NDOPT_FPB bh-clustered files per
+# micro-batch (streaming/neardup.INDEX_FILES_PER_BATCH), so the
+# standing index fragments linearly while OPTIMIZE would rewrite it
+# into ceil(rows / _NDOPT_TFR) files. Per probe, every live file
+# costs a fixed task overhead (launch + footer + bloom/stats check)
+# on top of the matching rows actually read; _NDOPT_FTRE converts
+# that fixed cost into row-equivalents (measured locally: ~10 ms per
+# scan task vs ~5 us/row through the flag join ≈ 2000 rows — the
+# constant is declared, not silent, and the planner's output shows
+# exactly how sensitive the verdict is to it).
+_NDOPT_B = 125        # simulated docs per micro-batch
+_NDOPT_FPB = 4        # files appended per batch (neardup module const)
+_NDOPT_TFR = 100_000  # OPTIMIZE target rows per file
+_NDOPT_FTRE = 2000    # per-file fixed task cost, in row-equivalents
+_NDOPT_HORIZON = 16   # recommend only if payback within this many batches
+_NDOPT_MINSAVE = 24   # min file saving: cadence floor, not per-batch churn
+
+
+@register("q_index_optimize_planner", f"""
+WITH {_mh_sig_sql()},
+bucketed AS (
+    SELECT doc_id, band,
+           CASE band WHEN 0 THEN md5(mh0 || mh1)
+                     WHEN 1 THEN md5(mh2 || mh3)
+                     WHEN 2 THEN md5(mh4 || mh5)
+                     WHEN 3 THEN md5(mh6 || mh7) END AS bh
+    FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b
+),
+ranked AS (
+    SELECT doc_id,
+           (row_number() OVER (ORDER BY doc_id) - 1) // {_NDOPT_B} + 1
+               AS batch
+    FROM documents
+),
+batched AS (
+    SELECT bk.band, bk.bh, r.batch
+    FROM bucketed bk JOIN ranked r USING (doc_id)
+),
+counts AS (
+    SELECT band, bh, batch, count(*) AS n
+    FROM batched GROUP BY band, bh, batch
+),
+cum AS (
+    SELECT batch, n,
+           coalesce(sum(n) OVER (
+               PARTITION BY band, bh ORDER BY batch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS idx_n
+    FROM counts
+),
+per_batch AS (
+    SELECT batch, sum(n) AS batch_rows, sum(idx_n) AS hit_rows
+    FROM cum GROUP BY batch
+),
+with_idx AS (
+    SELECT batch, hit_rows,
+           coalesce(sum(batch_rows) OVER (
+               ORDER BY batch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS index_rows
+    FROM per_batch
+),
+checkpoints AS (
+    SELECT DISTINCT (nb * i + 3) // 4 AS t
+    FROM (SELECT max(batch) AS nb FROM ranked)
+    CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS i) u
+)
+SELECT CAST(w.batch AS BIGINT) AS after_batches,
+       CAST(w.index_rows AS BIGINT) AS index_rows,
+       CAST(w.hit_rows AS BIGINT) AS probe_rows_pruned,
+       CAST((w.batch - 1) * {_NDOPT_FPB} AS BIGINT) AS files_fragmented,
+       CAST(CASE WHEN w.index_rows = 0 THEN 0
+            ELSE (w.index_rows + {_NDOPT_TFR} - 1) // {_NDOPT_TFR}
+            END AS BIGINT) AS files_optimized,
+       CAST(greatest((w.batch - 1) * {_NDOPT_FPB}
+            - CASE WHEN w.index_rows = 0 THEN 0
+              ELSE (w.index_rows + {_NDOPT_TFR} - 1) // {_NDOPT_TFR}
+              END, 0) AS BIGINT) AS file_saving,
+       CAST(w.index_rows AS BIGINT) AS optimize_cost_rows,
+       CAST(CASE WHEN greatest((w.batch - 1) * {_NDOPT_FPB}
+                 - CASE WHEN w.index_rows = 0 THEN 0
+                   ELSE (w.index_rows + {_NDOPT_TFR} - 1) // {_NDOPT_TFR}
+                   END, 0) > 0
+            THEN (w.index_rows
+                  + greatest((w.batch - 1) * {_NDOPT_FPB}
+                    - CASE WHEN w.index_rows = 0 THEN 0
+                      ELSE (w.index_rows + {_NDOPT_TFR} - 1)
+                           // {_NDOPT_TFR} END, 0) * {_NDOPT_FTRE} - 1)
+                 // (greatest((w.batch - 1) * {_NDOPT_FPB}
+                     - CASE WHEN w.index_rows = 0 THEN 0
+                       ELSE (w.index_rows + {_NDOPT_TFR} - 1)
+                            // {_NDOPT_TFR} END, 0) * {_NDOPT_FTRE})
+            ELSE NULL END AS BIGINT) AS batches_to_payback,
+       (greatest((w.batch - 1) * {_NDOPT_FPB}
+            - CASE WHEN w.index_rows = 0 THEN 0
+              ELSE (w.index_rows + {_NDOPT_TFR} - 1) // {_NDOPT_TFR}
+              END, 0) >= {_NDOPT_MINSAVE}
+        AND coalesce((w.index_rows
+                  + greatest((w.batch - 1) * {_NDOPT_FPB}
+                    - CASE WHEN w.index_rows = 0 THEN 0
+                      ELSE (w.index_rows + {_NDOPT_TFR} - 1)
+                           // {_NDOPT_TFR} END, 0) * {_NDOPT_FTRE} - 1)
+                 // (greatest((w.batch - 1) * {_NDOPT_FPB}
+                     - CASE WHEN w.index_rows = 0 THEN 0
+                       ELSE (w.index_rows + {_NDOPT_TFR} - 1)
+                            // {_NDOPT_TFR} END, 0) * {_NDOPT_FTRE}),
+              {_NDOPT_HORIZON} + 1) <= {_NDOPT_HORIZON})
+           AS recommend_optimize
+FROM with_idx w JOIN checkpoints c ON w.batch = c.t
+ORDER BY after_batches
+""")
+def q_index_optimize_planner(spark, sf_dir):
+    """OPTIMIZE-cadence planner for the streaming near-dup LSH index
+    (SURVEY §7.15's declared round-10 candidate; the
+    q_broadcast_planner shape applied to tableformat.optimize_table):
+    simulate the stream_neardup ingest over the real documents corpus
+    — {_NDOPT_B}-doc micro-batches, each appending
+    {_NDOPT_FPB} bh-clustered files — and at four checkpoint batches
+    report MEASURED index state (bucket rows in the index, actual
+    bucket-collision rows a membership-pruned probe returns) next to
+    the fragmentation model: files accumulated vs files after an
+    OPTIMIZE to {_NDOPT_TFR}-row files, the per-probe file saving,
+    the rewrite cost, and the payback point — ceil(rewrite_rows /
+    (file_saving x {_NDOPT_FTRE} rows-equivalent per file task)) —
+    with recommend_optimize true iff the saving reaches the
+    {_NDOPT_MINSAVE}-file cadence floor AND payback lands within
+    {_NDOPT_HORIZON} batches. This is the decision table
+    neardup.maybe_optimize_index executes (same constants), derived
+    from the data instead of guessed. All-integer arithmetic; the
+    one global row_number is over doc COUNTS (batch assignment), not
+    data movement — at corpus scale the simulation runs on a sample
+    or on the real manifest, both documented in the module note."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    bk = dedup.minhash_buckets(docs, num_hashes=_MH_K,
+                               band_size=_MH_BAND)
+    ranked = docs.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy("doc_id")).alias("rn"),
+    ).select(
+        "doc_id",
+        F.expr(f"(rn - 1) div {_NDOPT_B} + 1").alias("batch"),
+    )
+    counts = (
+        bk.join(ranked, "doc_id")
+        .groupBy("band", "bh", "batch")
+        .agg(F.count("*").alias("n"))
+    )
+    wb = Window.partitionBy("band", "bh").orderBy("batch") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    cum = counts.select(
+        "batch", "n",
+        F.coalesce(F.sum("n").over(wb), F.lit(0)).alias("idx_n"),
+    )
+    per_batch = cum.groupBy("batch").agg(
+        F.sum("n").alias("batch_rows"),
+        F.sum("idx_n").alias("hit_rows"),
+    )
+    wt = Window.orderBy("batch") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    with_idx = per_batch.select(
+        "batch", "hit_rows",
+        F.coalesce(F.sum("batch_rows").over(wt), F.lit(0))
+        .alias("index_rows"),
+    )
+    nb = ranked.agg(F.max("batch").alias("nb"))
+    checkpoints = (
+        nb.crossJoin(
+            spark.range(1, 5).select(F.col("id").alias("i"))
+        )
+        .select(F.expr("(nb * i + 3) div 4").alias("t"))
+        .distinct()
+    )
+    j = with_idx.join(checkpoints, F.col("batch") == F.col("t"))
+    fopt = (
+        f"CASE WHEN index_rows = 0 THEN 0"
+        f" ELSE (index_rows + {_NDOPT_TFR} - 1) div {_NDOPT_TFR} END"
+    )
+    saving = f"greatest((batch - 1) * {_NDOPT_FPB} - ({fopt}), 0)"
+    payback = (
+        f"(index_rows + ({saving}) * {_NDOPT_FTRE} - 1)"
+        f" div (({saving}) * {_NDOPT_FTRE})"
+    )
+    return j.select(
+        F.col("batch").cast("long").alias("after_batches"),
+        F.col("index_rows").cast("long").alias("index_rows"),
+        F.col("hit_rows").cast("long").alias("probe_rows_pruned"),
+        F.expr(f"CAST((batch - 1) * {_NDOPT_FPB} AS BIGINT)")
+        .alias("files_fragmented"),
+        F.expr(f"CAST({fopt} AS BIGINT)").alias("files_optimized"),
+        F.expr(f"CAST({saving} AS BIGINT)").alias("file_saving"),
+        F.col("index_rows").cast("long").alias("optimize_cost_rows"),
+        F.expr(
+            f"CAST(CASE WHEN ({saving}) > 0 THEN {payback}"
+            " ELSE NULL END AS BIGINT)"
+        ).alias("batches_to_payback"),
+        F.expr(
+            f"({saving}) >= {_NDOPT_MINSAVE} AND coalesce({payback},"
+            f" {_NDOPT_HORIZON} + 1) <= {_NDOPT_HORIZON}"
+        ).alias("recommend_optimize"),
+    ).orderBy("after_batches")

@@ -37,6 +37,8 @@ lists, KB of JSON) touches the driver.
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
 import os
 import time
@@ -46,6 +48,83 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _MANIFEST_DIR = "_manifests"
+
+# ------------------------------------------------- per-file blooms
+# Parquet-spec-style split-block bloom filters, lifted to the MANIFEST
+# so pruning happens driver-side before any task launches (the same
+# role Iceberg puffin sidecars / parquet column blooms play — see the
+# parquet-format BloomFilter spec for the public design this follows).
+# Range min/max stats prune RANGE probes; blooms prune MEMBERSHIP
+# probes, which ranges can't: a file clustered on one column covers a
+# wide [min,max] of another, so any probe with more than a handful of
+# uniform keys range-hits EVERY file, while a bloom answers "does this
+# file plausibly CONTAIN one of the keys" at ~1e-6 false-positive per
+# (key, file). Both engines hash identically: md5 of the value's
+# canonical string form, eight 16-bit slices of the digest as bit
+# positions (k=8, m=65536 → fpr ≈ (1-e^{-8n/m})^8, ~1e-6 at n=1600
+# rows/file; the bitmap saturates — reads everything, never skips
+# wrongly — beyond n ≈ m/k). 8 KiB bitmap per (file, column), base64
+# in the manifest entry; at real scale the same bytes live in a
+# sidecar (puffin), the probe logic is unchanged.
+
+_BLOOM_M = 65536  # bits per bloom
+_BLOOM_K = 8      # 16-bit md5 slices used as positions
+
+
+def bloom_positions(key) -> list[int]:
+    """The k bit positions for ``key`` — md5 of str(key), split into
+    eight 16-bit words. MUST stay in lockstep with the Spark-side
+    expression in _write_files (md5(cast(col as string)))."""
+    h = hashlib.md5(str(key).encode()).hexdigest()
+    return [int(h[4 * j:4 * j + 4], 16) for j in range(_BLOOM_K)]
+
+
+def _bloom_build(positions) -> dict:
+    """Bitmap manifest entry from an iterable of set bit positions."""
+    bm = bytearray(_BLOOM_M // 8)
+    for p in positions:
+        if p is not None:
+            bm[p >> 3] |= 1 << (p & 7)
+    return {
+        "m": _BLOOM_M, "k": _BLOOM_K,
+        "b64": base64.b64encode(bytes(bm)).decode("ascii"),
+    }
+
+
+def _bloom_any_hit(entry: dict, probe_positions: list[list[int]]) -> bool:
+    """True iff ANY probe key has all k bits set in the file's bloom
+    (i.e. the file might contain it). Vectorized: one numpy gather
+    over a [n_keys, k] position matrix — microseconds per file, so a
+    thousand-file manifest probes in ~ms driver-side."""
+    import numpy as np
+
+    bm = np.frombuffer(base64.b64decode(entry["b64"]), dtype=np.uint8)
+    if not probe_positions:
+        return False
+    pos = np.asarray(probe_positions, dtype=np.int64)
+    bits = (bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return bool(bits.all(axis=1).any())
+
+
+def _bloom_probe(keys) -> dict:
+    """Hash the probe key set ONCE: {'pos': [[k ints]...] for non-null
+    keys, 'has_null': whether the probe itself contains NULL}."""
+    return {
+        "pos": [bloom_positions(k) for k in keys if k is not None],
+        "has_null": any(k is None for k in keys),
+    }
+
+
+def _bloom_file_hit(e: dict, col: str, probe: dict) -> bool:
+    """Can file entry ``e`` contain any probe key, per its bloom?
+    Conservative: entries without a bloom for ``col`` (pre-bloom
+    commits, or a table without bloom_cols) always hit."""
+    b = e.get("blooms", {}).get(col)
+    if b is None:
+        return True
+    if probe["has_null"] and b.get("has_null"):
+        return True
+    return _bloom_any_hit(b, probe["pos"])
 
 
 # ---------------------------------------------------------------- util
@@ -97,30 +176,55 @@ def _commit(root: str, manifest: dict) -> int:
 
 def _write_files(
     spark: SparkSession, df: DataFrame, root: str, tag: str,
-    stats_cols: list[str],
+    stats_cols: list[str], bloom_cols: list[str] | tuple = (),
 ) -> list[dict]:
     """Write df as parquet under data/<tag>/ and return manifest
     entries with per-file rows + min/max stats (ONE distributed
-    aggregation over input_file_name — no per-file driver loop)."""
+    aggregation over input_file_name — no per-file driver loop).
+    ``bloom_cols`` additionally collects each file's DISTINCT md5
+    bit positions for those columns (bounded by m=65536 per file per
+    column via array_distinct — a saturated bloom degrades to
+    read-everything, never to a wrong skip) and stores the bitmap in
+    the entry, plus a has_null flag so NULL probes stay sound."""
     out_dir = os.path.join(root, "data", tag)
     df.write.mode("error").parquet(out_dir)
     back = spark.read.parquet(out_dir)
     aggs = [F.count("*").alias("_rows")]
     for c in stats_cols:
         aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+    for c in bloom_cols:
+        h = F.md5(F.col(c).cast("string"))
+        pos = F.array(*[
+            F.conv(F.substring(h, 1 + 4 * j, 4), 16, 10).cast("int")
+            for j in range(_BLOOM_K)
+        ])
+        aggs += [
+            F.array_distinct(F.flatten(F.collect_list(pos)))
+            .alias(f"_bpos_{c}"),
+            F.max(F.col(c).isNull()).alias(f"_bnull_{c}"),
+        ]
     rows = (
         back.withColumn("_f", F.input_file_name())
         .groupBy("_f").agg(*aggs).collect()
     )
     entries = []
     for r in rows:
-        entries.append({
+        e = {
             "path": os.path.relpath(_localpath(r["_f"]), root),
             "rows": r["_rows"],
             "stats": {
                 c: [r[f"_min_{c}"], r[f"_max_{c}"]] for c in stats_cols
             },
-        })
+        }
+        if bloom_cols:
+            e["blooms"] = {
+                c: {
+                    **_bloom_build(r[f"_bpos_{c}"]),
+                    "has_null": bool(r[f"_bnull_{c}"]),
+                }
+                for c in bloom_cols
+            }
+        entries.append(e)
     return entries
 
 
@@ -198,12 +302,18 @@ def _read_live(
 def create_table(
     spark: SparkSession, df: DataFrame, root: str,
     stats_cols: list[str], extra_meta: dict | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
-    """v1 snapshot of ``df`` with stats on ``stats_cols``."""
-    entries = _write_files(spark, df, root, "v1", stats_cols)
+    """v1 snapshot of ``df`` with stats on ``stats_cols``; columns in
+    ``bloom_cols`` additionally get a per-file membership bloom every
+    later commit maintains (scan_membership / scan_keys prune on it)."""
+    entries = _write_files(
+        spark, df, root, "v1", stats_cols, bloom_cols or ()
+    )
     return _commit(root, {
         "operation": "create", "stats_cols": stats_cols, "files": entries,
         "schema": df.schema.json(),
+        **({"bloom_cols": bloom_cols} if bloom_cols else {}),
         **(extra_meta or {}),
     })
 
@@ -218,8 +328,13 @@ def replace(
     are NOT carried — they reference replaced files."""
     head = _load_manifest(root, _versions(root)[-1])
     tag = f"v{head['version'] + 1}"
-    entries = _write_files(spark, df, root, tag, head["stats_cols"])
-    carried = {k: head[k] for k in ("stream_batch_id",) if k in head}
+    entries = _write_files(
+        spark, df, root, tag, head["stats_cols"], _bcols(head)
+    )
+    carried = {
+        k: head[k]
+        for k in ("stream_batch_id", "bloom_cols") if k in head
+    }
     return _commit(root, {
         "operation": "replace", "stats_cols": head["stats_cols"],
         "files": entries,
@@ -245,11 +360,19 @@ def _carry_meta(head: dict, row_preserving: bool = False) -> dict:
     rebuild rather than silently serve mutated rows. A mutating
     caller that legitimately refreshes the artifact (the store's own
     replace path) passes the new fingerprint via extra_meta, which
-    merges after this and wins."""
-    keys = ("schema", "stream_batch_id", "delete_vectors")
+    merges after this and wins. bloom_cols is table CONFIG (like
+    stats_cols) and rides every commit."""
+    keys = ("schema", "stream_batch_id", "delete_vectors", "bloom_cols")
     if row_preserving:
         keys += ("artifact_fingerprint",)
     return {k: head[k] for k in keys if k in head}
+
+
+def _bcols(head: dict) -> tuple:
+    """The table's configured bloom columns (empty for tables created
+    without them — every write path passes this to _write_files so
+    blooms stay maintained across appends, merges, and rewrites)."""
+    return tuple(head.get("bloom_cols") or ())
 
 
 def _merged_schema_json(head: dict, df: DataFrame) -> str:
@@ -275,7 +398,9 @@ def append(
 ) -> int:
     head = _load_manifest(root, _versions(root)[-1])
     tag = f"v{head['version'] + 1}"
-    entries = _write_files(spark, df, root, tag, head["stats_cols"])
+    entries = _write_files(
+        spark, df, root, tag, head["stats_cols"], _bcols(head)
+    )
     return _commit(root, {
         "operation": "append", "stats_cols": head["stats_cols"],
         "files": head["files"] + entries,
@@ -377,6 +502,8 @@ def scan_keys(
     ks = sorted(keys)
     import bisect
 
+    probe = _bloom_probe(keys)
+
     def _hit(e: dict) -> bool:
         # a file entry with NO recorded stats for col (older commits
         # written under a different stats_cols set) must be READ —
@@ -388,9 +515,60 @@ def scan_keys(
         if lo is None:
             return False
         i = bisect.bisect_left(ks, lo)
-        return i < len(ks) and ks[i] <= hi
+        if not (i < len(ks) and ks[i] <= hi):
+            return False
+        # range says maybe — a membership bloom (if this file has one
+        # for col) can still rule the file out: files clustered on a
+        # DIFFERENT column have wide [lo,hi] on this one, and with
+        # more than a handful of keys the range test keeps everything
+        return _bloom_file_hit(e, col, probe)
 
     keep = [e for e in m["files"] if _hit(e)]
+    if not keep:
+        return read(spark, root, version).limit(0), 0, len(m["files"])
+    df = _read_live(
+        spark, root, m, [os.path.join(root, e["path"]) for e in keep]
+    )
+    return df, len(keep), len(m["files"])
+
+
+def scan_membership(
+    spark: SparkSession, root: str, col: str, keys: list,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Manifest-pruned scan by BLOOM membership alone: only files
+    whose per-file bloom says "might contain one of ``keys``" are
+    read; returns (df, files_read, files_total), df NOT row-filtered
+    (callers join, exactly like scan_keys — bloom hits are
+    probabilistic supersets). This is the probe that stays sharp
+    where range stats can't: a probe of many uniformly-hashed keys
+    range-hits every file of a table clustered on a different
+    column, but bloom-hits only the files that plausibly HOLD one —
+    the streaming near-dup ingest's new-ids guard drops from
+    O(index) data reads per batch to ~zero this way. Files without a
+    bloom for ``col`` are conservatively read (range stats, when
+    present, still apply first)."""
+    m = _load_manifest(root, version or _versions(root)[-1])
+    ks = sorted(k for k in keys if k is not None)
+    probe = _bloom_probe(keys)
+    import bisect
+
+    def _range_hit(e: dict) -> bool:
+        st = e["stats"].get(col)
+        if st is None:
+            return True
+        lo, hi = st
+        if lo is None:
+            return probe["has_null"]
+        if not ks:
+            return probe["has_null"]
+        i = bisect.bisect_left(ks, lo)
+        return (i < len(ks) and ks[i] <= hi) or probe["has_null"]
+
+    keep = [
+        e for e in m["files"]
+        if _range_hit(e) and _bloom_file_hit(e, col, probe)
+    ]
     if not keep:
         return read(spark, root, version).limit(0), 0, len(m["files"])
     df = _read_live(
@@ -467,11 +645,12 @@ def merge_into(
             )
             survivors = hit_df.join(F.broadcast(keys_df), key, "anti")
             rewritten += _write_files(
-                spark, survivors, root, f"{tag}-rw", stats_cols
+                spark, survivors, root, f"{tag}-rw", stats_cols,
+                _bcols(head),
             )
     new_entries = _write_files(
         spark, updates.select(*read(spark, root).columns), root,
-        f"{tag}-new", stats_cols,
+        f"{tag}-new", stats_cols, _bcols(head),
     )
     return _commit(root, {
         "operation": "merge", "stats_cols": stats_cols,
@@ -515,7 +694,7 @@ def delete_where(
         survivors = df.where(~F.col(col).between(lo, hi))
         entries = _write_files(
             spark, survivors, root,
-            f"v{head['version'] + 1}-del", stats_cols,
+            f"v{head['version'] + 1}-del", stats_cols, _bcols(head),
         )
     return _commit(root, {
         "operation": "delete", "stats_cols": stats_cols,
@@ -579,7 +758,7 @@ def merge_into_dv(
         ]
     new_entries = _write_files(
         spark, updates.select(*read(spark, root).columns), root,
-        f"{tag}-new", stats_cols,
+        f"{tag}-new", stats_cols, _bcols(head),
     )
     return _commit(root, {
         "operation": "merge_dv", "stats_cols": stats_cols,
@@ -999,7 +1178,7 @@ def stage_append(
     # mode("error") collision on the retry path
     entries = _write_files(
         spark, df, root, f"stage-{stage}-v{head['version']}",
-        head["stats_cols"],
+        head["stats_cols"], _bcols(head),
     )
     os.makedirs(os.path.join(root, _STAGE_DIR), exist_ok=True)
     staged = {
@@ -1242,7 +1421,9 @@ def optimize_table(
         clustered = df.repartitionByRange(n_files, cluster_by)
     else:
         clustered = df.repartition(n_files)
-    entries = _write_files(spark, clustered, root, tag, stats_cols)
+    entries = _write_files(
+        spark, clustered, root, tag, stats_cols, _bcols(head)
+    )
     return _commit(root, {
         "operation": "optimize", "stats_cols": stats_cols,
         "files": entries,
@@ -1328,7 +1509,8 @@ def append_to_branch(
     head = _load_branch(root, name, bvs[-1])
     bv = head["branch_version"] + 1
     entries = _write_files(
-        spark, df, root, f"branch-{name}-b{bv}", head["stats_cols"])
+        spark, df, root, f"branch-{name}-b{bv}", head["stats_cols"],
+        _bcols(head))
     b = {
         "operation": "branch_append", "branch": name,
         "branch_version": bv, "base_version": head["base_version"],

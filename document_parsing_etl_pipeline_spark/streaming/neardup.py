@@ -40,17 +40,36 @@ from .table_sink import last_committed_batch
 def _assert_ids_new(
     spark, bb: DataFrame, index_root: str, lo, hi,
 ) -> None:
-    """Enforce the append contract 'ingest doc_ids are new': the
-    manifest's per-file doc_id stats prune the check to files whose
-    range overlaps the batch's [lo, hi] — for monotone ingest ids
-    that is ZERO files and zero extra jobs (the bounds ride the
-    bucket checkpoint as an Observation; the range test is a
-    driver-side manifest pass) — and only a genuinely overlapping
-    range pays a pruned semi-join. A violation raises instead of
-    silently duplicating the violator's bucket rows."""
+    """Enforce the append contract 'ingest doc_ids are new', in two
+    driver-side manifest passes before any data is read:
+
+    1. RANGE: files whose doc_id [min,max] misses the batch's
+       [lo, hi] are out — for monotone ingest ids that is ZERO files
+       and zero extra jobs (the bounds ride the bucket checkpoint as
+       an Observation).
+    2. BLOOM (round 10): for range-overlapping files — the normal
+       state under SHUFFLED ingest ids, where every file overlaps
+       every batch — the batch's doc_ids (a bounded collect off the
+       already-checkpointed bucket relation, ≤4× trigger size) probe
+       each file's membership bloom. Genuinely-new ids miss every
+       bloom (fpr ~1e-6/key/file), so the check costs ~ms of driver
+       numpy and ZERO file reads; pre-bloom index tables degrade to
+       reading the overlapping files.
+
+    Only files that survive BOTH passes pay the confirming semi-join.
+    A violation raises instead of silently duplicating the
+    violator's bucket rows."""
     if lo is None:
         return
     pruned, files_read, _ = tf.scan(spark, index_root, "doc_id", lo, hi)
+    if files_read == 0:
+        return
+    ids = [
+        r["doc_id"] for r in bb.select("doc_id").distinct().collect()
+    ]
+    pruned, files_read, _ = tf.scan_membership(
+        spark, index_root, "doc_id", ids
+    )
     if files_read == 0:
         return
     hits = [
@@ -78,6 +97,7 @@ def ingest_batch(
     band_size: int = 2,
     max_bucket: int = 50,
     validate_new_ids: bool = True,
+    optimize_cadence: bool = True,
 ) -> bool:
     """Flag one micro-batch against the standing index, write the
     flags, and MERGE the batch's buckets into the index exactly once.
@@ -106,17 +126,23 @@ def ingest_batch(
     if validate_new_ids:
         got = obs.get
         _assert_ids_new(spark, bb, index_root, got["lo"], got["hi"])
-    # bucket-key pushdown into the snapshot scan (round-9): the index
-    # is appended CLUSTERED on bh (disjoint per-file bucket-hash
-    # ranges), so the batch's key set — bounded by 4x the trigger
-    # size, a driver-safe collect — prunes the index read to files
-    # that can hold a matching bucket. The scan then costs O(batch
-    # keys x file width), not O(index): the property that keeps
-    # per-batch flagging flat as the standing index grows to corpus
-    # scale. Pre-bh-stats index tables fall back to the full read.
+    # bucket-key pushdown into the snapshot scan (round-9): the
+    # batch's key set — bounded by 4x the trigger size, a
+    # driver-safe collect — prunes the index read to files that can
+    # hold a matching bucket, keeping per-batch flagging flat as the
+    # standing index grows to corpus scale. Round 10: with per-file
+    # bh BLOOMS on the index (create_index), scan_keys prunes by
+    # MEMBERSHIP, so it stays sharp even though a many-key probe
+    # range-hits every file — bloomed indexes engage immediately,
+    # range-stats-only ones still wait for PUSHDOWN_MIN_FILES where
+    # pruning can beat the collect's fixed cost. Pre-bh-stats index
+    # tables fall back to the full read.
     head = tf._load_manifest(index_root, tf._versions(index_root)[-1])
+    has_bh_bloom = "bh" in (head.get("bloom_cols") or [])
     if ("bh" in head.get("stats_cols", [])
-            and len(head["files"]) > PUSHDOWN_MIN_FILES):
+            and head["files"]
+            and (has_bh_bloom
+                 or len(head["files"]) > PUSHDOWN_MIN_FILES)):
         keys = [r["bh"] for r in bb.select("bh").distinct().collect()]
         index, _, _ = tf.scan_keys(spark, index_root, "bh", keys)
     else:
@@ -149,6 +175,13 @@ def ingest_batch(
         index_root,
         extra_meta={"stream_batch_id": batch_id},
     )
+    # OPTIMIZE cadence (round 10): a driver-side manifest check per
+    # batch, a bh re-cluster only when the planner rule says the
+    # rewrite pays back (maybe_optimize_index docstring) — keeps the
+    # per-probe live-file count bounded as the index grows without
+    # re-introducing per-batch O(index) rewrites
+    if optimize_cadence:
+        maybe_optimize_index(spark, index_root)
     return True
 
 
@@ -163,20 +196,81 @@ INDEX_FILES_PER_BATCH = 4
 # files that pruning can beat its own cost (one distinct-keys collect
 # per batch, bounded by 4x the trigger size): below this every file
 # is hit by some key anyway and the plain snapshot read is cheaper —
-# measured ~0.2 s/batch of pure tax on a 3-batch local index
+# measured ~0.2 s/batch of pure tax on a 3-batch local index.
+# (Round 10: indexes with per-file bh BLOOMS engage immediately —
+# membership pruning is effective at any file count, see ingest_batch.)
 PUSHDOWN_MIN_FILES = 64
+
+# OPTIMIZE cadence (round 10, SURVEY §7.15): each batch appends
+# INDEX_FILES_PER_BATCH files, so per-probe fixed file costs grow
+# linearly until a re-cluster compacts them. maybe_optimize_index
+# executes the SAME payback rule q_index_optimize_planner derives
+# from the data (plans/queries.py q_index_optimize_planner docstring
+# has the model): rewrite when the per-probe file saving is large
+# enough that the rewrite pays back within OPT_PAYBACK_HORIZON
+# probes, at OPT_FTRE rows-equivalent fixed cost per file task.
+OPT_TARGET_FILE_ROWS = 100_000
+OPT_FTRE = 2000
+OPT_PAYBACK_HORIZON = 16
+OPT_MIN_FILE_SAVING = 24
+
+
+def maybe_optimize_index(
+    spark: SparkSession,
+    index_root: str,
+    target_file_rows: int = OPT_TARGET_FILE_ROWS,
+    ftre: int = OPT_FTRE,
+    horizon: int = OPT_PAYBACK_HORIZON,
+    min_file_saving: int = OPT_MIN_FILE_SAVING,
+) -> bool:
+    """Re-cluster the standing index on bh iff the planner rule says
+    the rewrite pays back: file_saving = n_files - ceil(rows/target),
+    payback_batches = ceil(rows / (file_saving * ftre)); OPTIMIZE
+    when file_saving >= min_file_saving AND payback <= horizon. The
+    min-saving floor is what makes this a CADENCE rather than churn:
+    without it the payback test alone fires on every batch of a
+    small index (fixed per-file cost dominates tiny row counts) and
+    the stream would rewrite the whole index per batch — the exact
+    O(index)-per-batch cost the round-8 MERGE→APPEND fix removed.
+    At min_file_saving=24 and INDEX_FILES_PER_BATCH=4 the rewrite
+    fires every ≥6 batches, amortizing to <=1/6 of the index per
+    batch while per-probe file counts stay bounded by
+    opt_files + 24. The decision is a driver-side manifest pass
+    (zero jobs when it declines); the OPTIMIZE itself is
+    row-preserving, carries stream_batch_id, and recomputes per-file
+    stats AND blooms, so exactly-once replay and both pruning probes
+    survive it (tested). Returns True iff it rewrote."""
+    head = tf._load_manifest(index_root, tf._versions(index_root)[-1])
+    n_files = len(head["files"])
+    rows = sum(e["rows"] for e in head["files"])
+    if rows == 0:
+        return False
+    opt_files = -(-rows // target_file_rows)
+    saving = n_files - opt_files
+    if saving < min_file_saving:
+        return False
+    payback = -(-rows // (saving * ftre))
+    if payback > horizon:
+        return False
+    tf.optimize_table(
+        spark, index_root, target_file_rows, cluster_by="bh"
+    )
+    return True
 
 
 def create_index(spark: SparkSession, index_root: str) -> int:
     """Create an empty standing LSH index table (minhash_buckets
     schema) ready for streaming ingest. Stats on doc_id power the
-    new-ids guard's pruning; stats on bh power the per-batch
-    bucket-key pushdown."""
+    new-ids guard's range pruning; stats on bh power the per-batch
+    bucket-key pushdown; per-file BLOOMS on both (round 10) keep
+    either probe sharp when range stats go wide — shuffled ingest
+    ids, or a many-key bucket probe against bh-clustered files."""
     seed = spark.createDataFrame(
         [], "doc_id long, band int, bh string"
     )
     return tf.create_table(spark, seed, index_root,
-                           stats_cols=["doc_id", "bh"])
+                           stats_cols=["doc_id", "bh"],
+                           bloom_cols=["doc_id", "bh"])
 
 
 def stream_neardup_ingest(
@@ -190,6 +284,7 @@ def stream_neardup_ingest(
     band_size: int = 2,
     max_bucket: int = 50,
     validate_new_ids: bool = True,
+    optimize_cadence: bool = True,
 ):
     """Start the foreachBatch near-dup ingest over a document stream
     (needs doc_id + text columns). The index table must exist
@@ -200,6 +295,7 @@ def stream_neardup_ingest(
             spark, batch_df, index_root, flags_root, batch_id,
             num_hashes=num_hashes, band_size=band_size,
             max_bucket=max_bucket, validate_new_ids=validate_new_ids,
+            optimize_cadence=optimize_cadence,
         )
 
     writer = (

@@ -1358,6 +1358,7 @@ def test_neardup_index_pushdown_prunes_and_matches_full_read(
         assert neardup.ingest_batch(
             spark, b, idx, str(tmp_path / "fl"), i + 1,
             validate_new_ids=False,  # mod-20 slices interleave ids
+            optimize_cadence=False,  # keep the fragmented layout
         )
     head = tf._load_manifest(idx, tf._versions(idx)[-1])
     assert len(head["files"]) > neardup.PUSHDOWN_MIN_FILES
@@ -1388,3 +1389,112 @@ def test_neardup_index_pushdown_prunes_and_matches_full_read(
     # the probes are true dups of indexed docs: flagged unless every
     # shared bucket was cap-dropped (cap semantics allow that)
     assert any(r[1] for r in got)
+
+
+def test_neardup_optimize_cadence_preserves_flags_and_replay(
+    tmp_path, spark
+):
+    """Round-10 OPTIMIZE cadence: with a forced-low cadence floor the
+    mid-stream re-cluster fires, yet (a) flags equal the
+    never-optimized run byte-for-byte, (b) the index relation is
+    row-identical, (c) stream_batch_id survives the rewrite so a
+    replayed batch is still a no-op, and (d) the compacted file
+    count stays bounded while the fragmented run's grows."""
+    from document_parsing_etl_pipeline_spark.catalog import load_table
+    from document_parsing_etl_pipeline_spark.sources import (
+        tableformat as tf,
+    )
+    from document_parsing_etl_pipeline_spark.streaming import neardup
+    from document_parsing_etl_pipeline_spark.streaming.table_sink import (
+        last_committed_batch,
+    )
+
+    docs = load_table(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).select("doc_id", "text")
+    batches = [
+        docs.where(f"doc_id % 10 = {i}").localCheckpoint()
+        for i in range(10)
+    ]
+
+    idx_a, fl_a = str(tmp_path / "ia"), str(tmp_path / "fa")
+    idx_b, fl_b = str(tmp_path / "ib"), str(tmp_path / "fb")
+    neardup.create_index(spark, idx_a)
+    neardup.create_index(spark, idx_b)
+    n_opts = 0
+    for i, b in enumerate(batches):
+        assert neardup.ingest_batch(
+            spark, b, idx_a, fl_a, i + 1,
+            validate_new_ids=False, optimize_cadence=False,
+        )
+        assert neardup.ingest_batch(
+            spark, b, idx_b, fl_b, i + 1,
+            validate_new_ids=False, optimize_cadence=False,
+        )
+        # forced-low floor: fire roughly every other batch
+        if neardup.maybe_optimize_index(
+            spark, idx_b, min_file_saving=6,
+        ):
+            n_opts += 1
+    assert n_opts >= 2  # the cadence actually exercised
+
+    # (a) flags identical
+    fa = sorted(map(tuple, spark.read.parquet(fl_a).collect()))
+    fb = sorted(map(tuple, spark.read.parquet(fl_b).collect()))
+    assert fa == fb
+    # (b) index rows identical
+    ra = sorted(map(tuple, tf.read(spark, idx_a).collect()))
+    rb = sorted(map(tuple, tf.read(spark, idx_b).collect()))
+    assert ra == rb
+    # (c) exactly-once watermark survives the rewrites
+    assert last_committed_batch(idx_b) == 10
+    assert neardup.ingest_batch(
+        spark, batches[-1], idx_b, fl_b, 10,
+        validate_new_ids=False,
+    ) is False
+    # (d) compaction bounded the live file count
+    files_a = len(tf._load_manifest(idx_a, tf._versions(idx_a)[-1])["files"])
+    files_b = len(tf._load_manifest(idx_b, tf._versions(idx_b)[-1])["files"])
+    assert files_b < files_a
+    # blooms recomputed by the rewrite: membership probe still prunes
+    head_b = tf._load_manifest(idx_b, tf._versions(idx_b)[-1])
+    assert all("blooms" in e for e in head_b["files"])
+    _, fr, _ = tf.scan_membership(
+        spark, idx_b, "doc_id", [987654321]
+    )
+    assert fr == 0
+
+
+def test_neardup_guard_bloom_prunes_shuffled_ids(tmp_path, spark):
+    """Round-10 bloom guard: under SHUFFLED ingest ids every batch's
+    [lo,hi] range overlaps every index file, but genuinely-new ids
+    miss all per-file blooms, so the guard reads ZERO files — and a
+    true duplicate id still raises through the bloom path."""
+    from document_parsing_etl_pipeline_spark.catalog import load_table
+    from document_parsing_etl_pipeline_spark.sources import (
+        tableformat as tf,
+    )
+    from document_parsing_etl_pipeline_spark.streaming import neardup
+
+    docs = load_table(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).select("doc_id", "text")
+    idx, fl = str(tmp_path / "idx"), str(tmp_path / "fl")
+    neardup.create_index(spark, idx)
+    # interleaved id slices: every batch spans the whole id range
+    for i in range(4):
+        b = docs.where(f"doc_id % 10 = {i}").localCheckpoint()
+        assert neardup.ingest_batch(
+            spark, b, idx, fl, i + 1,
+            validate_new_ids=True, optimize_cadence=False,
+        )
+    # the guard accepted interleaved-but-new ids (no exception above)
+    # and the membership scan is what made that cheap: new ids -> 0
+    new_ids = [r.doc_id + 1_000_000 for r in docs.limit(5).collect()]
+    _, fr, ft = tf.scan_membership(spark, idx, "doc_id", new_ids)
+    assert ft > 0 and fr == 0
+    # a true duplicate still raises
+    dup = docs.where("doc_id % 10 = 2").localCheckpoint()
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="contract violation"):
+        neardup.ingest_batch(spark, dup, idx, fl, 5)

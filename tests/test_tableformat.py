@@ -959,3 +959,133 @@ def test_table_changes_on_key_only_table(spark, tmp_path):
     # rewrote their file) and must NOT surface as changes
     assert by_type.get("insert") == 5
     assert "delete" not in by_type
+
+
+# ------------------------------------------------- per-file blooms
+
+
+@pytest.fixture()
+def bloom_table(spark, tmp_path):
+    root = str(tmp_path / "btbl")
+    df = spark.range(0, 400).selectExpr(
+        "id AS doc_id", "md5(cast(id % 50 AS string)) AS bh"
+    ).repartition(4, "doc_id")
+    tf.create_table(
+        spark, df, root, stats_cols=["doc_id", "bh"],
+        bloom_cols=["doc_id", "bh"],
+    )
+    return root
+
+
+def test_bloom_positions_match_spark_md5(spark):
+    # the cross-engine contract: Python bloom_positions must equal
+    # the 16-bit slices of Spark's md5(cast(col as string))
+    from pyspark.sql import functions as F
+
+    rows = spark.createDataFrame(
+        [(7,), (123456789,)], "k long"
+    ).select(
+        "k", F.md5(F.col("k").cast("string")).alias("h")
+    ).collect()
+    for r in rows:
+        expect = [int(r["h"][4 * j:4 * j + 4], 16) for j in range(8)]
+        assert tf.bloom_positions(r["k"]) == expect
+
+
+def test_scan_membership_prunes_absent_keys(spark, bloom_table):
+    # present key: at least the holding file is read, row comes back
+    df, fr, ft = tf.scan_membership(spark, bloom_table, "doc_id", [123])
+    assert ft == 4 and fr >= 1
+    assert df.where("doc_id = 123").count() == 1
+    # absent keys: every bloom misses -> zero files read
+    df, fr, _ = tf.scan_membership(
+        spark, bloom_table, "doc_id", [10_000_001, 10_000_002]
+    )
+    assert fr == 0 and df.count() == 0
+    # string column probes work the same way
+    import hashlib
+
+    present = hashlib.md5(b"7").hexdigest()
+    _, fr, _ = tf.scan_membership(spark, bloom_table, "bh", [present])
+    assert fr >= 1
+    _, fr, _ = tf.scan_membership(spark, bloom_table, "bh", ["no-such"])
+    assert fr == 0
+
+
+def test_scan_membership_degrades_without_blooms(spark, table):
+    # a table created WITHOUT bloom_cols must read range-overlapping
+    # files (conservative), never skip
+    df, fr, ft = tf.scan_membership(spark, table, "doc_id", [3])
+    assert fr >= 1
+    assert df.where("doc_id = 3").count() == 1
+
+
+def test_scan_keys_uses_blooms_when_ranges_are_wide(spark, tmp_path):
+    # files clustered on doc_id -> every file's bh [min,max] spans the
+    # hex space, so a multi-key bh probe RANGE-hits all files; the
+    # bloom must still prune files not holding any probed bucket
+    root = str(tmp_path / "wtbl")
+    df = spark.range(0, 400).selectExpr(
+        "id AS doc_id", "md5(cast(id AS string)) AS bh"
+    )
+    tf.create_table(
+        spark, df.repartitionByRange(4, "doc_id"), root,
+        stats_cols=["doc_id", "bh"], bloom_cols=["bh"],
+    )
+    import hashlib
+
+    absent = [hashlib.md5(f"x{i}".encode()).hexdigest() for i in range(50)]
+    _, fr, ft = tf.scan_keys(spark, root, "bh", absent)
+    assert ft == 4 and fr == 0
+    present = [hashlib.md5(b"42").hexdigest()]
+    got, fr, _ = tf.scan_keys(spark, root, "bh", present)
+    assert fr == 1
+    assert got.where("doc_id = 42").count() == 1
+
+
+def test_blooms_maintained_across_append_merge_optimize(spark, bloom_table):
+    more = spark.range(1000, 1050).selectExpr(
+        "id AS doc_id", "md5(cast(id AS string)) AS bh"
+    )
+    tf.append(spark, more, bloom_table)
+    _, fr, _ = tf.scan_membership(spark, bloom_table, "doc_id", [1025])
+    assert fr >= 1
+    # merge rewrites keep blooms on rewritten + new files
+    upd = spark.createDataFrame(
+        [(1025, "zz"), (7777, "new")], "doc_id long, bh string"
+    )
+    tf.merge_into(spark, upd, bloom_table, key="doc_id")
+    head = tf._load_manifest(bloom_table, tf._versions(bloom_table)[-1])
+    assert all("blooms" in e for e in head["files"])
+    _, fr, _ = tf.scan_membership(spark, bloom_table, "doc_id", [7777])
+    assert fr >= 1
+    # optimize re-clusters and recomputes blooms
+    tf.optimize_table(spark, bloom_table, 200, cluster_by="bh")
+    head = tf._load_manifest(bloom_table, tf._versions(bloom_table)[-1])
+    assert all("blooms" in e for e in head["files"])
+    got, fr, _ = tf.scan_membership(spark, bloom_table, "doc_id", [7777])
+    assert got.where("doc_id = 7777").count() == 1
+    _, fr, _ = tf.scan_membership(spark, bloom_table, "doc_id", [424242])
+    assert fr == 0
+
+
+def test_bloom_null_handling(spark, tmp_path):
+    root = str(tmp_path / "ntbl")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "doc_id long, bh string"
+    ).coalesce(1)
+    tf.create_table(
+        spark, df, root, stats_cols=["doc_id"], bloom_cols=["bh"],
+    )
+    # a NULL probe must hit the file that holds a NULL
+    _, fr, _ = tf.scan_membership(spark, root, "bh", [None])
+    assert fr == 1
+    # and a NULL probe against a null-free file misses
+    root2 = str(tmp_path / "ntbl2")
+    tf.create_table(
+        spark,
+        spark.createDataFrame([(1, "a")], "doc_id long, bh string"),
+        root2, stats_cols=["doc_id"], bloom_cols=["bh"],
+    )
+    _, fr, _ = tf.scan_membership(spark, root2, "bh", [None])
+    assert fr == 0
