@@ -1242,52 +1242,96 @@ def _suffix_histogram_filter(
     )
 
 
+# Verification spill budget (round 10, SURVEY §7.15): the verify
+# join drags TWO doc-sized term arrays through a shuffle per
+# candidate pair, so its peak memory — and, past executor memory,
+# its disk spill — scales with the TRUE-PAIR count (sf1eq measured
+# q_setsim_prefix_join as the sole registry spiller; its 10.3x step
+# is output-driven). Candidates above this budget verify in
+# hash-sliced batches: each slice's exchange moves at most
+# VERIFY_BATCH_PAIRS array-carrying rows and materializes only its
+# (tiny) surviving pairs, so spill is bounded by the budget instead
+# of the pair count. The result set is slice-invariant: slicing is
+# an exact partition of the candidate set by pmod(xxhash64(pair)).
+VERIFY_BATCH_PAIRS = 1 << 17
+
+
 def _verify_pairs(
     cands: DataFrame, sh: DataFrame, num: int, den: int,
     docsets: DataFrame | None = None,
+    batch_pairs: int = VERIFY_BATCH_PAIRS,
 ):
     """Exact verification of candidate pairs by per-doc shingle
     ARRAYS (array_intersect in codegen) — see setsim_prefix_join.
     Pass ``docsets`` (the doc_term_arrays relation) to probe a
-    standing index instead of rebuilding it."""
+    standing index instead of rebuilding it. Candidate sets larger
+    than ``batch_pairs`` verify in bounded slices (see
+    VERIFY_BATCH_PAIRS) — same pairs, budgeted spill."""
     if docsets is None:
         docsets = doc_term_arrays(sh)
-    inter = (
-        cands.join(
-            docsets.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("terms").alias("ta"),
-            ),
-            "doc_a",
+
+    def _one(c: DataFrame) -> DataFrame:
+        inter = (
+            c.join(
+                docsets.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("terms").alias("ta"),
+                ),
+                "doc_a",
+            )
+            .join(
+                docsets.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("terms").alias("tb"),
+                ),
+                "doc_b",
+            )
+            .select(
+                "doc_a", "doc_b", "na", "nb",
+                F.size(F.array_intersect("ta", "tb")).cast("long")
+                .alias("inter"),
+            )
         )
-        .join(
-            docsets.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("terms").alias("tb"),
-            ),
-            "doc_b",
+        return (
+            inter.where(
+                F.col("inter") * den
+                >= (F.col("na") + F.col("nb") - F.col("inter")) * num
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.col("inter").alias("inter_size"),
+                (F.col("na") + F.col("nb") - F.col("inter"))
+                .cast("long").alias("union_size"),
+                F.expr("(inter * 1000000L) div (na + nb - inter)")
+                .cast("long").alias("jaccard_ppm"),
+            )
         )
-        .select(
-            "doc_a", "doc_b", "na", "nb",
-            F.size(F.array_intersect("ta", "tb")).cast("long")
-            .alias("inter"),
-        )
-    )
-    return (
-        inter.where(
-            F.col("inter") * den
-            >= (F.col("na") + F.col("nb") - F.col("inter")) * num
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.col("inter").alias("inter_size"),
-            (F.col("na") + F.col("nb") - F.col("inter"))
-            .cast("long").alias("union_size"),
-            F.expr("(inter * 1000000L) div (na + nb - inter)")
-            .cast("long").alias("jaccard_ppm"),
-        )
-    )
+
+    # the candidate relation is 4 scalar columns — checkpointing it
+    # is pair-count-linear but array-free (cheap), and gives an exact
+    # count to size the slicing without recomputing the filter chain
+    cands = cands.localCheckpoint()
+    n = cands.count()
+    if n <= batch_pairs:
+        return _one(cands)
+    n_slices = -(-n // batch_pairs)
+    # the array relation feeds every slice: materialize it once
+    # (doc-count-linear) instead of re-grouping shingles per slice
+    docsets = docsets.localCheckpoint()
+    parts = [
+        _one(
+            cands.where(
+                F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(n_slices))
+                == F.lit(i)
+            )
+        ).localCheckpoint()
+        for i in range(n_slices)
+    ]
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
 
 
 def setsim_prefix_join(

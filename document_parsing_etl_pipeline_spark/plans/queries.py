@@ -19798,3 +19798,138 @@ def q_index_optimize_planner(spark, sf_dir):
             f" {_NDOPT_HORIZON} + 1) <= {_NDOPT_HORIZON}"
         ).alias("recommend_optimize"),
     ).orderBy("after_batches")
+
+
+# LSH per-band cap auto-tuning (q_lsh_cap_planner): the round-8/9
+# verdicts' one remaining "measured, not chosen" knob. The pair
+# generators drop any bucket larger than max_bucket wholesale
+# (operators/dedup.py cap semantics; q_lsh_bucket_stats measures the
+# drops at the CURRENT caps) — this query evaluates CANDIDATE caps
+# against the measured bucket-size distribution and picks, per
+# (method, band), the LARGEST cap whose modeled pair fanout fits a
+# corpus-proportional budget (fewest dropped docs within budget), or
+# the smallest candidate when none fits. Budget = n_docs x
+# _CAP_PPD candidate pairs: verification costs one array-intersect
+# per pair, so the budget line IS the verification wall the cap
+# exists to bound.
+_CAP_CANDIDATES = [10, 25, 50, 100, 200]
+_CAP_PPD = 40  # pair budget per corpus document
+
+
+@register("q_lsh_cap_planner", f"""
+WITH {_mh_sig_sql("mh_")}, {_mh_buckets_sql("mh_")},
+{_simhash_sql(p="sh_")},
+sh_sized AS (
+    SELECT band, (simhash >> (8 * band)) & 255 AS bv, count(*) AS n
+    FROM sh_sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b
+    GROUP BY 1, 2
+),
+all_sized AS (
+    SELECT 'minhash' AS method, band, n FROM mh_sized
+    UNION ALL
+    SELECT 'simhash' AS method, band, n FROM sh_sized
+),
+budget AS (
+    SELECT CAST(count(*) * {_CAP_PPD} AS BIGINT) AS pair_budget
+    FROM documents
+),
+caps AS (SELECT unnest({_CAP_CANDIDATES}) AS cap),
+ev AS (
+    SELECT method, band, cap,
+           CAST(coalesce(sum(CASE WHEN n BETWEEN 2 AND cap
+                THEN n * (n - 1) // 2 ELSE 0 END), 0) AS BIGINT)
+               AS pairs_bound,
+           CAST(coalesce(sum(CASE WHEN n > cap THEN n ELSE 0 END), 0)
+               AS BIGINT) AS docs_dropped,
+           CAST(coalesce(sum(CASE WHEN n > cap THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS buckets_dropped
+    FROM all_sized CROSS JOIN caps
+    GROUP BY method, band, cap
+),
+dec AS (
+    SELECT e.method, e.band, e.cap, e.pairs_bound, e.docs_dropped,
+           e.buckets_dropped, b.pair_budget,
+           e.pairs_bound <= b.pair_budget AS fits,
+           max(CASE WHEN e.pairs_bound <= b.pair_budget
+               THEN e.cap END)
+               OVER (PARTITION BY e.method, e.band) AS best_fit,
+           min(e.cap) OVER (PARTITION BY e.method, e.band) AS min_cap
+    FROM ev e CROSS JOIN budget b
+)
+SELECT method, CAST(band AS BIGINT) AS band, CAST(cap AS BIGINT) AS cap,
+       pairs_bound, docs_dropped, buckets_dropped, pair_budget, fits,
+       (cap = coalesce(best_fit, min_cap)) AS chosen
+FROM dec
+ORDER BY method, band, cap
+""")
+def q_lsh_cap_planner(spark, sf_dir):
+    """Per-band LSH fanout-cap auto-tuner (round-8 verdict's
+    'per-band cap tuning from measured drops', executed): for every
+    (method, band) x candidate cap {_CAP_CANDIDATES}, the MEASURED
+    consequences of that cap on this corpus — modeled verification
+    pairs (sum n(n-1)/2 over buckets the cap keeps; over-cap buckets
+    drop wholesale, the generators' exact semantics), docs sitting
+    in dropped buckets (the recall the cap trades away), buckets
+    dropped — and the decision: the largest cap whose pair fanout
+    fits the n_docs x {_CAP_PPD} budget (minimizing dropped docs
+    within the verification wall), falling back to the smallest
+    candidate where nothing fits. Cost: one count-agg per method
+    over the same bucket frames the pair generators use (simhash
+    rides the standing signature artifact), a 5-row cap cross join,
+    and two window passes over 40 rows — strictly cheaper than any
+    pairing it plans. All-integer arithmetic; n(n-1) is even so the
+    halving is exact."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    mh = (
+        dedup.minhash_buckets(docs, num_hashes=_MH_K,
+                              band_size=_MH_BAND)
+        .groupBy("band", "bh").agg(F.count("*").alias("n"))
+        .select(F.lit("minhash").alias("method"), "band", "n")
+    )
+    sh = (
+        dedup.simhash_buckets(docs, sigs=_simhash_sigs(spark, sf_dir))
+        .groupBy("band", "bv").agg(F.count("*").alias("n"))
+        .select(F.lit("simhash").alias("method"), "band", "n")
+    )
+    sized = mh.unionByName(sh)
+    caps = spark.createDataFrame(
+        [(c,) for c in _CAP_CANDIDATES], "cap int"
+    )
+    budget = docs.agg(
+        (F.count("*") * _CAP_PPD).cast("long").alias("pair_budget")
+    )
+    ev = (
+        sized.crossJoin(F.broadcast(caps))
+        .groupBy("method", "band", "cap")
+        .agg(
+            F.sum(F.expr(
+                "CASE WHEN n BETWEEN 2 AND cap"
+                " THEN n * (n - 1) div 2 ELSE 0 END"
+            )).cast("long").alias("pairs_bound"),
+            F.sum(F.expr("CASE WHEN n > cap THEN n ELSE 0 END"))
+            .cast("long").alias("docs_dropped"),
+            F.sum(F.expr("CASE WHEN n > cap THEN 1 ELSE 0 END"))
+            .cast("long").alias("buckets_dropped"),
+        )
+    )
+    wb = Window.partitionBy("method", "band")
+    dec = (
+        ev.crossJoin(F.broadcast(budget))
+        .withColumn("fits", F.col("pairs_bound") <= F.col("pair_budget"))
+        .withColumn(
+            "best_fit",
+            F.max(F.when(F.col("fits"), F.col("cap"))).over(wb),
+        )
+        .withColumn("min_cap", F.min("cap").over(wb))
+    )
+    return dec.select(
+        "method",
+        F.col("band").cast("long").alias("band"),
+        F.col("cap").cast("long").alias("cap"),
+        "pairs_bound", "docs_dropped", "buckets_dropped",
+        "pair_budget", "fits",
+        (F.col("cap") == F.coalesce("best_fit", "min_cap"))
+        .alias("chosen"),
+    ).orderBy("method", "band", "cap")

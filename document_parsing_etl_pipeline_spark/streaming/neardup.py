@@ -38,19 +38,19 @@ from .table_sink import last_committed_batch
 
 
 def _assert_ids_new(
-    spark, bb: DataFrame, index_root: str, lo, hi,
+    spark, bb: DataFrame, index_root: str, lo, hi, ids_fn,
 ) -> None:
     """Enforce the append contract 'ingest doc_ids are new', in two
     driver-side manifest passes before any data is read:
 
     1. RANGE: files whose doc_id [min,max] misses the batch's
        [lo, hi] are out — for monotone ingest ids that is ZERO files
-       and zero extra jobs (the bounds ride the bucket checkpoint as
+       and zero extra jobs (the bounds ride the batch checkpoint as
        an Observation).
     2. BLOOM (round 10): for range-overlapping files — the normal
        state under SHUFFLED ingest ids, where every file overlaps
-       every batch — the batch's doc_ids (a bounded collect off the
-       already-checkpointed bucket relation, ≤4× trigger size) probe
+       every batch — the batch's doc_ids (``ids_fn``, the shared
+       bounded collect off the checkpointed bucket relation) probe
        each file's membership bloom. Genuinely-new ids miss every
        bloom (fpr ~1e-6/key/file), so the check costs ~ms of driver
        numpy and ZERO file reads; pre-bloom index tables degrade to
@@ -64,11 +64,8 @@ def _assert_ids_new(
     pruned, files_read, _ = tf.scan(spark, index_root, "doc_id", lo, hi)
     if files_read == 0:
         return
-    ids = [
-        r["doc_id"] for r in bb.select("doc_id").distinct().collect()
-    ]
     pruned, files_read, _ = tf.scan_membership(
-        spark, index_root, "doc_id", ids
+        spark, index_root, "doc_id", ids_fn()
     )
     if files_read == 0:
         return
@@ -106,26 +103,43 @@ def ingest_batch(
         return False
     # parse the batch source ONCE (round-9 throughput fix): the plain
     # batch_df re-reads its source files in EVERY job that references
-    # it — previously the isEmpty probe, the bucket checkpoint, and
-    # the flag join each re-parsed the batch. One checkpoint feeds the
-    # emptiness check, the bucket derivation, and the id column.
-    batch = batch_df.localCheckpoint()
-    if batch.isEmpty():
-        return False
-    # feeds flagging (3 refs) + the index append; the id bounds for
-    # the new-ids guard ride this SAME checkpoint action as an
-    # Observation — no separate agg job
+    # it. Round 10 folds the former isEmpty probe AND the new-ids
+    # guard's id bounds into an Observation riding this single
+    # checkpoint action — one job does parse + count + bounds.
     from pyspark.sql import Observation
 
-    obs = Observation(f"nd_idrange_{batch_id}")
+    obs = Observation(f"nd_batch_{batch_id}")
+    batch = batch_df.observe(
+        obs,
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    ).localCheckpoint()
+    got = obs.get
+    if got["cnt"] == 0:
+        return False
+    # feeds flagging (3 refs) + the index append
     bb = minhash_buckets(
         batch, num_hashes=num_hashes, band_size=band_size
-    ).observe(
-        obs, F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
     ).localCheckpoint()
+    # ONE bounded collect (≤ bands × trigger-size rows off the local
+    # checkpoint) feeds BOTH driver-side probes: the new-ids guard's
+    # doc_id membership test and the bucket-key pushdown's bh set —
+    # lazily, so the monotone fast path (guard range-misses every
+    # file, rangeless pushdown skipped) never pays it
+    pairs: list | None = None
+
+    def _pairs() -> list:
+        nonlocal pairs
+        if pairs is None:
+            pairs = bb.select("doc_id", "bh").distinct().collect()
+        return pairs
+
     if validate_new_ids:
-        got = obs.get
-        _assert_ids_new(spark, bb, index_root, got["lo"], got["hi"])
+        _assert_ids_new(
+            spark, bb, index_root, got["lo"], got["hi"],
+            ids_fn=lambda: sorted({r["doc_id"] for r in _pairs()}),
+        )
     # bucket-key pushdown into the snapshot scan (round-9): the
     # batch's key set — bounded by 4x the trigger size, a
     # driver-safe collect — prunes the index read to files that can
@@ -143,7 +157,7 @@ def ingest_batch(
             and head["files"]
             and (has_bh_bloom
                  or len(head["files"]) > PUSHDOWN_MIN_FILES)):
-        keys = [r["bh"] for r in bb.select("bh").distinct().collect()]
+        keys = sorted({r["bh"] for r in _pairs()})
         index, _, _ = tf.scan_keys(spark, index_root, "bh", keys)
     else:
         index = tf.read(spark, index_root)
@@ -165,13 +179,21 @@ def ingest_batch(
     # candidate index file (O(index) reads per batch) bought nothing.
     # An updating ingest should tf.merge_into here and pay the
     # rewrite.
-    # cluster the appended bucket rows on bh (disjoint per-file bh
-    # ranges) so future batches' scan_keys pushdown can prune this
-    # batch's files; cost is one range shuffle of the ALREADY
-    # checkpointed micro-batch buckets
+    # Round 10: the append COALESCES instead of range-shuffling. The
+    # former repartitionByRange(…, "bh") bought disjoint per-file bh
+    # RANGES for scan_keys — at the cost of a sampling job + a
+    # shuffle per batch. Per-file BLOOMS prune by membership
+    # regardless of file layout, so the clustering no longer buys
+    # pruning on bloomed indexes; the periodic OPTIMIZE below still
+    # re-clusters on bh for compaction and tight range stats.
+    # Pre-bloom indexes keep the clustered append.
+    if has_bh_bloom:
+        buckets_out = bb.coalesce(INDEX_FILES_PER_BATCH)
+    else:
+        buckets_out = bb.repartitionByRange(INDEX_FILES_PER_BATCH, "bh")
     tf.append(
         spark,
-        bb.repartitionByRange(INDEX_FILES_PER_BATCH, "bh"),
+        buckets_out,
         index_root,
         extra_meta={"stream_batch_id": batch_id},
     )

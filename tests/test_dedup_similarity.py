@@ -773,3 +773,48 @@ def test_fingerprint_walks_partitioned_source_recursively(tmp_path):
     (part / "part-001.parquet").write_bytes(b"BBBB")
     assert artifacts.fingerprint(str(sf), "p") not in (
         fp0, artifacts.fingerprint(str(sf), "q"))
+
+
+def test_verify_pairs_slicing_is_result_invariant(spark):
+    """Round-10 spill budget: forcing the verification join into
+    hash-sliced batches (batch_pairs=1 → one slice per candidate)
+    must return EXACTLY the unsliced pair set — slicing is an exact
+    partition of the candidate stream, not an approximation."""
+    texts = [
+        "a b c d e f g h i j",
+        "a b c d e f g h i k",
+        "a b c d e f g h i j",
+        "p q r s t u v w x y",
+        "p q r s t u v w x z",
+        "one two three four five",
+        "one two three four five",
+    ]
+    from pyspark.sql import functions as F
+
+    df = _docs(spark, *texts)
+    num, den, n = 3, 5, 3
+    sh, pref = dedup._shingle_prefixes(df, "text", num, den, n, True)
+    a = pref.select(
+        "term", F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("na"), F.col("rn").alias("ia"),
+    )
+    b = pref.select(
+        "term", F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("nb"), F.col("rn").alias("ib"),
+    )
+    grouped = (
+        a.join(b, "term")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.least("na", "nb") * den >= F.greatest("na", "nb") * num)
+        )
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.sort_array(F.collect_list(F.struct("ia", "ib"))).alias("ps"))
+    )
+    cands = dedup._positional_bound_filter(grouped, num, den)
+    unsliced = sorted(map(tuple, dedup._verify_pairs(
+        cands, sh, num, den).collect()))
+    sliced = sorted(map(tuple, dedup._verify_pairs(
+        cands, sh, num, den, batch_pairs=1).collect()))
+    assert len(unsliced) > 0
+    assert sliced == unsliced

@@ -1361,8 +1361,13 @@ def test_neardup_index_pushdown_prunes_and_matches_full_read(
             optimize_cadence=False,  # keep the fragmented layout
         )
     head = tf._load_manifest(idx, tf._versions(idx)[-1])
-    assert len(head["files"]) > neardup.PUSHDOWN_MIN_FILES
+    # round 10: bloomed appends coalesce instead of range-shuffling,
+    # so each batch lands ≤ INDEX_FILES_PER_BATCH files (here 1) and
+    # the pushdown engages on blooms at ANY file count — the old
+    # PUSHDOWN_MIN_FILES gate applies only to bloomless indexes
+    assert len(head["files"]) >= 20
     assert "bh" in head["stats_cols"]
+    assert "bh" in head["bloom_cols"]
 
     # the maintenance pass of the deployment story: re-cluster the
     # whole index on bh so per-file bucket-hash ranges are NARROW and
@@ -1431,9 +1436,10 @@ def test_neardup_optimize_cadence_preserves_flags_and_replay(
             spark, b, idx_b, fl_b, i + 1,
             validate_new_ids=False, optimize_cadence=False,
         )
-        # forced-low floor: fire roughly every other batch
+        # forced-low floor: with coalesced appends (~1 file/batch)
+        # this fires roughly every 3-4 batches
         if neardup.maybe_optimize_index(
-            spark, idx_b, min_file_saving=6,
+            spark, idx_b, min_file_saving=3,
         ):
             n_opts += 1
     assert n_opts >= 2  # the cadence actually exercised
