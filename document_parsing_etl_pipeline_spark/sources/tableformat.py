@@ -1162,6 +1162,7 @@ def _stage_path(root: str, stage: str) -> str:
 
 def stage_append(
     spark: SparkSession, df: DataFrame, root: str, stage: str,
+    extra_meta: dict | None = None,
 ) -> dict:
     """Write-Audit-Publish, step 1 (the Iceberg WAP pattern): write
     the data files and a CANDIDATE snapshot manifest under _staged/ —
@@ -1189,6 +1190,7 @@ def stage_append(
         "base_version": head["version"],
         **_carry_meta(head),
         "schema": _merged_schema_json(head, df),
+        **(extra_meta or {}),
     }
     fd = os.open(
         _stage_path(root, stage), os.O_WRONLY | os.O_CREAT | os.O_EXCL

@@ -132,7 +132,11 @@ def ingest_batch(
     def _pairs() -> list:
         nonlocal pairs
         if pairs is None:
-            pairs = bb.select("doc_id", "bh").distinct().collect()
+            # no .distinct(): that's a shuffle job on a relation the
+            # band fanout already bounds (bands x trigger size) —
+            # collecting raw off the local checkpoint and deduping
+            # driver-side is strictly cheaper at these sizes
+            pairs = bb.select("doc_id", "bh").collect()
         return pairs
 
     if validate_new_ids:
@@ -168,9 +172,6 @@ def ingest_batch(
     flags = lsh_flag_ingest(
         batch.select("doc_id"), bb, index, max_bucket
     )
-    flags.write.mode("overwrite").parquet(
-        os.path.join(flags_root, f"batch_id={batch_id}")
-    )
     # index update is an APPEND, not a MERGE (round-8 throughput fix):
     # ingest doc_ids are new by contract — now ENFORCED by
     # _assert_ids_new's stats-pruned check above — and replays are
@@ -191,12 +192,42 @@ def ingest_batch(
         buckets_out = bb.coalesce(INDEX_FILES_PER_BATCH)
     else:
         buckets_out = bb.repartitionByRange(INDEX_FILES_PER_BATCH, "bh")
-    tf.append(
-        spark,
-        buckets_out,
-        index_root,
+    # Round 10: the flag write and the index-file write are
+    # INDEPENDENT given the checkpointed bucket relation, so they run
+    # as concurrent Spark jobs (two threads, one session — supported
+    # scheduling) via the table format's Write-Audit-Publish path;
+    # the manifest COMMIT happens strictly after both succeed, so the
+    # exactly-once contract is unchanged: a crash before publish
+    # leaves the watermark at the prior batch and the replay rewrites
+    # both outputs (the orphaned stage is discarded on re-entry).
+    import threading
+
+    stage = f"nd-{batch_id}"
+    if os.path.exists(
+        os.path.join(index_root, tf._STAGE_DIR, f"{stage}.json")
+    ):
+        tf.discard_stage(index_root, stage)  # crashed prior attempt
+    flag_err: list[BaseException] = []
+
+    def _write_flags() -> None:
+        try:
+            flags.write.mode("overwrite").parquet(
+                os.path.join(flags_root, f"batch_id={batch_id}")
+            )
+        except BaseException as e:  # surface on the caller thread
+            flag_err.append(e)
+
+    th = threading.Thread(target=_write_flags, daemon=True)
+    th.start()
+    tf.stage_append(
+        spark, buckets_out, index_root, stage,
         extra_meta={"stream_batch_id": batch_id},
     )
+    th.join()
+    if flag_err:
+        tf.discard_stage(index_root, stage)
+        raise flag_err[0]
+    tf.publish_stage(index_root, stage)
     # OPTIMIZE cadence (round 10): a driver-side manifest check per
     # batch, a bh re-cluster only when the planner rule says the
     # rewrite pays back (maybe_optimize_index docstring) — keeps the

@@ -1504,3 +1504,39 @@ def test_neardup_guard_bloom_prunes_shuffled_ids(tmp_path, spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="contract violation"):
         neardup.ingest_batch(spark, dup, idx, fl, 5)
+
+
+def test_neardup_replay_discards_orphaned_stage(tmp_path, spark):
+    """Round-10 WAP ingest: a crash between stage_append and publish
+    leaves an orphaned stage; the replay of that batch must discard
+    it and re-ingest cleanly (exactly-once preserved, no stage-name
+    collision)."""
+    from document_parsing_etl_pipeline_spark.catalog import load_table
+    from document_parsing_etl_pipeline_spark.sources import (
+        tableformat as tf,
+    )
+    from document_parsing_etl_pipeline_spark.streaming import neardup
+    from document_parsing_etl_pipeline_spark.streaming.table_sink import (
+        last_committed_batch,
+    )
+
+    docs = load_table(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).select("doc_id", "text").limit(20).localCheckpoint()
+    idx, fl = str(tmp_path / "idx"), str(tmp_path / "fl")
+    neardup.create_index(spark, idx)
+    # simulate the crashed prior attempt: stage written, never
+    # published (watermark still at 0)
+    from document_parsing_etl_pipeline_spark.operators.dedup import (
+        minhash_buckets,
+    )
+    bb = minhash_buckets(docs, num_hashes=8, band_size=2)
+    tf.stage_append(spark, bb.coalesce(1), idx, "nd-1",
+                    extra_meta={"stream_batch_id": 1})
+    assert last_committed_batch(idx) < 1  # nothing published yet
+    # replay ingests batch 1 cleanly: orphan discarded, publish lands
+    assert neardup.ingest_batch(spark, docs, idx, fl, 1) is True
+    assert last_committed_batch(idx) == 1
+    got = sorted(map(tuple, tf.read(spark, idx).collect()))
+    want = sorted(map(tuple, bb.collect()))
+    assert got == want
