@@ -1150,19 +1150,63 @@ def _shingle_prefixes(
     return sh, pref
 
 
-def _positional_bound_filter(grouped: DataFrame, num: int, den: int):
+# shingle rows per partition for the pair-expanded positional stage:
+# the prefix join fans each partition's shingle rows out ~10-20x on
+# dup-heavy corpora, so ~50k input rows/partition keeps the window
+# sort's per-task footprint in the tens of MB — in-memory at any
+# corpus size, because partitions SCALE with the measured shingle
+# count instead of staying pinned at spark.sql.shuffle.partitions
+# (sf1eq measured: 157 MB of window-sort spill at 32 fixed
+# partitions, 0 at the scaled count; sf0.1 stays at the 32 floor so
+# bench anchors are unchanged)
+_POS_ROWS_PER_PART = 50_000
+
+
+def _positional_bound_filter(
+    joined: DataFrame, num: int, den: int,
+    num_partitions: int | None = None,
+):
     """The min-over-j positional bound condition (see
-    setsim_prefix_join): ``grouped`` carries na, nb and ``ps``, the
-    pair's shared prefix positions sorted by global order."""
-    return grouped.where(
-        F.expr(
-            "array_min(transform(ps,"
-            " (p, j) -> j + 1 + least(na - p.ia, nb - p.ib)))"
+    setsim_prefix_join): ``joined`` carries one row per SHARED
+    PREFIX SHINGLE of a pair — (doc_a, doc_b, na, nb, ia, ib).
+
+    Round 10 shape: a per-pair window (row_number over the global
+    (ia, ib) order = j) + a plain LONG min-aggregate, replacing the
+    former collect_list(ps)+array_min. Same quantity — the multiset
+    of j + least(na-ia_j, nb-ib_j) bounds is order-determined — but
+    the object-hash collect_list aggregate fell back to SORT-BASED
+    aggregation past ~4096 pairs per task and spilled the ENTIRE
+    pair-expanded join output to disk at the 10x corpus (sf1eq
+    measured: 511 MB, the registry's only spiller). The window sorts
+    the same shuffle partition-locally and the min-agg buffer is one
+    long per pair, so peak memory is partition-bounded, not
+    pair-count-bounded."""
+    from pyspark.sql.window import Window
+
+    if num_partitions:
+        # same shuffle the window needs anyway, just at a data-scaled
+        # partition count (HashPartitioning on the window keys
+        # satisfies its distribution requirement — no extra exchange)
+        joined = joined.repartition(
+            num_partitions, "doc_a", "doc_b"
         )
-        >= F.expr(
-            f"({num} * (na + nb) + {num + den - 1}) div {num + den}"
+    w = Window.partitionBy("doc_a", "doc_b").orderBy("ia", "ib")
+    bounded = joined.withColumn(
+        "_pb",
+        F.row_number().over(w)
+        + F.least(F.col("na") - F.col("ia"), F.col("nb") - F.col("ib")),
+    )
+    return (
+        bounded.groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.min("_pb").alias("_pbound"))
+        .where(
+            F.col("_pbound")
+            >= F.expr(
+                f"({num} * (na + nb) + {num + den - 1}) div {num + den}"
+            )
         )
-    ).select("doc_a", "doc_b", "na", "nb")
+        .select("doc_a", "doc_b", "na", "nb")
+    )
 
 
 def suffix_histograms(sh: DataFrame, buckets: int = 128) -> DataFrame:
@@ -1255,18 +1299,28 @@ def _suffix_histogram_filter(
 # an exact partition of the candidate set by pmod(xxhash64(pair)).
 VERIFY_BATCH_PAIRS = 1 << 17
 
+# corpus-size proxy above which setsim_prefix_join turns the budget
+# on: below ~2M shingle rows the whole candidate set is far under
+# VERIFY_BATCH_PAIRS (sf0.1: 740k rows -> 256 candidates), so the
+# single-pass join keeps its pipelining and the bench anchor
+_VERIFY_PROXY_SH = 2_000_000
+
 
 def _verify_pairs(
     cands: DataFrame, sh: DataFrame, num: int, den: int,
     docsets: DataFrame | None = None,
-    batch_pairs: int = VERIFY_BATCH_PAIRS,
+    batch_pairs: int | None = None,
 ):
     """Exact verification of candidate pairs by per-doc shingle
     ARRAYS (array_intersect in codegen) — see setsim_prefix_join.
     Pass ``docsets`` (the doc_term_arrays relation) to probe a
-    standing index instead of rebuilding it. Candidate sets larger
-    than ``batch_pairs`` verify in bounded slices (see
-    VERIFY_BATCH_PAIRS) — same pairs, budgeted spill."""
+    standing index instead of rebuilding it. With ``batch_pairs``
+    set, candidate sets larger than it verify in bounded slices
+    (see VERIFY_BATCH_PAIRS) — same pairs, budgeted spill; the
+    default None keeps the single-pass pipelined join (callers
+    enable the budget via the corpus-size proxy they already
+    measure, so small corpora never pay the candidate
+    checkpoint+count)."""
     if docsets is None:
         docsets = doc_term_arrays(sh)
 
@@ -1308,6 +1362,8 @@ def _verify_pairs(
             )
         )
 
+    if batch_pairs is None:
+        return _one(cands)
     # the candidate relation is 4 scalar columns — checkpointing it
     # is pair-count-linear but array-free (cheap), and gives an exact
     # count to size the slicing without recomputing the filter chain
@@ -1407,18 +1463,23 @@ def setsim_prefix_join(
     # but the vectorized form probes ≤`suffix_buckets`-entry count
     # maps instead, so it runs BEFORE (and shrinks) the heavy
     # array-verification join rather than duplicating it.
-    grouped = (
+    joined = (
         a.join(b, "term")
         .where(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.least("na", "nb") * den >= F.greatest("na", "nb") * num)
         )
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("ia", "ib"))).alias("ps")
-        )
     )
-    cands = _positional_bound_filter(grouped, num, den)
+    n_parts, n_sh = None, None
+    if materialize:
+        # sh is checkpointed: the count is a local block scan, and it
+        # sizes the pair-expanded stage to the corpus (see
+        # _POS_ROWS_PER_PART)
+        n_sh = sh.count()
+        n_parts = int(min(2048, max(32, n_sh // _POS_ROWS_PER_PART)))
+    cands = _positional_bound_filter(
+        joined, num, den, num_partitions=n_parts
+    )
     if suffix_buckets:
         cands = _suffix_histogram_filter(
             cands, sh, num, den, buckets=suffix_buckets
@@ -1429,7 +1490,15 @@ def setsim_prefix_join(
     # (measured 193k candidates → ~250 pairs at sf0.1) and the
     # exploded join would shuffle |cands| × |shingles/doc| rows;
     # the doc-sized array relation joins in at |docs| rows instead.
-    return _verify_pairs(cands, sh, num, den)
+    # The verification spill budget engages via the same corpus-size
+    # proxy as the positional-stage sizing: small corpora keep the
+    # pipelined single-pass join (no candidate checkpoint tax).
+    budget = (
+        VERIFY_BATCH_PAIRS
+        if n_sh is not None and n_sh > _VERIFY_PROXY_SH
+        else None
+    )
+    return _verify_pairs(cands, sh, num, den, batch_pairs=budget)
 
 
 def setsim_index(
@@ -1537,10 +1606,7 @@ def setsim_incremental_pairs(
             .otherwise(F.col("ix")).alias("ib"),
         )
     )
-    grouped = joined.groupBy("doc_a", "doc_b", "na", "nb").agg(
-        F.sort_array(F.collect_list(F.struct("ia", "ib"))).alias("ps")
-    )
-    cands = _positional_bound_filter(grouped, num, den)
+    cands = _positional_bound_filter(joined, num, den)
     cands = _suffix_histogram_filter(cands, sh, num, den, hist=hist)
     return _verify_pairs(cands, sh, num, den, docsets=docsets)
 

@@ -19933,3 +19933,102 @@ def q_lsh_cap_planner(spark, sf_dir):
         (F.col("cap") == F.coalesce("best_fit", "min_cap"))
         .alias("chosen"),
     ).orderBy("method", "band", "cap")
+
+
+# Manifest-bloom sizing planner: the round-10 per-file blooms ship
+# with fixed m=65536 bits / k=8 hashes (sources/tableformat.py) —
+# this query grades that choice against the MEASURED corpus, per
+# candidate rows-per-file, using the guard's real probe size
+# (one {_NDOPT_B}-doc batch). Transcendentals follow the
+# rounded-to-6dp protocol (q_bloom_planner precedent).
+_MBLOOM_NPF = [1000, 4000, 16000, 65536]  # candidate rows per file
+_MBLOOM_M = 65536  # tableformat._BLOOM_M (pinned by test)
+_MBLOOM_K = 8      # tableformat._BLOOM_K (pinned by test)
+# saturation threshold, PRECOMPUTED in Python doubles (the
+# _GUMBEL_LNLN protocol: one constant interpolated into BOTH engine
+# texts, so the saturated flag is a pure INTEGER comparison instead
+# of a rounded-transcendental one): density > 0.5 iff
+# n > ln2 / (k * -ln(1 - 1/m)) = 5678.26... -> n >= 5679
+import math as _math
+
+_MBLOOM_NSAT = int(_math.floor(
+    _math.log(2) / (-_math.log(1.0 - 1.0 / _MBLOOM_M) * _MBLOOM_K)
+)) + 1
+
+
+@register("q_manifest_bloom_planner", f"""
+WITH {_mh_sig_sql("mh_")}, {_mh_buckets_sql("mh_")},
+corpus AS (
+    SELECT CAST(count(*) AS BIGINT) AS bucket_rows FROM mh_bucketed
+),
+cfg(npf) AS (VALUES {", ".join(f"({n})" for n in _MBLOOM_NPF)}),
+ev AS (
+    SELECT cfg.npf, c.bucket_rows,
+           round(1.0e0 - pow(1.0e0 - 1.0e0 / {_MBLOOM_M},
+                             {_MBLOOM_K} * cfg.npf), 6) AS bit_density
+    FROM cfg CROSS JOIN corpus c
+),
+ev2 AS (
+    SELECT npf, bucket_rows, bit_density,
+           round(pow(bit_density, {_MBLOOM_K}), 6) AS fpr_per_key,
+           CAST((bucket_rows + npf - 1) // npf AS BIGINT) AS n_files
+    FROM ev
+)
+SELECT CAST(npf AS BIGINT) AS rows_per_file, bucket_rows, n_files,
+       bit_density, fpr_per_key,
+       round(n_files * (1.0e0
+             - round(pow(1.0e0 - fpr_per_key, {_NDOPT_B}), 6)), 4)
+           AS exp_false_files_per_probe,
+       CAST(n_files * ({_MBLOOM_M} // 8) // 1024 AS BIGINT)
+           AS manifest_bloom_kb,
+       npf >= {_MBLOOM_NSAT} AS saturated
+FROM ev2
+ORDER BY rows_per_file
+""")
+def q_manifest_bloom_planner(spark, sf_dir):
+    """Sizing decision table for the table format's per-file
+    membership blooms (m={_MBLOOM_M}, k={_MBLOOM_K} — constants
+    pinned against sources/tableformat.py by test), grounded in the
+    MEASURED corpus: per candidate rows-per-file {_MBLOOM_NPF} —
+    the exact bucket-row count the streaming LSH index would hold,
+    files at that size, analytic bit density 1-(1-1/m)^(kn) and
+    per-key fpr density^k (rounded-transcendental protocol), the
+    expected FALSE files a {_NDOPT_B}-key new-ids-guard probe reads
+    (files x (1-(1-fpr)^keys) — the number that must stay ~0 for
+    the guard's zero-read property), manifest bloom overhead in KB,
+    and a saturation flag (n >= {_MBLOOM_NSAT}, the Python-precomputed
+    density-0.5 crossing: the bloom degrades toward
+    read-everything — never wrong, just useless). One count over
+    the bucket frame + a 4-row broadcast grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = dedup.minhash_buckets(
+        docs, num_hashes=_MH_K, band_size=_MH_BAND
+    ).agg(F.count("*").cast("long").alias("bucket_rows"))
+    cfg = spark.createDataFrame(
+        [(n,) for n in _MBLOOM_NPF], "npf int")
+    ev = cfg.crossJoin(F.broadcast(corpus)).select(
+        "npf", "bucket_rows",
+        F.expr(
+            f"round(1.0e0 - pow(1.0e0 - 1.0e0 / {_MBLOOM_M},"
+            f" {_MBLOOM_K} * npf), 6)"
+        ).alias("bit_density"),
+    )
+    ev2 = ev.select(
+        "npf", "bucket_rows", "bit_density",
+        F.expr(f"round(pow(bit_density, {_MBLOOM_K}), 6)")
+        .alias("fpr_per_key"),
+        F.expr("CAST((bucket_rows + npf - 1) div npf AS BIGINT)")
+        .alias("n_files"),
+    )
+    return ev2.select(
+        F.col("npf").cast("long").alias("rows_per_file"),
+        "bucket_rows", "n_files", "bit_density", "fpr_per_key",
+        F.expr(
+            f"round(n_files * (1.0e0"
+            f" - round(pow(1.0e0 - fpr_per_key, {_NDOPT_B}), 6)), 4)"
+        ).alias("exp_false_files_per_probe"),
+        F.expr(
+            f"CAST(n_files * ({_MBLOOM_M} div 8) div 1024 AS BIGINT)"
+        ).alias("manifest_bloom_kb"),
+        F.expr(f"npf >= {_MBLOOM_NSAT}").alias("saturated"),
+    ).orderBy("rows_per_file")

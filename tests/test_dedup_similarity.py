@@ -802,16 +802,14 @@ def test_verify_pairs_slicing_is_result_invariant(spark):
         "term", F.col("doc_id").alias("doc_b"),
         F.col("n").alias("nb"), F.col("rn").alias("ib"),
     )
-    grouped = (
+    joined = (
         a.join(b, "term")
         .where(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.least("na", "nb") * den >= F.greatest("na", "nb") * num)
         )
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.sort_array(F.collect_list(F.struct("ia", "ib"))).alias("ps"))
     )
-    cands = dedup._positional_bound_filter(grouped, num, den)
+    cands = dedup._positional_bound_filter(joined, num, den)
     unsliced = sorted(map(tuple, dedup._verify_pairs(
         cands, sh, num, den).collect()))
     sliced = sorted(map(tuple, dedup._verify_pairs(

@@ -273,3 +273,28 @@ def test_round_to_integer_is_engine_identical(spark):
             F.expr(f"CAST(round(CAST({v!r} AS DOUBLE)) AS BIGINT)")
             .alias("r")).collect()[0]["r"]
         assert d == s, f"round-to-int diverged on {v!r}: duck={d} spark={s}"
+
+
+def test_manifest_bloom_planner_constants_match_tableformat():
+    """q_manifest_bloom_planner grades the EXACT bloom the table
+    format ships — its m/k constants must track tableformat's."""
+    from document_parsing_etl_pipeline_spark.plans import queries as q
+    from document_parsing_etl_pipeline_spark.sources import (
+        tableformat as tf,
+    )
+
+    assert q._MBLOOM_M == tf._BLOOM_M
+    assert q._MBLOOM_K == tf._BLOOM_K
+
+
+def test_index_optimize_planner_constants_match_neardup():
+    """q_index_optimize_planner derives the decision table
+    maybe_optimize_index executes — shared constants must agree."""
+    from document_parsing_etl_pipeline_spark.plans import queries as q
+    from document_parsing_etl_pipeline_spark.streaming import neardup
+
+    assert q._NDOPT_FPB == neardup.INDEX_FILES_PER_BATCH
+    assert q._NDOPT_TFR == neardup.OPT_TARGET_FILE_ROWS
+    assert q._NDOPT_FTRE == neardup.OPT_FTRE
+    assert q._NDOPT_HORIZON == neardup.OPT_PAYBACK_HORIZON
+    assert q._NDOPT_MINSAVE == neardup.OPT_MIN_FILE_SAVING
