@@ -17377,30 +17377,58 @@ def q_pq_codebook_audit(spark, sf_dir):
     decimals with cid tiebreak. The {_PQ_K}x fanout join is per
     subspace (never all-pairs); vectors stream through one pass."""
     emb = load_table(spark, sf_dir, "embeddings")
-    vals = emb.select(
-        "vec_id", F.posexplode(F.col("embedding")).alias("dim", "vf")
-    ).select(
-        "vec_id", "dim", F.col("vf").cast("double").alias("v"),
-        F.expr(f"dim div {_PQ_SDIM}").alias("sub"),
-        F.expr(f"dim % {_PQ_SDIM}").alias("sdim"),
+    # Round 10 plan (same values, hash-identical vs the unchanged
+    # oracle): instead of posexploding to |vecs|x64 per-dim rows and
+    # paying a x{_PQ_K} join fanout + a regroup (|vecs|x1024 shuffled
+    # rows measured 3.8 s at sf0.1 — the most expensive idle query),
+    # keep each subvector as an ARRAY: inline to |vecs|x{_PQ_SUBS}
+    # slice rows, broadcast-join the {_PQ_K}x{_PQ_SUBS}-row codebook on
+    # sub (fanout x{_PQ_K} of SLICE rows, 8x fewer than per-dim), and
+    # compute d2 inside whole-stage codegen via zip_with+aggregate.
+    # Exact parity is preserved operation-for-operation: each per-dim
+    # deviation is (double - double) squared THEN cast to
+    # DECIMAL(28,12), and the 8-term accumulation is decimal addition
+    # (order-independent, re-cast each step; no overflow at these
+    # magnitudes). The argmin is min(struct(d2, cid)) — the same
+    # (d2, cid) lexicographic order row_number used.
+    d2_expr = (
+        "aggregate(zip_with(vs, cvs, (x, y) ->"
+        " CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " AS DECIMAL(28,12))),"
+        " CAST(0 AS DECIMAL(28,12)),"
+        " (acc, e) -> CAST(acc + e AS DECIMAL(28,12)))"
     )
+    slices = F.inline(F.array(*[
+        F.struct(
+            F.lit(sub).alias("sub"),
+            F.slice("embedding", sub * _PQ_SDIM + 1, _PQ_SDIM)
+            .alias("vs"),
+        )
+        for sub in range(_PQ_SUBS)
+    ]))
+    vals = emb.select("vec_id", slices)
     cent_ids = emb.select("vec_id").orderBy("vec_id").limit(_PQ_K)
-    cents = vals.join(
-        F.broadcast(cent_ids.withColumnsRenamed({"vec_id": "cid_src"})),
-        vals["vec_id"] == F.col("cid_src"),
-    ).select(F.col("vec_id").alias("cid"), "sub", "sdim",
-             F.col("v").alias("cv"))
-    dist = (
-        vals.join(F.broadcast(cents), ["sub", "sdim"])
-        .groupBy("vec_id", "sub", "cid")
-        .agg(F.sum(F.expr(
-            "CAST((v - cv) * (v - cv) AS DECIMAL(28,12))")).alias("d2"))
+    cents = (
+        emb.join(
+            F.broadcast(
+                cent_ids.withColumnsRenamed({"vec_id": "cid_src"})
+            ),
+            emb["vec_id"] == F.col("cid_src"),
+        )
+        .select(F.col("vec_id").alias("cid"), slices)
+        .withColumnRenamed("vs", "cvs")
     )
-    best = dist.withColumn(
-        "rk", F.row_number().over(
-            Window.partitionBy("vec_id", "sub")
-            .orderBy("d2", "cid"))
-    ).where(F.col("rk") == 1)
+    dist = (
+        vals.join(F.broadcast(cents), ["sub"])
+        .select("vec_id", "sub", "cid", F.expr(d2_expr).alias("d2"))
+    )
+    best = (
+        dist.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", "sub", F.col("m.d2").alias("d2"),
+                F.col("m.cid").alias("cid"))
+    )
     return best.groupBy(F.col("sub").alias("subspace")).agg(
         F.count("*").cast("long").alias("n_vectors"),
         F.countDistinct("cid").cast("long").alias("codes_used"),
