@@ -156,12 +156,15 @@ def ngram_jaccard_pairs(
     band_size: int = 2,
     max_bucket: int = 50,
     threshold: float = 0.5,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Verified near-dup pairs: LSH candidates → exact token-set
     Jaccard ≥ threshold. Jaccard is computed with array_intersect /
-    array_union on the token arrays joined back per side."""
+    array_union on the token arrays joined back per side. Pass
+    ``sigs`` (minhash_signature output — e.g. the standing
+    per-corpus signature artifact) to skip the tokenize+hash scan."""
     cands = minhash_lsh_candidates(
-        docs, text_col, num_hashes, band_size, max_bucket
+        docs, text_col, num_hashes, band_size, max_bucket, sigs=sigs
     )
     toks = docs.select(
         "doc_id", _norm_tokens(F.col(text_col)).alias("tokens")

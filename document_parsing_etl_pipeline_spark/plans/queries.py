@@ -1414,6 +1414,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_candidates(
         load_table(spark, sf_dir, "documents"),
         num_hashes=_MH_K, band_size=_MH_BAND, max_bucket=_MH_MAXB,
+        sigs=_minhash_sigs(spark, sf_dir),
     )
 
 
@@ -1435,7 +1436,8 @@ WHERE round(len(list_filter(ta.tokens, t -> list_contains(tb.tokens, t)))
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
-        num_hashes=_MH_K, band_size=_MH_BAND, max_bucket=_MH_MAXB, threshold=0.5,
+        num_hashes=_MH_K, band_size=_MH_BAND, max_bucket=_MH_MAXB,
+        threshold=0.5, sigs=_minhash_sigs(spark, sf_dir),
     )
 
 
@@ -1552,6 +1554,26 @@ SELECT id AS doc_id, min(label) AS component_id FROM walk GROUP BY id
 _NEARDUP_MEMO: dict = {}
 
 
+def _minhash_sigs(spark, sf_dir):
+    """The standing per-corpus MINHASH signature relation (doc_id,
+    mh0..mh7) — the round-10 twin of _simhash_sigs: every minhash
+    consumer (LSH candidates, jaccard pairs, bucket stats, cap/
+    optimize/bloom planners, accuracy calibration) previously paid
+    its own tokenize + 8-seed md5 scan; a deployment computes
+    signatures once per corpus snapshot and shares them. Memoized
+    per (session, corpus), or a fingerprinted table with
+    SPARK_GRAFT_ARTIFACTS set. bench.py records the one-time build
+    in the standing-artifact leg."""
+    key = ("minhash_sigs", spark.sparkContext.applicationId, sf_dir)
+    return artifacts.load_or_build(
+        spark, sf_dir, "minhash_sigs",
+        lambda: dedup.minhash_signature(
+            load_table(spark, sf_dir, "documents"), num_hashes=_MH_K),
+        _NEARDUP_MEMO, key,
+        params=f"minhash.k{_MH_K}",
+    )
+
+
 def _jaccard_pairs(spark, sf_dir):
     """Verified near-dup pairs, computed ONCE per (session, corpus
     snapshot) and shared by every consumer (components, components-
@@ -1569,7 +1591,7 @@ def _jaccard_pairs(spark, sf_dir):
         lambda: dedup.ngram_jaccard_pairs(
             load_table(spark, sf_dir, "documents"),
             num_hashes=_MH_K, band_size=_MH_BAND, max_bucket=_MH_MAXB,
-            threshold=0.5,
+            threshold=0.5, sigs=_minhash_sigs(spark, sf_dir),
         ),
         _NEARDUP_MEMO, key,
         params=f"jaccard.mh{_MH_K}.band{_MH_BAND}.maxb{_MH_MAXB}.t0.5",
@@ -2609,7 +2631,8 @@ def q_dedup_method_agreement(spark, sf_dir):
     the two (already capped) pair sets; output is one row."""
     docs = load_table(spark, sf_dir, "documents")
     mh = dedup.minhash_lsh_candidates(
-        docs, num_hashes=_MH_K, band_size=_MH_BAND, max_bucket=_MH_MAXB
+        docs, num_hashes=_MH_K, band_size=_MH_BAND, max_bucket=_MH_MAXB,
+        sigs=_minhash_sigs(spark, sf_dir),
     )
     sh = dedup.simhash_pairs(
         docs, max_hamming=3, max_bucket=_SH_MAXB,
@@ -4332,7 +4355,7 @@ def q_minhash_accuracy(spark, sf_dir):
     the sketch instead of the exact op at 100 TB. Signatures compute
     once and join per side (no re-tokenization on the pair rows)."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signature(docs, num_hashes=_MH_K)
+    sigs = _minhash_sigs(spark, sf_dir)
     cands = dedup.minhash_lsh_candidates(
         docs, num_hashes=_MH_K, band_size=_MH_BAND, max_bucket=_MH_MAXB,
         sigs=sigs,
@@ -5322,7 +5345,9 @@ def q_lsh_bucket_stats(spark, sf_dir):
             "n_pairable", "n_dropped", "docs_in_dropped", "max_bucket_n",
         )
 
-    mh = dedup.minhash_buckets(docs, num_hashes=_MH_K, band_size=_MH_BAND) \
+    mh = dedup.minhash_buckets(
+        docs, num_hashes=_MH_K, band_size=_MH_BAND,
+        sigs=_minhash_sigs(spark, sf_dir)) \
         .groupBy("band", "bh").agg(F.count("*").alias("n"))
     sh = dedup.simhash_buckets(
         docs, sigs=_simhash_sigs(spark, sf_dir)) \
@@ -15112,7 +15137,7 @@ def q_lsh_band_planner(spark, sf_dir):
     pairs = dedup.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
         num_hashes=_MH_K, band_size=_MH_BAND, max_bucket=_MH_MAXB,
-        threshold=0.0,
+        threshold=0.0, sigs=_minhash_sigs(spark, sf_dir),
     ).select(F.col("jaccard").alias("s"))
     cfg = spark.createDataFrame(
         list(_LSH_PLAN_CONFIGS), "b int, r int")
@@ -19760,7 +19785,8 @@ def q_index_optimize_planner(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     bk = dedup.minhash_buckets(docs, num_hashes=_MH_K,
-                               band_size=_MH_BAND)
+                               band_size=_MH_BAND,
+                               sigs=_minhash_sigs(spark, sf_dir))
     ranked = docs.select(
         "doc_id",
         F.row_number().over(Window.orderBy("doc_id")).alias("rn"),
@@ -19912,7 +19938,8 @@ def q_lsh_cap_planner(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     mh = (
         dedup.minhash_buckets(docs, num_hashes=_MH_K,
-                              band_size=_MH_BAND)
+                              band_size=_MH_BAND,
+                              sigs=_minhash_sigs(spark, sf_dir))
         .groupBy("band", "bh").agg(F.count("*").alias("n"))
         .select(F.lit("minhash").alias("method"), "band", "n")
     )
@@ -20030,7 +20057,8 @@ def q_manifest_bloom_planner(spark, sf_dir):
     the bucket frame + a 4-row broadcast grid."""
     docs = load_table(spark, sf_dir, "documents")
     corpus = dedup.minhash_buckets(
-        docs, num_hashes=_MH_K, band_size=_MH_BAND
+        docs, num_hashes=_MH_K, band_size=_MH_BAND,
+        sigs=_minhash_sigs(spark, sf_dir),
     ).agg(F.count("*").cast("long").alias("bucket_rows"))
     cfg = spark.createDataFrame(
         [(n,) for n in _MBLOOM_NPF], "npf int")
