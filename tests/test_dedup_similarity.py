@@ -521,7 +521,8 @@ def test_artifact_tables_survive_session_restart(spark, tmp_path, monkeypatch):
     assert got_inc == want_inc and got_comp == want_comp
 
     names = ["setsim_pairs", "setsim_components", "setsim_index_sh",
-             "setsim_index_pref", "neardup_pairs", "neardup_components"]
+             "setsim_index_pref", "neardup_pairs", "neardup_components",
+             "minhash_sigs"]  # round 10: the pairs build consumes it
     roots = {n: artifacts.table_root(store, sf, n) for n in names}
     vers = {n: tf._versions(r) for n, r in roots.items()}
     assert all(v == [1] for v in vers.values()), vers
