@@ -97,8 +97,9 @@ def ingest_batch(
     optimize_cadence: bool = True,
 ) -> bool:
     """Flag one micro-batch against the standing index, write the
-    flags, and MERGE the batch's buckets into the index exactly once.
-    Returns False for replayed or empty batches."""
+    flags, and APPEND the batch's buckets to the index exactly once
+    (Write-Audit-Publish: both writes overlap, the manifest commit
+    lands last). Returns False for replayed or empty batches."""
     if batch_id <= last_committed_batch(index_root):
         return False
     # parse the batch source ONCE (round-9 throughput fix): the plain
