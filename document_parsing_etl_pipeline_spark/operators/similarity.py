@@ -264,11 +264,19 @@ def ivf_probe_candidates(
     num_centroids: int = 16,
     nprobe: int = 4,
     id_col: str = "vec_id",
+    with_probe_rank: bool = False,
 ) -> DataFrame:
     """The IVF probe's SCANNED candidate relation (query_id, vec_id,
     cosine) BEFORE the top-k cut — knn_ivf_probe's inner stage,
     exposed so cost/recall planners (q_ivf_nprobe_curve) can measure
-    the scan volume the top-k result hides."""
+    the scan volume the top-k result hides.
+
+    ``with_probe_rank=True`` keeps the probed centroid's rank for the
+    query (``probe_rn`` ∈ [1, nprobe]). Because every vector lives in
+    exactly ONE posting list, the candidate set at any smaller
+    nprobe' is EXACTLY ``where(probe_rn <= nprobe')`` of this
+    relation — one n×C scoring pass + one candidate join serves a
+    whole nprobe curve instead of one pass per point."""
     from pyspark.sql.window import Window
 
     cents = embeddings.where(F.col(id_col) < num_centroids).select(
@@ -295,8 +303,13 @@ def ivf_probe_candidates(
         (F.col("rn") <= nprobe) & (F.col("vid") < num_queries)
     ).select(
         F.col("vid").alias("query_id"), F.col("ev").alias("qv"),
-        "centroid_id",
+        "centroid_id", F.col("rn").alias("probe_rn"),
     )
+    out_cols = ["query_id", "vec_id",
+                F.round(cosine_sim(F.col("qv"), F.col("cv")), 4)
+                .alias("cosine")]
+    if with_probe_rank:
+        out_cols.append("probe_rn")
     return (
         probes.join(assign, "centroid_id")
         .where(F.col("vec_id") != F.col("query_id"))
@@ -307,10 +320,7 @@ def ivf_probe_candidates(
             ),
             "vec_id",
         )
-        .select(
-            "query_id", "vec_id",
-            F.round(cosine_sim(F.col("qv"), F.col("cv")), 4).alias("cosine"),
-        )
+        .select(*out_cols)
     )
 
 

@@ -18448,10 +18448,14 @@ def q_item_item_cosine(spark, sf_dir):
         "l_orderkey", "l_partkey")
     p = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey"), F.col("p_brand").alias("b"))
+    # localCheckpoint: cb feeds three consumers (nb, both pair-join
+    # sides) — without it the orders⋈lineitem⋈part distinct runs
+    # three times (round-10 verdict: ~1/3 of the query's wall)
     cb = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select("c", "b").distinct()
+        .localCheckpoint()
     )
     nb = cb.groupBy("b").agg(F.count("*").cast("long").alias("n"))
     left = cb.withColumnsRenamed({"b": "brand_x"})
@@ -19030,20 +19034,28 @@ def q_ivf_nprobe_curve(spark, sf_dir):
     shows the whole trade-off so the 100 TB deployment can pick the
     cheapest nprobe that clears its recall SLO, and a curve that
     flattens early says the centroid count, not the probe count, is
-    the binding constraint). One shared n x C centroid-scoring pass
-    feeds all three probe lists; per-nprobe candidates shuffle on
-    posting-list id exactly like the production path
-    (operators/similarity.py:ivf_probe_candidates); scan volume is
-    COUNTED from the candidate relation, not inferred from
-    nprobe/C."""
+    the binding constraint). ONE n x C centroid-scoring pass + ONE
+    candidate join at nprobe=4 serves all three curve points: each
+    vector lives in exactly one posting list, so the nprobe=np
+    candidate set is exactly probe_rn <= np of the nprobe=4 relation
+    (operators/similarity.py:ivf_probe_candidates with_probe_rank).
+    The shared candidate relation and the brute baseline are
+    localCheckpointed — the union's three branches filter memoized
+    rows instead of re-running the scoring pass per point (the
+    round-10 verdict's 3x recompute). Scan volume is COUNTED from
+    the candidate relation, not inferred from nprobe/C."""
     emb = load_table(spark, sf_dir, "embeddings")
     brute = similarity.knn_brute_cosine(emb, num_queries=5, k=5).select(
-        "query_id", "vec_id")
+        "query_id", "vec_id").localCheckpoint()
+    cand_all = similarity.ivf_probe_candidates(
+        emb, num_queries=5, num_centroids=_IVF_C, nprobe=4,
+        with_probe_rank=True,
+    ).localCheckpoint()
     n_emb = emb.agg(F.count("*").cast("long").alias("n_emb"))
     out = None
     for np_val in (1, 2, 4):
-        cand = similarity.ivf_probe_candidates(
-            emb, num_queries=5, num_centroids=_IVF_C, nprobe=np_val)
+        cand = cand_all.where(
+            F.col("probe_rn") <= np_val).drop("probe_rn")
         topk = (
             cand.withColumn(
                 "rk",
