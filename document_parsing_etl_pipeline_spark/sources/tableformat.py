@@ -70,6 +70,28 @@ _MANIFEST_DIR = "_manifests"
 _BLOOM_M = 65536  # bits per bloom
 _BLOOM_K = 8      # 16-bit md5 slices used as positions
 
+# Types whose Python str(key) form is guaranteed identical to Spark's
+# CAST(col AS STRING) — the cross-engine hashing contract below. str
+# and integrals agree ('42' == '42'); boolean ('True' vs 'true'),
+# float/double (repr '1e-07' vs Java '1.0E-7'), timestamp and decimal
+# all diverge, which would make EVERY probe false-negative: wrong
+# results (silently skipped files), not just lost pruning. create_table
+# rejects them up front.
+_BLOOM_SAFE_TYPES = ("string", "tinyint", "smallint", "int", "bigint")
+
+
+def _check_bloom_cols(df: DataFrame, bloom_cols) -> None:
+    for c in bloom_cols or ():
+        t = df.schema[c].dataType.simpleString()
+        if t not in _BLOOM_SAFE_TYPES:
+            raise ValueError(
+                f"bloom_cols[{c!r}] has type {t}; per-file blooms hash "
+                f"str(key) driver-side against CAST(col AS STRING) "
+                f"engine-side, and those only agree for "
+                f"{_BLOOM_SAFE_TYPES} — a {t} bloom would false-negative "
+                f"every probe and silently skip files that hold the key"
+            )
+
 
 def bloom_positions(key) -> list[int]:
     """The k bit positions for ``key`` — md5 of str(key), split into
@@ -306,7 +328,11 @@ def create_table(
 ) -> int:
     """v1 snapshot of ``df`` with stats on ``stats_cols``; columns in
     ``bloom_cols`` additionally get a per-file membership bloom every
-    later commit maintains (scan_membership / scan_keys prune on it)."""
+    later commit maintains (scan_membership / scan_keys prune on it).
+    Bloom columns must be string or integral — the only types whose
+    driver-side str(key) equals Spark's CAST(col AS STRING)
+    (_check_bloom_cols raises otherwise)."""
+    _check_bloom_cols(df, bloom_cols)
     entries = _write_files(
         spark, df, root, "v1", stats_cols, bloom_cols or ()
     )
@@ -506,11 +532,14 @@ def scan_keys(
 
     def _hit(e: dict) -> bool:
         # a file entry with NO recorded stats for col (older commits
-        # written under a different stats_cols set) must be READ —
-        # pruning degrades to a full read, never to a wrong skip
+        # written under a different stats_cols set) falls through to
+        # the bloom check — a file written under old stats_cols can
+        # still carry a bloom for col (mixed-history tables), and
+        # _bloom_file_hit itself degrades to True when it doesn't
+        # (same independent-checks shape as scan_membership)
         st = e["stats"].get(col)
         if st is None:
-            return True
+            return _bloom_file_hit(e, col, probe)
         lo, hi = st
         if lo is None:
             return False
@@ -1177,9 +1206,24 @@ def stage_append(
     # stage's files live on under the old dir, and a discarded+
     # re-staged attempt on a NEW head writes a fresh dir — no
     # mode("error") collision on the retry path
+    tag = f"stage-{stage}-v{head['version']}"
+    # crash-window cleanup: a prior attempt that died AFTER the data
+    # write but BEFORE its stage JSON landed (stats/bloom collect
+    # failure, process crash) leaves an orphaned data dir that no
+    # manifest or stage references — without this, the retry's
+    # mode("error") write collides and the stream wedges until manual
+    # cleanup. Only safe when the stage JSON is absent: with a JSON
+    # present the dir IS referenced and the O_EXCL create below is
+    # the collision the caller must resolve via discard_stage.
+    orphan = os.path.join(root, "data", tag)
+    if os.path.isdir(orphan) and not os.path.exists(
+        _stage_path(root, stage)
+    ):
+        import shutil
+
+        shutil.rmtree(orphan, ignore_errors=True)
     entries = _write_files(
-        spark, df, root, f"stage-{stage}-v{head['version']}",
-        head["stats_cols"], _bcols(head),
+        spark, df, root, tag, head["stats_cols"], _bcols(head),
     )
     os.makedirs(os.path.join(root, _STAGE_DIR), exist_ok=True)
     staged = {

@@ -220,10 +220,24 @@ def ingest_batch(
 
     th = threading.Thread(target=_write_flags, daemon=True)
     th.start()
-    tf.stage_append(
-        spark, buckets_out, index_root, stage,
-        extra_meta={"stream_batch_id": batch_id},
-    )
+    try:
+        tf.stage_append(
+            spark, buckets_out, index_root, stage,
+            extra_meta={"stream_batch_id": batch_id},
+        )
+    except BaseException:
+        # join the flag writer BEFORE propagating: a foreachBatch
+        # retry re-enters ingest_batch and overwrites the same
+        # flags_root/batch_id=N path — two concurrent Spark writes to
+        # one path can corrupt that batch's flag output. The stage is
+        # discarded if its JSON landed; an orphaned data dir (crash
+        # before the JSON) is cleaned by stage_append on re-entry.
+        th.join()
+        if os.path.exists(
+            os.path.join(index_root, tf._STAGE_DIR, f"{stage}.json")
+        ):
+            tf.discard_stage(index_root, stage)
+        raise
     th.join()
     if flag_err:
         tf.discard_stage(index_root, stage)

@@ -1540,3 +1540,95 @@ def test_neardup_replay_discards_orphaned_stage(tmp_path, spark):
     got = sorted(map(tuple, tf.read(spark, idx).collect()))
     want = sorted(map(tuple, bb.collect()))
     assert got == want
+
+
+def test_neardup_replay_cleans_orphaned_data_dir(tmp_path, spark):
+    """Round-11 (r10 ADVICE): a crash AFTER the stage data write but
+    BEFORE the stage JSON lands leaves a data dir no manifest or
+    stage references; the retry used to die on mode('error') against
+    that dir (the stage-JSON-keyed cleanup never fired) and the
+    stream wedged until manual cleanup. stage_append must remove the
+    orphan when no stage JSON exists."""
+    import os
+
+    from document_parsing_etl_pipeline_spark.catalog import load_table
+    from document_parsing_etl_pipeline_spark.sources import (
+        tableformat as tf,
+    )
+    from document_parsing_etl_pipeline_spark.streaming import neardup
+    from document_parsing_etl_pipeline_spark.streaming.table_sink import (
+        last_committed_batch,
+    )
+
+    docs = load_table(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).select("doc_id", "text").limit(20).localCheckpoint()
+    idx, fl = str(tmp_path / "idx"), str(tmp_path / "fl")
+    neardup.create_index(spark, idx)
+    head_v = tf._versions(idx)[-1]
+    # simulate the crash window: data dir written, stage JSON absent
+    orphan = os.path.join(idx, "data", f"stage-nd-1-v{head_v}")
+    docs.limit(3).coalesce(1).write.parquet(orphan)
+    assert not os.path.exists(
+        os.path.join(idx, tf._STAGE_DIR, "nd-1.json")
+    )
+    # retry ingests batch 1 cleanly instead of colliding
+    assert neardup.ingest_batch(spark, docs, idx, fl, 1) is True
+    assert last_committed_batch(idx) == 1
+    # the published index holds exactly the batch's bucket rows —
+    # nothing from the orphaned attempt leaked in
+    from document_parsing_etl_pipeline_spark.operators.dedup import (
+        minhash_buckets,
+    )
+    got = sorted(map(tuple, tf.read(spark, idx).collect()))
+    want = sorted(map(tuple, minhash_buckets(
+        docs, num_hashes=8, band_size=2).collect()))
+    assert got == want
+
+
+def test_ingest_batch_joins_flag_thread_on_stage_failure(
+    tmp_path, spark, monkeypatch
+):
+    """Round-11 (r10 ADVICE): if stage_append raises while the flag
+    writer thread is in flight, ingest_batch must JOIN the thread
+    before propagating — otherwise the foreachBatch retry overwrites
+    the same flags path concurrently with the still-running writer.
+    After the failure the retry must ingest cleanly."""
+    from document_parsing_etl_pipeline_spark.catalog import load_table
+    from document_parsing_etl_pipeline_spark.sources import (
+        tableformat as tf,
+    )
+    from document_parsing_etl_pipeline_spark.streaming import neardup
+    from document_parsing_etl_pipeline_spark.streaming.table_sink import (
+        last_committed_batch,
+    )
+
+    docs = load_table(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).select("doc_id", "text").limit(20).localCheckpoint()
+    idx, fl = str(tmp_path / "idx"), str(tmp_path / "fl")
+    neardup.create_index(spark, idx)
+
+    import os
+
+    import pytest
+
+    real_stage_append = tf.stage_append
+
+    def boom(*a, **k):
+        raise RuntimeError("staged write lost a race")
+
+    monkeypatch.setattr(neardup.tf, "stage_append", boom)
+    with pytest.raises(RuntimeError, match="staged write"):
+        neardup.ingest_batch(spark, docs, idx, fl, 1)
+    # boom raised instantly while the flag write takes a Spark job:
+    # the write's _SUCCESS marker existing at exception time proves
+    # the thread was joined before the exception escaped (without the
+    # join the dir is still mid-write here)
+    assert os.path.exists(
+        os.path.join(fl, "batch_id=1", "_SUCCESS")
+    )
+    assert last_committed_batch(idx) < 1
+    monkeypatch.setattr(neardup.tf, "stage_append", real_stage_append)
+    assert neardup.ingest_batch(spark, docs, idx, fl, 1) is True
+    assert last_committed_batch(idx) == 1

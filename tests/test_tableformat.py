@@ -979,17 +979,67 @@ def bloom_table(spark, tmp_path):
 
 def test_bloom_positions_match_spark_md5(spark):
     # the cross-engine contract: Python bloom_positions must equal
-    # the 16-bit slices of Spark's md5(cast(col as string))
+    # the 16-bit slices of Spark's md5(cast(col as string)) — over
+    # EVERY type create_table admits as a bloom column
     from pyspark.sql import functions as F
 
-    rows = spark.createDataFrame(
-        [(7,), (123456789,)], "k long"
-    ).select(
-        "k", F.md5(F.col("k").cast("string")).alias("h")
-    ).collect()
-    for r in rows:
-        expect = [int(r["h"][4 * j:4 * j + 4], 16) for j in range(8)]
-        assert tf.bloom_positions(r["k"]) == expect
+    df = spark.createDataFrame(
+        [(7, 7, 7, 7, "s-7"), (123, 123, 12345, 123456789, "x y")],
+        "kb tinyint, ks smallint, ki int, kl long, kstr string",
+    )
+    for c in df.columns:
+        rows = df.select(
+            F.col(c).alias("k"),
+            F.md5(F.col(c).cast("string")).alias("h"),
+        ).collect()
+        for r in rows:
+            expect = [int(r["h"][4 * j:4 * j + 4], 16) for j in range(8)]
+            assert tf.bloom_positions(r["k"]) == expect, c
+
+
+def test_create_table_rejects_unsafe_bloom_types(spark, tmp_path):
+    # boolean/double/timestamp stringify differently in Python vs
+    # Spark ('True' vs 'true', '1e-07' vs '1.0E-7') — a bloom on such
+    # a column would false-negative every probe, so create_table must
+    # refuse it instead of silently corrupting scan_membership
+    df = spark.createDataFrame(
+        [(1, True, 1e-7)], "doc_id long, flag boolean, score double"
+    )
+    for bad in ("flag", "score"):
+        with pytest.raises(ValueError, match="bloom_cols"):
+            tf.create_table(
+                spark, df, str(tmp_path / f"t_{bad}"),
+                stats_cols=["doc_id"], bloom_cols=[bad],
+            )
+    # integral + string columns stay accepted
+    tf.create_table(
+        spark, df.selectExpr("doc_id", "cast(doc_id as string) AS s"),
+        str(tmp_path / "t_ok"), stats_cols=["doc_id"],
+        bloom_cols=["doc_id", "s"],
+    )
+
+
+def test_scan_keys_bloom_prunes_when_stats_missing(spark, tmp_path):
+    # a column outside stats_cols but inside bloom_cols: scan_keys
+    # used to read every file (missing stats returned True before the
+    # bloom check); it must fall through to the bloom like
+    # scan_membership does
+    root = str(tmp_path / "nostats")
+    df = spark.range(0, 200).selectExpr(
+        "id AS doc_id", "md5(cast(id AS string)) AS bh"
+    ).repartition(4, "doc_id")
+    tf.create_table(
+        spark, df, root, stats_cols=["doc_id"], bloom_cols=["bh"],
+    )
+    import hashlib
+
+    absent = [hashlib.md5(f"zz{i}".encode()).hexdigest() for i in range(20)]
+    _, fr, ft = tf.scan_keys(spark, root, "bh", absent)
+    assert ft == 4 and fr == 0
+    present = [hashlib.md5(b"42").hexdigest()]
+    got, fr, _ = tf.scan_keys(spark, root, "bh", present)
+    assert fr >= 1
+    assert got.where("doc_id = 42").count() == 1
 
 
 def test_scan_membership_prunes_absent_keys(spark, bloom_table):
