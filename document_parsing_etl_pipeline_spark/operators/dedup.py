@@ -61,6 +61,28 @@ def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 # -------------------------------------------------------------- minhash
 
+def band_cap_col(max_bucket) -> Column:
+    """The LSH fanout cap as a Column usable in a bucket-size filter.
+
+    An int applies uniformly (the historical fixed-constant mode and
+    the streaming ingest's per-batch contract); a ``{band: cap}``
+    mapping applies PER BAND — the engaged form of
+    q_lsh_cap_planner's decision (plans/queries.py:_lsh_caps), where
+    each band's cap is the largest candidate whose modeled pair
+    fanout fits the corpus-proportional verification budget. A band
+    missing from the mapping falls back to the mapping's smallest
+    cap: conservative — never more fanout than the plan allows."""
+    if isinstance(max_bucket, dict):
+        expr = F.lit(int(min(max_bucket.values())))
+        for band, cap in sorted(max_bucket.items()):
+            expr = (
+                F.when(F.col("band") == int(band), F.lit(int(cap)))
+                .otherwise(expr)
+            )
+        return expr
+    return F.lit(int(max_bucket))
+
+
 def minhash_signature(
     docs: DataFrame, text_col: str = "text", num_hashes: int = 8
 ) -> DataFrame:
@@ -115,7 +137,7 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     num_hashes: int = 8,
     band_size: int = 2,
-    max_bucket: int = 50,
+    max_bucket: int | dict = 50,
     sigs: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: band_hash = md5(concat of band's minhashes); docs
@@ -132,11 +154,13 @@ def minhash_lsh_candidates(
     # collect a bucket into one row (a hot bucket at 100 TB would be an
     # OOM row under collect_list). The count aggregates map-side; the
     # self-join only sees buckets sized [2, max_bucket], so pair fanout
-    # per bucket is bounded by max_bucket².
+    # per bucket is bounded by max_bucket². ``max_bucket`` may be a
+    # per-band {band: cap} mapping (band_cap_col) — the engaged
+    # q_lsh_cap_planner decision.
     counts = (
         buckets.groupBy("band", "bh")
         .agg(F.count("*").alias("n"))
-        .where(F.col("n").between(2, max_bucket))
+        .where(F.col("n").between(F.lit(2), band_cap_col(max_bucket)))
     )
     capped = buckets.join(counts.drop("n"), ["band", "bh"])
     a = capped.select("band", "bh", F.col("doc_id").alias("doc_a"))
@@ -154,7 +178,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     num_hashes: int = 8,
     band_size: int = 2,
-    max_bucket: int = 50,
+    max_bucket: int | dict = 50,
     threshold: float = 0.5,
     sigs: DataFrame | None = None,
 ) -> DataFrame:
@@ -189,7 +213,7 @@ def containment_pairs(
     text_col: str = "text",
     num_hashes: int = 8,
     band_size: int = 2,
-    max_bucket: int = 50,
+    max_bucket: int | dict = 50,
     threshold: float = 0.8,
 ) -> DataFrame:
     """Asymmetric containment verification of LSH candidates (Broder's
@@ -241,7 +265,7 @@ def edit_distance_pairs(
     text_col: str = "text",
     num_hashes: int = 8,
     band_size: int = 2,
-    max_bucket: int = 50,
+    max_bucket: int | dict = 50,
     prefix: int = 80,
     max_dist: int = 20,
 ) -> DataFrame:
@@ -351,7 +375,7 @@ def simhash_buckets(docs: DataFrame, text_col: str = "text",
 
 def simhash_pairs(docs: DataFrame, text_col: str = "text",
                   max_hamming: int = 3,
-                  max_bucket: int = 200,
+                  max_bucket: int | dict = 200,
                   sigs: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
@@ -387,7 +411,7 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
     counts = (
         bands.groupBy("band", "bv")
         .agg(F.count("*").alias("n"))
-        .where(F.col("n").between(2, max_bucket))
+        .where(F.col("n").between(F.lit(2), band_cap_col(max_bucket)))
     )
     capped = bands.join(counts.drop("n"), ["band", "bv"])
     # per-doc bitmask of bands whose bucket survived the cap: when a
@@ -680,7 +704,7 @@ def incremental_lsh_matches(
     text_col: str = "text",
     num_hashes: int = 8,
     band_size: int = 2,
-    max_bucket: int = 50,
+    max_bucket: int | dict = 50,
 ) -> DataFrame:
     """Incremental ingest dedup: flag each BATCH document that
     near-matches the STANDING corpus — without ever pairing the corpus
@@ -707,7 +731,7 @@ def lsh_flag_against_index(
     batch_ids: DataFrame,
     batch_buckets: DataFrame,
     index_buckets: DataFrame,
-    max_bucket: int = 50,
+    max_bucket: int | dict = 50,
 ) -> DataFrame:
     """The core of incremental ingest dedup, against a MATERIALIZED
     standing index (minhash_buckets schema: doc_id, band, bh) — the
@@ -723,7 +747,7 @@ def lsh_flag_against_index(
     sized = (
         pruned.groupBy("band", "bh")
         .agg(F.count("*").alias("n"))
-        .where(F.col("n") <= max_bucket)
+        .where(F.col("n") <= band_cap_col(max_bucket))
     )
     capped = pruned.join(sized.drop("n"), ["band", "bh"])
     pairs = (
@@ -752,7 +776,7 @@ def lsh_flag_ingest(
     batch_ids: DataFrame,
     batch_buckets: DataFrame,
     index_buckets: DataFrame,
-    max_bucket: int = 50,
+    max_bucket: int | dict = 50,
 ) -> DataFrame:
     """One-pass ingest flagging: each batch doc against the STANDING
     index AND against its own batch's smaller-id docs, in a single
@@ -776,7 +800,7 @@ def lsh_flag_ingest(
     # pinned by test_lsh_flag_ingest_equals_two_call_composition)
     capped_i = (
         pruned.withColumn("_n", F.count("*").over(wkey))
-        .where(F.col("_n") <= max_bucket)
+        .where(F.col("_n") <= band_cap_col(max_bucket))
         .select(
             "band", "bh", F.col("doc_id").alias("corpus_doc"),
             F.lit(False).alias("own"),
@@ -784,7 +808,7 @@ def lsh_flag_ingest(
     )
     capped_b = (
         batch_buckets.withColumn("_n", F.count("*").over(wkey))
-        .where(F.col("_n") <= max_bucket)
+        .where(F.col("_n") <= band_cap_col(max_bucket))
         .select(
             "band", "bh", F.col("doc_id").alias("corpus_doc"),
             F.lit(True).alias("own"),

@@ -817,3 +817,84 @@ def test_verify_pairs_slicing_is_result_invariant(spark):
         cands, sh, num, den, batch_pairs=1).collect()))
     assert len(unsliced) > 0
     assert sliced == unsliced
+
+
+def test_band_cap_col_applies_per_band(spark):
+    """Round-11 cap engagement: band_cap_col with a {band: cap}
+    mapping filters each band at ITS cap; a band missing from the
+    mapping falls back to the mapping's smallest cap."""
+    from pyspark.sql import functions as F
+
+    rows = spark.createDataFrame(
+        [(0, 3), (0, 6), (1, 3), (1, 6), (7, 3), (7, 6)],
+        "band int, n int",
+    )
+    kept = rows.where(
+        F.col("n") <= dedup.band_cap_col({0: 5, 1: 10})
+    ).collect()
+    got = sorted((r.band, r.n) for r in kept)
+    # band 0 capped at 5 -> keeps n=3 only; band 1 at 10 -> both;
+    # band 7 (unknown) falls back to min(5, 10)=5 -> keeps n=3 only
+    assert got == [(0, 3), (1, 3), (1, 6), (7, 3)]
+    # int mode is unchanged
+    kept_int = rows.where(
+        F.col("n") <= dedup.band_cap_col(4)
+    ).count()
+    assert kept_int == 3
+
+
+def test_engaged_lsh_caps_match_planner_decision(spark):
+    """The caps the pair generators consume (_lsh_caps) must be
+    EXACTLY the planner's chosen rows — one decision, two readers.
+    Also pins that every cap is one of the planner's candidates."""
+    from pyspark.sql import functions as F
+
+    from document_parsing_etl_pipeline_spark.plans import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    planner = Q.QUERIES["q_lsh_cap_planner"](spark, sf)
+    chosen = {
+        (r["method"], int(r["band"])): int(r["cap"])
+        for r in planner.where(F.col("chosen")).collect()
+    }
+    for method in ("minhash", "simhash"):
+        caps = Q._lsh_caps(spark, sf, method)
+        assert caps == {
+            b: c for (m, b), c in chosen.items() if m == method
+        }, method
+        assert all(c in Q._CAP_CANDIDATES for c in caps.values())
+
+
+def test_minhash_candidates_respect_engaged_caps(spark):
+    """End-to-end wiring: the candidate set produced with the engaged
+    per-band caps equals recomputing with each band's cap applied
+    independently — i.e. the dict actually reaches the bucket filter."""
+    from pyspark.sql import functions as F
+
+    from document_parsing_etl_pipeline_spark.catalog import load_table
+    from document_parsing_etl_pipeline_spark.plans import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    caps = Q._lsh_caps(spark, sf, "minhash")
+    engaged = set(map(tuple, dedup.minhash_lsh_candidates(
+        docs, num_hashes=8, band_size=2, max_bucket=caps).collect()))
+    # manual reference: union of per-band candidate sets, each band
+    # filtered at its own cap
+    buckets = dedup.minhash_buckets(docs, num_hashes=8, band_size=2)
+    manual = set()
+    for band, cap in caps.items():
+        bb = buckets.where(F.col("band") == band)
+        counts = (
+            bb.groupBy("band", "bh").agg(F.count("*").alias("n"))
+            .where(F.col("n").between(2, cap))
+        )
+        capped = bb.join(counts.drop("n"), ["band", "bh"])
+        a = capped.select("bh", F.col("doc_id").alias("doc_a"))
+        b = capped.select("bh", F.col("doc_id").alias("doc_b"))
+        manual |= {
+            (r.doc_a, r.doc_b)
+            for r in a.join(b, "bh")
+            .where(F.col("doc_a") < F.col("doc_b")).collect()
+        }
+    assert engaged == manual and len(engaged) > 0

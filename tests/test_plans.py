@@ -392,7 +392,13 @@ def test_session7e_new_query_plan_shapes(spark):
     assert "CartesianProduct" not in plan
     plan = _executed(QUERIES["q_ivf_nprobe_curve"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan
+    # round 11: the n×C scoring pass and the brute baseline are
+    # localCheckpointed ONCE and the three curve points filter the
+    # memoized rows — the final plan must read the checkpoint RDDs
+    # (ExistingRDD), not re-run the scoring joins (no Arrow eval of
+    # the cosine kernel may appear downstream of the checkpoint)
+    assert "ExistingRDD" in plan
+    assert "ArrowEvalPython" not in plan
 
 
 def test_session7f_new_query_plan_shapes(spark):
