@@ -137,15 +137,61 @@ def _bloom_probe(keys) -> dict:
     }
 
 
-def _bloom_file_hit(e: dict, col: str, probe: dict) -> bool:
+# sidecar bitmap cache: {abs sidecar path: parsed+hash-verified dict}.
+# Sidecars are immutable once written (copy-on-write never edits one
+# in place), so a plain dict is sound; entries are ~8 KiB × files ×
+# cols per sidecar and a session touches a handful of tables.
+_SIDECAR_CACHE: dict = {}
+
+
+def _load_bloom_sidecar(root: str, ref: dict) -> dict:
+    """Load (and cache) the bloom SIDECAR a manifest entry points to,
+    verifying the content hash the manifest recorded — an entry
+    whose sidecar was corrupted or swapped fails loudly instead of
+    silently mis-pruning. Returns {file_basename: {col: bloom}}."""
+    path = os.path.normpath(os.path.join(root, ref["ref"]))
+    hit = _SIDECAR_CACHE.get(path)
+    if hit is not None:
+        return hit
+    import hashlib as _hl
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    got = _hl.sha256(raw).hexdigest()
+    if got != ref["sha256"]:
+        raise ValueError(
+            f"bloom sidecar {path} content hash {got[:12]}… does not "
+            f"match the manifest's {ref['sha256'][:12]}… — refusing "
+            "to prune on corrupt bitmaps"
+        )
+    parsed = json.loads(raw)
+    _SIDECAR_CACHE[path] = parsed
+    return parsed
+
+
+def _bloom_file_hit(e: dict, col: str, probe: dict,
+                    root: str | None = None) -> bool:
     """Can file entry ``e`` contain any probe key, per its bloom?
     Conservative: entries without a bloom for ``col`` (pre-bloom
-    commits, or a table without bloom_cols) always hit."""
+    commits, or a table without bloom_cols) always hit. The bitmap
+    lives either inline (pre-round-11 manifests, still readable) or
+    in a per-commit SIDECAR file the entry references by relative
+    path + sha256 (the Iceberg-puffin shape: the manifest stays
+    KB-sized however many files the table accretes; ~10k files × 8
+    KiB bitmaps inline was a manifest wall)."""
     b = e.get("blooms", {}).get(col)
     if b is None:
         return True
     if probe["has_null"] and b.get("has_null"):
         return True
+    if "b64" not in b:
+        if root is None:
+            return True  # no root to resolve the sidecar: read the file
+        side = _load_bloom_sidecar(root, b)
+        bm = side.get(os.path.basename(e["path"]), {}).get(col)
+        if bm is None:
+            return True
+        return _bloom_any_hit(bm, probe["pos"])
     return _bloom_any_hit(b, probe["pos"])
 
 
@@ -230,23 +276,41 @@ def _write_files(
         .groupBy("_f").agg(*aggs).collect()
     )
     entries = []
+    side: dict = {}
     for r in rows:
+        relpath = os.path.relpath(_localpath(r["_f"]), root)
         e = {
-            "path": os.path.relpath(_localpath(r["_f"]), root),
+            "path": relpath,
             "rows": r["_rows"],
             "stats": {
                 c: [r[f"_min_{c}"], r[f"_max_{c}"]] for c in stats_cols
             },
         }
         if bloom_cols:
+            # bitmaps go to a per-commit SIDECAR (one JSON next to the
+            # data files); the manifest entry keeps only the tiny
+            # probe-relevant fields + the sidecar ref — 8 KiB ×
+            # (files × cols) never lands in the manifest (the
+            # puffin-style swap; ref/sha256 filled in below)
+            side[os.path.basename(relpath)] = {
+                c: _bloom_build(r[f"_bpos_{c}"]) for c in bloom_cols
+            }
             e["blooms"] = {
-                c: {
-                    **_bloom_build(r[f"_bpos_{c}"]),
-                    "has_null": bool(r[f"_bnull_{c}"]),
-                }
+                c: {"has_null": bool(r[f"_bnull_{c}"])}
                 for c in bloom_cols
             }
         entries.append(e)
+    if bloom_cols and side:
+        import hashlib as _hl
+
+        raw = json.dumps(side).encode()
+        sha = _hl.sha256(raw).hexdigest()
+        side_rel = os.path.join("data", tag, "_blooms.json")
+        with open(os.path.join(root, side_rel), "wb") as f:
+            f.write(raw)
+        for e in entries:
+            for c in bloom_cols:
+                e["blooms"][c].update({"ref": side_rel, "sha256": sha})
     return entries
 
 
@@ -539,7 +603,7 @@ def scan_keys(
         # (same independent-checks shape as scan_membership)
         st = e["stats"].get(col)
         if st is None:
-            return _bloom_file_hit(e, col, probe)
+            return _bloom_file_hit(e, col, probe, root)
         lo, hi = st
         if lo is None:
             return False
@@ -550,7 +614,7 @@ def scan_keys(
         # for col) can still rule the file out: files clustered on a
         # DIFFERENT column have wide [lo,hi] on this one, and with
         # more than a handful of keys the range test keeps everything
-        return _bloom_file_hit(e, col, probe)
+        return _bloom_file_hit(e, col, probe, root)
 
     keep = [e for e in m["files"] if _hit(e)]
     if not keep:
@@ -596,7 +660,7 @@ def scan_membership(
 
     keep = [
         e for e in m["files"]
-        if _range_hit(e) and _bloom_file_hit(e, col, probe)
+        if _range_hit(e) and _bloom_file_hit(e, col, probe, root)
     ]
     if not keep:
         return read(spark, root, version).limit(0), 0, len(m["files"])
@@ -1375,14 +1439,16 @@ def expire_snapshots(root: str, keep_last: int = 1) -> dict:
         m = _load_manifest(root, v)
         # deletion-vector sidecars are snapshot content too: removing
         # one would silently RESURRECT tombstoned rows of a retained
-        # snapshot
+        # snapshot; bloom sidecars likewise (a retained snapshot's
+        # membership pruning must survive vacuum)
         for e in m["files"] + _dv_entries(m):
-            live.add(os.path.normpath(os.path.join(root, e["path"])))
+            live.update(_entry_live_paths(root, e))
     removed = 0
     data_dir = os.path.join(root, "data")
     for dirpath, _dirs, files in os.walk(data_dir):
         for fn in files:
-            if not fn.endswith(".parquet"):
+            if not (fn.endswith(".parquet")
+                    or fn.endswith("_blooms.json")):
                 continue
             p = os.path.normpath(os.path.join(dirpath, fn))
             if p not in live:
@@ -1681,6 +1747,16 @@ def list_refs(root: str) -> dict:
     return {"branches": branches, "tags": tags}
 
 
+def _entry_live_paths(root: str, e: dict):
+    """Every on-disk path a manifest entry keeps alive: the data file
+    itself plus any bloom SIDECAR it references — removing a live
+    sidecar would break membership pruning of a retained snapshot."""
+    yield os.path.normpath(os.path.join(root, e["path"]))
+    for b in (e.get("blooms") or {}).values():
+        if "ref" in b:
+            yield os.path.normpath(os.path.join(root, b["ref"]))
+
+
 def _ref_live_files(root: str) -> tuple[set[str], set[int]]:
     """(files referenced by any branch manifest, main versions pinned
     by tags) — the ref-reachability inputs expire_snapshots folds
@@ -1692,8 +1768,7 @@ def _ref_live_files(root: str) -> tuple[set[str], set[int]]:
             for bv in _branch_versions(root, name):
                 b = _load_branch(root, name, bv)
                 for e in b["files"] + _dv_entries(b):
-                    live.add(os.path.normpath(
-                        os.path.join(root, e["path"])))
+                    live.update(_entry_live_paths(root, e))
     pinned: set[int] = set()
     tdir = os.path.join(root, _TAG_DIR)
     if os.path.isdir(tdir):

@@ -1139,3 +1139,89 @@ def test_bloom_null_handling(spark, tmp_path):
     )
     _, fr, _ = tf.scan_membership(spark, root2, "bh", [None])
     assert fr == 0
+
+
+def test_bloom_sidecar_layout_and_manifest_size(spark, bloom_table):
+    """Round 11 (puffin swap): bitmaps live in one per-commit sidecar
+    JSON next to the data files; the manifest entry keeps only
+    has_null + the sidecar ref + content hash. At ~10k files the old
+    inline form was 8 KiB × files × cols of manifest — the manifest
+    must stay KB-sized regardless of file count."""
+    import os
+
+    head = tf._load_manifest(bloom_table, tf._versions(bloom_table)[-1])
+    refs = set()
+    for e in head["files"]:
+        for c, b in e["blooms"].items():
+            assert "b64" not in b, "bitmap must not be inline"
+            assert "ref" in b and "sha256" in b
+            refs.add(b["ref"])
+            assert os.path.exists(os.path.join(bloom_table, b["ref"]))
+    assert refs  # at least one sidecar
+    # 4 files x 2 bloom cols inline would be ~87 KiB of base64; the
+    # manifest with refs stays tiny
+    msize = os.path.getsize(
+        tf._manifest_path(bloom_table, head["version"]))
+    assert msize < 8_000, msize
+
+
+def test_bloom_sidecar_corruption_refuses_to_prune(spark, tmp_path):
+    import json
+    import os
+
+    root = str(tmp_path / "ctbl")
+    df = spark.range(0, 50).selectExpr(
+        "id AS doc_id", "md5(cast(id AS string)) AS bh")
+    tf.create_table(spark, df.coalesce(1), root,
+                    stats_cols=["doc_id"], bloom_cols=["bh"])
+    head = tf._load_manifest(root, tf._versions(root)[-1])
+    ref = head["files"][0]["blooms"]["bh"]["ref"]
+    side_path = os.path.join(root, ref)
+    with open(side_path) as f:
+        side = json.load(f)
+    # flip the bitmap: same shape, different bytes
+    k = next(iter(side))
+    side[k]["bh"]["b64"] = "A" * len(side[k]["bh"]["b64"])
+    with open(side_path, "w") as f:
+        json.dump(side, f)
+    tf._SIDECAR_CACHE.clear()
+    with pytest.raises(ValueError, match="sidecar"):
+        tf.scan_membership(spark, root, "bh", ["zz"])
+
+
+def test_vacuum_keeps_live_bloom_sidecars_removes_orphaned(
+    spark, bloom_table
+):
+    """expire_snapshots must treat sidecars referenced by retained
+    snapshots as live content (pruning still works after vacuum) and
+    reclaim the ones only expired snapshots referenced."""
+    import glob
+    import os
+
+    more = spark.range(1000, 1100).selectExpr(
+        "id AS doc_id", "md5(cast(id AS string)) AS bh")
+    tf.append(spark, more, bloom_table)
+    tf.optimize_table(spark, bloom_table, 200, cluster_by="bh")
+    sidecars_before = set(glob.glob(
+        os.path.join(bloom_table, "data", "*", "_blooms.json")))
+    assert len(sidecars_before) >= 3  # create + append + optimize
+    out = tf.expire_snapshots(bloom_table, keep_last=1)
+    assert out["removed_files"] > 0
+    sidecars_after = set(glob.glob(
+        os.path.join(bloom_table, "data", "*", "_blooms.json")))
+    # only the optimize commit's files (and sidecar) are still live
+    assert len(sidecars_after) < len(sidecars_before)
+    head = tf._load_manifest(bloom_table, tf._versions(bloom_table)[-1])
+    live_refs = {
+        os.path.normpath(os.path.join(bloom_table, b["ref"]))
+        for e in head["files"] for b in e["blooms"].values()
+    }
+    assert live_refs <= {os.path.normpath(p) for p in sidecars_after}
+    # pruning still functions on the survivor
+    tf._SIDECAR_CACHE.clear()
+    _, fr, _ = tf.scan_membership(
+        spark, bloom_table, "doc_id", [424242])
+    assert fr == 0
+    got, fr, _ = tf.scan_membership(
+        spark, bloom_table, "doc_id", [1050])
+    assert fr >= 1 and got.where("doc_id = 1050").count() == 1
