@@ -701,6 +701,58 @@ def test_artifact_fingerprint_invalidation(spark, tmp_path, monkeypatch):
     Q._NEARDUP_MEMO.clear()
 
 
+def test_artifact_mutation_via_merge_triggers_rebuild(
+    spark, tmp_path, monkeypatch
+):
+    """Round-11 (r10 verdict item 7): MUTATING a standing artifact
+    table through the table format's own merge path must poison it.
+    merge_into is row-mutating, so _carry_meta DROPS the
+    artifact_fingerprint — this test closes the loop end-to-end: the
+    next _ensure_table access detects the missing fingerprint,
+    REBUILDS, and serves builder-true rows (the injected row is gone),
+    rather than silently serving mutated rows to hash-gated queries."""
+    from document_parsing_etl_pipeline_spark.plans import queries as Q
+    from document_parsing_etl_pipeline_spark.sources import (
+        artifacts, tableformat as tf,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    store = str(tmp_path / "store")
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", store)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    Q._NEARDUP_MEMO.clear()
+    clean = rows(Q._minhash_sigs(spark, sf))
+    root = artifacts.table_root(store, sf, "minhash_sigs")
+    assert artifacts._stored_fingerprint(root)
+
+    # mutate the standing artifact: inject a row that no builder run
+    # would produce
+    poison = spark.createDataFrame(
+        [tuple([-12345] + ["deadbeef"] * (len(clean[0]) - 1))],
+        Q._minhash_sigs(spark, sf).schema,
+    )
+    tf.merge_into(spark, poison, root, key="doc_id")
+    # the mutating commit dropped the fingerprint...
+    assert artifacts._stored_fingerprint(root) is None
+    # ...and the mutated rows ARE on disk right now
+    assert tf.read(spark, root).where("doc_id = -12345").count() == 1
+
+    # next access (fresh "session"): rebuild, not stale serve
+    Q._NEARDUP_MEMO.clear()
+    got = rows(Q._minhash_sigs(spark, sf))
+    assert got == clean
+    head = tf._load_manifest(root, tf._versions(root)[-1])
+    assert head["operation"] == "replace"
+    assert head.get("artifact_fingerprint")
+    assert tf.read(spark, root).where("doc_id = -12345").count() == 0
+
+    monkeypatch.delenv("SPARK_GRAFT_ARTIFACTS")
+    Q._NEARDUP_MEMO.clear()
+
+
 def test_setsim_index_group_build_consistency(spark, tmp_path,
                                               monkeypatch):
     """The four setsim-index artifact tables must come from ONE build
