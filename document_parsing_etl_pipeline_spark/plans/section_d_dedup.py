@@ -1396,3 +1396,93 @@ def q_lsh_cap_planner(spark, sf_dir):
         "pairs_bound", "docs_dropped", "buckets_dropped",
         "pair_budget", "fits", "chosen",
     ).orderBy("method", "band", "cap")
+
+
+@register("q_lsh_band_marginal", f"""
+WITH {_mh_sig_sql()}, {_mh_buckets_sql()}, bp AS (
+    SELECT a.band, a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bucketed a
+    JOIN bucketed b ON a.band = b.band AND a.bh = b.bh
+    JOIN sized s ON s.band = a.band AND s.bh = a.bh
+    JOIN caps cp ON cp.band = a.band
+    WHERE a.doc_id < b.doc_id AND s.n BETWEEN 2 AND cp.cap
+), enum_b AS (
+    SELECT band, count(*)::BIGINT AS n_pairs_band FROM bp GROUP BY band
+), marg AS (
+    SELECT band, count(*)::BIGINT AS n_pairs_marginal FROM (
+        SELECT doc_a, doc_b, min(band) AS band FROM bp
+        GROUP BY doc_a, doc_b
+    ) GROUP BY band
+)
+SELECT cp.band::BIGINT AS band, cp.cap::BIGINT AS cap,
+       coalesce(e.n_pairs_band, 0)::BIGINT AS n_pairs_band,
+       coalesce(m.n_pairs_marginal, 0)::BIGINT AS n_pairs_marginal,
+       (sum(coalesce(m.n_pairs_marginal, 0))
+            OVER (ORDER BY cp.band))::BIGINT AS n_pairs_cum
+FROM caps cp
+LEFT JOIN enum_b e ON e.band = cp.band
+LEFT JOIN marg m ON m.band = cp.band
+""")
+def q_lsh_band_marginal(spark, sf_dir):
+    """Per-band MARGINAL UTILITY of the minhash LSH layout under the
+    ENGAGED caps: for each band — pairs it enumerates, pairs whose
+    SMALLEST in-cap shared band it is (its marginal contribution to
+    the distinct candidate set), and the cumulative distinct count.
+    This is the index-sizing readout the cap planner doesn't give: a
+    band whose marginal contribution is ~zero re-finds pairs earlier
+    bands already surfaced, so dropping it cuts 1/n_bands of the
+    standing index size and bucket shuffle at 100 TB for measured —
+    not guessed — recall cost (q_lsh_band_planner ranks layouts by
+    the S-curve model; this measures the live layout's redundancy on
+    the actual corpus). Shapes: the pair enumeration is the exact
+    capped bucket join the candidate generator runs (per-band pairs
+    are distinct by construction — one bucket per doc per band); the
+    min-band attribution is one shuffle on the pair key, pair-set
+    sized; the rollup is n_bands rows. All-integer."""
+    docs = load_table(spark, sf_dir, "documents")
+    caps = _lsh_caps(spark, sf_dir, "minhash")
+    buckets = dedup.minhash_buckets(
+        docs, num_hashes=_MH_K, band_size=_MH_BAND,
+        sigs=_minhash_sigs(spark, sf_dir))
+    counts = (
+        buckets.groupBy("band", "bh").agg(F.count("*").alias("n"))
+        .where(F.col("n").between(F.lit(2), dedup.band_cap_col(caps)))
+    )
+    capped = buckets.join(counts.drop("n"), ["band", "bh"])
+    a = capped.select("band", "bh", F.col("doc_id").alias("doc_a"))
+    b = capped.select("band", "bh", F.col("doc_id").alias("doc_b"))
+    # localCheckpoint: the enumerated pair relation feeds BOTH the
+    # per-band count and the min-band attribution
+    bp = (
+        a.join(b, ["band", "bh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("band", "doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    enum_b = bp.groupBy("band").agg(
+        F.count("*").cast("long").alias("n_pairs_band"))
+    marg = (
+        bp.groupBy("doc_a", "doc_b").agg(F.min("band").alias("band"))
+        .groupBy("band").agg(
+            F.count("*").cast("long").alias("n_pairs_marginal"))
+    )
+    grid = spark.createDataFrame(
+        [(int(b_), int(c)) for b_, c in sorted(caps.items())],
+        "band int, cap int",
+    )
+    return (
+        grid.join(enum_b, "band", "left").join(marg, "band", "left")
+        .select(
+            F.col("band").cast("long").alias("band"),
+            F.col("cap").cast("long").alias("cap"),
+            F.coalesce("n_pairs_band", F.lit(0)).cast("long")
+            .alias("n_pairs_band"),
+            F.coalesce("n_pairs_marginal", F.lit(0)).cast("long")
+            .alias("n_pairs_marginal"),
+        )
+        .withColumn(
+            "n_pairs_cum",
+            F.sum("n_pairs_marginal")
+            .over(Window.orderBy("band")).cast("long"),
+        )
+    )
