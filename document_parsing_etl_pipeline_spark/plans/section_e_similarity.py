@@ -342,10 +342,15 @@ def q_ivf_nprobe_curve(spark, sf_dir):
     candidate set is exactly probe_rn <= np of the nprobe=4 relation
     (operators/similarity.py:ivf_probe_candidates with_probe_rank).
     The shared candidate relation and the brute baseline are
-    localCheckpointed — the union's three branches filter memoized
-    rows instead of re-running the scoring pass per point (the
-    round-10 verdict's 3x recompute). Scan volume is COUNTED from
-    the candidate relation, not inferred from nprobe/C."""
+    localCheckpointed, and ALL THREE curve points come out of ONE
+    window pass + ONE conditional aggregation: the per-nprobe top-5
+    rank is a running conditional count over the (cosine desc,
+    vec_id) order — rank-within-subset equals row_number over the
+    probe_rn<=np filtered set because the sort is a strict total
+    order — so no per-point window/join/union re-rounds remain (the
+    round-10 verdict's 3x recompute, removed in two steps). Scan
+    volume is COUNTED from the candidate relation, not inferred from
+    nprobe/C."""
     emb = load_table(spark, sf_dir, "embeddings")
     brute = similarity.knn_brute_cosine(emb, num_queries=5, k=5).select(
         "query_id", "vec_id").localCheckpoint()
@@ -354,37 +359,56 @@ def q_ivf_nprobe_curve(spark, sf_dir):
         with_probe_rank=True,
     ).localCheckpoint()
     n_emb = emb.agg(F.count("*").cast("long").alias("n_emb"))
-    out = None
-    for np_val in (1, 2, 4):
-        cand = cand_all.where(
-            F.col("probe_rn") <= np_val).drop("probe_rn")
-        topk = (
-            cand.withColumn(
-                "rk",
-                F.row_number().over(
-                    Window.partitionBy("query_id")
-                    .orderBy(F.col("cosine").desc(), "vec_id")))
-            .where(F.col("rk") <= 5).select("query_id", "vec_id")
+    nex = brute.agg(F.count("*").cast("long").alias("n_exact"))
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = cand_all.select(
+        "query_id", "vec_id", "probe_rn",
+        *[
+            F.sum(F.when(F.col("probe_rn") <= np_val, 1).otherwise(0))
+            .over(w).alias(f"rk{np_val}")
+            for np_val in (1, 2, 4)
+        ],
+    )
+    j = ranked.join(
+        brute.withColumn("_b", F.lit(1)),
+        ["query_id", "vec_id"], "left",
+    )
+    stats = j.agg(*[
+        a
+        for np_val in (1, 2, 4)
+        for a in (
+            F.sum(F.when(F.col("probe_rn") <= np_val, 1).otherwise(0))
+            .cast("long").alias(f"scanned{np_val}"),
+            F.sum(F.when(
+                (F.col("probe_rn") <= np_val)
+                & (F.col(f"rk{np_val}") <= 5)
+                & F.col("_b").isNotNull(), 1).otherwise(0))
+            .cast("long").alias(f"hits{np_val}"),
         )
-        hits = brute.join(topk, ["query_id", "vec_id"], "semi").agg(
-            F.count("*").cast("long").alias("n_hits"))
-        nex = brute.agg(F.count("*").cast("long").alias("n_exact"))
-        scans = cand.agg(
-            F.count("*").cast("long").alias("scanned_pairs"))
-        row = (
-            nex.crossJoin(F.broadcast(hits))
-            .crossJoin(F.broadcast(scans))
-            .crossJoin(F.broadcast(n_emb))
-            .select(
-                F.lit(np_val).cast("long").alias("nprobe"),
-                "n_exact", "n_hits",
-                F.expr("CAST(n_hits * 1000 div n_exact AS BIGINT)")
-                .alias("recall_permille"),
-                "scanned_pairs",
-                F.expr("CAST(scanned_pairs * 1000"
-                       " div (5 * (n_emb - 1)) AS BIGINT)")
-                .alias("scan_permille"),
-            )
+    ])
+    unpivot = ", ".join(
+        f"{np_val}L, hits{np_val}, scanned{np_val}"
+        for np_val in (1, 2, 4)
+    )
+    return (
+        stats.crossJoin(F.broadcast(nex))
+        .crossJoin(F.broadcast(n_emb))
+        .select(
+            F.expr(f"stack(3, {unpivot})")
+            .alias("nprobe", "n_hits", "scanned_pairs"),
+            "n_exact", "n_emb",
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+        .select(
+            "nprobe", "n_exact", "n_hits",
+            F.expr("CAST(n_hits * 1000 div n_exact AS BIGINT)")
+            .alias("recall_permille"),
+            "scanned_pairs",
+            F.expr("CAST(scanned_pairs * 1000"
+                   " div (5 * (n_emb - 1)) AS BIGINT)")
+            .alias("scan_permille"),
+        )
+    )
