@@ -545,6 +545,13 @@ def main():
     })
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
+    # AMBIENT load, sampled BEFORE the warm-up: the taint flag exists
+    # to catch EXTERNAL box load, but the warm-up itself drives load1
+    # to ~1.9 for a minute (round 11: the heavier warm-up — engaged-cap
+    # derivation inside dedup_minhash_lsh — made the post-warm-up
+    # sample self-trigger the >=1.5 taint on a truly idle box)
+    load_start = os.getloadavg()[0]
+
     # steady-state measurement: warm JIT/codegen/parquet paths with a
     # cheap pass at the smallest SF before timing the real SF
     warm_dir = "/root/testdata/sf0.001"
@@ -555,8 +562,6 @@ def main():
                 "noop").save()
     else:
         spark.range(1).count()
-
-    load_start = os.getloadavg()[0]
 
     # The near-dup components relation is a materialize-once artifact
     # of a corpus snapshot (plans/queries._corpus_components): its
