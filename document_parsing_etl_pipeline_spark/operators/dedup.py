@@ -215,6 +215,7 @@ def containment_pairs(
     band_size: int = 2,
     max_bucket: int | dict = 50,
     threshold: float = 0.8,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric containment verification of LSH candidates (Broder's
     containment measure): c(A⊂B) = |T(A)∩T(B)| / |T(A)|. Symmetric
@@ -228,9 +229,11 @@ def containment_pairs(
     directions reported. Runs only on the capped LSH candidate set
     (recall caveat: very asymmetric sizes also depress the minhash
     band-collision probability — candidates from exact shingle-join
-    pipelines can be substituted via the same verification)."""
+    pipelines can be substituted via the same verification). Pass
+    ``sigs`` (the standing signature artifact) to skip the
+    tokenize+hash scan the candidate stage would otherwise re-run."""
     cands = minhash_lsh_candidates(
-        docs, text_col, num_hashes, band_size, max_bucket
+        docs, text_col, num_hashes, band_size, max_bucket, sigs=sigs
     )
     toks = docs.select(
         "doc_id", _norm_tokens(F.col(text_col)).alias("tokens")
@@ -268,6 +271,7 @@ def edit_distance_pairs(
     max_bucket: int | dict = 50,
     prefix: int = 80,
     max_dist: int = 20,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Edit-distance verification of LSH candidates: Levenshtein on a
     fixed text prefix — the character-level near-dup check that
@@ -277,9 +281,10 @@ def edit_distance_pairs(
     candidate set, never all pairs; the prefix bound keeps the DP
     matrix constant-size regardless of document length. The built-in
     is JVM-side codegen (both engines implement the classic
-    unit-cost DP, so distances match exactly)."""
+    unit-cost DP, so distances match exactly). Pass ``sigs`` (the
+    standing signature artifact) to skip the tokenize+hash scan."""
     cands = minhash_lsh_candidates(
-        docs, text_col, num_hashes, band_size, max_bucket
+        docs, text_col, num_hashes, band_size, max_bucket, sigs=sigs
     )
     pfx = docs.select(
         "doc_id", F.substring(F.col(text_col), 1, prefix).alias("p")

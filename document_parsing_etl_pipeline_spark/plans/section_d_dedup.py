@@ -312,6 +312,7 @@ def q_edit_distance_pairs(spark, sf_dir):
         load_table(spark, sf_dir, "documents"),
         num_hashes=_MH_K, band_size=_MH_BAND,
         max_bucket=_lsh_caps(spark, sf_dir, "minhash"),
+        sigs=_minhash_sigs(spark, sf_dir),
     )
 
 
@@ -564,7 +565,7 @@ def q_containment_pairs(spark, sf_dir):
         load_table(spark, sf_dir, "documents"),
         num_hashes=_MH_K, band_size=_MH_BAND,
         max_bucket=_lsh_caps(spark, sf_dir, "minhash"),
-        threshold=_CONT_TAU,
+        threshold=_CONT_TAU, sigs=_minhash_sigs(spark, sf_dir),
     )
 
 
@@ -1463,6 +1464,107 @@ def q_lsh_band_marginal(spark, sf_dir):
         F.count("*").cast("long").alias("n_pairs_band"))
     marg = (
         bp.groupBy("doc_a", "doc_b").agg(F.min("band").alias("band"))
+        .groupBy("band").agg(
+            F.count("*").cast("long").alias("n_pairs_marginal"))
+    )
+    grid = spark.createDataFrame(
+        [(int(b_), int(c)) for b_, c in sorted(caps.items())],
+        "band int, cap int",
+    )
+    return (
+        grid.join(enum_b, "band", "left").join(marg, "band", "left")
+        .select(
+            F.col("band").cast("long").alias("band"),
+            F.col("cap").cast("long").alias("cap"),
+            F.coalesce("n_pairs_band", F.lit(0)).cast("long")
+            .alias("n_pairs_band"),
+            F.coalesce("n_pairs_marginal", F.lit(0)).cast("long")
+            .alias("n_pairs_marginal"),
+        )
+        .withColumn(
+            "n_pairs_cum",
+            F.sum("n_pairs_marginal")
+            .over(Window.orderBy("band")).cast("long"),
+        )
+    )
+
+
+@register("q_simhash_band_marginal", f"""
+WITH {_simhash_sql()}, sbands AS (
+    SELECT doc_id, simhash, band,
+           (simhash >> (8 * band)) & 255 AS bv
+    FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) n
+), ssized AS (
+    SELECT band, bv, count(*) AS n FROM sbands GROUP BY band, bv
+), {_caps_sql("ssized", "s_")}, scapped AS (
+    SELECT s.doc_id, s.simhash, s.band, s.bv
+    FROM sbands s JOIN ssized z ON z.band = s.band AND z.bv = s.bv
+    JOIN s_caps cp ON cp.band = s.band
+    WHERE z.n BETWEEN 2 AND cp.cap
+), sbp AS (
+    SELECT a.band, a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM scapped a JOIN scapped b ON a.band = b.band AND a.bv = b.bv
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= 3
+), enum_b AS (
+    SELECT band, count(*)::BIGINT AS n_pairs_band FROM sbp GROUP BY band
+), marg AS (
+    SELECT band, count(*)::BIGINT AS n_pairs_marginal FROM (
+        SELECT doc_a, doc_b, min(band) AS band FROM sbp
+        GROUP BY doc_a, doc_b
+    ) GROUP BY band
+)
+SELECT cp.band::BIGINT AS band, cp.cap::BIGINT AS cap,
+       coalesce(e.n_pairs_band, 0)::BIGINT AS n_pairs_band,
+       coalesce(m.n_pairs_marginal, 0)::BIGINT AS n_pairs_marginal,
+       (sum(coalesce(m.n_pairs_marginal, 0))
+            OVER (ORDER BY cp.band))::BIGINT AS n_pairs_cum
+FROM s_caps cp
+LEFT JOIN enum_b e ON e.band = cp.band
+LEFT JOIN marg m ON m.band = cp.band
+""")
+def q_simhash_band_marginal(spark, sf_dir):
+    """The simhash twin of q_lsh_band_marginal: per byte-band under
+    the ENGAGED caps — hamming<=3 pairs the band's buckets enumerate,
+    pairs whose SMALLEST in-cap shared band it is, and the cumulative
+    distinct count. Two readings matter at scale: (1) the marginal
+    column is exactly the emission distribution of the production
+    generator's smallest-shared-band rule (operators/dedup.py:
+    simhash_pairs), so it measures how much enumeration that rule
+    saves vs naive 4-band enumeration + distinct; (2) pigeonhole
+    guarantees a hamming<=3 pair shares SOME band, but a band whose
+    marginal is ~zero only re-finds earlier bands' pairs — the same
+    drop-a-band sizing readout as the minhash variant. Pair
+    enumeration is the exact capped bucket join; min-band attribution
+    shuffles once on the pair key; rollup is n_bands rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    caps = _lsh_caps(spark, sf_dir, "simhash")
+    bands = dedup.simhash_buckets(
+        docs, sigs=_simhash_sigs(spark, sf_dir))
+    counts = (
+        bands.groupBy("band", "bv").agg(F.count("*").alias("n"))
+        .where(F.col("n").between(F.lit(2), dedup.band_cap_col(caps)))
+    )
+    capped = bands.join(counts.drop("n"), ["band", "bv"])
+    a = capped.select(
+        "band", "bv", F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sa"))
+    b = capped.select(
+        "band", "bv", F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sb"))
+    sbp = (
+        a.join(b, ["band", "bv"])
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
+        )
+        .select("band", "doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    enum_b = sbp.groupBy("band").agg(
+        F.count("*").cast("long").alias("n_pairs_band"))
+    marg = (
+        sbp.groupBy("doc_a", "doc_b").agg(F.min("band").alias("band"))
         .groupBy("band").agg(
             F.count("*").cast("long").alias("n_pairs_marginal"))
     )
