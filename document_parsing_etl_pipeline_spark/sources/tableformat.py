@@ -139,9 +139,12 @@ def _bloom_probe(keys) -> dict:
 
 # sidecar bitmap cache: {abs sidecar path: parsed+hash-verified dict}.
 # Sidecars are immutable once written (copy-on-write never edits one
-# in place), so a plain dict is sound; entries are ~8 KiB × files ×
-# cols per sidecar and a session touches a handful of tables.
+# in place), so caching by path is sound; entries are ~8 KiB × files
+# × cols per sidecar. Bounded FIFO (insertion-ordered dict) so a
+# long-lived session touching many tables/commits can't accumulate
+# without limit — eviction only costs a re-read + re-verify.
 _SIDECAR_CACHE: dict = {}
+_SIDECAR_CACHE_MAX = 64
 
 
 def _load_bloom_sidecar(root: str, ref: dict) -> dict:
@@ -165,6 +168,8 @@ def _load_bloom_sidecar(root: str, ref: dict) -> dict:
             "to prune on corrupt bitmaps"
         )
     parsed = json.loads(raw)
+    while len(_SIDECAR_CACHE) >= _SIDECAR_CACHE_MAX:
+        _SIDECAR_CACHE.pop(next(iter(_SIDECAR_CACHE)))
     _SIDECAR_CACHE[path] = parsed
     return parsed
 
