@@ -297,12 +297,19 @@ def edit_distance_pairs(
             pfx.withColumnsRenamed({"doc_id": "doc_b", "p": "pb"}), "doc_b"
         )
     )
+    # bounded DP: levenshtein with a threshold computes the exact
+    # distance for pairs within max_dist and returns -1 beyond it, in
+    # O(max_dist·prefix) per pair instead of O(prefix²) — the -1 rows
+    # are exactly the rows the <= max_dist filter discards, so the
+    # kept output is identical to the unbounded form (the oracle
+    # keeps the full DP; parity is on kept rows only, by construction)
     return (
         joined.select(
             "doc_a", "doc_b",
-            F.levenshtein("pa", "pb").cast("long").alias("edit_dist"),
+            F.levenshtein("pa", "pb", max_dist).cast("long")
+            .alias("edit_dist"),
         )
-        .where(F.col("edit_dist") <= max_dist)
+        .where(F.col("edit_dist").between(0, max_dist))
     )
 
 
