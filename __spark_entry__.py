@@ -52,6 +52,27 @@ _RECHECK: dict[str, int] = {
     # now use the integer micro/nano protocol (schema changed)
     "q_embedding_norms": 8,
     "q_dim_variance_prune": 8,
+    # round 12: front every cap-affected oracle (the engaged-caps
+    # change inlined _caps_sql into 26 oracles in round 11; the
+    # driver's r11 window only re-checked part of the family) plus
+    # the round-12 standing verified-candidate consumers — so the
+    # r12 window re-verifies all of them under the shared artifact
+    **{name: 12 for name in (
+        "q_degree_distribution", "q_graph_assortativity",
+        "q_powerlaw_alpha", "q_graph_modularity",
+        "q_dup_source_matrix", "dedup_minhash_lsh",
+        "dedup_ngram_jaccard", "dedup_components",
+        "dedup_components_star", "dedup_simhash",
+        "q_dedup_method_agreement", "q_minhash_accuracy",
+        "q_edit_distance_pairs", "q_lsh_bucket_stats",
+        "q_incremental_dedup", "q_containment_pairs",
+        "q_neardup_materialize", "q_dedup_threshold_curve",
+        "q_dedup_cluster_sizes", "q_lsh_band_planner",
+        "q_cluster_density", "q_dup_rate_by_length",
+        "q_cluster_purity", "q_dedup_recall_capture",
+        "q_lsh_cap_planner", "q_manifest_bloom_planner",
+        "q_incremental_components",
+    )},
 }
 
 

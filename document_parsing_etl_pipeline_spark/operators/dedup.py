@@ -71,8 +71,13 @@ def band_cap_col(max_bucket) -> Column:
     each band's cap is the largest candidate whose modeled pair
     fanout fits the corpus-proportional verification budget. A band
     missing from the mapping falls back to the mapping's smallest
-    cap: conservative — never more fanout than the plan allows."""
+    cap: conservative — never more fanout than the plan allows.
+    An EMPTY mapping means the planner saw no buckets at all (empty
+    or degenerate corpus): cap 0 filters every bucket, which matches
+    'no buckets' — consumers get an empty pair set, not a crash."""
     if isinstance(max_bucket, dict):
+        if not max_bucket:
+            return F.lit(0)
         expr = F.lit(int(min(max_bucket.values())))
         for band, cap in sorted(max_bucket.items()):
             expr = (
@@ -179,14 +184,21 @@ def ngram_jaccard_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     max_bucket: int | dict = 50,
-    threshold: float = 0.5,
+    threshold: float | None = 0.5,
     sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Verified near-dup pairs: LSH candidates → exact token-set
     Jaccard ≥ threshold. Jaccard is computed with array_intersect /
     array_union on the token arrays joined back per side. Pass
     ``sigs`` (minhash_signature output — e.g. the standing
-    per-corpus signature artifact) to skip the tokenize+hash scan."""
+    per-corpus signature artifact) to skip the tokenize+hash scan.
+
+    ``threshold=None`` skips the filter entirely and returns EVERY
+    capped candidate with its exact jaccard (null when both token
+    sets are empty) — the fully-verified candidate relation that the
+    standing per-corpus artifact materializes once and every
+    downstream threshold (band planner, accuracy calibration, the
+    ≥0.5 pair artifact) derives from by filter."""
     cands = minhash_lsh_candidates(
         docs, text_col, num_hashes, band_size, max_bucket, sigs=sigs
     )
@@ -202,10 +214,10 @@ def ngram_jaccard_pairs(
         / F.size(F.array_union("ta", "tb")),
         4,
     )
-    return (
-        joined.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    out = joined.select("doc_a", "doc_b", jac.alias("jaccard"))
+    if threshold is None:
+        return out
+    return out.where(F.col("jaccard") >= threshold)
 
 
 def containment_pairs(
@@ -216,6 +228,7 @@ def containment_pairs(
     max_bucket: int | dict = 50,
     threshold: float = 0.8,
     sigs: DataFrame | None = None,
+    cands: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric containment verification of LSH candidates (Broder's
     containment measure): c(A⊂B) = |T(A)∩T(B)| / |T(A)|. Symmetric
@@ -231,10 +244,15 @@ def containment_pairs(
     band-collision probability — candidates from exact shingle-join
     pipelines can be substituted via the same verification). Pass
     ``sigs`` (the standing signature artifact) to skip the
-    tokenize+hash scan the candidate stage would otherwise re-run."""
-    cands = minhash_lsh_candidates(
-        docs, text_col, num_hashes, band_size, max_bucket, sigs=sigs
-    )
+    tokenize+hash scan the candidate stage would otherwise re-run,
+    or ``cands`` (a precomputed (doc_a, doc_b) relation — e.g. the
+    standing verified-candidate artifact) to skip candidate
+    generation entirely."""
+    if cands is None:
+        cands = minhash_lsh_candidates(
+            docs, text_col, num_hashes, band_size, max_bucket, sigs=sigs
+        )
+    cands = cands.select("doc_a", "doc_b")
     toks = docs.select(
         "doc_id", _norm_tokens(F.col(text_col)).alias("tokens")
     )
@@ -272,6 +290,7 @@ def edit_distance_pairs(
     prefix: int = 80,
     max_dist: int = 20,
     sigs: DataFrame | None = None,
+    cands: DataFrame | None = None,
 ) -> DataFrame:
     """Edit-distance verification of LSH candidates: Levenshtein on a
     fixed text prefix — the character-level near-dup check that
@@ -282,10 +301,14 @@ def edit_distance_pairs(
     matrix constant-size regardless of document length. The built-in
     is JVM-side codegen (both engines implement the classic
     unit-cost DP, so distances match exactly). Pass ``sigs`` (the
-    standing signature artifact) to skip the tokenize+hash scan."""
-    cands = minhash_lsh_candidates(
-        docs, text_col, num_hashes, band_size, max_bucket, sigs=sigs
-    )
+    standing signature artifact) to skip the tokenize+hash scan, or
+    ``cands`` (a precomputed (doc_a, doc_b) relation — the standing
+    verified-candidate artifact) to skip candidate generation."""
+    if cands is None:
+        cands = minhash_lsh_candidates(
+            docs, text_col, num_hashes, band_size, max_bucket, sigs=sigs
+        )
+    cands = cands.select("doc_a", "doc_b")
     pfx = docs.select(
         "doc_id", F.substring(F.col(text_col), 1, prefix).alias("p")
     )

@@ -449,29 +449,61 @@ def _caps_tag(caps: dict) -> str:
     return "b" + "-".join(f"{b}x{caps[b]}" for b in sorted(caps))
 
 
-def _jaccard_pairs(spark, sf_dir):
-    """Verified near-dup pairs, computed ONCE per (session, corpus
-    snapshot) and shared by every consumer (components, components-
-    star, materialize, cluster sizes). At 100 TB the pair relation
-    and its components are materialized artifacts of a corpus
-    snapshot — written once by the dedup pass, read by every
-    downstream query — not recomputed per query. Locally that is a
-    localCheckpoint memo keyed by (applicationId, sf_dir); with
-    SPARK_GRAFT_ARTIFACTS set the artifact is a table-format snapshot
-    table that survives session restart (sources/artifacts.py — the
-    deployment story, executed)."""
-    key = ("pairs", spark.sparkContext.applicationId, sf_dir)
+def _verified_candidates(spark, sf_dir):
+    """The exact-Jaccard-VERIFIED engaged-caps candidate relation —
+    every capped LSH candidate pair with its exact token-set jaccard
+    (threshold=None: no filter; null jaccard kept for empty-token
+    degenerates) — computed ONCE per (session, corpus snapshot) and
+    keyed by the engaged caps (_caps_tag). This is the one relation
+    every jaccard threshold derives from by FILTER: the ≥0.5 pair
+    artifact (_jaccard_pairs), the band planner's S-curve input
+    (threshold 0.0 ≡ jaccard not null), and the minhash accuracy
+    calibration (all candidates). Before round 12 the band planner
+    re-ran the full verification per query — a 3× idle regression
+    once the engaged caps grew the candidate family 5.7×; now the
+    verification is paid once per corpus snapshot like every other
+    standing artifact. At 100 TB it is a snapshot table written by
+    the dedup pass (SPARK_GRAFT_ARTIFACTS), locally a localCheckpoint
+    memo."""
+    key = ("verified_cands", spark.sparkContext.applicationId, sf_dir)
     caps = _lsh_caps(spark, sf_dir, "minhash")
     return artifacts.load_or_build(
-        spark, sf_dir, "neardup_pairs",
+        spark, sf_dir, "neardup_verified",
         lambda: dedup.ngram_jaccard_pairs(
             load_table(spark, sf_dir, "documents"),
             num_hashes=_MH_K, band_size=_MH_BAND, max_bucket=caps,
-            threshold=0.5, sigs=_minhash_sigs(spark, sf_dir),
+            threshold=None, sigs=_minhash_sigs(spark, sf_dir),
         ),
         _NEARDUP_MEMO, key,
         # _caps_tag in the params: a corpus change that moves the
         # engaged caps re-fingerprints (and rebuilds) the artifact
+        params=f"jaccard.mh{_MH_K}.band{_MH_BAND}"
+               f".maxb{_caps_tag(caps)}.tall",
+    )
+
+
+def _jaccard_pairs(spark, sf_dir):
+    """Verified near-dup pairs (jaccard ≥ 0.5), computed ONCE per
+    (session, corpus snapshot) and shared by every consumer
+    (components, components-star, materialize, cluster sizes). Since
+    round 12 it is a FILTER of the standing verified-candidate
+    relation (_verified_candidates) rather than an independent
+    verification pass — one exact-Jaccard job per corpus snapshot
+    serves every threshold. At 100 TB the pair relation and its
+    components are materialized artifacts of a corpus snapshot —
+    written once by the dedup pass, read by every downstream query —
+    not recomputed per query. Locally that is a localCheckpoint memo
+    keyed by (applicationId, sf_dir); with SPARK_GRAFT_ARTIFACTS set
+    the artifact is a table-format snapshot table that survives
+    session restart (sources/artifacts.py — the deployment story,
+    executed)."""
+    key = ("pairs", spark.sparkContext.applicationId, sf_dir)
+    caps = _lsh_caps(spark, sf_dir, "minhash")
+    return artifacts.load_or_build(
+        spark, sf_dir, "neardup_pairs",
+        lambda: _verified_candidates(spark, sf_dir)
+        .where(F.col("jaccard") >= 0.5),
+        _NEARDUP_MEMO, key,
         params=f"jaccard.mh{_MH_K}.band{_MH_BAND}"
                f".maxb{_caps_tag(caps)}.t0.5",
     )

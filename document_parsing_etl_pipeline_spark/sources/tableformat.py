@@ -137,11 +137,16 @@ def _bloom_probe(keys) -> dict:
     }
 
 
-# sidecar bitmap cache: {abs sidecar path: parsed+hash-verified dict}.
-# Sidecars are immutable once written (copy-on-write never edits one
-# in place), so caching by path is sound; entries are ~8 KiB × files
-# × cols per sidecar. Bounded FIFO (insertion-ordered dict) so a
-# long-lived session touching many tables/commits can't accumulate
+# sidecar bitmap cache: {abs sidecar path: (verified sha256, parsed
+# dict)}. Sidecars are immutable once written (copy-on-write never
+# edits one in place), but the cache does NOT trust that: a hit is
+# served only when the manifest ref's sha256 matches the sha the
+# cached bytes verified against — a rewritten path (stage-retry
+# orphan cleanup reusing data/stage-{s}-vN/_blooms.json) or two refs
+# disagreeing about one path re-reads and re-verifies instead of
+# silently serving the other commit's bitmaps. Entries are ~8 KiB ×
+# files × cols per sidecar. Bounded FIFO (insertion-ordered dict) so
+# a long-lived session touching many tables/commits can't accumulate
 # without limit — eviction only costs a re-read + re-verify.
 _SIDECAR_CACHE: dict = {}
 _SIDECAR_CACHE_MAX = 64
@@ -151,11 +156,14 @@ def _load_bloom_sidecar(root: str, ref: dict) -> dict:
     """Load (and cache) the bloom SIDECAR a manifest entry points to,
     verifying the content hash the manifest recorded — an entry
     whose sidecar was corrupted or swapped fails loudly instead of
-    silently mis-pruning. Returns {file_basename: {col: bloom}}."""
+    silently mis-pruning, and a CACHE hit is honored only when this
+    ref's sha256 matches the cached entry's verified sha (path reuse
+    with different bytes falls through to a fresh read+verify).
+    Returns {file_basename: {col: bloom}}."""
     path = os.path.normpath(os.path.join(root, ref["ref"]))
     hit = _SIDECAR_CACHE.get(path)
-    if hit is not None:
-        return hit
+    if hit is not None and hit[0] == ref["sha256"]:
+        return hit[1]
     import hashlib as _hl
 
     with open(path, "rb") as f:
@@ -170,7 +178,7 @@ def _load_bloom_sidecar(root: str, ref: dict) -> dict:
     parsed = json.loads(raw)
     while len(_SIDECAR_CACHE) >= _SIDECAR_CACHE_MAX:
         _SIDECAR_CACHE.pop(next(iter(_SIDECAR_CACHE)))
-    _SIDECAR_CACHE[path] = parsed
+    _SIDECAR_CACHE[path] = (got, parsed)
     return parsed
 
 
@@ -1448,6 +1456,20 @@ def expire_snapshots(root: str, keep_last: int = 1) -> dict:
         # membership pruning must survive vacuum)
         for e in m["files"] + _dv_entries(m):
             live.update(_entry_live_paths(root, e))
+    # pending Write-Audit-Publish stages are liveness roots too: a
+    # vacuum racing an in-flight stage must not delete the staged
+    # data files, their bloom sidecars, OR the base files the staged
+    # candidate still references (its base version may itself be
+    # expiring) — a later publish would otherwise promote a manifest
+    # with dangling refs whose scans/probes fail on missing files
+    sdir = os.path.join(root, _STAGE_DIR)
+    if os.path.isdir(sdir):
+        for fn in sorted(os.listdir(sdir)):
+            if fn.endswith(".json"):
+                with open(os.path.join(sdir, fn)) as f:
+                    sm = json.load(f)
+                for e in sm["files"] + _dv_entries(sm):
+                    live.update(_entry_live_paths(root, e))
     removed = 0
     data_dir = os.path.join(root, "data")
     for dirpath, _dirs, files in os.walk(data_dir):

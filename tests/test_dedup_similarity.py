@@ -522,7 +522,8 @@ def test_artifact_tables_survive_session_restart(spark, tmp_path, monkeypatch):
 
     names = ["setsim_pairs", "setsim_components", "setsim_index_sh",
              "setsim_index_pref", "neardup_pairs", "neardup_components",
-             "minhash_sigs"]  # round 10: the pairs build consumes it
+             "minhash_sigs",  # round 10: the pairs build consumes it
+             "neardup_verified"]  # round 12: pairs = filter(verified)
     roots = {n: artifacts.table_root(store, sf, n) for n in names}
     vers = {n: tf._versions(r) for n, r in roots.items()}
     assert all(v == [1] for v in vers.values()), vers
@@ -950,3 +951,31 @@ def test_minhash_candidates_respect_engaged_caps(spark):
             .where(F.col("doc_a") < F.col("doc_b")).collect()
         }
     assert engaged == manual and len(engaged) > 0
+
+
+def test_band_cap_col_empty_mapping_filters_everything(spark):
+    """An EMPTY {band: cap} mapping (the planner saw no buckets —
+    empty/degenerate corpus) must behave as 'no buckets' (empty pair
+    set), not crash with min() of an empty sequence."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = _docs(spark, base, base + " extra")
+    assert dedup.minhash_lsh_candidates(df, max_bucket={}).count() == 0
+    # non-empty mapping still pairs (band fallback = smallest cap)
+    assert dedup.minhash_lsh_candidates(df, max_bucket={0: 50}).count() == 1
+
+
+def test_ngram_jaccard_pairs_threshold_none_keeps_all_candidates(spark):
+    """threshold=None returns EVERY capped candidate with its exact
+    jaccard — the verified-candidate relation every downstream
+    threshold derives from by filter (plans _verified_candidates)."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = _docs(spark, base, base + " extra", base + " and more extra")
+    allp = dedup.ngram_jaccard_pairs(df, threshold=None)
+    cands = dedup.minhash_lsh_candidates(df)
+    assert allp.count() == cands.count()
+    # filtering the verified relation == running with the threshold
+    want = {(p.doc_a, p.doc_b, p.jaccard)
+            for p in dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    got = {(p.doc_a, p.doc_b, p.jaccard)
+           for p in allp.where("jaccard >= 0.5").collect()}
+    assert got == want

@@ -1225,3 +1225,69 @@ def test_vacuum_keeps_live_bloom_sidecars_removes_orphaned(
     got, fr, _ = tf.scan_membership(
         spark, bloom_table, "doc_id", [1050])
     assert fr >= 1 and got.where("doc_id = 1050").count() == 1
+
+
+def test_sidecar_cache_rechecks_sha_on_path_reuse(spark, tmp_path):
+    """A cache hit must be honored only when the manifest ref's sha256
+    matches the cached entry's verified sha: a sidecar path rewritten
+    with different bytes (stage-retry reusing data/stage-{s}-vN/) must
+    be re-read and re-verified, never served stale from the cache."""
+    import hashlib
+    import json
+    import os
+
+    root = str(tmp_path / "shatbl")
+    df = spark.range(0, 50).selectExpr(
+        "id AS doc_id", "md5(cast(id AS string)) AS bh")
+    tf.create_table(spark, df.coalesce(1), root,
+                    stats_cols=["doc_id"], bloom_cols=["bh"])
+    head = tf._load_manifest(root, tf._versions(root)[-1])
+    ref = dict(head["files"][0]["blooms"]["bh"])
+    side_path = os.path.normpath(os.path.join(root, ref["ref"]))
+
+    tf._SIDECAR_CACHE.clear()
+    first = tf._load_bloom_sidecar(root, ref)
+    assert side_path in tf._SIDECAR_CACHE
+
+    # rewrite the SAME path with different (valid) bytes, as a stage
+    # retry that reuses the stage dir would
+    with open(side_path) as f:
+        side = json.load(f)
+    k = next(iter(side))
+    side[k]["bh"]["b64"] = "A" * len(side[k]["bh"]["b64"])
+    raw = json.dumps(side).encode()
+    with open(side_path, "wb") as f:
+        f.write(raw)
+    new_ref = {"ref": ref["ref"], "sha256": hashlib.sha256(raw).hexdigest()}
+
+    # a ref carrying the NEW sha must get the new bytes (cache miss +
+    # re-verify), not the stale cached dict
+    fresh = tf._load_bloom_sidecar(root, new_ref)
+    assert fresh != first
+    assert fresh[k]["bh"]["b64"] == "A" * len(side[k]["bh"]["b64"])
+    # and a ref still carrying the OLD sha now fails verification
+    # loudly instead of silently serving either version from cache
+    tf._SIDECAR_CACHE.clear()
+    with pytest.raises(ValueError, match="sidecar"):
+        tf._load_bloom_sidecar(root, ref)
+
+
+def test_vacuum_keeps_pending_stage_files_live(spark, table):
+    """expire_snapshots must treat pending _staged manifests as
+    liveness roots: a vacuum run while a stage is pending must not
+    delete the staged data files (or the base files the candidate
+    still references) — the later publish must still be readable."""
+    staged = spark.createDataFrame(
+        [(800, "pending row", 1)], "doc_id long, text string, grp long"
+    ).coalesce(1)  # no empty part files: removed_files==0 stays strict
+    tf.stage_append(spark, staged, table, stage="slowaudit")
+    # vacuum while the stage is pending: base v1 is the head, so only
+    # orphans could go — but the staged files are NOT orphans anymore
+    out = tf.expire_snapshots(table, keep_last=1)
+    assert out["removed_files"] == 0
+    # audit + publish still function after the vacuum
+    assert tf.read_staged(spark, table, "slowaudit").count() == 101
+    tf.publish_stage(table, "slowaudit")
+    cur = tf.read(spark, table)
+    assert cur.count() == 101
+    assert cur.where("doc_id = 800").count() == 1
