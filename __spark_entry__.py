@@ -72,6 +72,9 @@ _RECHECK: dict[str, int] = {
         "q_cluster_purity", "q_dedup_recall_capture",
         "q_lsh_cap_planner", "q_manifest_bloom_planner",
         "q_incremental_components",
+        # round 12: _NDOPT_FPB is now planner-derived (4 -> 1), which
+        # changes the optimize-cadence simulation's results
+        "q_index_optimize_planner",
     )},
 }
 

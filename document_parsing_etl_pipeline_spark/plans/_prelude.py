@@ -599,6 +599,33 @@ def _corpus_components(spark, sf_dir):
     )
 
 
+# fixed probe ids for the key-scoped component lookup (exist at every
+# driver SF — sf0.001 already has doc_ids 0..499)
+_LOOKUP_DOC_IDS = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89]
+
+
+def _components_scan_keys(spark, sf_dir, doc_ids):
+    """KEY-SCOPED read of the standing component artifact — the same
+    builder/params/memo as _corpus_components, accessed through
+    artifacts.scan_artifact_keys: with SPARK_GRAFT_ARTIFACTS set the
+    artifact table's manifest stats + lead-column bloom prune the
+    file list to the files that can hold a probed doc_id (O(keys)
+    files, not O(artifact) — the 100 TB lookup path); in memo mode
+    it is the identical exact filter over the session-memoized map
+    (what the driver's correctness runs exercise)."""
+    caps = _lsh_caps(spark, sf_dir, "minhash")
+    key = ("comps", spark.sparkContext.applicationId, sf_dir)
+    return artifacts.scan_artifact_keys(
+        spark, sf_dir, "neardup_components",
+        lambda: dedup.connected_components(
+            _jaccard_pairs(spark, sf_dir), max_iter=30
+        ),
+        _NEARDUP_MEMO, key, col="doc_id", keys=doc_ids,
+        params=f"cc30.over.jaccard.mh{_MH_K}.band{_MH_BAND}"
+               f".maxb{_caps_tag(caps)}.t0.5",
+    )
+
+
 def _simhash_sql(bits: int = dedup.SIMHASH_BITS, p: str = "") -> str:
     votes = []
     for b in range(bits):
@@ -1685,18 +1712,24 @@ _BCAST_DEFAULT_MB = 10  # spark.sql.autoBroadcastJoinThreshold default
 # ===================================================================
 
 # Streaming LSH-index maintenance model (q_index_optimize_planner):
-# the stream_neardup ingest appends _NDOPT_FPB bh-clustered files per
-# micro-batch (streaming/neardup.INDEX_FILES_PER_BATCH), so the
-# standing index fragments linearly while OPTIMIZE would rewrite it
-# into ceil(rows / _NDOPT_TFR) files. Per probe, every live file
+# the stream_neardup ingest appends _NDOPT_FPB files per micro-batch
+# — since round 12 DERIVED from the engaged q_manifest_bloom_planner
+# decision (streaming/neardup.index_files_for: ceil(bucket rows /
+# largest-unsaturated rows-per-file), = 1 for the 125-doc simulated
+# trigger), so the standing index fragments linearly while OPTIMIZE
+# would rewrite it into ceil(rows / _NDOPT_TFR) files. Per probe, every live file
 # costs a fixed task overhead (launch + footer + bloom/stats check)
 # on top of the matching rows actually read; _NDOPT_FTRE converts
 # that fixed cost into row-equivalents (measured locally: ~10 ms per
 # scan task vs ~5 us/row through the flag join ≈ 2000 rows — the
 # constant is declared, not silent, and the planner's output shows
 # exactly how sensitive the verdict is to it).
+from ..streaming import neardup as _neardup  # noqa: E402
+
 _NDOPT_B = 125        # simulated docs per micro-batch
-_NDOPT_FPB = 4        # files appended per batch (neardup module const)
+# files appended per simulated batch: the SAME index_files_for the
+# live ingest runs (one shared implementation — cannot diverge)
+_NDOPT_FPB = _neardup.index_files_for(_NDOPT_B * (_MH_K // _MH_BAND))
 _NDOPT_TFR = 100_000  # OPTIMIZE target rows per file
 _NDOPT_FTRE = 2000    # per-file fixed task cost, in row-equivalents
 _NDOPT_HORIZON = 16   # recommend only if payback within this many batches

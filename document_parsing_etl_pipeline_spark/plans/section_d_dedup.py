@@ -552,6 +552,46 @@ def q_containment_pairs(spark, sf_dir):
     )
 
 
+@register("q_component_lookup", _CC_CTES + f"""
+, comps AS (
+    SELECT id AS doc_id, min(label) AS component_id FROM walk GROUP BY id
+), probe(doc_id) AS (VALUES {", ".join(f"({i})" for i in _LOOKUP_DOC_IDS)})
+SELECT p.doc_id::BIGINT AS doc_id,
+       CAST(coalesce(c.component_id, p.doc_id) AS BIGINT)
+           AS canonical_id,
+       c.component_id IS NOT NULL AS in_cluster
+FROM probe p LEFT JOIN comps c ON c.doc_id = p.doc_id
+""")
+def q_component_lookup(spark, sf_dir):
+    """Point LOOKUP into the standing near-dup component artifact —
+    the doc-store-shaped consumer of the dedup pipeline's output
+    ("which cluster is this document in, and who is its canonical?")
+    that at 100 TB must NOT read the corpus-sized component map per
+    query. The read goes through the key-scoped artifact path
+    (_components_scan_keys → artifacts.scan_artifact_keys): in
+    artifact-table mode the manifest range stats + the lead-column
+    membership bloom prune the scan to the files that can hold a
+    probed doc_id BEFORE any data is read (pruning measured in
+    tests/test_dedup_similarity.py); in memo mode the identical
+    filter runs over the session-memoized map. Output is
+    probe-sized; the probe set is a fixed 10-id list shared with the
+    oracle."""
+    probe = spark.createDataFrame(
+        [(i,) for i in _LOOKUP_DOC_IDS], "doc_id long")
+    comps = _components_scan_keys(
+        spark, sf_dir, _LOOKUP_DOC_IDS
+    ).withColumnRenamed("component_id", "cid")
+    return (
+        probe.join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cid", "doc_id").cast("long")
+            .alias("canonical_id"),
+            F.col("cid").isNotNull().alias("in_cluster"),
+        )
+    )
+
+
 @register("q_neardup_materialize", _CC_CTES + """
 , comps AS (
     SELECT id, min(label) AS component_id FROM walk GROUP BY id

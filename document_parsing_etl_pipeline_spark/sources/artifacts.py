@@ -105,6 +105,19 @@ def _stored_fingerprint(root: str) -> str | None:
         "artifact_fingerprint")
 
 
+def _lead_bloom(df: DataFrame) -> list[str]:
+    """Bloom the artifact's LEAD column when its type supports the
+    per-file membership bloom (string/integral — tableformat's
+    correctness gate): the lead column is the artifact's key
+    (doc_a for pairs, doc_id for component maps), and the bloom is
+    what makes scan_keys() prune key-scoped consumers' reads at
+    corpus scale instead of degrading to a whole-table scan."""
+    lead = df.columns[0]
+    if df.schema[lead].dataType.simpleString() in tf._BLOOM_SAFE_TYPES:
+        return [lead]
+    return []
+
+
 def _ensure_table(
     spark: SparkSession, root: str, df_fn: Callable[[], DataFrame],
     fp: str,
@@ -114,6 +127,7 @@ def _ensure_table(
     if not exists(root):
         df = df_fn()
         tf.create_table(spark, df, root, stats_cols=[df.columns[0]],
+                        bloom_cols=_lead_bloom(df),
                         extra_meta={"artifact_fingerprint": fp})
         return True
     if _stored_fingerprint(root) != fp:
@@ -199,6 +213,46 @@ def load_or_build_many(
             else:
                 tf.create_table(spark, df, root,
                                 stats_cols=[df.columns[0]],
+                                bloom_cols=_lead_bloom(df),
                                 extra_meta={"artifact_fingerprint": fp})
     memo[memo_key] = tuple(tf.read(spark, r) for r in roots)
     return memo[memo_key]
+
+
+def scan_artifact_keys(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    builder: Callable[[], DataFrame],
+    memo: dict,
+    memo_key: tuple,
+    col: str,
+    keys: Sequence,
+    params: str = "",
+    source_tables: Sequence[str] = ("documents",),
+) -> DataFrame:
+    """KEY-SCOPED artifact access — the 100 TB read path for consumers
+    that touch a handful of artifact keys (component lookups, the
+    incremental ingest's contraction join), where reading the whole
+    standing pair/component table per query is the scan that stops
+    scaling. In table mode (SPARK_GRAFT_ARTIFACTS) the read goes
+    through tf.scan_keys: manifest range stats + the lead-column
+    membership bloom prune the file list BEFORE any data is read, so
+    the scan is O(files holding a probed key), not O(artifact); rows
+    are then filtered exactly (scan_keys prunes files, not rows). In
+    memo mode it is the same exact filter over the session-memoized
+    relation — identical rows, no hidden disk state (what the
+    driver's correctness runs exercise)."""
+    keys = list(keys)
+    base = artifacts_root()
+    if base is None:
+        df = load_or_build(
+            spark, sf_dir, name, builder, memo, memo_key,
+            params, source_tables,
+        )
+        return df.where(df[col].isin(keys))
+    root = table_root(base, sf_dir, name)
+    _ensure_table(spark, root, builder,
+                  fingerprint(sf_dir, params, source_tables))
+    pruned, _read, _total = tf.scan_keys(spark, root, col, keys)
+    return pruned.where(pruned[col].isin(keys))

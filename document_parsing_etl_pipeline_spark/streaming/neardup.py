@@ -189,10 +189,16 @@ def ingest_batch(
     # pruning on bloomed indexes; the periodic OPTIMIZE below still
     # re-clusters on bh for compaction and tight range stats.
     # Pre-bloom indexes keep the clustered append.
+    # Round 12: the file COUNT is the engaged q_manifest_bloom_planner
+    # decision — files sized to INDEX_ROWS_PER_FILE (largest
+    # rows-per-file whose bloom stays unsaturated) from the batch's
+    # exact bucket-row count (cnt × bands, already observed — no
+    # extra job), replacing the fixed 4-files-per-batch constant.
+    n_files = index_files_for(got["cnt"] * (num_hashes // band_size))
     if has_bh_bloom:
-        buckets_out = bb.coalesce(INDEX_FILES_PER_BATCH)
+        buckets_out = bb.coalesce(n_files)
     else:
-        buckets_out = bb.repartitionByRange(INDEX_FILES_PER_BATCH, "bh")
+        buckets_out = bb.repartitionByRange(n_files, "bh")
     # Round 10: the flag write and the index-file write are
     # INDEPENDENT given the checkpointed bucket relation, so they run
     # as concurrent Spark jobs (two threads, one session — supported
@@ -253,12 +259,47 @@ def ingest_batch(
     return True
 
 
-# files per appended micro-batch: each append range-partitions its
-# bucket rows on bh so per-file bh ranges are disjoint — the manifest
-# stat that lets scan_keys prune the flag join's index read. More
-# files = finer pruning but a bigger manifest; periodic
-# optimize_table re-clusters across batches.
-INDEX_FILES_PER_BATCH = 4
+# rows per appended index file: the ENGAGED decision from
+# q_manifest_bloom_planner's grid (round 12, closing the last fixed
+# layout constant a planner already grades). Per-file blooms prune by
+# membership, and a bloom saturates (bit density > 0.5 — degrades
+# toward read-everything) once a file holds more than
+# ln2 / (k·-ln(1-1/m)) keys; the decision is the LARGEST candidate
+# rows-per-file still below that crossing — fewest files (smallest
+# manifest, fewest fixed per-probe file costs) whose blooms stay
+# sharp. Derived from the bloom geometry tableformat actually ships
+# (_BLOOM_M/_BLOOM_K), not chosen; the planner query renders the full
+# decision table for the same grid and test_round_protocol pins the
+# two to each other.
+BLOOM_NPF_CANDIDATES = (1000, 4000, 16000, 65536)
+
+
+def bloom_rows_per_file() -> int:
+    """Largest candidate rows-per-file below the bloom saturation
+    crossing of the table format's (m, k) — the shared implementation
+    behind q_manifest_bloom_planner's `saturated` flag and the ingest
+    append's file sizing (the _cap_decision pattern: one derivation,
+    engaged and graded, so they cannot diverge)."""
+    import math
+
+    nsat = int(math.floor(
+        math.log(2) / (-math.log(1.0 - 1.0 / tf._BLOOM_M) * tf._BLOOM_K)
+    )) + 1
+    fit = [n for n in BLOOM_NPF_CANDIDATES if n < nsat]
+    return max(fit) if fit else min(BLOOM_NPF_CANDIDATES)
+
+
+INDEX_ROWS_PER_FILE = bloom_rows_per_file()
+
+
+def index_files_for(bucket_rows: int) -> int:
+    """Files for one batch's index append: ceil(bucket rows /
+    INDEX_ROWS_PER_FILE), min 1. A 125-doc trigger (500 bucket rows
+    at 4 bands) lands ONE file instead of the former fixed 4 — 4×
+    less manifest growth and per-probe fixed file cost — while a
+    100k-doc backfill batch fans out to enough files that every
+    file's bloom stays unsaturated."""
+    return max(1, -(-int(bucket_rows) // INDEX_ROWS_PER_FILE))
 
 # engage the bucket-key pushdown only once the index spans enough
 # files that pruning can beat its own cost (one distinct-keys collect
@@ -270,7 +311,7 @@ INDEX_FILES_PER_BATCH = 4
 PUSHDOWN_MIN_FILES = 64
 
 # OPTIMIZE cadence (round 10, SURVEY §7.15): each batch appends
-# INDEX_FILES_PER_BATCH files, so per-probe fixed file costs grow
+# index_files_for(bucket rows) files, so per-probe fixed file costs grow
 # linearly until a re-cluster compacts them. maybe_optimize_index
 # executes the SAME payback rule q_index_optimize_planner derives
 # from the data (plans/queries.py q_index_optimize_planner docstring
@@ -300,10 +341,11 @@ def maybe_optimize_index(
     small index (fixed per-file cost dominates tiny row counts) and
     the stream would rewrite the whole index per batch — the exact
     O(index)-per-batch cost the round-8 MERGE→APPEND fix removed.
-    At min_file_saving=24 and INDEX_FILES_PER_BATCH=4 the rewrite
-    fires every ≥6 batches, amortizing to <=1/6 of the index per
-    batch while per-probe file counts stay bounded by
-    opt_files + 24. The decision is a driver-side manifest pass
+    At min_file_saving=24 and the planner-derived file sizing
+    (index_files_for: 1 file per small trigger batch, more only when
+    a batch's blooms would saturate) the rewrite fires every ≥24
+    small batches, amortizing to <=1/24 of the index per batch while
+    per-probe file counts stay bounded by opt_files + 24. The decision is a driver-side manifest pass
     (zero jobs when it declines); the OPTIMIZE itself is
     row-preserving, carries stream_batch_id, and recomputes per-file
     stats AND blooms, so exactly-once replay and both pruning probes

@@ -979,3 +979,47 @@ def test_ngram_jaccard_pairs_threshold_none_keeps_all_candidates(spark):
     got = {(p.doc_a, p.doc_b, p.jaccard)
            for p in allp.where("jaccard >= 0.5").collect()}
     assert got == want
+
+
+def test_component_lookup_scans_pruned_artifact(spark, tmp_path, monkeypatch):
+    """q_component_lookup's key-scoped artifact read: identical rows
+    in memo and artifact-table modes, the artifact table carries the
+    lead-column bloom, and after a doc_id re-cluster the probe's
+    scan_keys path reads a strict SUBSET of the files (manifest+bloom
+    pruning measured, not assumed)."""
+    from document_parsing_etl_pipeline_spark.plans import queries as Q
+    from document_parsing_etl_pipeline_spark.sources import (
+        artifacts, tableformat as tf,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    Q._NEARDUP_MEMO.clear()
+    want = sorted(map(tuple,
+                      Q.QUERIES["q_component_lookup"](spark, sf).collect()))
+    assert len(want) == len(Q._LOOKUP_DOC_IDS)
+
+    store = str(tmp_path / "artifacts")
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", store)
+    Q._NEARDUP_MEMO.clear()
+    got = sorted(map(tuple,
+                     Q.QUERIES["q_component_lookup"](spark, sf).collect()))
+    assert got == want
+
+    root = artifacts.table_root(store, sf, "neardup_components")
+    head = tf._load_manifest(root, tf._versions(root)[-1])
+    assert head.get("bloom_cols") == ["doc_id"]
+
+    # deployment maintenance: re-cluster the artifact on doc_id so
+    # per-file ranges are narrow, then MEASURE the probe's pruning
+    total = tf.read(spark, root).count()
+    tf.optimize_table(spark, root, target_file_rows=max(1, total // 8),
+                      cluster_by="doc_id")
+    pruned, files_read, files_total = tf.scan_keys(
+        spark, root, "doc_id", list(Q._LOOKUP_DOC_IDS))
+    assert files_total >= 8
+    assert files_read < files_total, (files_read, files_total)
+    # the query still returns exact rows through the pruned path
+    Q._NEARDUP_MEMO.clear()
+    again = sorted(map(tuple,
+                       Q.QUERIES["q_component_lookup"](spark, sf).collect()))
+    assert again == want

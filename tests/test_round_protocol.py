@@ -285,6 +285,15 @@ def test_manifest_bloom_planner_constants_match_tableformat():
 
     assert q._MBLOOM_M == tf._BLOOM_M
     assert q._MBLOOM_K == tf._BLOOM_K
+    # the ENGAGED rows-per-file decision (round 12): the ingest sizes
+    # index files to the largest grid candidate the planner marks
+    # unsaturated — one shared grid, one saturation crossing
+    from document_parsing_etl_pipeline_spark.streaming import neardup
+
+    assert tuple(q._MBLOOM_NPF) == neardup.BLOOM_NPF_CANDIDATES
+    assert neardup.INDEX_ROWS_PER_FILE == max(
+        n for n in q._MBLOOM_NPF if n < q._MBLOOM_NSAT
+    )
 
 
 def test_index_optimize_planner_constants_match_neardup():
@@ -293,7 +302,11 @@ def test_index_optimize_planner_constants_match_neardup():
     from document_parsing_etl_pipeline_spark.plans import queries as q
     from document_parsing_etl_pipeline_spark.streaming import neardup
 
-    assert q._NDOPT_FPB == neardup.INDEX_FILES_PER_BATCH
+    # files per simulated batch = the live ingest's own sizing rule
+    # applied to the simulated trigger (engaged bloom-planner npf)
+    assert q._NDOPT_FPB == neardup.index_files_for(
+        q._NDOPT_B * (q._MH_K // q._MH_BAND)
+    )
     assert q._NDOPT_TFR == neardup.OPT_TARGET_FILE_ROWS
     assert q._NDOPT_FTRE == neardup.OPT_FTRE
     assert q._NDOPT_HORIZON == neardup.OPT_PAYBACK_HORIZON
