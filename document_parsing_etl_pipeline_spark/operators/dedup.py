@@ -821,39 +821,44 @@ def lsh_flag_ingest(
     action count (round-8 streaming-throughput item; the streaming
     ingest's cost was dominated by fixed per-job latency, not data).
     Cap semantics are preserved PER SOURCE: index buckets cap by
-    index-side population over the key-pruned scan, batch buckets by
-    batch-side population — identical to the separate calls."""
+    index-side population, batch buckets by batch-side population —
+    identical to the separate calls (a semi-join pre-prune keeps or
+    drops (band, bh) GROUPS whole, so per-group populations — and
+    therefore the cap verdicts — are the same with or without it).
+
+    Round 12 shuffle-count rewrite (the leg is fixed-latency-bound:
+    ~6k rows over 7 exchanges): both sources union into ONE relation,
+    ONE window pass computes BOTH per-source bucket populations as
+    conditional counts over (band, bh), and the pair join is a
+    SELF-join of that windowed relation — Spark reuses the single
+    exchange on both sides (ReusedExchange), so the whole flag plan
+    runs on 2 real shuffles (window, final group-min) instead of 7
+    (keys-distinct, semi-join build, two windows, join re-exchanges,
+    group-min). Row set identical, pinned by
+    test_lsh_flag_ingest_equals_two_call_composition."""
     from pyspark.sql.window import Window
 
     wkey = Window.partitionBy("band", "bh")
-    keys = batch_buckets.select("band", "bh").distinct()
-    pruned = index_buckets.join(
-        F.broadcast(keys), ["band", "bh"], "left_semi")
-    # per-source cap via a count window instead of groupBy+re-join
-    # (round-9: one shuffle per side instead of two — the leg's cost
-    # is per-stage scheduling, not data volume; identical row set,
-    # pinned by test_lsh_flag_ingest_equals_two_call_composition)
-    capped_i = (
-        pruned.withColumn("_n", F.count("*").over(wkey))
-        .where(F.col("_n") <= band_cap_col(max_bucket))
-        .select(
-            "band", "bh", F.col("doc_id").alias("corpus_doc"),
-            F.lit(False).alias("own"),
-        )
+    cap = band_cap_col(max_bucket)
+    both = (
+        index_buckets.select(
+            "band", "bh", "doc_id", F.lit(False).alias("own"))
+        .unionByName(batch_buckets.select(
+            "band", "bh", "doc_id", F.lit(True).alias("own")))
     )
-    capped_b = (
-        batch_buckets.withColumn("_n", F.count("*").over(wkey))
-        .where(F.col("_n") <= band_cap_col(max_bucket))
-        .select(
-            "band", "bh", F.col("doc_id").alias("corpus_doc"),
-            F.lit(True).alias("own"),
-        )
+    counted = both.select(
+        "band", "bh", "doc_id", "own",
+        F.count(F.when(~F.col("own"), 1)).over(wkey).alias("_ni"),
+        F.count(F.when(F.col("own"), 1)).over(wkey).alias("_nb"),
     )
-    side = capped_i.unionByName(capped_b)
+    side = counted.where(
+        (F.col("own") & (F.col("_nb") <= cap))
+        | (~F.col("own") & (F.col("_ni") <= cap))
+    ).select("band", "bh", F.col("doc_id").alias("corpus_doc"), "own")
+    left = counted.where(F.col("own")).select(
+        "band", "bh", F.col("doc_id").alias("batch_doc"))
     pairs = (
-        batch_buckets
-        .select("band", "bh", F.col("doc_id").alias("batch_doc"))
-        .join(side, ["band", "bh"])
+        left.join(side, ["band", "bh"])
         .where(~F.col("own") | (F.col("corpus_doc") < F.col("batch_doc")))
         .groupBy("batch_doc")
         .agg(F.min("corpus_doc").alias("first_match_doc"))

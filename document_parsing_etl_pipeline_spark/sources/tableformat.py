@@ -137,6 +137,41 @@ def _bloom_probe(keys) -> dict:
     }
 
 
+def _lazy_bloom_probe(keys):
+    """Deferred _bloom_probe: hashing a probe set costs ~2-4 us/key
+    of driver Python (md5 + slicing), which at a 60k-key streaming
+    pushdown is ~0.2-0.3 s paid BEFORE any file check — wasted
+    whenever every candidate file is bloom-unprunable anyway
+    (_bloom_prunable). The scans hash lazily: only when the first
+    prunable file actually needs the probe."""
+    state: dict = {}
+
+    def get() -> dict:
+        if "p" not in state:
+            state["p"] = _bloom_probe(keys)
+        return state["p"]
+
+    return get
+
+
+def _bloom_prunable(e: dict, col: str, n_keys: int) -> bool:
+    """Could this file's bloom plausibly RULE OUT a probe of
+    ``n_keys`` uniformly-hashed keys? Expected false hits are
+    n_keys x density^k with density estimated from the file's row
+    count (an OVERestimate when rows repeat keys — which only skips
+    the bloom conservatively, never mis-prunes); at >= 0.5 expected
+    hits the file would almost surely hit anyway, so probing it
+    costs hashing without buying pruning. This is what keeps the
+    bloom path sharp for point lookups while LARGE probes (a 17k-doc
+    streaming batch) fall through to range stats + the confirming
+    read instead of paying ~0.3 s of dead probe hashing per batch."""
+    if e.get("blooms", {}).get(col) is None:
+        return False
+    density = 1.0 - (1.0 - 1.0 / _BLOOM_M) ** (
+        _BLOOM_K * max(int(e.get("rows", 0)), 0))
+    return n_keys * density ** _BLOOM_K < 0.5
+
+
 # sidecar bitmap cache: {abs sidecar path: (verified sha256, parsed
 # dict)}. Sidecars are immutable once written (copy-on-write never
 # edits one in place), but the cache does NOT trust that: a hit is
@@ -605,7 +640,7 @@ def scan_keys(
     ks = sorted(keys)
     import bisect
 
-    probe = _bloom_probe(keys)
+    probe = _lazy_bloom_probe(keys)
 
     def _hit(e: dict) -> bool:
         # a file entry with NO recorded stats for col (older commits
@@ -613,10 +648,14 @@ def scan_keys(
         # the bloom check — a file written under old stats_cols can
         # still carry a bloom for col (mixed-history tables), and
         # _bloom_file_hit itself degrades to True when it doesn't
-        # (same independent-checks shape as scan_membership)
+        # (same independent-checks shape as scan_membership).
+        # _bloom_prunable gates every bloom use: a probe too large to
+        # clear this file skips the (hash-the-probe) cost entirely
         st = e["stats"].get(col)
         if st is None:
-            return _bloom_file_hit(e, col, probe, root)
+            if not _bloom_prunable(e, col, len(ks)):
+                return True
+            return _bloom_file_hit(e, col, probe(), root)
         lo, hi = st
         if lo is None:
             return False
@@ -627,7 +666,9 @@ def scan_keys(
         # for col) can still rule the file out: files clustered on a
         # DIFFERENT column have wide [lo,hi] on this one, and with
         # more than a handful of keys the range test keeps everything
-        return _bloom_file_hit(e, col, probe, root)
+        if not _bloom_prunable(e, col, len(ks)):
+            return True
+        return _bloom_file_hit(e, col, probe(), root)
 
     keep = [e for e in m["files"] if _hit(e)]
     if not keep:
@@ -656,7 +697,8 @@ def scan_membership(
     present, still apply first)."""
     m = _load_manifest(root, version or _versions(root)[-1])
     ks = sorted(k for k in keys if k is not None)
-    probe = _bloom_probe(keys)
+    has_null = any(k is None for k in keys)
+    probe = _lazy_bloom_probe(keys)
     import bisect
 
     def _range_hit(e: dict) -> bool:
@@ -665,15 +707,20 @@ def scan_membership(
             return True
         lo, hi = st
         if lo is None:
-            return probe["has_null"]
+            return has_null
         if not ks:
-            return probe["has_null"]
+            return has_null
         i = bisect.bisect_left(ks, lo)
-        return (i < len(ks) and ks[i] <= hi) or probe["has_null"]
+        return (i < len(ks) and ks[i] <= hi) or has_null
 
+    # _bloom_prunable gates the probe (see scan_keys): a probe too
+    # large to clear a file reads it without paying the hash cost
     keep = [
         e for e in m["files"]
-        if _range_hit(e) and _bloom_file_hit(e, col, probe, root)
+        if _range_hit(e) and (
+            not _bloom_prunable(e, col, len(ks))
+            or _bloom_file_hit(e, col, probe(), root)
+        )
     ]
     if not keep:
         return read(spark, root, version).limit(0), 0, len(m["files"])

@@ -99,9 +99,55 @@ def ingest_batch(
     """Flag one micro-batch against the standing index, write the
     flags, and APPEND the batch's buckets to the index exactly once
     (Write-Audit-Publish: both writes overlap, the manifest commit
-    lands last). Returns False for replayed or empty batches."""
+    lands last). Returns False for replayed or empty batches.
+
+    Runs with AQE disabled for the batch's jobs (restored after):
+    every relation here is trigger-bounded with no skew or size
+    surprises, so adaptive re-planning buys nothing while its
+    per-exchange stage materialization adds ~0.1-0.15 s of driver
+    latency per action — measured on the sf0.1 ingest legs, where
+    per-batch FIXED latency, not data volume, is the whole cost."""
     if batch_id <= last_committed_batch(index_root):
         return False
+    _aqe = "spark.sql.adaptive.enabled"
+    _aqe_was = spark.conf.get(_aqe, "true")
+    spark.conf.set(_aqe, "false")
+    try:
+        return _ingest_batch_run(
+            spark, batch_df, index_root, flags_root, batch_id,
+            num_hashes, band_size, max_bucket, validate_new_ids,
+            optimize_cadence,
+        )
+    finally:
+        spark.conf.set(_aqe, _aqe_was)
+
+
+def _ingest_batch_run(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    index_root: str,
+    flags_root: str,
+    batch_id: int,
+    num_hashes: int,
+    band_size: int,
+    max_bucket: int | dict,
+    validate_new_ids: bool,
+    optimize_cadence: bool,
+) -> bool:
+    # phase timing diagnostic (SPARK_GRAFT_ND_TIMING=1): per-batch
+    # wall breakdown to stderr — the ingest is fixed-latency-bound at
+    # small triggers, so optimization targets the slowest PHASE, not
+    # guesses
+    import sys as _sys
+    import time as _time
+
+    _tm = os.environ.get("SPARK_GRAFT_ND_TIMING") == "1"
+    _t0 = _time.time()
+    _marks: list = []
+
+    def _mark(label: str) -> None:
+        if _tm:
+            _marks.append((label, round(_time.time() - _t0, 3)))
     # parse the batch source ONCE (round-9 throughput fix): the plain
     # batch_df re-reads its source files in EVERY job that references
     # it. Round 10 folds the former isEmpty probe AND the new-ids
@@ -117,34 +163,111 @@ def ingest_batch(
         F.max("doc_id").alias("hi"),
     ).localCheckpoint()
     got = obs.get
+    _mark("parse+observe")
     if got["cnt"] == 0:
         return False
     # feeds flagging (3 refs) + the index append
     bb = minhash_buckets(
         batch, num_hashes=num_hashes, band_size=band_size
     ).localCheckpoint()
+    _mark("bucket_checkpoint")
     # ONE bounded collect (≤ bands × trigger-size rows off the local
     # checkpoint) feeds BOTH driver-side probes: the new-ids guard's
     # doc_id membership test and the bucket-key pushdown's bh set —
     # lazily, so the monotone fast path (guard range-misses every
     # file, rangeless pushdown skipped) never pays it
-    pairs: list | None = None
+    import threading
 
-    def _pairs() -> list:
+    pairs = None  # pandas frame of the batch's (doc_id, bh) rows
+    pairs_lock = threading.Lock()  # guard + pushdown race on the memo
+
+    def _pairs():
         nonlocal pairs
-        if pairs is None:
+        with pairs_lock:
+            if pairs is not None:
+                return pairs
             # no .distinct(): that's a shuffle job on a relation the
             # band fanout already bounds (bands x trigger size) —
-            # collecting raw off the local checkpoint and deduping
-            # driver-side is strictly cheaper at these sizes
-            pairs = bb.select("doc_id", "bh").collect()
+            # fetching raw off the local checkpoint and deduping
+            # driver-side is strictly cheaper at these sizes. Arrow
+            # toPandas, NOT collect(): Row materialization is ~5-10us
+            # per row of pure driver Python (measured ~0.4s at a 17k-
+            # doc trigger — it scaled linearly with trigger size),
+            # the Arrow batch path is ~ms; uniques are numpy
+            pairs = bb.select("doc_id", "bh").toPandas()
         return pairs
 
-    if validate_new_ids:
-        _assert_ids_new(
-            spark, bb, index_root, got["lo"], got["hi"],
-            ids_fn=lambda: sorted({r["doc_id"] for r in _pairs()}),
-        )
+    def _batch_ids() -> list:
+        import numpy as np
+
+        return [int(x) for x in np.unique(_pairs()["doc_id"].to_numpy())]
+
+    def _batch_keys() -> list:
+        import numpy as np
+
+        return [str(x) for x in
+                np.unique(_pairs()["bh"].to_numpy().astype(str))]
+
+    # START the index append first (round 12): the stage write is
+    # independent of the guard, the scan, and the flag join, and
+    # Write-Audit-Publish makes the overlap safe — publish happens
+    # strictly last, and any failure on either side discards the
+    # stage. Threading it here (instead of after the guard) takes the
+    # guard + pruned-scan latency off the critical path: the stage's
+    # file write + stats/bloom back-read run concurrently with them.
+    head = tf._load_manifest(index_root, tf._versions(index_root)[-1])
+    has_bh_bloom = "bh" in (head.get("bloom_cols") or [])
+    # the file COUNT is the engaged q_manifest_bloom_planner decision
+    # — files sized to INDEX_ROWS_PER_FILE (largest rows-per-file
+    # whose bloom stays unsaturated) from the batch's exact
+    # bucket-row count (cnt × bands, already observed — no extra
+    # job), replacing the fixed 4-files-per-batch constant. Pre-bloom
+    # indexes keep the bh-clustered append (range stats are their
+    # only pruning axis).
+    n_files = index_files_for(got["cnt"] * (num_hashes // band_size))
+    if has_bh_bloom:
+        buckets_out = bb.coalesce(n_files)
+    else:
+        buckets_out = bb.repartitionByRange(n_files, "bh")
+    stage = f"nd-{batch_id}"
+    if os.path.exists(
+        os.path.join(index_root, tf._STAGE_DIR, f"{stage}.json")
+    ):
+        tf.discard_stage(index_root, stage)  # crashed prior attempt
+    stage_err: list[BaseException] = []
+
+    def _write_stage() -> None:
+        try:
+            tf.stage_append(
+                spark, buckets_out, index_root, stage,
+                extra_meta={"stream_batch_id": batch_id},
+            )
+        except BaseException as e:  # surface on the caller thread
+            stage_err.append(e)
+
+    th = threading.Thread(target=_write_stage, daemon=True)
+    th.start()
+    # the new-ids GUARD runs on its own thread too (round 12): its
+    # verdict gates PUBLISH, not the writes — at large shuffled-id
+    # triggers its confirming semi-join is a real Spark job, and
+    # serializing it before the flag join put it on the critical
+    # path. Three concurrent job groups (stage write, guard, flag
+    # join + write), one publish barrier; a guard violation still
+    # discards the stage and raises before anything becomes visible.
+    guard_err: list[BaseException] = []
+
+    def _run_guard() -> None:
+        try:
+            if validate_new_ids:
+                _assert_ids_new(
+                    spark, bb, index_root, got["lo"], got["hi"],
+                    ids_fn=_batch_ids,
+                )
+        except BaseException as e:  # surface at the publish barrier
+            guard_err.append(e)
+
+    gth = threading.Thread(target=_run_guard, daemon=True)
+    gth.start()
     # bucket-key pushdown into the snapshot scan (round-9): the
     # batch's key set — bounded by 4x the trigger size, a
     # driver-safe collect — prunes the index read to files that can
@@ -155,100 +278,69 @@ def ingest_batch(
     # range-hits every file — bloomed indexes engage immediately,
     # range-stats-only ones still wait for PUSHDOWN_MIN_FILES where
     # pruning can beat the collect's fixed cost. Pre-bh-stats index
-    # tables fall back to the full read.
-    head = tf._load_manifest(index_root, tf._versions(index_root)[-1])
-    has_bh_bloom = "bh" in (head.get("bloom_cols") or [])
-    if ("bh" in head.get("stats_cols", [])
-            and head["files"]
-            and (has_bh_bloom
-                 or len(head["files"]) > PUSHDOWN_MIN_FILES)):
-        keys = sorted({r["bh"] for r in _pairs()})
-        index, _, _ = tf.scan_keys(spark, index_root, "bh", keys)
-    else:
-        index = tf.read(spark, index_root)
-    # one-pass flagging against index AND own-batch smaller ids
-    # (round-8: fuses the former two lsh_flag_against_index actions +
-    # reconciliation join into a single action — the leg's cost was
-    # fixed per-job latency, not data volume)
-    flags = lsh_flag_ingest(
-        batch.select("doc_id"), bb, index, max_bucket
-    )
-    # index update is an APPEND, not a MERGE (round-8 throughput fix):
-    # ingest doc_ids are new by contract — now ENFORCED by
-    # _assert_ids_new's stats-pruned check above — and replays are
-    # skipped by the stream_batch_id guard, so the CoW MERGE's
-    # per-batch key-bounds collect + hit-detection scan over every
-    # candidate index file (O(index) reads per batch) bought nothing.
-    # An updating ingest should tf.merge_into here and pay the
-    # rewrite.
-    # Round 10: the append COALESCES instead of range-shuffling. The
-    # former repartitionByRange(…, "bh") bought disjoint per-file bh
-    # RANGES for scan_keys — at the cost of a sampling job + a
-    # shuffle per batch. Per-file BLOOMS prune by membership
-    # regardless of file layout, so the clustering no longer buys
-    # pruning on bloomed indexes; the periodic OPTIMIZE below still
-    # re-clusters on bh for compaction and tight range stats.
-    # Pre-bloom indexes keep the clustered append.
-    # Round 12: the file COUNT is the engaged q_manifest_bloom_planner
-    # decision — files sized to INDEX_ROWS_PER_FILE (largest
-    # rows-per-file whose bloom stays unsaturated) from the batch's
-    # exact bucket-row count (cnt × bands, already observed — no
-    # extra job), replacing the fixed 4-files-per-batch constant.
-    n_files = index_files_for(got["cnt"] * (num_hashes // band_size))
-    if has_bh_bloom:
-        buckets_out = bb.coalesce(n_files)
-    else:
-        buckets_out = bb.repartitionByRange(n_files, "bh")
-    # Round 10: the flag write and the index-file write are
-    # INDEPENDENT given the checkpointed bucket relation, so they run
-    # as concurrent Spark jobs (two threads, one session — supported
-    # scheduling) via the table format's Write-Audit-Publish path;
-    # the manifest COMMIT happens strictly after both succeed, so the
-    # exactly-once contract is unchanged: a crash before publish
-    # leaves the watermark at the prior batch and the replay rewrites
-    # both outputs (the orphaned stage is discarded on re-entry).
-    import threading
-
-    stage = f"nd-{batch_id}"
-    if os.path.exists(
-        os.path.join(index_root, tf._STAGE_DIR, f"{stage}.json")
-    ):
-        tf.discard_stage(index_root, stage)  # crashed prior attempt
-    flag_err: list[BaseException] = []
-
-    def _write_flags() -> None:
-        try:
-            flags.write.mode("overwrite").parquet(
-                os.path.join(flags_root, f"batch_id={batch_id}")
-            )
-        except BaseException as e:  # surface on the caller thread
-            flag_err.append(e)
-
-    th = threading.Thread(target=_write_flags, daemon=True)
-    th.start()
+    # tables fall back to the full read. (``head`` reflects the
+    # pre-append snapshot regardless of the in-flight stage thread —
+    # stages never touch the main version chain until publish.)
     try:
-        tf.stage_append(
-            spark, buckets_out, index_root, stage,
-            extra_meta={"stream_batch_id": batch_id},
+        if ("bh" in head.get("stats_cols", [])
+                and head["files"]
+                and (has_bh_bloom
+                     or len(head["files"]) > PUSHDOWN_MIN_FILES)):
+            keys = _batch_keys()
+            index, _, _ = tf.scan_keys(spark, index_root, "bh", keys)
+            _mark("guard+scan_keys")
+        else:
+            index = tf.read(spark, index_root)
+            _mark("guard+full_read")
+        # one-pass flagging against index AND own-batch smaller ids
+        # (round-8: fuses the former two lsh_flag_against_index
+        # actions + reconciliation join into a single action; round
+        # 12 cut its plan from 7 exchanges to 2 — the leg's cost is
+        # fixed per-stage latency, not data volume)
+        flags = lsh_flag_ingest(
+            batch.select("doc_id"), bb, index, max_bucket
+        )
+        # index update is an APPEND, not a MERGE (round-8 throughput
+        # fix): ingest doc_ids are new by contract — ENFORCED by
+        # _assert_ids_new's stats-pruned check above — and replays
+        # are skipped by the stream_batch_id guard, so the CoW
+        # MERGE's per-batch key-bounds collect + hit-detection scan
+        # over every candidate index file (O(index) reads per batch)
+        # bought nothing. An updating ingest should tf.merge_into
+        # here and pay the rewrite. The flag write runs on THIS
+        # thread, concurrent with the stage thread's file write +
+        # stats/bloom back-read (two threads, one session — supported
+        # scheduling); the manifest COMMIT happens strictly after
+        # both succeed, so the exactly-once contract is unchanged: a
+        # crash before publish leaves the watermark at the prior
+        # batch and the replay rewrites both outputs (the orphaned
+        # stage is discarded on re-entry).
+        flags.write.mode("overwrite").parquet(
+            os.path.join(flags_root, f"batch_id={batch_id}")
         )
     except BaseException:
-        # join the flag writer BEFORE propagating: a foreachBatch
-        # retry re-enters ingest_batch and overwrites the same
-        # flags_root/batch_id=N path — two concurrent Spark writes to
-        # one path can corrupt that batch's flag output. The stage is
-        # discarded if its JSON landed; an orphaned data dir (crash
-        # before the JSON) is cleaned by stage_append on re-entry.
+        # join BOTH helper threads BEFORE propagating: a foreachBatch
+        # retry re-enters ingest_batch and must not race an in-flight
+        # stage write on the same stage tag (or a guard job); the
+        # landed stage JSON is discarded, never published
         th.join()
+        gth.join()
         if os.path.exists(
             os.path.join(index_root, tf._STAGE_DIR, f"{stage}.json")
         ):
             tf.discard_stage(index_root, stage)
         raise
     th.join()
-    if flag_err:
-        tf.discard_stage(index_root, stage)
-        raise flag_err[0]
+    gth.join()
+    _mark("stage+flags_written")
+    if guard_err or stage_err:
+        if os.path.exists(
+            os.path.join(index_root, tf._STAGE_DIR, f"{stage}.json")
+        ):
+            tf.discard_stage(index_root, stage)
+        raise (guard_err or stage_err)[0]
     tf.publish_stage(index_root, stage)
+    _mark("publish")
     # OPTIMIZE cadence (round 10): a driver-side manifest check per
     # batch, a bh re-cluster only when the planner rule says the
     # rewrite pays back (maybe_optimize_index docstring) — keeps the
@@ -256,6 +348,11 @@ def ingest_batch(
     # re-introducing per-batch O(index) rewrites
     if optimize_cadence:
         maybe_optimize_index(spark, index_root)
+        _mark("optimize_cadence")
+    if _tm:
+        print(f"nd_timing batch={batch_id} cnt={got['cnt']} "
+              + " ".join(f"{l}={t}" for l, t in _marks),
+              file=_sys.stderr)
     return True
 
 
