@@ -66,6 +66,7 @@ WHITELIST = {
     ("dedup_components_star", 4, _J): "RATIO_BOUNDED",
     ("dedup_ngram_jaccard", 4, _J): "RATIO_BOUNDED",
     ("q_cluster_density", 4, _J): "RATIO_BOUNDED",
+    ("q_component_lookup", 4, _J): "RATIO_BOUNDED",
     ("q_cluster_purity", 4, _J): "RATIO_BOUNDED",
     ("q_dedup_cluster_sizes", 4, _J): "RATIO_BOUNDED",
     ("q_dedup_recall_capture", 4, _J): "RATIO_BOUNDED",
