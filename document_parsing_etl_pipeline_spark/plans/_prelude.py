@@ -1773,6 +1773,29 @@ _MBLOOM_NSAT = int(_math.floor(
 )) + 1
 
 
+# Round 13 — measured-popcount prunability audit
+# (q_bloom_popcount_audit): the per-(probe-size) INTEGER crossings of
+# tableformat._bloom_prunable's rule, Python-precomputed by the ONE
+# shared derivation (tableformat.bloom_prunable_crossings) and
+# interpolated as literals into both engine texts — the engaged gate,
+# the audit query, and the oracle cannot diverge, and no engine ever
+# compares a transcendental (the _MBLOOM_NSAT protocol). Probe sizes:
+# a component point lookup (10 keys, the q_component_lookup shape),
+# the simulated ingest trigger (_NDOPT_B docs), and a backfill-scale
+# pushdown (65536 keys — the probe class the round-12 estimate was
+# protecting against).
+from ..sources import tableformat as _tableformat  # noqa: E402
+
+_BPA_PROBES = [10, _NDOPT_B, 65536]
+_BPA_CROSS = {
+    nk: _tableformat.bloom_prunable_crossings(nk) for nk in _BPA_PROBES
+}
+# docs per modeled index file: the ENGAGED rows-per-file decision
+# (streaming/neardup.INDEX_ROWS_PER_FILE) over the bands-per-doc
+# fanout — one batch of this many docs lands one appended file
+_BPA_DOCS_PER_FILE = _neardup.INDEX_ROWS_PER_FILE // (_MH_K // _MH_BAND)
+
+
 # star-export EVERYTHING (including underscore-prefixed helpers)
 # so the section modules and plans/queries.py share one namespace
 __all__ = [n for n in list(globals()) if not n.startswith('__')]

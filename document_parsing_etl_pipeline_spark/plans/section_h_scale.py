@@ -1024,3 +1024,112 @@ def q_manifest_bloom_planner(spark, sf_dir):
         ).alias("manifest_bloom_kb"),
         F.expr(f"npf >= {_MBLOOM_NSAT}").alias("saturated"),
     ).orderBy("rows_per_file")
+
+
+def _bpa_grid_sql() -> str:
+    return ", ".join(
+        f"({nk}, {_BPA_CROSS[nk][0]}, {_BPA_CROSS[nk][1]})"
+        for nk in _BPA_PROBES
+    )
+
+
+@register("q_bloom_popcount_audit", f"""
+WITH {_mh_sig_sql()}, bucketed AS (
+    SELECT doc_id, band,
+           CASE band {" ".join(
+               "WHEN {b} THEN md5({c})".format(
+                   b=b,
+                   c=" || ".join(
+                       f"mh{b * _MH_BAND + r}" for r in range(_MH_BAND)
+                   ),
+               )
+               for b in range(_MH_K // _MH_BAND)
+           )} END AS bh
+    FROM sigs CROSS JOIN (SELECT unnest([{",".join(
+        str(b) for b in range(_MH_K // _MH_BAND)
+    )}]) AS band) b
+    WHERE mh0 IS NOT NULL
+), pos AS (
+    SELECT doc_id // {_BPA_DOCS_PER_FILE} AS file_id, doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                           1 + 4 * j, 4))::BIGINT AS pos
+    FROM bucketed
+    CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS j) jj
+), per_file AS (
+    SELECT file_id,
+           count(*) // 8 AS rows_in_file,
+           count(DISTINCT doc_id) AS distinct_keys,
+           count(DISTINCT pos) AS nbits
+    FROM pos GROUP BY file_id
+), grid(n_keys, nbits_lim, rows_lim) AS (VALUES {_bpa_grid_sql()})
+SELECT f.file_id::BIGINT AS file_id,
+       g.n_keys::BIGINT AS n_keys,
+       f.rows_in_file::BIGINT AS rows_in_file,
+       f.distinct_keys::BIGINT AS distinct_keys,
+       f.nbits::BIGINT AS nbits,
+       f.nbits < g.nbits_lim AS prunable_measured,
+       f.rows_in_file < g.rows_lim AS prunable_estimated,
+       (f.nbits < g.nbits_lim AND NOT (f.rows_in_file < g.rows_lim))
+           AS popcount_gain
+FROM per_file f CROSS JOIN grid g
+ORDER BY file_id, n_keys
+""")
+def q_bloom_popcount_audit(spark, sf_dir):
+    """MEASURED-vs-ESTIMATED bloom prunability over the standing LSH
+    index's file layout — the decision table behind the round-13
+    sidecar-POPCOUNT fix. The index is the blooms' primary customer
+    and its files repeat keys (every doc contributes bands rows per
+    file), so the pre-r13 row-count density estimate OVERSHOOTS and
+    refuses exactly the probes the blooms were built for; manifests
+    now record the file's exact popcount (``nbits``) and
+    tableformat._bloom_prunable decides from measured bits. Per
+    modeled index file (one {_BPA_DOCS_PER_FILE}-doc append, the
+    ENGAGED rows-per-file decision) × probe size: rows, distinct
+    keys, the exact nbits (count of distinct md5 bit positions — the
+    same expression _write_files aggregates), and the two prunable
+    verdicts as pure INTEGER comparisons against Python-precomputed
+    crossings (tableformat.bloom_prunable_crossings — one shared
+    derivation with the engaged gate, pinned by
+    tests/test_round_protocol). ``popcount_gain`` marks files the
+    measured decision prunes that the estimate would have read —
+    the audit's headline column. One explode + count-distinct agg
+    over the standing signature artifact; grid broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    buckets = dedup.minhash_buckets(
+        docs, num_hashes=_MH_K, band_size=_MH_BAND,
+        sigs=_minhash_sigs(spark, sf_dir),
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    pos = F.array(*[
+        F.conv(F.substring(h, 1 + 4 * j, 4), 16, 10).cast("long")
+        for j in range(_MBLOOM_K)
+    ])
+    exploded = buckets.select(
+        F.expr(f"doc_id div {_BPA_DOCS_PER_FILE}").alias("file_id"),
+        "doc_id", F.explode(pos).alias("pos"),
+    )
+    per_file = exploded.groupBy("file_id").agg(
+        F.expr("count(*) div 8").cast("long").alias("rows_in_file"),
+        F.countDistinct("doc_id").cast("long").alias("distinct_keys"),
+        F.countDistinct("pos").cast("long").alias("nbits"),
+    )
+    grid = spark.createDataFrame(
+        [(nk, *_BPA_CROSS[nk]) for nk in _BPA_PROBES],
+        "n_keys long, nbits_lim long, rows_lim long",
+    )
+    return (
+        per_file.crossJoin(F.broadcast(grid))
+        .select(
+            F.col("file_id").cast("long").alias("file_id"),
+            "n_keys", "rows_in_file", "distinct_keys", "nbits",
+            (F.col("nbits") < F.col("nbits_lim"))
+            .alias("prunable_measured"),
+            (F.col("rows_in_file") < F.col("rows_lim"))
+            .alias("prunable_estimated"),
+            (
+                (F.col("nbits") < F.col("nbits_lim"))
+                & ~(F.col("rows_in_file") < F.col("rows_lim"))
+            ).alias("popcount_gain"),
+        )
+        .orderBy("file_id", "n_keys")
+    )

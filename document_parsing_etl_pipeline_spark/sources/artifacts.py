@@ -133,9 +133,17 @@ def _ensure_table(
     if _stored_fingerprint(root) != fp:
         # stale (corpus or params changed) or pre-fingerprint table:
         # REPLACE with a fresh build — never serve stale rows to a
-        # hash-validated query
-        tf.replace(spark, df_fn(), root,
-                   extra_meta={"artifact_fingerprint": fp})
+        # hash-validated query. The rebuild re-asserts the CURRENT
+        # layout (lead-column stats + bloom) instead of carrying the
+        # prior head's config: a table created before blooms existed
+        # gains the lead bloom here (round 13, advice — otherwise
+        # scan_artifact_keys on pre-bloom stores degraded to
+        # range-stats-only pruning forever).
+        df = df_fn()
+        tf.replace(spark, df, root,
+                   extra_meta={"artifact_fingerprint": fp},
+                   stats_cols=[df.columns[0]],
+                   bloom_cols=_lead_bloom(df))
         return True
     return False
 
@@ -208,8 +216,12 @@ def load_or_build_many(
         built = builder_all()
         for root, df in zip(roots, built):
             if exists(root):
+                # same layout re-assertion as _ensure_table's stale
+                # path: the rebuild upgrades pre-bloom member tables
                 tf.replace(spark, df, root,
-                           extra_meta={"artifact_fingerprint": fp})
+                           extra_meta={"artifact_fingerprint": fp},
+                           stats_cols=[df.columns[0]],
+                           bloom_cols=_lead_bloom(df))
             else:
                 tf.create_table(spark, df, root,
                                 stats_cols=[df.columns[0]],

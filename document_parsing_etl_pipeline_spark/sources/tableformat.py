@@ -157,19 +157,63 @@ def _lazy_bloom_probe(keys):
 def _bloom_prunable(e: dict, col: str, n_keys: int) -> bool:
     """Could this file's bloom plausibly RULE OUT a probe of
     ``n_keys`` uniformly-hashed keys? Expected false hits are
-    n_keys x density^k with density estimated from the file's row
-    count (an OVERestimate when rows repeat keys — which only skips
-    the bloom conservatively, never mis-prunes); at >= 0.5 expected
-    hits the file would almost surely hit anyway, so probing it
-    costs hashing without buying pruning. This is what keeps the
-    bloom path sharp for point lookups while LARGE probes (a 17k-doc
-    streaming batch) fall through to range stats + the confirming
-    read instead of paying ~0.3 s of dead probe hashing per batch."""
-    if e.get("blooms", {}).get(col) is None:
+    n_keys x density^k; at >= 0.5 expected hits the file would
+    almost surely hit anyway, so probing it costs hashing without
+    buying pruning. This is what keeps the bloom path sharp for
+    point lookups while LARGE probes (a 17k-doc streaming batch)
+    fall through to range stats + the confirming read instead of
+    paying ~0.3 s of dead probe hashing per batch.
+
+    Density (round 13, the sidecar-POPCOUNT fix): commits since this
+    round record the EXACT bit density — ``nbits``, the popcount of
+    the file's bitmap, known for free at write time as the size of
+    the distinct-positions set — in the manifest bloom entry, so the
+    decision is measured, not modeled. Entries without it (pre-r13
+    commits) fall back to the analytic row-count estimate, which
+    OVERestimates density whenever rows repeat keys (the LSH index:
+    ~bands× rows per doc, plus bucket collisions) and skipped the
+    bloom on exactly the tables the blooms were built for —
+    conservative (reads too much, never wrong-skips), but blind."""
+    b = e.get("blooms", {}).get(col)
+    if b is None:
         return False
-    density = 1.0 - (1.0 - 1.0 / _BLOOM_M) ** (
-        _BLOOM_K * max(int(e.get("rows", 0)), 0))
+    nbits = b.get("nbits")
+    if nbits is not None:
+        density = nbits / _BLOOM_M
+    else:
+        density = 1.0 - (1.0 - 1.0 / _BLOOM_M) ** (
+            _BLOOM_K * max(int(e.get("rows", 0)), 0))
     return n_keys * density ** _BLOOM_K < 0.5
+
+
+def bloom_prunable_crossings(n_keys: int) -> tuple[int, int]:
+    """The INTEGER crossings of _bloom_prunable's rule for a probe of
+    ``n_keys`` keys: (nbits_lim, rows_lim) such that the measured
+    path prunes iff nbits < nbits_lim and the rows-estimate path
+    prunes iff the file's row count < rows_lim. One shared derivation
+    (this function) feeds both the engaged gate's audit query
+    (q_bloom_popcount_audit renders the thresholds as SQL literals,
+    so neither engine ever compares a transcendental) and the pytest
+    that pins the gate to it — the _cap_decision pattern."""
+    if n_keys <= 0:
+        return _BLOOM_M + 1, 1 << 62  # any bloom rules out a 0-key probe
+
+    def _meas(nb: int) -> bool:
+        return n_keys * (nb / _BLOOM_M) ** _BLOOM_K < 0.5
+
+    def _est(rows: int) -> bool:
+        d = 1.0 - (1.0 - 1.0 / _BLOOM_M) ** (_BLOOM_K * rows)
+        return n_keys * d ** _BLOOM_K < 0.5
+
+    import bisect
+
+    nbits_lim = bisect.bisect_left(
+        range(_BLOOM_M + 1), True, key=lambda nb: not _meas(nb)
+    )
+    rows_lim = bisect.bisect_left(
+        range(1 << 30), True, key=lambda r: not _est(r)
+    )
+    return nbits_lim, rows_lim
 
 
 # sidecar bitmap cache: {abs sidecar path: (verified sha256, parsed
@@ -343,8 +387,20 @@ def _write_files(
             side[os.path.basename(relpath)] = {
                 c: _bloom_build(r[f"_bpos_{c}"]) for c in bloom_cols
             }
+            # nbits = the file's exact bloom POPCOUNT, free at write
+            # time: positions are already distinct per file, so the
+            # set-bit count is just the non-null position count. It
+            # rides the manifest entry (not the sidecar) because
+            # _bloom_prunable needs it during driver-side pruning
+            # BEFORE any sidecar is opened.
             e["blooms"] = {
-                c: {"has_null": bool(r[f"_bnull_{c}"])}
+                c: {
+                    "has_null": bool(r[f"_bnull_{c}"]),
+                    "nbits": sum(
+                        1 for p in (r[f"_bpos_{c}"] or ())
+                        if p is not None
+                    ),
+                }
                 for c in bloom_cols
             }
         entries.append(e)
@@ -459,22 +515,32 @@ def create_table(
 def replace(
     spark: SparkSession, df: DataFrame, root: str,
     extra_meta: dict | None = None,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """REPLACE TABLE: a new snapshot whose live file set is ONLY the
     new files (Iceberg's replace semantics). Prior snapshots stay
     readable via time travel until expire_snapshots. Deletion vectors
-    are NOT carried — they reference replaced files."""
+    are NOT carried — they reference replaced files. ``stats_cols`` /
+    ``bloom_cols`` override the table's layout config for the new
+    snapshot (round 13, advice: a full rebuild is the one commit that
+    may legitimately UPGRADE the layout — an artifact table created
+    before blooms existed gains them here instead of never); None
+    keeps the prior head's config as before."""
     head = _load_manifest(root, _versions(root)[-1])
+    stats = stats_cols if stats_cols is not None else head["stats_cols"]
+    bcols = tuple(bloom_cols) if bloom_cols is not None else _bcols(head)
+    if bloom_cols is not None:
+        _check_bloom_cols(df, bloom_cols)
     tag = f"v{head['version'] + 1}"
-    entries = _write_files(
-        spark, df, root, tag, head["stats_cols"], _bcols(head)
-    )
+    entries = _write_files(spark, df, root, tag, stats, bcols)
     carried = {
-        k: head[k]
-        for k in ("stream_batch_id", "bloom_cols") if k in head
+        k: head[k] for k in ("stream_batch_id",) if k in head
     }
+    if bcols:
+        carried["bloom_cols"] = list(bcols)
     return _commit(root, {
-        "operation": "replace", "stats_cols": head["stats_cols"],
+        "operation": "replace", "stats_cols": stats,
         "files": entries,
         "schema": df.schema.json(),
         **carried,
@@ -1360,11 +1426,22 @@ def stage_append(
         "schema": _merged_schema_json(head, df),
         **(extra_meta or {}),
     }
-    fd = os.open(
-        _stage_path(root, stage), os.O_WRONLY | os.O_CREAT | os.O_EXCL
-    )
-    with os.fdopen(fd, "w") as f:
+    # atomic-exclusive stage publish (round 13, advice): json.dump
+    # straight into an O_EXCL fd left a window where a concurrent
+    # vacuum could json.load a partially-written manifest and crash.
+    # Write the full bytes to a tmp file first, then os.link() them
+    # to the final name — link is atomic AND fails with FileExistsError
+    # on an existing stage, so the exactly-one-winner contract of the
+    # former O_EXCL create is preserved byte-for-byte.
+    tmp = _stage_path(root, stage) + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
         json.dump(staged, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, _stage_path(root, stage))
+    finally:
+        os.remove(tmp)
     return {
         "stage": stage,
         "base_version": head["version"],
@@ -1510,13 +1587,25 @@ def expire_snapshots(root: str, keep_last: int = 1) -> dict:
     # expiring) — a later publish would otherwise promote a manifest
     # with dangling refs whose scans/probes fail on missing files
     sdir = os.path.join(root, _STAGE_DIR)
+    live_prefixes: list[str] = []
     if os.path.isdir(sdir):
         for fn in sorted(os.listdir(sdir)):
-            if fn.endswith(".json"):
+            if not fn.endswith(".json"):
+                continue
+            try:
                 with open(os.path.join(sdir, fn)) as f:
                     sm = json.load(f)
-                for e in sm["files"] + _dv_entries(sm):
-                    live.update(_entry_live_paths(root, e))
+            except (json.JSONDecodeError, OSError):
+                # unreadable/corrupt stage manifest (stage_append now
+                # links stage JSONs atomically, so this is corruption,
+                # not a write race): conservatively treat the whole
+                # stage data dir family as live rather than vacuuming
+                # files a later repair might still reference
+                live_prefixes.append(os.path.normpath(os.path.join(
+                    root, "data", f"stage-{fn[:-5]}-v")))
+                continue
+            for e in sm["files"] + _dv_entries(sm):
+                live.update(_entry_live_paths(root, e))
     removed = 0
     data_dir = os.path.join(root, "data")
     for dirpath, _dirs, files in os.walk(data_dir):
@@ -1525,9 +1614,10 @@ def expire_snapshots(root: str, keep_last: int = 1) -> dict:
                     or fn.endswith("_blooms.json")):
                 continue
             p = os.path.normpath(os.path.join(dirpath, fn))
-            if p not in live:
-                os.remove(p)
-                removed += 1
+            if p in live or any(p.startswith(pre) for pre in live_prefixes):
+                continue
+            os.remove(p)
+            removed += 1
     for v in expire:
         os.remove(_manifest_path(root, v))
     return {

@@ -109,17 +109,54 @@ def ingest_batch(
     per-batch FIXED latency, not data volume, is the whole cost."""
     if batch_id <= last_committed_batch(index_root):
         return False
-    _aqe = "spark.sql.adaptive.enabled"
-    _aqe_was = spark.conf.get(_aqe, "true")
-    spark.conf.set(_aqe, "false")
-    try:
+    with _aqe_disabled(spark):
         return _ingest_batch_run(
             spark, batch_df, index_root, flags_root, batch_id,
             num_hashes, band_size, max_bucket, validate_new_ids,
             optimize_cadence,
         )
+
+
+# AQE toggle refcount (round 13, advice): spark.sql.adaptive.enabled
+# is SESSION-global, and foreachBatch runs each streaming query's sink
+# on its own driver thread — two concurrent ingest streams doing a
+# naive save/set/restore interleave ("A saves true, B saves false, A
+# restores true, B restores false") would leave AQE permanently off
+# for the whole session. The refcount saves the ambient value only on
+# the 0→1 transition and restores it only on the 1→0 transition, so
+# any number of concurrent ingest batches compose; non-ingest queries
+# running concurrently still see AQE off for the overlap window —
+# that is inherent to a session-global conf and documented here as
+# the contract (run latency-sensitive non-ingest work on a separate
+# session if that matters).
+import contextlib as _contextlib
+import threading as _threading
+
+_AQE_KEY = "spark.sql.adaptive.enabled"
+_AQE_LOCK = _threading.Lock()
+_AQE_STATE: dict = {}  # id(spark) -> [depth, saved_value]
+
+
+@_contextlib.contextmanager
+def _aqe_disabled(spark: SparkSession):
+    sid = id(spark)
+    with _AQE_LOCK:
+        st = _AQE_STATE.setdefault(
+            sid, [0, spark.conf.get(_AQE_KEY, "true")]
+        )
+        if st[0] == 0:
+            st[1] = spark.conf.get(_AQE_KEY, "true")
+            spark.conf.set(_AQE_KEY, "false")
+        st[0] += 1
+    try:
+        yield
     finally:
-        spark.conf.set(_aqe, _aqe_was)
+        with _AQE_LOCK:
+            st = _AQE_STATE[sid]
+            st[0] -= 1
+            if st[0] == 0:
+                spark.conf.set(_AQE_KEY, st[1])
+                del _AQE_STATE[sid]
 
 
 def _ingest_batch_run(
@@ -338,6 +375,20 @@ def _ingest_batch_run(
             os.path.join(index_root, tf._STAGE_DIR, f"{stage}.json")
         ):
             tf.discard_stage(index_root, stage)
+        if guard_err:
+            # a guard violation is a PERSISTENT contract breach (the
+            # ids are already indexed), not a transient retryable
+            # failure: the batch will never be indexed, so the flag
+            # partition written above must not linger as a visible
+            # output for a never-committed batch (round 13, advice).
+            # Transient failures (stage_err / the except path) keep
+            # their flags — the replay overwrites them byte-for-byte.
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(flags_root, f"batch_id={batch_id}"),
+                ignore_errors=True,
+            )
         raise (guard_err or stage_err)[0]
     tf.publish_stage(index_root, stage)
     _mark("publish")
@@ -495,7 +546,16 @@ def stream_neardup_ingest(
 ):
     """Start the foreachBatch near-dup ingest over a document stream
     (needs doc_id + text columns). The index table must exist
-    (create_index). Returns the StreamingQuery."""
+    (create_index). Returns the StreamingQuery.
+
+    Flags-path read contract: a flag partition at
+    ``flags_root/batch_id=N`` is AUTHORITATIVE only for
+    N <= last_committed_batch(index_root) — the index manifest's
+    stream_batch_id watermark is the commit point, and a partition
+    above it belongs to an in-flight (or crashed, soon-replayed)
+    batch whose bytes may still change. Guard violations additionally
+    delete their flag partition outright (the batch will never
+    commit), so watermark-honoring readers never see it either way."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         ingest_batch(

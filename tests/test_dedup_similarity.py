@@ -1023,3 +1023,52 @@ def test_component_lookup_scans_pruned_artifact(spark, tmp_path, monkeypatch):
     again = sorted(map(tuple,
                        Q.QUERIES["q_component_lookup"](spark, sf).collect()))
     assert again == want
+
+
+def test_artifact_stale_rebuild_upgrades_prebloom_layout(
+    spark, tmp_path, monkeypatch,
+):
+    """Round-13 advice: an artifact table created WITHOUT the lead
+    bloom (pre-round-12 store) must gain it on the fingerprint-stale
+    full rebuild — tf.replace used to carry the prior head's (empty)
+    bloom config, so old stores never picked up the round-12 layout
+    and key-scoped scans stayed range-stats-only forever."""
+    from document_parsing_etl_pipeline_spark.sources import (
+        artifacts, tableformat as tf,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    store = str(tmp_path / "arts")
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", store)
+    root = artifacts.table_root(store, sf, "up_demo")
+
+    def build():
+        return spark.range(0, 50).selectExpr(
+            "id AS doc_id", "id * 2 AS payload"
+        )
+
+    # simulate the pre-bloom store: create directly, no bloom_cols,
+    # and a fingerprint that will read as stale
+    tf.create_table(spark, build(), root, stats_cols=["doc_id"],
+                    extra_meta={"artifact_fingerprint": "old"})
+    head = tf._load_manifest(root, tf._versions(root)[-1])
+    assert "bloom_cols" not in head
+
+    memo: dict = {}
+    artifacts.load_or_build(
+        spark, sf, "up_demo", build, memo, ("k",), params="p1",
+    )
+    head = tf._load_manifest(root, tf._versions(root)[-1])
+    assert head["operation"] == "replace"
+    assert head.get("bloom_cols") == ["doc_id"]
+    assert all(
+        "nbits" in e["blooms"]["doc_id"] for e in head["files"]
+    )
+    # the upgraded layout actually serves key-scoped scans
+    _, fr, ft = tf.scan_keys(spark, root, "doc_id", [3])
+    assert fr <= ft
+    got = artifacts.scan_artifact_keys(
+        spark, sf, "up_demo", build, memo, ("k2",),
+        col="doc_id", keys=[3], params="p1",
+    )
+    assert [r.payload for r in got.collect()] == [6]

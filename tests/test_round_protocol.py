@@ -312,3 +312,40 @@ def test_index_optimize_planner_constants_match_neardup():
     assert q._NDOPT_FTRE == neardup.OPT_FTRE
     assert q._NDOPT_HORIZON == neardup.OPT_PAYBACK_HORIZON
     assert q._NDOPT_MINSAVE == neardup.OPT_MIN_FILE_SAVING
+
+
+def test_popcount_audit_crossings_pin_the_engaged_gate():
+    """q_bloom_popcount_audit renders Python-precomputed INTEGER
+    crossings as SQL literals; this pins them to the decision the
+    engaged gate (tableformat._bloom_prunable) actually makes, for
+    every probe size in the audit grid, across a sweep of nbits /
+    row-count values spanning each crossing — one shared rule, graded
+    and executed, never diverging."""
+    from document_parsing_etl_pipeline_spark.plans import queries as q
+    from document_parsing_etl_pipeline_spark.sources import (
+        tableformat as tf,
+    )
+    from document_parsing_etl_pipeline_spark.streaming import neardup
+
+    assert q._BPA_DOCS_PER_FILE == (
+        neardup.INDEX_ROWS_PER_FILE // (q._MH_K // q._MH_BAND)
+    )
+    for nk in q._BPA_PROBES:
+        nbits_lim, rows_lim = q._BPA_CROSS[nk]
+        assert (nbits_lim, rows_lim) == tf.bloom_prunable_crossings(nk)
+        for nb in {0, 1, nbits_lim - 1, nbits_lim, nbits_lim + 1,
+                   tf._BLOOM_M}:
+            e = {"blooms": {"c": {"nbits": nb}}, "rows": 10**9}
+            assert tf._bloom_prunable(e, "c", nk) == (nb < nbits_lim), (
+                nk, nb)
+        for r in {0, 1, rows_lim - 1, rows_lim, rows_lim + 1, 10**7}:
+            e = {"blooms": {"c": {"has_null": False}}, "rows": r}
+            assert tf._bloom_prunable(e, "c", nk) == (r < rows_lim), (
+                nk, r)
+    # the audited position expression is _write_files' own: nbits in
+    # a manifest written by the engine equals the audit's count for
+    # the same keys (cross-checked end-to-end in test_tableformat's
+    # popcount test; here we pin the driver-side hash contract)
+    ps = tf.bloom_positions(42)
+    assert len(ps) == tf._BLOOM_K and all(0 <= p < tf._BLOOM_M
+                                          for p in ps)

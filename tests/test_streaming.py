@@ -439,6 +439,13 @@ def test_stream_neardup_ingest_flags_and_exactly_once(tmp_path, spark):
             spark, last_batch, index_root, flags_root, bid + 1
         )
     assert tf.read(spark, index_root).count() == n_rows
+    # round-13 advice: the violating batch's flag partition must not
+    # linger — the batch will never be indexed, so a visible flag
+    # output for it would break the flags/watermark contract
+    import os as _os
+    assert not _os.path.exists(
+        _os.path.join(flags_root, f"batch_id={bid + 1}")
+    )
     # genuinely-new ids (beyond every file's doc_id stats range) pass
     # through the zero-files-read manifest fast path and append
     fresh = spark.createDataFrame(
@@ -1632,3 +1639,34 @@ def test_ingest_batch_joins_flag_thread_on_stage_failure(
     monkeypatch.setattr(neardup.tf, "stage_append", real_stage_append)
     assert neardup.ingest_batch(spark, docs, idx, fl, 1) is True
     assert last_committed_batch(idx) == 1
+
+
+def test_aqe_toggle_refcount_survives_concurrent_interleave(spark):
+    """Round-13 advice: the per-batch AQE toggle is refcounted per
+    session, so the save/set/restore of two concurrent foreachBatch
+    sinks composes — the classic interleave (A enters, B enters, A
+    exits, B exits) must restore the AMBIENT value, not the 'false' B
+    observed while A held the toggle."""
+    from document_parsing_etl_pipeline_spark.streaming import neardup
+
+    key = "spark.sql.adaptive.enabled"
+    ambient = spark.conf.get(key, "true")
+    spark.conf.set(key, "true")
+    try:
+        a = neardup._aqe_disabled(spark)
+        b = neardup._aqe_disabled(spark)
+        a.__enter__()
+        assert spark.conf.get(key) == "false"
+        b.__enter__()          # B sees false; naive code would save it
+        assert spark.conf.get(key) == "false"
+        a.__exit__(None, None, None)
+        # still held by B — must NOT restore yet
+        assert spark.conf.get(key) == "false"
+        b.__exit__(None, None, None)
+        assert spark.conf.get(key) == "true"
+        # state fully drained: a fresh cycle works and restores again
+        with neardup._aqe_disabled(spark):
+            assert spark.conf.get(key) == "false"
+        assert spark.conf.get(key) == "true"
+    finally:
+        spark.conf.set(key, ambient)

@@ -1291,3 +1291,104 @@ def test_vacuum_keeps_pending_stage_files_live(spark, table):
     cur = tf.read(spark, table)
     assert cur.count() == 101
     assert cur.where("doc_id = 800").count() == 1
+
+
+def test_bloom_popcount_exact_prunability_on_key_repeating_table(
+    spark, tmp_path,
+):
+    """Round-13 sidecar-POPCOUNT fix: on a key-REPEATING table (the
+    LSH index shape: few distinct keys, many rows each) the analytic
+    row-count density estimate overshoots and skips the bloom, while
+    the manifest's measured nbits keeps it engaged — pruning decided
+    from measured bits, not modeled rows."""
+    root = str(tmp_path / "reptbl")
+    # 20_000 rows but only 40 distinct keys per file: estimated
+    # density from rows ~0.91 (unprunable for any probe); measured
+    # nbits <= 40*8 = 320 bits -> density ~0.005 (sharp)
+    df = spark.range(0, 40_000).selectExpr(
+        "id AS doc_id",
+        "concat('k', cast(pmod(id, 80) AS string)) AS bh",
+    ).repartitionByRange(2, "bh")
+    tf.create_table(spark, df, root,
+                    stats_cols=["doc_id"], bloom_cols=["bh"])
+    head = tf._load_manifest(root, tf._versions(root)[-1])
+    for e in head["files"]:
+        b = e["blooms"]["bh"]
+        assert 0 < b["nbits"] <= 80 * tf._BLOOM_K
+        # measured: prunable even for a 100-key probe
+        assert tf._bloom_prunable(e, "bh", 100)
+        # the pre-r13 estimate (rows-based) refuses the same probe —
+        # drop nbits to prove the fallback is what used to happen
+        no_nbits = dict(e, blooms={"bh": {
+            k: v for k, v in b.items() if k != "nbits"
+        }})
+        assert not tf._bloom_prunable(no_nbits, "bh", 100)
+    # and the engaged gate actually prunes: absent keys read 0 files
+    _, fr, ft = tf.scan_keys(
+        spark, root, "bh", [f"x{i}" for i in range(100)]
+    )
+    assert ft == 2 and fr == 0
+    # present key reads only its file(s), rows exact
+    got, fr, _ = tf.scan_keys(spark, root, "bh", ["k7"])
+    assert 1 <= fr <= 2
+    assert got.where("bh = 'k7'").count() == 500
+
+
+def test_stage_json_write_is_atomic_and_exclusive(spark, table):
+    more = spark.range(100, 120).selectExpr(
+        "id AS doc_id", "concat('t', id) AS text", "id % 7 AS grp"
+    )
+    tf.stage_append(spark, more, table, "s1")
+    # no tmp leftovers next to the stage manifest
+    sdir = os.path.join(table, tf._STAGE_DIR)
+    assert sorted(os.listdir(sdir)) == ["s1.json"]
+    # the exactly-one-winner contract survives the tmp+link rewrite:
+    # re-staging the same tag from a NEW base (different data dir, so
+    # only the manifest link can collide) raises instead of clobbering
+    # the in-flight stage's manifest
+    tf.append(spark, more.limit(1), table)
+    with pytest.raises(FileExistsError):
+        tf.stage_append(spark, more, table, "s1")
+    assert sorted(os.listdir(sdir)) == ["s1.json"]  # tmp cleaned up
+    import json as _json
+    with open(tf._stage_path(table, "s1")) as f:
+        assert _json.load(f)["base_version"] == 1  # original intact
+    with pytest.raises(RuntimeError, match="re-stage"):
+        tf.publish_stage(table, "s1")  # base drifted (the append)
+    tf.discard_stage(table, "s1")
+
+
+def test_vacuum_tolerates_corrupt_stage_json(spark, table):
+    """Round-13 advice: a corrupt _staged manifest must not crash the
+    vacuum, and the vacuum must conservatively keep that stage's data
+    dir family alive (prefix liveness) instead of reclaiming files a
+    repair might still reference."""
+    more = spark.range(100, 130).selectExpr(
+        "id AS doc_id", "concat('t', id) AS text", "id % 7 AS grp"
+    )
+    tf.stage_append(spark, more, table, "hurt")
+    sp = tf._stage_path(table, "hurt")
+    raw = open(sp).read()
+    with open(sp, "w") as f:
+        f.write(raw[: len(raw) // 2])  # truncated mid-object
+    stage_dirs = [
+        d for d in os.listdir(os.path.join(table, "data"))
+        if d.startswith("stage-hurt-")
+    ]
+    assert stage_dirs
+    n_stage_files = sum(
+        len(files) for d in stage_dirs
+        for _, _, files in os.walk(os.path.join(table, "data", d))
+    )
+    tf.append(spark, more.limit(1), table)  # give vacuum work to keep
+    res = tf.expire_snapshots(table, keep_last=1)
+    assert res["kept_versions"]
+    still = sum(
+        len(files) for d in stage_dirs
+        for _, _, files in os.walk(os.path.join(table, "data", d))
+    )
+    assert still == n_stage_files  # nothing under the stage reclaimed
+    # repair: restore the manifest, the stage publishes or discards
+    with open(sp, "w") as f:
+        f.write(raw)
+    assert tf.discard_stage(table, "hurt") >= 1
