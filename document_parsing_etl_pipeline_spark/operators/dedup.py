@@ -1158,6 +1158,34 @@ def span_longest_match(
     )
 
 
+def _shingles(
+    docs: DataFrame, text_col: str, shingle_n: int,
+) -> DataFrame:
+    """The distinct (doc_id, term) word-shingle relation — the base
+    of every AllPairs derivation, split out so the scoped incremental
+    path can shingle JUST the ingest batch (batch-linear) to learn
+    which posting lists to probe, without touching the standing
+    index."""
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(r"\S+"), 0
+        ).alias("ws"),
+    )
+    parts = [F.expr(f"ws[i + {j}]") for j in range(shingle_n)]
+    return (
+        toks.where(F.size("ws") >= shingle_n)
+        .select(
+            "doc_id", "ws",
+            F.explode(
+                F.sequence(F.lit(0), F.size("ws") - shingle_n)
+            ).alias("i"),
+        )
+        .select("doc_id", F.concat_ws(" ", *parts).alias("term"))
+        .distinct()
+    )
+
+
 def _shingle_prefixes(
     docs: DataFrame,
     text_col: str,
@@ -1176,24 +1204,7 @@ def _shingle_prefixes(
     """
     from pyspark.sql.window import Window
 
-    toks = docs.select(
-        "doc_id",
-        F.regexp_extract_all(
-            F.lower(F.col(text_col)), F.lit(r"\S+"), 0
-        ).alias("ws"),
-    )
-    parts = [F.expr(f"ws[i + {j}]") for j in range(shingle_n)]
-    sh = (
-        toks.where(F.size("ws") >= shingle_n)
-        .select(
-            "doc_id", "ws",
-            F.explode(
-                F.sequence(F.lit(0), F.size("ws") - shingle_n)
-            ).alias("i"),
-        )
-        .select("doc_id", F.concat_ws(" ", *parts).alias("term"))
-        .distinct()
-    )
+    sh = _shingles(docs, text_col, shingle_n)
     if materialize:
         # sh feeds df-counting, prefix ranking, AND both verification
         # sides (4 references) — checkpoint the shingle relation once
@@ -1603,6 +1614,7 @@ def setsim_incremental_pairs(
     shingle_n: int = 3,
     materialize: bool = True,
     precomputed: tuple[DataFrame, DataFrame] | None = None,
+    scoped=None,
 ) -> DataFrame:
     """EXACT similarity pairs with at least one side in the ingest
     BATCH (``batch_col`` boolean on ``docs``): the quadratic half of
@@ -1625,10 +1637,38 @@ def setsim_incremental_pairs(
     this call's cost the true per-ingest work (batch posting join +
     filter probes + candidate-bounded verification); omitting it
     rebuilds everything inline (identical result, measured ~2x the
-    wall at sf0.1)."""
+    wall at sf0.1).
+
+    ``scoped``: a key-scoped index reader ``(member, col, keys) ->
+    DataFrame`` over the standing index's persisted members ('pref' /
+    'hist' / 'arrays'), rows exactly filtered to ``keys`` — the
+    round-13 100 TB read path (plans layer wires it to
+    artifacts.scan_member_keys when the index is an artifact-table
+    store). When provided it REPLACES ``precomputed``: the batch is
+    shingled batch-side (batch-linear, no index read) to learn its
+    term set, ONE term-scoped posting read serves both join sides
+    (batch prefix rows are a subset of it — every batch prefix term
+    is a batch shingle), and the signature/array probes are scoped to
+    the surviving candidates' doc_ids. File pruning happens in the
+    reader (manifest range stats on the clustered lead column +
+    membership bloom); row-exactness is the reader's contract, so the
+    pair set is identical to the unscoped path — which is what the
+    parity test asserts."""
     num, den = threshold_num, threshold_den
     hist = docsets = None
-    if precomputed is not None:
+    if scoped is not None:
+        batch_terms = [
+            r[0] for r in
+            _shingles(docs.where(F.col(batch_col)), text_col,
+                      shingle_n)
+            .select("term").distinct().collect()
+        ]
+        # one scoped posting read feeds the batch side, the corpus
+        # side, and (via the join) the candidate relation — checkpoint
+        # it so the pruned read runs once, not per reference
+        pref = scoped("pref", "term", batch_terms).localCheckpoint()
+        sh = None
+    elif precomputed is not None:
         if len(precomputed) == 4:
             sh, pref, hist, docsets = precomputed
         else:
@@ -1674,6 +1714,31 @@ def setsim_incremental_pairs(
         )
     )
     cands = _positional_bound_filter(joined, num, den)
+    if scoped is not None:
+        # candidate doc_ids bound the signature/array probes: the
+        # checkpoint makes the posting join run once (the collect and
+        # the downstream filter both consume it), and the id lists
+        # are candidate-linear — the batch×bucket fanout the prefix
+        # filter already bounded, never corpus-linear
+        cands = cands.localCheckpoint()
+        ids = [
+            int(r[0]) for r in cands.select(
+                F.explode(F.array("doc_a", "doc_b")).alias("d")
+            ).distinct().collect()
+        ]
+        cands = _suffix_histogram_filter(
+            cands, None, num, den,
+            hist=scoped("hist", "doc_id", ids),
+        ).localCheckpoint()
+        ids2 = [
+            int(r[0]) for r in cands.select(
+                F.explode(F.array("doc_a", "doc_b")).alias("d")
+            ).distinct().collect()
+        ]
+        return _verify_pairs(
+            cands, None, num, den,
+            docsets=scoped("arrays", "doc_id", ids2),
+        )
     cands = _suffix_histogram_filter(cands, sh, num, den, hist=hist)
     return _verify_pairs(cands, sh, num, den, docsets=docsets)
 

@@ -507,14 +507,34 @@ def q_incremental_dedup(spark, sf_dir):
     broadcasts and semi-join-prunes the corpus bucket scan; fanout is
     batch×bucket bounded by the corpus-side cap. At 100 TB the corpus
     buckets are a materialized standing LSH index (minhash_buckets IS
-    the index schema) appended per ingest.
-    operators/dedup.py:incremental_lsh_matches."""
+    the index schema) appended per ingest — with an artifact store
+    configured (round 13) that is literally how this query reads
+    them: the batch's bucket-hash set key-scopes the index scan
+    through manifest + bloom file pruning (_minhash_index_scan)
+    before the same capped flag join runs; mode parity and measured
+    pruning are pinned by test. operators/dedup.py:
+    incremental_lsh_matches / lsh_flag_against_index."""
     docs = load_table(spark, sf_dir, "documents")
+    caps = _lsh_caps(spark, sf_dir, "minhash")
+    batch = docs.where(F.col("doc_id") % _INC_MOD == 0)
+    if artifacts.artifacts_root() is not None:
+        sigs = _minhash_sigs(spark, sf_dir)
+        bb = dedup.minhash_buckets(
+            batch, num_hashes=_MH_K, band_size=_MH_BAND,
+            sigs=sigs.where(F.col("doc_id") % _INC_MOD == 0),
+        ).localCheckpoint()
+        bhs = [r[0] for r in bb.select("bh").distinct().collect()]
+        cb = _minhash_index_scan(spark, sf_dir, bhs).where(
+            F.col("doc_id") % _INC_MOD != 0
+        )
+        return dedup.lsh_flag_against_index(
+            batch.select("doc_id"), bb, cb, caps
+        )
     return dedup.incremental_lsh_matches(
-        docs.where(F.col("doc_id") % _INC_MOD == 0),
+        batch,
         docs.where(F.col("doc_id") % _INC_MOD != 0),
         num_hashes=_MH_K, band_size=_MH_BAND,
-        max_bucket=_lsh_caps(spark, sf_dir, "minhash"),
+        max_bucket=caps,
     )
 
 
@@ -779,10 +799,19 @@ def q_incremental_components(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     flagged = docs.withColumn("is_batch", F.expr("doc_id % 5 = 0"))
     standing_pairs = _standing_setsim_pairs(spark, sf_dir)
+    # round 13: with an artifact store configured the index members
+    # are read KEY-SCOPED (_setsim_scoped — posting lists by the
+    # batch's shingle terms, signatures/arrays by surviving candidate
+    # ids, files pruned by manifest range + lead bloom); memo mode
+    # keeps the whole-relation localCheckpoint path the driver runs
+    scoped = _setsim_scoped(spark, sf_dir)
     batch_pairs = dedup.setsim_incremental_pairs(
         flagged, batch_col="is_batch",
         threshold_num=3, threshold_den=5,
-        precomputed=_standing_setsim_index(spark, sf_dir),
+        precomputed=(
+            None if scoped else _standing_setsim_index(spark, sf_dir)
+        ),
+        scoped=scoped,
     )
     return dedup.incremental_components(
         standing_pairs, batch_pairs, max_iter=30,

@@ -118,14 +118,29 @@ def _lead_bloom(df: DataFrame) -> list[str]:
     return []
 
 
+def _cluster_lead(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Cluster an artifact relation on its lead column before writing
+    (repartitionByRange + in-file sort): per-file [min,max] stats go
+    disjoint along the key the table serves, which is what makes
+    scan_keys prune files for key-scoped probes instead of
+    range-hitting everything. Partition count = session shuffle
+    parallelism (at deployment the layout planner's knob)."""
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    lead = df.columns[0]
+    return df.repartitionByRange(n_parts, lead).sortWithinPartitions(lead)
+
+
 def _ensure_table(
     spark: SparkSession, root: str, df_fn: Callable[[], DataFrame],
     fp: str,
+    cluster: bool = False,
 ) -> bool:
     """Create or fingerprint-refresh one artifact table. Returns True
     if a (re)build happened."""
     if not exists(root):
         df = df_fn()
+        if cluster:
+            df = _cluster_lead(spark, df)
         tf.create_table(spark, df, root, stats_cols=[df.columns[0]],
                         bloom_cols=_lead_bloom(df),
                         extra_meta={"artifact_fingerprint": fp})
@@ -140,6 +155,8 @@ def _ensure_table(
         # scan_artifact_keys on pre-bloom stores degraded to
         # range-stats-only pruning forever).
         df = df_fn()
+        if cluster:
+            df = _cluster_lead(spark, df)
         tf.replace(spark, df, root,
                    extra_meta={"artifact_fingerprint": fp},
                    stats_cols=[df.columns[0]],
@@ -177,31 +194,30 @@ def load_or_build(
     return memo[memo_key]
 
 
-def load_or_build_many(
+def _ensure_group(
     spark: SparkSession,
+    base: str,
     sf_dir: str,
     names: Sequence[str],
     builder_all: Callable[[], tuple[DataFrame, ...]],
-    memo: dict,
-    memo_key: tuple,
-    params: str = "",
-    source_tables: Sequence[str] = ("documents",),
-) -> tuple[DataFrame, ...]:
-    """Group variant for artifacts that come out of ONE derivation
-    (the setsim index's four relations): if ANY member table is
-    missing or fingerprint-stale, run ``builder_all`` exactly once
-    and write every missing/stale member from that same build — the
-    four persisted relations are then mutually consistent by
-    construction, not by hoping four independent builds tie-break
-    identically. In memo mode the single build is localCheckpointed
-    per member as before."""
-    if memo_key in memo:
-        return memo[memo_key]
-    base = artifacts_root()
-    if base is None:
-        memo[memo_key] = tuple(
-            df.localCheckpoint() for df in builder_all())
-        return memo[memo_key]
+    params: str,
+    source_tables: Sequence[str],
+    cluster: Sequence[str] = (),
+) -> list[str]:
+    """Create or fingerprint-refresh a GROUP of artifact tables that
+    come out of ONE derivation (the setsim index's four relations):
+    if ANY member is missing or stale, run ``builder_all`` exactly
+    once and write every member from that same build — the persisted
+    relations are mutually consistent by construction, not by hoping
+    independent builds tie-break identically. Members named in
+    ``cluster`` are written CLUSTERED on their lead column
+    (repartitionByRange + in-file sort), so per-file [min,max] stats
+    are disjoint along the key the member serves — that is what lets
+    scan_member_keys prune the file list for a key-scoped probe
+    instead of range-hitting every file (the posting-list pushdown;
+    at deployment the partition count is the table layout planner's
+    job, locally it is the session shuffle parallelism). Returns the
+    member roots."""
     fp = fingerprint(sf_dir, params, source_tables)
     roots = [table_root(base, sf_dir, n) for n in names]
     stale = [
@@ -209,12 +225,10 @@ def load_or_build_many(
         if not exists(r) or _stored_fingerprint(r) != fp
     ]
     if stale:
-        # ANY stale member invalidates the whole group: every table is
-        # rewritten from the one build, so the persisted relations are
-        # mutually consistent by construction (df-rank tie-breaking
-        # included), not by determinism across separate builds
         built = builder_all()
-        for root, df in zip(roots, built):
+        for name, root, df in zip(names, roots, built):
+            if name in cluster:
+                df = _cluster_lead(spark, df)
             if exists(root):
                 # same layout re-assertion as _ensure_table's stale
                 # path: the rebuild upgrades pre-bloom member tables
@@ -227,8 +241,79 @@ def load_or_build_many(
                                 stats_cols=[df.columns[0]],
                                 bloom_cols=_lead_bloom(df),
                                 extra_meta={"artifact_fingerprint": fp})
+    return roots
+
+
+def load_or_build_many(
+    spark: SparkSession,
+    sf_dir: str,
+    names: Sequence[str],
+    builder_all: Callable[[], tuple[DataFrame, ...]],
+    memo: dict,
+    memo_key: tuple,
+    params: str = "",
+    source_tables: Sequence[str] = ("documents",),
+    cluster: Sequence[str] = (),
+) -> tuple[DataFrame, ...]:
+    """Group variant of load_or_build (see _ensure_group for the
+    consistency story). In memo mode the single build is
+    localCheckpointed per member as before."""
+    if memo_key in memo:
+        return memo[memo_key]
+    base = artifacts_root()
+    if base is None:
+        memo[memo_key] = tuple(
+            df.localCheckpoint() for df in builder_all())
+        return memo[memo_key]
+    roots = _ensure_group(
+        spark, base, sf_dir, names, builder_all, params,
+        source_tables, cluster,
+    )
     memo[memo_key] = tuple(tf.read(spark, r) for r in roots)
     return memo[memo_key]
+
+
+def scan_member_keys(
+    spark: SparkSession,
+    sf_dir: str,
+    names: Sequence[str],
+    builder_all: Callable[[], tuple[DataFrame, ...]],
+    memo: dict,
+    memo_key: tuple,
+    member: str,
+    col: str,
+    keys: Sequence,
+    params: str = "",
+    source_tables: Sequence[str] = ("documents",),
+    cluster: Sequence[str] = (),
+) -> DataFrame:
+    """KEY-SCOPED read of ONE member of a group artifact — the
+    scan_artifact_keys shape for the standing setsim INDEX: the
+    incremental similarity join touches only the corpus posting lists
+    of the batch's prefix terms and the signature/array rows of its
+    surviving candidates, so in table mode the member's manifest
+    range stats (files clustered on the lead column) + the
+    lead-column membership bloom prune the file list BEFORE any data
+    is read — O(files holding a probed key), not O(index). Rows are
+    then filtered exactly. In memo mode it is the identical exact
+    filter over the session-memoized member (what the driver's
+    correctness runs exercise)."""
+    keys = list(keys)
+    base = artifacts_root()
+    if base is None:
+        tup = load_or_build_many(
+            spark, sf_dir, names, builder_all, memo, memo_key,
+            params, source_tables,
+        )
+        df = tup[list(names).index(member)]
+        return df.where(df[col].isin(keys))
+    roots = _ensure_group(
+        spark, base, sf_dir, names, builder_all, params,
+        source_tables, cluster,
+    )
+    root = roots[list(names).index(member)]
+    pruned, _read, _total = tf.scan_keys(spark, root, col, keys)
+    return pruned.where(pruned[col].isin(keys))
 
 
 def scan_artifact_keys(
@@ -242,6 +327,7 @@ def scan_artifact_keys(
     keys: Sequence,
     params: str = "",
     source_tables: Sequence[str] = ("documents",),
+    cluster: bool = False,
 ) -> DataFrame:
     """KEY-SCOPED artifact access — the 100 TB read path for consumers
     that touch a handful of artifact keys (component lookups, the
@@ -265,6 +351,7 @@ def scan_artifact_keys(
         return df.where(df[col].isin(keys))
     root = table_root(base, sf_dir, name)
     _ensure_table(spark, root, builder,
-                  fingerprint(sf_dir, params, source_tables))
+                  fingerprint(sf_dir, params, source_tables),
+                  cluster=cluster)
     pruned, _read, _total = tf.scan_keys(spark, root, col, keys)
     return pruned.where(pruned[col].isin(keys))

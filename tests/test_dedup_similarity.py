@@ -1072,3 +1072,88 @@ def test_artifact_stale_rebuild_upgrades_prebloom_layout(
         col="doc_id", keys=[3], params="p1",
     )
     assert [r.payload for r in got.collect()] == [6]
+
+
+def test_incremental_setsim_scoped_reads_match_and_prune(
+    spark, tmp_path, monkeypatch,
+):
+    """Round-13 lead item: with an artifact store configured,
+    q_incremental_components reads the standing setsim INDEX members
+    key-scoped (posting lists by the batch's shingle terms,
+    signatures/arrays by candidate ids) through manifest+bloom file
+    pruning — identical component rows to memo mode, and the pruning
+    is MEASURED on the clustered posting member, not assumed."""
+    from document_parsing_etl_pipeline_spark.plans import queries as Q
+    from document_parsing_etl_pipeline_spark.sources import (
+        artifacts, tableformat as tf,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    Q._NEARDUP_MEMO.clear()
+    want = sorted(map(tuple,
+                      Q.QUERIES["q_incremental_components"](
+                          spark, sf).collect()))
+    assert want
+
+    store = str(tmp_path / "arts")
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", store)
+    Q._NEARDUP_MEMO.clear()
+    got = sorted(map(tuple,
+                     Q.QUERIES["q_incremental_components"](
+                         spark, sf).collect()))
+    assert got == want
+
+    # the posting member is clustered+bloomed on term, and a
+    # few-term probe reads a strict subset of its files
+    root = artifacts.table_root(store, sf, "setsim_index_pref")
+    head = tf._load_manifest(root, tf._versions(root)[-1])
+    assert head.get("bloom_cols") == ["term"]
+    some = [r.term for r in
+            tf.read(spark, root).select("term").limit(3).collect()]
+    pruned, fr, ft = tf.scan_keys(spark, root, "term", some)
+    assert ft > 4 and 1 <= fr < ft, (fr, ft)
+    # reader contract: rows exactly key-filtered
+    reader = Q._setsim_scoped(spark, sf)
+    got_rows = sorted(map(tuple,
+                          reader("pref", "term", some).collect()))
+    full = tf.read(spark, root)
+    want_rows = sorted(map(tuple,
+                           full.where(full["term"].isin(some))
+                           .collect()))
+    assert got_rows == want_rows
+
+
+def test_incremental_dedup_scoped_index_matches_and_prunes(
+    spark, tmp_path, monkeypatch,
+):
+    """q_incremental_dedup's artifact-mode path: the batch's bucket
+    hashes key-scope the standing minhash bucket INDEX (bh-clustered
+    and bloomed) — identical flag rows to memo mode, measured file
+    pruning for a small probe."""
+    from document_parsing_etl_pipeline_spark.plans import queries as Q
+    from document_parsing_etl_pipeline_spark.sources import (
+        artifacts, tableformat as tf,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    Q._NEARDUP_MEMO.clear()
+    want = sorted(map(tuple,
+                      Q.QUERIES["q_incremental_dedup"](
+                          spark, sf).collect()))
+    assert want
+
+    store = str(tmp_path / "arts")
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", store)
+    Q._NEARDUP_MEMO.clear()
+    got = sorted(map(tuple,
+                     Q.QUERIES["q_incremental_dedup"](
+                         spark, sf).collect()))
+    assert got == want
+
+    root = artifacts.table_root(store, sf, "minhash_index")
+    head = tf._load_manifest(root, tf._versions(root)[-1])
+    assert head.get("bloom_cols") == ["bh"]
+    some = [r.bh for r in
+            tf.read(spark, root).select("bh").limit(2).collect()]
+    _, fr, ft = tf.scan_keys(spark, root, "bh", some)
+    assert ft > 4 and 1 <= fr < ft, (fr, ft)
