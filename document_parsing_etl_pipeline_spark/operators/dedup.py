@@ -1202,14 +1202,27 @@ def _shingle_prefixes(
     any consistent global order keeps the prefix filter lossless,
     which is what lets the incremental variant reuse this unchanged.
     """
-    from pyspark.sql.window import Window
-
     sh = _shingles(docs, text_col, shingle_n)
     if materialize:
         # sh feeds df-counting, prefix ranking, AND both verification
         # sides (4 references) — checkpoint the shingle relation once
         # instead of re-running the explode+distinct per reference
         sh = sh.localCheckpoint()
+    return sh, prefixes_from_shingles(sh, num, den)
+
+
+def prefixes_from_shingles(
+    sh: DataFrame, num: int, den: int,
+) -> DataFrame:
+    """The df-ranked prefix relation DERIVED from an existing shingle
+    table — split out (round 13) because this is the one index member
+    that must recompute on corpus growth (global df ranks drift, so
+    old docs' prefixes change), and deriving it from the
+    incrementally-APPENDED shingle relation skips the text
+    re-tokenize/explode pass entirely: one df group-agg + per-doc
+    windows over (doc_id, term) rows."""
+    from pyspark.sql.window import Window
+
     dfreq = sh.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     per_doc = Window.partitionBy("doc_id")
     ranked = (
@@ -1221,11 +1234,10 @@ def _shingle_prefixes(
         )
     )
     # prefix length p = n - ceil(t*n) + 1, all-integer
-    pref = ranked.where(
+    return ranked.where(
         F.col("rn")
         <= F.col("n") - F.expr(f"(n * {num} + {den - 1}) div {den}") + 1
     ).select("term", "doc_id", "n", "rn")
-    return sh, pref
 
 
 # shingle rows per partition for the pair-expanded positional stage:
@@ -1744,7 +1756,7 @@ def setsim_incremental_pairs(
 
 
 def incremental_components(
-    standing_pairs: DataFrame,
+    standing_pairs: DataFrame | None,
     batch_pairs: DataFrame,
     max_iter: int = 20,
     standing_components: DataFrame | None = None,
@@ -1768,7 +1780,15 @@ def incremental_components(
     relations plus one broadcast-ish join against the map. Pass
     ``standing_components`` (the map from the previous snapshot) to
     skip recomputing it — the production call shape; when omitted it
-    is derived from standing_pairs here."""
+    is derived from standing_pairs here. With standing_components
+    given, ``standing_pairs`` may be None (the artifact-refresh call
+    shape, round 13): the standing vertex set is then the map's own
+    doc_ids — exactly the standing pairs' endpoint set, because a
+    component map covers precisely the docs its pair relation
+    mentions."""
+    if standing_pairs is None and standing_components is None:
+        raise ValueError(
+            "need standing_pairs or standing_components")
     comps0 = (
         standing_components
         if standing_components is not None
@@ -1823,7 +1843,7 @@ def incremental_components(
                 parent[max(ra, rb)] = min(ra, rb)
         nodes = set(parent)
         nodes.update(find(x) for x in list(parent))
-        spark = standing_pairs.sparkSession
+        spark = batch_pairs.sparkSession
         cc1 = spark.createDataFrame(
             [(int(x), int(find(x))) for x in sorted(nodes)],
             "node long, nl long",
@@ -1835,9 +1855,14 @@ def incremental_components(
         )
     # expand: every vertex v maps through node(v) = standing label or
     # itself, then through the contracted result if present
-    verts = (
-        standing_pairs.select(F.col("doc_a").alias("doc_id"))
+    standing_verts = (
+        comps0.select("doc_id")
+        if standing_pairs is None
+        else standing_pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(standing_pairs.select(F.col("doc_b").alias("doc_id")))
+    )
+    verts = (
+        standing_verts
         .unionByName(batch_pairs.select(F.col("doc_a").alias("doc_id")))
         .unionByName(batch_pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()

@@ -375,6 +375,15 @@ def _minhash_index_scan(spark, sf_dir, bhs):
     correctness and bench runs exercise; mode parity + measured
     pruning pinned by tests/test_dedup_similarity.py)."""
     key = ("minhash_index", spark.sparkContext.applicationId, sf_dir)
+
+    def _refresh(old, appended):
+        # minhash buckets are per-doc independent, so an append-only
+        # corpus delta appends exactly its own bucket rows — the same
+        # append the streaming ingest commits per micro-batch
+        return ("append", dedup.minhash_buckets(
+            appended, num_hashes=_MH_K, band_size=_MH_BAND,
+        ).select("bh", "band", "doc_id"))
+
     return artifacts.scan_artifact_keys(
         spark, sf_dir, "minhash_index",
         lambda: dedup.minhash_buckets(
@@ -384,7 +393,7 @@ def _minhash_index_scan(spark, sf_dir, bhs):
         ).select("bh", "band", "doc_id"),
         _NEARDUP_MEMO, key, col="bh", keys=bhs,
         params=f"mhindex.mh{_MH_K}.band{_MH_BAND}.cl1",
-        cluster=True,
+        cluster=True, refresher=_refresh,
     )
 
 
@@ -535,14 +544,58 @@ def _jaccard_pairs(spark, sf_dir):
     )
 
 
+def _setsim_refresh_bp_key(spark, sf_dir):
+    """Memo key for the batch-pair relation an append-refresh of the
+    pairs artifact computes — the components refresher consumes it so
+    one incremental join serves both artifacts."""
+    return ("setsim_refresh_bp",
+            spark.sparkContext.applicationId, sf_dir)
+
+
 def _standing_setsim_pairs(spark, sf_dir):
     """EXACT prefix-filter pairs WITHIN the standing 80% of the
     corpus (doc_id % 5 != 0) — the previous snapshot's materialized
     artifact in the incremental-components story, so like
     _corpus_components it is computed once per (session, corpus) and
     shared; q_incremental_components then measures only the true
-    per-ingest work (batch pairs + contraction)."""
+    per-ingest work (batch pairs + contraction).
+
+    Round 13: under APPEND-ONLY corpus growth the artifact REFRESHES
+    incrementally instead of re-pairing the corpus — new pairs are
+    the batch×corpus incremental join only (≥1 side among the
+    appended docs; the prefix filter stays lossless under any
+    consistent term order, so old ∪ batch ≡ from-scratch — the
+    equality q_incremental_components' oracle proves), committed as
+    a table APPEND whose cost scales with the batch. Any non-append
+    staleness keeps the full rebuild."""
     key = ("setsim_standing", spark.sparkContext.applicationId, sf_dir)
+
+    def _refresh(old_pairs, appended):
+        docs = load_table(spark, sf_dir, "documents").where(
+            F.expr("doc_id % 5 != 0"))
+        flags = appended.select("doc_id").where(
+            F.expr("doc_id % 5 != 0")).withColumn("_b", F.lit(True))
+        flagged = (
+            docs.join(flags, "doc_id", "left")
+            .withColumn("is_batch", F.coalesce("_b", F.lit(False)))
+            .drop("_b")
+        )
+        # ride the standing INDEX artifact (itself append-refreshed —
+        # _setsim_index_refresh) instead of re-shingling the corpus
+        # text inline: the index's full-corpus df order is A
+        # consistent global order, which is all the prefix filter's
+        # losslessness needs, and the flags join restricts both sides
+        # to the 80% universe — so the pair set is unchanged while
+        # the refresh cost drops to the batch posting join + the
+        # index's own batch-linear appends
+        bp = dedup.setsim_incremental_pairs(
+            flagged, batch_col="is_batch",
+            threshold_num=3, threshold_den=5,
+            precomputed=_standing_setsim_index(spark, sf_dir),
+        ).localCheckpoint()
+        _NEARDUP_MEMO[_setsim_refresh_bp_key(spark, sf_dir)] = bp
+        return ("append", bp)
+
     return artifacts.load_or_build(
         spark, sf_dir, "setsim_pairs",
         lambda: dedup.setsim_prefix_join(
@@ -552,6 +605,7 @@ def _standing_setsim_pairs(spark, sf_dir):
         ),
         _NEARDUP_MEMO, key,
         params="setsim.t3-5.standing-mod5",
+        refresher=_refresh,
     )
 
 
@@ -559,8 +613,30 @@ def _standing_setsim_components(spark, sf_dir):
     """The standing corpus's component MAP (the other half of the
     previous snapshot's materialized state): connected components
     over _standing_setsim_pairs, computed once per session (or read
-    from the artifact table — see _jaccard_pairs)."""
+    from the artifact table — see _jaccard_pairs).
+
+    Round 13: on append-only growth the map refreshes through the
+    PROVEN incremental algebra (dedup.incremental_components —
+    contract batch-pair endpoints through the old map, components
+    over the contracted batch edges only, expand) instead of
+    re-running components over the corpus; the pairs artifact's
+    refresh supplies the batch pairs via the shared memo. Labels can
+    merge across old components, so this is a REPLACE commit (unlike
+    the pairs' append)."""
     key = ("setsim_comps", spark.sparkContext.applicationId, sf_dir)
+
+    def _refresh(old_comps, appended):
+        # the pairs artifact is the dependency: ensuring it under the
+        # same appended corpus either populates the batch-pair memo
+        # (append path) or full-rebuilds (non-append staleness)
+        _standing_setsim_pairs(spark, sf_dir)
+        bp = _NEARDUP_MEMO.get(_setsim_refresh_bp_key(spark, sf_dir))
+        if bp is None:
+            return ("replace", dedup.connected_components(
+                _standing_setsim_pairs(spark, sf_dir), max_iter=30))
+        return ("replace", dedup.incremental_components(
+            None, bp, max_iter=30, standing_components=old_comps))
+
     return artifacts.load_or_build(
         spark, sf_dir, "setsim_components",
         lambda: dedup.connected_components(
@@ -568,6 +644,7 @@ def _standing_setsim_components(spark, sf_dir):
         ),
         _NEARDUP_MEMO, key,
         params="cc30.over.setsim.t3-5.standing-mod5",
+        refresher=_refresh,
     )
 
 
@@ -606,6 +683,31 @@ def _setsim_index_build(spark, sf_dir):
     return _build
 
 
+def _setsim_index_refresh(old, appended):
+    """Group refresher for the standing setsim index under
+    append-only corpus growth (round 13): the shingle, signature, and
+    term-array members are PER-DOC relations, so the appended docs'
+    rows are exactly the delta — three batch-linear appends, no text
+    re-tokenize of the standing corpus. Only the df-ranked prefix
+    member must recompute (global df ranks drift, so OLD docs'
+    prefixes change — an append there would silently break the
+    lossless-prefix guarantee, which requires both sides of a pair
+    ranked under ONE order): it re-derives from the grown SHINGLE
+    table (dedup.prefixes_from_shingles — one group-agg + windows
+    over (doc_id, term) rows), skipping the regex/explode text pass
+    that dominates the from-scratch build."""
+    sh_old = old[0]
+    sh_new = dedup._shingles(appended, "text", 3).localCheckpoint()
+    pref = dedup.prefixes_from_shingles(
+        sh_old.unionByName(sh_new), 3, 5)
+    return (
+        ("append", sh_new),
+        ("replace", pref),
+        ("append", dedup.suffix_histograms(sh_new, 128)),
+        ("append", dedup.doc_term_arrays(sh_new)),
+    )
+
+
 def _standing_setsim_index(spark, sf_dir):
     """The standing similarity-join INDEX over the full corpus —
     shingles, df-ranked prefixes, suffix-filter histogram signatures,
@@ -627,6 +729,7 @@ def _standing_setsim_index(spark, sf_dir):
         _setsim_index_key(spark, sf_dir),
         params=_SETSIM_INDEX_PARAMS,
         cluster=_SETSIM_INDEX_CLUSTER,
+        refresher=_setsim_index_refresh,
     )
 
 
@@ -652,6 +755,7 @@ def _setsim_scoped(spark, sf_dir):
             key, _SETSIM_MEMBER[member], col, keys,
             params=_SETSIM_INDEX_PARAMS,
             cluster=_SETSIM_INDEX_CLUSTER,
+            refresher=_setsim_index_refresh,
         )
 
     return reader

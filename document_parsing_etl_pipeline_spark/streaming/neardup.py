@@ -39,6 +39,7 @@ from .table_sink import last_committed_batch
 
 def _assert_ids_new(
     spark, bb: DataFrame, index_root: str, lo, hi, ids_fn,
+    stats: dict | None = None,
 ) -> None:
     """Enforce the append contract 'ingest doc_ids are new', in two
     driver-side manifest passes before any data is read:
@@ -58,15 +59,22 @@ def _assert_ids_new(
 
     Only files that survive BOTH passes pay the confirming semi-join.
     A violation raises instead of silently duplicating the
-    violator's bucket rows."""
+    violator's bucket rows. ``stats`` (round 13, the promised probe
+    observability): filled with the per-pass file hit counts."""
+    if stats is None:
+        stats = {}
     if lo is None:
         return
-    pruned, files_read, _ = tf.scan(spark, index_root, "doc_id", lo, hi)
+    pruned, files_read, files_total = tf.scan(
+        spark, index_root, "doc_id", lo, hi)
+    stats["guard_range_files"] = files_read
+    stats["guard_files_total"] = files_total
     if files_read == 0:
         return
     pruned, files_read, _ = tf.scan_membership(
         spark, index_root, "doc_id", ids_fn()
     )
+    stats["guard_bloom_files"] = files_read
     if files_read == 0:
         return
     hits = [
@@ -185,29 +193,33 @@ def _ingest_batch_run(
     def _mark(label: str) -> None:
         if _tm:
             _marks.append((label, round(_time.time() - _t0, 3)))
-    # parse the batch source ONCE (round-9 throughput fix): the plain
-    # batch_df re-reads its source files in EVERY job that references
-    # it. Round 10 folds the former isEmpty probe AND the new-ids
-    # guard's id bounds into an Observation riding this single
-    # checkpoint action — one job does parse + count + bounds.
+    # ONE localCheckpoint per batch (round 13; was two): the batch's
+    # count/id-bounds Observation rides the BUCKET checkpoint's
+    # action, so parse + bucket + count + bounds are a single job and
+    # the former separate batch checkpoint (its own action + local
+    # block write) is gone. The bucket relation is what every
+    # downstream consumer references (flag join ×3, stage append,
+    # driver probes); the raw batch is referenced exactly once more —
+    # the flag join's doc_id spine — and that reference re-reads the
+    # source with doc_id-only column pruning, strictly cheaper than a
+    # second checkpoint action was (ABAB-measured, see
+    # BENCH_NEARDUP_AB_r13).
     from pyspark.sql import Observation
 
     obs = Observation(f"nd_batch_{batch_id}")
-    batch = batch_df.observe(
-        obs,
-        F.count(F.lit(1)).alias("cnt"),
-        F.min("doc_id").alias("lo"),
-        F.max("doc_id").alias("hi"),
+    bb = minhash_buckets(
+        batch_df.observe(
+            obs,
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        ),
+        num_hashes=num_hashes, band_size=band_size,
     ).localCheckpoint()
     got = obs.get
-    _mark("parse+observe")
+    _mark("bucket_checkpoint+observe")
     if got["cnt"] == 0:
         return False
-    # feeds flagging (3 refs) + the index append
-    bb = minhash_buckets(
-        batch, num_hashes=num_hashes, band_size=band_size
-    ).localCheckpoint()
-    _mark("bucket_checkpoint")
     # ONE bounded collect (≤ bands × trigger-size rows off the local
     # checkpoint) feeds BOTH driver-side probes: the new-ids guard's
     # doc_id membership test and the bucket-key pushdown's bh set —
@@ -292,13 +304,14 @@ def _ingest_batch_run(
     # join + write), one publish barrier; a guard violation still
     # discards the stage and raises before anything becomes visible.
     guard_err: list[BaseException] = []
+    probe_stats: dict = {}  # per-batch file-pruning observability
 
     def _run_guard() -> None:
         try:
             if validate_new_ids:
                 _assert_ids_new(
                     spark, bb, index_root, got["lo"], got["hi"],
-                    ids_fn=_batch_ids,
+                    ids_fn=_batch_ids, stats=probe_stats,
                 )
         except BaseException as e:  # surface at the publish barrier
             guard_err.append(e)
@@ -324,7 +337,10 @@ def _ingest_batch_run(
                 and (has_bh_bloom
                      or len(head["files"]) > PUSHDOWN_MIN_FILES)):
             keys = _batch_keys()
-            index, _, _ = tf.scan_keys(spark, index_root, "bh", keys)
+            index, _fr, _ft = tf.scan_keys(
+                spark, index_root, "bh", keys)
+            probe_stats["push_files_read"] = _fr
+            probe_stats["push_files_total"] = _ft
             _mark("guard+scan_keys")
         else:
             index = tf.read(spark, index_root)
@@ -335,7 +351,7 @@ def _ingest_batch_run(
         # 12 cut its plan from 7 exchanges to 2 — the leg's cost is
         # fixed per-stage latency, not data volume)
         flags = lsh_flag_ingest(
-            batch.select("doc_id"), bb, index, max_bucket
+            batch_df.select("doc_id"), bb, index, max_bucket
         )
         # index update is an APPEND, not a MERGE (round-8 throughput
         # fix): ingest doc_ids are new by contract — ENFORCED by
@@ -402,7 +418,9 @@ def _ingest_batch_run(
         _mark("optimize_cadence")
     if _tm:
         print(f"nd_timing batch={batch_id} cnt={got['cnt']} "
-              + " ".join(f"{l}={t}" for l, t in _marks),
+              + " ".join(f"{l}={t}" for l, t in _marks)
+              + ("" if not probe_stats else " " + " ".join(
+                  f"{k}={v}" for k, v in sorted(probe_stats.items()))),
               file=_sys.stderr)
     return True
 

@@ -1,12 +1,13 @@
 """ABAB microbench for the streaming near-dup ingest: alternate the
-round-11 implementation (A — extracted from git at runtime) with the
+BASELINE implementation (A — extracted from git at runtime; default =
+the round-12 final commit) with the
 current one (B) on identical data — the interleaving controls box
 drift, so the B/A ratio is implementation, not environment. Mirrors
 bench.py's stream_neardup leg (shuffled-id JSON drop files, mft16
 triggers) at sf0.1 and, when present, the 10x derived corpus
 (/tmp/sf1eq_full — build via scripts/bench_sf1.py / scaling_probe).
 
-Usage: python scripts/bench_neardup_ab.py [out.json] [r11_commit]
+Usage: python scripts/bench_neardup_ab.py [out.json] [base_commit]
 """
 
 from __future__ import annotations
@@ -27,7 +28,7 @@ from document_parsing_etl_pipeline_spark.catalog import load_table
 from document_parsing_etl_pipeline_spark.session import get_spark
 
 
-def _load_r11(commit: str):
+def _load_base(commit: str):
     src = subprocess.run(
         ["git", "-C", REPO, "show",
          f"{commit}:document_parsing_etl_pipeline_spark/streaming/"
@@ -38,7 +39,7 @@ def _load_r11(commit: str):
     with open(path, "w") as f:
         f.write(src)
     spec = importlib.util.spec_from_file_location(
-        "document_parsing_etl_pipeline_spark.streaming.neardup_r11",
+        "document_parsing_etl_pipeline_spark.streaming.neardup_base",
         path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
@@ -47,14 +48,14 @@ def _load_r11(commit: str):
 
 def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else None
-    commit = sys.argv[2] if len(sys.argv) > 2 else "0e89f82"
+    commit = sys.argv[2] if len(sys.argv) > 2 else "f180918"
     from document_parsing_etl_pipeline_spark.streaming import (
         neardup as nd_new,
     )
 
-    nd_old = _load_r11(commit)
+    nd_old = _load_base(commit)
     spark = get_spark("bench_neardup_ab")
-    results = {"r11_commit": commit,
+    results = {"base_commit": commit,
                "load1_start": round(os.getloadavg()[0], 2),
                "legs": {}}
     tmp = tempfile.mkdtemp(prefix="nd_ab_")
@@ -92,13 +93,13 @@ def main():
             trial(nd_new, "warm")  # uncounted
             trials = []
             for i, (name, mod) in enumerate(
-                [("A_r11", nd_old), ("B_new", nd_new)] * 2
+                [("A_base", nd_old), ("B_new", nd_new)] * 2
             ):
                 w, r = trial(mod, f"{name}_{i}")
                 trials.append(
                     {"variant": name, "wall_sec": w, "rows_per_sec": r})
             a = max(t["rows_per_sec"] for t in trials
-                    if t["variant"] == "A_r11")
+                    if t["variant"] == "A_base")
             b = max(t["rows_per_sec"] for t in trials
                     if t["variant"] == "B_new")
             results["legs"][label] = {
