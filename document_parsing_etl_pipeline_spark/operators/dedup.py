@@ -89,20 +89,29 @@ def band_cap_col(max_bucket) -> Column:
 
 
 def minhash_signature(
-    docs: DataFrame, text_col: str = "text", num_hashes: int = 8
+    docs: DataFrame, text_col: str = "text", num_hashes: int = 8,
+    keep_empty: bool = False,
 ) -> DataFrame:
     """MinHash signature: for seed k, h_k = min(md5(k || ':' || token)).
 
     md5 hex strings are uniformly distributed, so the lexicographic min
     under a seeded prefix is a valid min-wise permutation proxy —
     and is bit-identical across Spark and the DuckDB oracle.
-    """
+
+    ``keep_empty`` (round 13, the streaming ingest's one-checkpoint
+    spine): explode_outer instead of explode, so zero-token docs
+    survive with all-NULL minhashes (→ NULL bucket hashes downstream)
+    — the checkpointed bucket relation then carries the COMPLETE
+    batch doc_id spine and the flag join never re-parses the source.
+    Default False keeps the historical drop-empty semantics every
+    batch oracle encodes."""
     # explode + groupBy(min) instead of per-array higher-order
     # transforms: HOFs are interpreted (no codegen); the exploded md5 +
     # partial-aggregated min runs whole-stage-codegen'd and reduces to
     # one row per doc per partition before the shuffle.
+    ex = F.explode_outer if keep_empty else F.explode
     toks = docs.select(
-        "doc_id", F.explode(_norm_tokens(F.col(text_col))).alias("tok")
+        "doc_id", ex(_norm_tokens(F.col(text_col))).alias("tok")
     )
     return toks.groupBy("doc_id").agg(
         *[
@@ -118,13 +127,17 @@ def minhash_buckets(
     num_hashes: int = 8,
     band_size: int = 2,
     sigs: DataFrame | None = None,
+    keep_empty: bool = False,
 ) -> DataFrame:
     """LSH bucket membership: (doc_id, band, bh) with bh =
     md5(concat of the band's minhashes). Shared by the candidate
     generator and the bucket-load diagnostics (q_lsh_bucket_stats),
-    so cap tuning observes exactly the buckets pairing uses."""
+    so cap tuning observes exactly the buckets pairing uses.
+    ``keep_empty`` keeps zero-token docs as NULL-bh rows (see
+    minhash_signature)."""
     if sigs is None:
-        sigs = minhash_signature(docs, text_col, num_hashes)
+        sigs = minhash_signature(docs, text_col, num_hashes,
+                                 keep_empty=keep_empty)
     n_bands = num_hashes // band_size
     bands = []
     for b in range(n_bands):

@@ -197,25 +197,32 @@ def _ingest_batch_run(
     # count/id-bounds Observation rides the BUCKET checkpoint's
     # action, so parse + bucket + count + bounds are a single job and
     # the former separate batch checkpoint (its own action + local
-    # block write) is gone. The bucket relation is what every
-    # downstream consumer references (flag join ×3, stage append,
-    # driver probes); the raw batch is referenced exactly once more —
-    # the flag join's doc_id spine — and that reference re-reads the
-    # source with doc_id-only column pruning, strictly cheaper than a
-    # second checkpoint action was (ABAB-measured, see
-    # BENCH_NEARDUP_AB_r13).
+    # block write) is gone. keep_empty=True makes the checkpointed
+    # relation carry the COMPLETE doc_id spine (zero-token docs
+    # survive as NULL-bh rows), so the flag join derives its id side
+    # from the checkpoint too and the batch source is parsed exactly
+    # ONCE per micro-batch — the first cut of this change re-read the
+    # source for the id spine, which won at small triggers but lost
+    # at 17k-doc JSON triggers where a second parse is a real job
+    # (ABAB-measured, see BENCH_NEARDUP_AB_r13).
     from pyspark.sql import Observation
 
     obs = Observation(f"nd_batch_{batch_id}")
-    bb = minhash_buckets(
+    bb_all = minhash_buckets(
         batch_df.observe(
             obs,
             F.count(F.lit(1)).alias("cnt"),
             F.min("doc_id").alias("lo"),
             F.max("doc_id").alias("hi"),
         ),
-        num_hashes=num_hashes, band_size=band_size,
+        num_hashes=num_hashes, band_size=band_size, keep_empty=True,
     ).localCheckpoint()
+    bb = bb_all.where(F.col("bh").isNotNull())
+    # the id spine: band 0 holds exactly one row per batch doc
+    # (keep_empty included), so this is a shuffle-free filter off the
+    # checkpoint — a distinct() here would add an exchange to the
+    # flag plan
+    batch_ids = bb_all.where(F.col("band") == 0).select("doc_id")
     got = obs.get
     _mark("bucket_checkpoint+observe")
     if got["cnt"] == 0:
@@ -351,7 +358,7 @@ def _ingest_batch_run(
         # 12 cut its plan from 7 exchanges to 2 — the leg's cost is
         # fixed per-stage latency, not data volume)
         flags = lsh_flag_ingest(
-            batch_df.select("doc_id"), bb, index, max_bucket
+            batch_ids, bb, index, max_bucket
         )
         # index update is an APPEND, not a MERGE (round-8 throughput
         # fix): ingest doc_ids are new by contract — ENFORCED by

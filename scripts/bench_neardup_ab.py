@@ -93,7 +93,7 @@ def main():
             trial(nd_new, "warm")  # uncounted
             trials = []
             for i, (name, mod) in enumerate(
-                [("A_base", nd_old), ("B_new", nd_new)] * 2
+                [("A_base", nd_old), ("B_new", nd_new)] * 3
             ):
                 w, r = trial(mod, f"{name}_{i}")
                 trials.append(

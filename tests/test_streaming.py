@@ -1670,3 +1670,31 @@ def test_aqe_toggle_refcount_survives_concurrent_interleave(spark):
         assert spark.conf.get(key) == "true"
     finally:
         spark.conf.set(key, ambient)
+
+
+def test_neardup_ingest_zero_token_docs_get_flag_rows(tmp_path, spark):
+    """The one-checkpoint spine (round 13): zero-token docs can't
+    bucket, but they are still batch members — they must get a
+    not-dup flag row (the spine rides the keep_empty bucket
+    checkpoint), and their NULL-bh rows must never reach the index."""
+    from document_parsing_etl_pipeline_spark.sources import (
+        tableformat as tf,
+    )
+    from document_parsing_etl_pipeline_spark.streaming import neardup
+
+    idx, fl = str(tmp_path / "idx"), str(tmp_path / "fl")
+    neardup.create_index(spark, idx)
+    batch = spark.createDataFrame(
+        [(1, "a real document with plenty of words to shingle on "
+          * 4),
+         (2, ""), (3, None)],
+        "doc_id long, text string")
+    assert neardup.ingest_batch(spark, batch, idx, fl, 1) is True
+    flags = {r.doc_id: (r.is_dup, r.first_match_doc)
+             for r in spark.read.parquet(fl).collect()}
+    assert set(flags) == {1, 2, 3}
+    assert flags[2] == (False, -1) and flags[3] == (False, -1)
+    idx_rows = tf.read(spark, idx)
+    assert idx_rows.where("bh IS NULL").count() == 0
+    assert set(r.doc_id for r in
+               idx_rows.select("doc_id").distinct().collect()) == {1}
