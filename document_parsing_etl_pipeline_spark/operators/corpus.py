@@ -520,26 +520,38 @@ def sparse_sim_topk(
         .select("doc_id", F.concat_ws(" ", *parts).alias("term"))
         .distinct()
     )
-    # NOT localCheckpointed despite the 4 downstream references: the
-    # pair join dominates here and the checkpoint write costs more
-    # than the shingle rebuilds save (measured 3.7 -> 4.3 s at sf0.1
-    # — the setsim/pagerank materialize rule applies only when the
-    # SHARED subtree is the expensive part).
-    dfreq = (
-        sh.groupBy("term")
-        .agg(F.count("*").cast("long").alias("df"))
-        .where(F.col("df").between(df_min, df_max))
-    )
+    # Round 13: the weighted posting list ``w`` is referenced by THREE
+    # downstream subtrees (norms + both sides of the pair self-join),
+    # and norms feed scored twice more — without materialization the
+    # optimizer inlined the whole tokenize+shingle pipeline into every
+    # reference (measured: 48 parquet scans / 32 regexp tokenize
+    # evaluations in one plan, 118 Exchanges). Two changes:
+    # (1) df via a window over the ONE shingle relation instead of
+    #     groupBy + join-back — one term-keyed exchange computes df
+    #     and keeps the row, halving the build's tokenize passes;
+    # (2) localCheckpoint the PRUNED posting list (df ∈ [df_min,
+    #     df_max] only — the df cap makes it far smaller than the raw
+    #     shingle table, which is why the round-5 measurement that
+    #     rejected checkpointing the RAW relation does not apply).
+    # At corpus scale this is "tokenize once, materialize only the
+    # discriminative postings" — the inverted-index build a real
+    # deployment would persist.
     n = docs.agg(F.count("*").alias("n_docs"))
-    idf = dfreq.crossJoin(F.broadcast(n)).select(
-        "term",
-        F.round(
-            F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
-            6,
-        ).alias("idf"),
-    )
-    w = sh.join(idf, "term").select(
-        "term", "doc_id", F.col("idf").alias("wt")
+    w = (
+        sh.withColumn(
+            "df", F.count("*").over(Window.partitionBy("term"))
+        )
+        .where(F.col("df").between(df_min, df_max))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term", "doc_id",
+            F.round(
+                F.log((F.col("n_docs") + F.lit(1.0))
+                      / (F.col("df") + F.lit(1.0))),
+                6,
+            ).alias("wt"),
+        )
+        .localCheckpoint()
     )
     norms = w.groupBy("doc_id").agg(
         F.sqrt(

@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..operators import charts as charts_op
 from ..operators import chunking, corpus, dedup, entities, parse, similarity
 from ..operators import text_analysis as ta
@@ -356,7 +356,8 @@ def _minhash_sigs(spark, sf_dir):
     return artifacts.load_or_build(
         spark, sf_dir, "minhash_sigs",
         lambda: dedup.minhash_signature(
-            load_table(spark, sf_dir, "documents"), num_hashes=_MH_K),
+            spread_scan(load_table(spark, sf_dir, "documents")),
+            num_hashes=_MH_K),
         _NEARDUP_MEMO, key,
         params=f"minhash.k{_MH_K}",
     )
@@ -505,7 +506,7 @@ def _verified_candidates(spark, sf_dir):
     return artifacts.load_or_build(
         spark, sf_dir, "neardup_verified",
         lambda: dedup.ngram_jaccard_pairs(
-            load_table(spark, sf_dir, "documents"),
+            spread_scan(load_table(spark, sf_dir, "documents")),
             num_hashes=_MH_K, band_size=_MH_BAND, max_bucket=caps,
             threshold=None, sigs=_minhash_sigs(spark, sf_dir),
         ),
@@ -599,8 +600,8 @@ def _standing_setsim_pairs(spark, sf_dir):
     return artifacts.load_or_build(
         spark, sf_dir, "setsim_pairs",
         lambda: dedup.setsim_prefix_join(
-            load_table(spark, sf_dir, "documents")
-            .where(F.expr("doc_id % 5 != 0")),
+            spread_scan(load_table(spark, sf_dir, "documents")
+                        .where(F.expr("doc_id % 5 != 0"))),
             threshold_num=3, threshold_den=5,
         ),
         _NEARDUP_MEMO, key,
@@ -677,7 +678,7 @@ def _setsim_index_key(spark, sf_dir):
 def _setsim_index_build(spark, sf_dir):
     def _build():
         return dedup.setsim_index(
-            load_table(spark, sf_dir, "documents"),
+            spread_scan(load_table(spark, sf_dir, "documents")),
             threshold_num=3, threshold_den=5,
         )
     return _build
@@ -868,7 +869,7 @@ def _simhash_sigs(spark, sf_dir):
     return artifacts.load_or_build(
         spark, sf_dir, "simhash_sigs",
         lambda: dedup.simhash_signature(
-            load_table(spark, sf_dir, "documents")),
+            spread_scan(load_table(spark, sf_dir, "documents"))),
         _NEARDUP_MEMO, key,
         params=f"simhash.bits{dedup.SIMHASH_BITS}",
     )

@@ -6625,7 +6625,10 @@ def q_naive_bayes_lang(spark, sf_dir):
         )
     )
     matched = (
-        dt.join(model, "tok")
+        dt.join(F.broadcast(model), "tok")
+        # ^ vocab x langs: Zipf-bounded; broadcasting the model
+        # keeps the corpus-sized doc-term side unshuffled here
+
         .join(F.broadcast(params), "lang")
         .groupBy("doc_id", "lang")
         .agg(
@@ -11609,7 +11612,10 @@ def q_nb_calibration(spark, sf_dir):
         )
     )
     matched = (
-        dt.join(model, "tok")
+        dt.join(F.broadcast(model), "tok")
+        # ^ vocab x langs: Zipf-bounded; broadcasting the model
+        # keeps the corpus-sized doc-term side unshuffled here
+
         .join(F.broadcast(params), "lang")
         .groupBy("doc_id", "lang")
         .agg(

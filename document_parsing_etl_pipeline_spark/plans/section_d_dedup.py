@@ -169,8 +169,13 @@ WHERE a.vec_id < b.vec_id
             4) >= 0.3
 """)
 def q_dedup_embedding(spark, sf_dir):
+    # spread_scan: the quadratic Arrow block-matmul ran on the single
+    # scan split of the local embeddings file (measured 1.74 -> 0.99 s;
+    # no-op on a multi-split production scan)
     return dedup.embedding_near_dup(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.3
+        spread_scan(load_table(spark, sf_dir, "embeddings"),
+                    key="vec_id"),
+        threshold=0.3
     )
 
 
@@ -419,7 +424,8 @@ def q_semdedup(spark, sf_dir):
     the oracle's scalar subquery computes the identical k.
     operators/dedup.py:semdedup_keep."""
     return dedup.semdedup_keep(
-        load_table(spark, sf_dir, "embeddings"),
+        spread_scan(load_table(spark, sf_dir, "embeddings"),
+                    key="vec_id"),
         threshold=_SEMDEDUP_TAU,
     )
 

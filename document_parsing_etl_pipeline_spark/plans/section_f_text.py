@@ -1370,7 +1370,9 @@ def q_embedding_quantize(spark, sf_dir):
     reconstruction MSE, max abs error — the check before shipping a
     quantized ANN index. floor(x+0.5) (not round) keeps the
     quantized value engine-identical. corpus.py:quantize_embeddings."""
-    return corpus.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return corpus.quantize_embeddings(
+        spread_scan(load_table(spark, sf_dir, "embeddings"),
+                    key="vec_id"))
 
 
 @register("q_stratified_sample", """
