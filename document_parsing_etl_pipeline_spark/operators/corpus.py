@@ -923,7 +923,10 @@ def _kmeans_rounds(
     (localCheckpoint) like connected_components."""
     from .similarity import cosine_sim
 
-    vecs = _spherical_vectors(embeddings, id_col)
+    # checkpoint the normalized vectors ONCE (round 13): every
+    # round's assignment join re-read this subtree (scan + normalize
+    # per round); the relation is |vecs| rows and feeds all rounds
+    vecs = _spherical_vectors(embeddings, id_col).localCheckpoint()
     cents = vecs.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("centroid_id"), F.col("ev").alias("cv")
     )
@@ -971,7 +974,11 @@ def _kmeans_rounds(
                 F.transform(F.col("pairs"), lambda p: p["m"]).alias("cv"),
             )
         )
-        cents = new_cents.localCheckpoint()
+        # no per-round checkpoint on cents (round 13): its lineage is
+        # already truncated at the checkpointed `assigned`, and its
+        # single consumer is the next round's broadcast — the eager
+        # materialization was one extra action per round for nothing
+        cents = new_cents
     return scored, assigned, objectives
 
 

@@ -4194,11 +4194,22 @@ def q_psi_drift(spark, sf_dir):
         .otherwise("cur").alias("half"),
         "band",
     )
-    bands = halves.select("band").distinct()
-    nb = bands.agg(F.count("*").alias("n_bands"))
-    counts = halves.groupBy("half", "band").agg(
-        F.count("*").cast("long").alias("n")
+    # localCheckpoint (round 13): counts is <= |bands| x 2 rows but
+    # feeds SIX consumers (bands, n_bands, both halves' counts, both
+    # totals) — and the final contrib relation is itself referenced
+    # twice (rows + the 1-row total). Uncheckpointed, every reference
+    # re-inlined the events scan + min-day agg (measured: 24 parquet
+    # scans in one plan; 2 after — one for min-day, one for counts).
+    counts = (
+        halves.groupBy("half", "band")
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint()
     )
+    # identical band set: counts carries every band present in either
+    # half, so deriving bands here re-reads the checkpoint, not the
+    # fact scan
+    bands = counts.select("band").distinct()
+    nb = bands.agg(F.count("*").alias("n_bands"))
     tot = counts.groupBy("half").agg(F.sum("n").cast("long").alias("total"))
     r = counts.where(F.col("half") == "ref").select(
         "band", F.col("n").alias("nr")
@@ -4371,11 +4382,18 @@ def q_basket_lift(spark, sf_dir):
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey"), "p_brand"
     )
+    # localCheckpoint (round 13): ob feeds FOUR consumers (order
+    # count, brand totals, both pair-join sides) — uncheckpointed,
+    # the lineitem⋈part+distinct subtree was inlined into each
+    # (measured: 20 parquet scans in one plan); materialized, the
+    # fact join runs once and the pair join reads the small distinct
+    # (order, brand) relation
     ob = (
         li.join(part, "l_partkey")
         .select(F.col("l_orderkey").alias("okey"),
                 F.col("p_brand").alias("brand"))
         .distinct()
+        .localCheckpoint()
     )
     n = ob.select("okey").distinct().agg(
         F.count("*").alias("n_orders")
@@ -4997,8 +5015,11 @@ def q_winsorized_stats(spark, sf_dir):
     (percentile agg, then clamp+sum agg) with the ≤|flags|-row
     bounds broadcast between them; at 100 TB pass 1 swaps to the
     t-digest sketch the same way q_events_percentiles documents."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_extendedprice"
+    li = spread_scan(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_extendedprice"
+        ),
+        key="l_extendedprice",
     )
     bounds = li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_extendedprice", F.lit(0.05)), 4)
@@ -6882,7 +6903,9 @@ def q_rake_keywords(spark, sf_dir):
     relation broadcasts, the incidence joins are (doc, island)- and
     token-keyed, top-k on the ≤|distinct phrases| relation.""".replace(
         "{stop}", str(_RAKE_STOP))
-    docs = load_table(spark, sf_dir, "documents")
+    # spread_scan (round 13): the posexplode tokenize ran on the
+    # single local scan split (no-op on multi-split scans)
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         F.posexplode(
@@ -7601,7 +7624,9 @@ def q_kneser_ney_bigram(spark, sf_dir):
     (doc, pos)-keyed self-join (the repo's bigram recipe); top-k on
     the vocab-bounded scored relation.""".replace(
         "{k}", str(_KN_TOPK)).replace("{d}", str(_KN_D))
-    docs = load_table(spark, sf_dir, "documents")
+    # spread_scan (round 13): the posexplode tokenize ran on the
+    # single local scan split (no-op on multi-split scans)
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         F.posexplode(
@@ -11191,12 +11216,16 @@ def q_bh_fdr(spark, sf_dir):
         .withColumn("z", F.expr(_BH_Z))
         .withColumn("az", F.expr("CASE WHEN z < 0 THEN -z ELSE z END"))
     )
+    # localCheckpoint (round 13): ps is <= |event types| rows, but m,
+    # the rank window, the BH step-up scan and the output each
+    # re-inlined the distinct-participation join + arm aggregates
+    # without it (measured: 12 parquet scans in one plan; 2 after)
     ps = zs.select(
         "event_type",
         F.expr("CAST(round(z * 1000, 0) AS BIGINT)").alias("z_milli"),
         F.expr(f"least(CAST(round(2000000 * {_PHI_TAIL}, 0) AS BIGINT),"
                " 1000000)").alias("p_ppm"),
-    )
+    ).localCheckpoint()
     m = ps.agg(F.count("*").cast("long").alias("m"))
     ranked = ps.crossJoin(F.broadcast(m)).withColumn(
         "p_rank",

@@ -703,7 +703,7 @@ def q_span_dedup(spark, sf_dir):
     global occurrence count, join back, and an interval-union count
     for coverage. All arithmetic integer; md5 is engine-identical."""
     return dedup.span_dedup_profile(
-        load_table(spark, sf_dir, "documents"), k=_SPAN_K
+        spread_scan(load_table(spark, sf_dir, "documents")), k=_SPAN_K
     )
 
 
@@ -743,7 +743,7 @@ def q_setsim_prefix_join(spark, sf_dir):
     posting-list length. All-integer rational-threshold arithmetic.
     operators/dedup.py:setsim_prefix_join."""
     return dedup.setsim_prefix_join(
-        load_table(spark, sf_dir, "documents"),
+        spread_scan(load_table(spark, sf_dir, "documents")),
         threshold_num=3, threshold_den=5,
     )
 
@@ -1270,7 +1270,10 @@ def q_dedup_recall_capture(spark, sf_dir):
         max_bucket=_lsh_caps(spark, sf_dir, "simhash"),
         sigs=_simhash_sigs(spark, sf_dir),
     ).select("doc_a", "doc_b")
-    toks = docs.select(
+    # spread_scan: the token arrays join the verify below from both
+    # endpoints — without it the tokenize ran on the scan's single
+    # local split (round 13; no-op on a multi-split production scan)
+    toks = spread_scan(docs).select(
         "doc_id", dedup._norm_tokens(F.col("text")).alias("tokens"))
     b = (
         sh.join(toks.withColumnsRenamed(
@@ -1282,6 +1285,10 @@ def q_dedup_recall_capture(spark, sf_dir):
                 F.size(F.array_intersect("ta", "tb"))
                 / F.size(F.array_union("ta", "tb")), 4) >= 0.5)
         .select("doc_a", "doc_b")
+        # checkpoint: n_b and n_both both consume b — without the
+        # materialization the whole simhash-pair + double-tokenize
+        # verification subtree is inlined (and EXECUTED) twice
+        .localCheckpoint()
     )
     na = a.agg(F.count("*").cast("long").alias("n_a"))
     nb = b.agg(F.count("*").cast("long").alias("n_b"))
@@ -1367,7 +1374,7 @@ def q_span_longest_match(spark, sf_dir):
     see only duplicated windows. Engine parity: md5 window hashes,
     exact integer run arithmetic, ppm via integer div."""
     return dedup.span_longest_match(
-        load_table(spark, sf_dir, "documents"), k=_SPAN_K
+        spread_scan(load_table(spark, sf_dir, "documents")), k=_SPAN_K
     )
 
 

@@ -128,6 +128,10 @@ def q_ivf_recall_audit(spark, sf_dir):
     100‰) flips meets_floor to FALSE and fails the hash gate.
     Integer permille via floor division — no ratio rounding drift."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # NOT checkpointed (round 13, measured 2.12 -> 2.86 s with a
+    # localCheckpoint here): the brute kernel IS referenced twice,
+    # but both evaluations run concurrently inside the one action —
+    # an eager checkpoint serializes them into two jobs and loses.
     brute = similarity.knn_brute_cosine(emb, num_queries=5, k=5).select(
         "query_id", "vec_id"
     )
@@ -267,7 +271,11 @@ def q_pq_codebook_audit(spark, sf_dir):
         )
         for sub in range(_PQ_SUBS)
     ]))
-    vals = emb.select("vec_id", slices)
+    # spread_scan (round 13): the x256 broadcast fanout below keeps
+    # the probe side's partitioning, so all |vecs| x 8 x 256
+    # interpreted zip_with/aggregate evaluations ran on the local
+    # file's ONE scan split (no-op on a multi-split production scan)
+    vals = spread_scan(emb, key="vec_id").select("vec_id", slices)
     cent_ids = emb.select("vec_id").orderBy("vec_id").limit(_PQ_K)
     cents = (
         emb.join(

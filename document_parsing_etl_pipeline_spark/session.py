@@ -29,6 +29,15 @@ DEFAULT_CONF = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Long-session hygiene (round 13): localCheckpoint blocks from
+    # FINISHED queries are reclaimed by the ContextCleaner only after
+    # a driver GC notices the dead RDD references — with an 8g heap
+    # and small per-query data, no GC fires for the length of a
+    # 322-query sweep and dead blocks pile up in the block manager
+    # (measured: the same 16-query probe list ran 46.2s late in a
+    # session vs 38.4s with this set; tail queries inflated up to 3x).
+    # The default interval (30min) never fires inside a bench run.
+    "spark.cleaner.periodicGC.interval": "45s",
 }
 
 
