@@ -37,7 +37,12 @@ DEFAULT_CONF = {
     # (measured: the same 16-query probe list ran 46.2s late in a
     # session vs 38.4s with this set; tail queries inflated up to 3x).
     # The default interval (30min) never fires inside a bench run.
-    "spark.cleaner.periodicGC.interval": "45s",
+    # 5min, not seconds: System.gc() in local mode is a stop-the-world
+    # pause shared with executor tasks, so fire rarely — a 45s/300s/
+    # off 3-way measurement of the heavy-query list was a wash
+    # (35.2/35.5/37.0s), and 300s still bounds block buildup across a
+    # 322-query sweep.
+    "spark.cleaner.periodicGC.interval": "300s",
 }
 
 
