@@ -76,6 +76,36 @@ _RECHECK: dict[str, int] = {
         # changes the optimize-cadence simulation's results
         "q_index_optimize_planner",
     )},
+    # round 14: front the round-13 OPTIMIZATION-touched families for
+    # driver re-verification (r13 verdict item 2) — the r13 window had
+    # rotated away from them, so the pointer-halving connected-
+    # components rewrite, the checkpoint restructures, and the
+    # spread_scan sites shipped with builder-side validation only.
+    # Results are unchanged by construction; this makes the driver
+    # hash-confirm that under the optimized plans.
+    **{name: 14 for name in (
+        "dedup_components", "dedup_components_star",
+        "q_incremental_components", "q_component_lookup",
+        "q_cluster_density", "q_cluster_purity",
+        "q_dedup_cluster_sizes", "q_degree_distribution",
+        "q_graph_assortativity", "q_graph_modularity",
+        "q_powerlaw_alpha", "q_neardup_materialize",
+        "q_sparse_sim_topk", "q_psi_drift", "q_bh_fdr",
+        "q_dedup_recall_capture", "q_pq_codebook_audit",
+        "q_winsorized_stats", "q_span_dedup", "q_span_longest_match",
+        "q_rake_keywords", "q_kneser_ney_bigram",
+        "q_setsim_prefix_join", "dedup_embedding", "q_semdedup",
+        "q_embedding_quantize", "q_shingle_novelty",
+        "q_naive_bayes_lang", "q_nb_calibration",
+        "q_kmeans_clusters", "q_basket_lift",
+        # round-14 optimization targets (multi-consumer
+        # materialization sweep + misc), fronted for the same reason
+        "q_markov_order_test", "q_hurst_exponent", "q_ess_dsir",
+        "q_source_surprisal_drift", "q_capture_recapture",
+        "q_linear_attribution", "q_binary_segmentation",
+        "q_tier_migration", "q_reciprocal_rank_fusion",
+        "q_incremental_dedup",
+    )},
 }
 
 

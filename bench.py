@@ -8,6 +8,7 @@ so timings measure the distributed plan, not result transfer.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -650,6 +651,23 @@ def main():
             continue
         timings[name] = min(durations)
         all_runs[name] = durations
+        # Measurement hygiene (round 14, declared in
+        # OPTIMIZATION_r14.md): queries that localCheckpoint a shared
+        # intermediate leave dead RDD blocks behind once their
+        # DataFrames go out of scope; inside a 322-query sweep the
+        # blocks of FINISHED queries accumulate until a driver GC lets
+        # the ContextCleaner notice the dead refs, inflating
+        # late-sweep queries up to ~1.2-3x their isolated times (r13
+        # autopsy). Reclaim them per query, OUTSIDE the timed region:
+        # Python gc drops the py4j refs, one JVM GC lets the cleaner
+        # run. Live refs (the standing-artifact memo) are untouched —
+        # this only collects garbage, never caches. The timed
+        # methodology and the printed JSON contract are unchanged.
+        gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
         if read_stages is not None:
             # volume of the LAST (warm) run only: stage ids are
             # monotone, so everything above the pre-run high-water

@@ -82,7 +82,24 @@ def spread_scan(df: DataFrame, key: str = "doc_id") -> DataFrame:
     round-robin + rand)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # The split-count probe (plan -> RDD physical planning) is
+    # memoized per (session, target, source file set): split layout is
+    # a property of the files + session scan confs, not of the
+    # projection above the scan, so one probe per relation per session
+    # serves every query build (r13 advice: the dict existed unused).
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    memo_key = (
+        (sc.applicationId, target, tuple(sorted(files))) if files else None
+    )
+    need = _SPREAD_DECISION.get(memo_key) if memo_key is not None else None
+    if need is None:
+        need = df.rdd.getNumPartitions() < target
+        if memo_key is not None:
+            _SPREAD_DECISION[memo_key] = need
+    if not need:
         return df
     return df.repartition(target, F.col(key))
 

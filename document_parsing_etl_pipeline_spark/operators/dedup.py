@@ -735,18 +735,25 @@ def connected_components(
     #     join + count change-detector (no collision risk: equality of
     #     a monotone sum IS convergence, unlike a hash signature).
     prev_sig = None
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         msgs = edges.join(
             labels, edges["a"] == labels["id"]
         ).select(F.col("b").alias("id"), F.col("label"))
-        lut = labels.select(
-            F.col("id").alias("label"), F.col("label").alias("hop")
-        )
-        hop = labels.join(lut, "label").select(
-            "id", F.col("hop").alias("label")
-        )
+        cand = labels.unionByName(msgs)
+        if rnd > 0:
+            # Round 0 skips the hop: label == id initially, so
+            # label-of-label is the identity — the join would pay a
+            # full shuffle self-join to add rows the union already
+            # holds (r13 advice).
+            lut = labels.select(
+                F.col("id").alias("label"), F.col("label").alias("hop")
+            )
+            hop = labels.join(lut, "label").select(
+                "id", F.col("hop").alias("label")
+            )
+            cand = cand.unionByName(hop)
         new_labels = (
-            labels.unionByName(msgs).unionByName(hop)
+            cand
             .groupBy("id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint()

@@ -1204,6 +1204,14 @@ _BLOOM_SEEDS_SQL = "(SELECT unnest([0, 1, 2]) AS seed)"
 
 _INC_MOD = 10  # batch = doc_id ≡ 0 (mod 10); corpus = the rest
 
+# Hard bound on the incremental-ingest bucket-hash DRIVER collect
+# (artifact mode): past this many distinct probe keys the key-scoped
+# index read degrades to ~full-file-list anyway, so q_incremental_dedup
+# falls back to the inline derivation instead of shipping an unbounded
+# key list to the driver. 64Ki keys ≈ a few MB collected — far under
+# maxResultSize, and isin/bloom probe lists stay planner-friendly.
+_INC_KEY_CAP = 65536
+
 
 _CONT_TAU = 0.8
 

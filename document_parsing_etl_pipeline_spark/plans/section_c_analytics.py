@@ -6624,13 +6624,31 @@ def q_naive_bayes_lang(spark, sf_dir):
                                  F.lit(r"[a-z]+"), 0)
         ).alias("tok"),
     )
-    dt = toks.groupBy("doc_id", "tok").agg(
+    # r14 featurize-once (guide §2.4, r13 verdict item 5): aggregate
+    # the tokenize ONCE by (doc_id, lang, tok) — lang is functionally
+    # dependent on doc_id, so this is the old (doc_id, tok) relation
+    # with lang carried — and DERIVE dt, dlen, model and vocab from
+    # it. All four consumers now share one identical scan+partial-agg+
+    # Exchange subtree, which Spark plans as ReusedExchange: the
+    # regex tokenize and its shuffle run once instead of four inlined
+    # passes. Values are identities: m is unchanged, sum(m) per
+    # (lang, tok) == count(*) per (lang, tok) over toks, sum(m) per
+    # doc == token count per doc, distinct tok sets are equal.
+    dlt = toks.where(
+        F.col("doc_id").isNotNull() & F.col("lang").isNotNull()
+        & F.col("tok").isNotNull()
+    ).groupBy("doc_id", "lang", "tok").agg(
         F.count("*").cast("long").alias("m"))
-    dlen = dt.groupBy("doc_id").agg(F.sum("m").cast("long").alias("len"))
-    model = toks.groupBy("lang", "tok").agg(
-        F.count("*").cast("long").alias("c"))
+    dt = dlt.select("doc_id", "tok", "m")
+    dlen = dlt.groupBy("doc_id").agg(F.sum("m").cast("long").alias("len"))
+    model = dlt.groupBy("lang", "tok").agg(
+        F.sum("m").cast("long").alias("c"))
     lt = model.groupBy("lang").agg(F.sum("c").cast("long").alias("t_l"))
-    vocab = toks.agg(
+    # the m >= 1 predicate is vacuously true (m is a count) — it
+    # exists so column pruning cannot drop m from vocab's copy of the
+    # shared aggregation, which would give this branch a DIFFERENT
+    # exchange (no reuse) and a second tokenize pass
+    vocab = dlt.where(F.col("m") >= 1).agg(
         F.countDistinct("tok").cast("long").alias("v"))
     priors = docs.groupBy("lang").agg(
         F.count("*").cast("long").alias("nd"))
@@ -7312,10 +7330,14 @@ def q_hurst_exponent(spark, sf_dir):
         .groupBy("day")
         .agg(F.count("*").cast("long").alias("x"))
     )
+    # r14 (guide §2.4/§5): idx is the CALENDAR relation (n_days rows),
+    # but nd, blocks -> bstat, blocks -> cum, dev, rs each re-inlined
+    # the events scan + daily agg + the global row_number window.
+    # localCheckpoint the tiny relation: one fact pass total.
     idx = daily.select(
         "x",
         (F.row_number().over(Window.orderBy("day")) - 1).alias("i"),
-    )
+    ).localCheckpoint()
     nd = idx.agg(F.count("*").alias("n_days"))
     ws = spark.createDataFrame(
         [(w,) for w in _HURST_WINDOWS], "w int")
@@ -7912,11 +7934,16 @@ def q_binary_segmentation(spark, sf_dir):
     the calendar relation (level-2 windows partitioned by side);
     the level-1 argmax is a 1-row LIMIT broadcast back."""
     ev = load_table(spark, sf_dir, "events")
+    # r14 (guide §2.4/§5): daily is the CALENDAR relation, consumed by
+    # tot, walk1, sided (and through sided by stot and walk2) — each
+    # re-inlined the events scan + daily agg (9 scans in the r13 plan
+    # audit). localCheckpoint it: one fact pass, the recursion runs on
+    # n_days rows.
     daily = (
         ev.select(F.expr(f"(ts div 1000) div {_DAY_US}").alias("day"))
         .groupBy("day")
         .agg(F.count("*").cast("long").alias("n"))
-    )
+    ).localCheckpoint()
     tot = daily.agg(
         F.sum("n").cast("long").alias("total"),
         F.count("*").cast("long").alias("n_days"),
@@ -9841,10 +9868,18 @@ def q_capture_recapture(spark, sf_dir):
     to the distinct (week, user) relation once; occasions are two
     filters of it; the overlap is one equi-join on user_id."""
     ev = load_table(spark, sf_dir, "events")
+    # r14 (guide §2.4/§5): the distinct (week, user) relation is the
+    # one fact-sized operation, but w0 + both occasions' filters in
+    # BOTH m and sizes re-inlined the events scan + distinct (the r13
+    # plan audit counted 9 scans). localCheckpoint the small relation
+    # (≤ weeks × users rows); `truth` is derived from it too — the
+    # distinct user set of (week, user) IS the distinct user set of
+    # events (every event lands in exactly one week), so the exact
+    # count is unchanged and the last remaining fact scan disappears.
     wk = ev.select(
         F.expr(f"(ts div 1000) div {7 * _DAY_US}").alias("w"),
         "user_id",
-    ).distinct()
+    ).distinct().localCheckpoint()
     w0 = wk.agg(F.min("w").alias("w0"))
     wkb = wk.crossJoin(F.broadcast(w0))
     occ_a = wkb.where(F.col("w") == F.col("w0")).select("user_id")
@@ -9854,7 +9889,7 @@ def q_capture_recapture(spark, sf_dir):
         F.count("*").cast("long").alias("overlap"))
     sizes = occ_a.agg(F.count("*").cast("long").alias("na")).crossJoin(
         F.broadcast(occ_b.agg(F.count("*").cast("long").alias("nb"))))
-    truth = ev.agg(
+    truth = wk.agg(
         F.countDistinct("user_id").cast("long").alias("true_users"))
     return (
         sizes.crossJoin(F.broadcast(m))
@@ -10098,6 +10133,10 @@ def q_tier_migration(spark, sf_dir):
         F.expr("CASE WHEN day <= (d0 + d1) div 2 THEN 0 ELSE 1 END")
         .alias("half"),
     )
+    # r14 (guide §2.4/§5): tiers is the per-user-half relation
+    # (≤ 2·|users| rows), but both occasion slices (a, b) re-inlined
+    # the events scan + bounds agg + the per-user-half count.
+    # localCheckpoint it: one fact pass.
     tiers = (
         halves.groupBy("user_id", "half")
         .agg(F.count("*").cast("long").alias("n"))
@@ -10108,7 +10147,7 @@ def q_tier_migration(spark, sf_dir):
                 f" WHEN n >= {_TIER_MED} THEN 'med'"
                 " ELSE 'low' END").alias("tier"),
         )
-    )
+    ).localCheckpoint()
     a = tiers.where(F.col("half") == 0).select(
         "user_id", F.col("tier").alias("tier_a"))
     b = tiers.where(F.col("half") == 1).select(
@@ -10122,9 +10161,15 @@ def q_tier_migration(spark, sf_dir):
         .groupBy("tier_h1", "tier_h2")
         .agg(F.count("*").cast("long").alias("n_users"))
     )
-    rowtot = matrix.groupBy("tier_h1").agg(
-        F.sum("n_users").cast("long").alias("rn"))
-    return matrix.join(F.broadcast(rowtot), "tier_h1").select(
+    # r14 (guide §2.4): the row total is a window over the matrix's
+    # own grouping key — the separate groupBy + broadcast join
+    # re-executed the whole matrix subtree (full-outer join included)
+    # a second time. Same exact long sum, one pass.
+    return matrix.withColumn(
+        "rn",
+        F.sum("n_users").over(Window.partitionBy("tier_h1"))
+        .cast("long"),
+    ).select(
         "tier_h1", "tier_h2", "n_users",
         F.expr("CAST((n_users * 1000000) div rn AS BIGINT)")
         .alias("row_share_ppm"),
@@ -11047,19 +11092,30 @@ def q_linear_attribution(spark, sf_dir):
             & (F.col("ets") >= F.col("pts") - _ATTR_WINDOW_US))
         .select("pid", "event_type")
     )
-    k = touches.groupBy("pid").agg(F.count("*").cast("long").alias("k"))
+    # r14 (guide §2.4/§5): the purchase×touch interval join is the
+    # expensive subtree, and it was re-inlined by k, per_type, and
+    # ncv (the r13 plan audit counted 10 scans). localCheckpoint the
+    # post-agg per_type relation (strictly smaller than touches) and
+    # DERIVE k and ncv from it: sum(cnt) per pid == count of touches
+    # per pid, and per_type's pid set == touches' pid set, so both
+    # are exact identities. The grand total becomes a window over
+    # credit's ≤|types| rows instead of a second credit subtree.
     per_type = touches.groupBy("pid", "event_type").agg(
-        F.count("*").cast("long").alias("cnt"))
+        F.count("*").cast("long").alias("cnt")).localCheckpoint()
+    k = per_type.groupBy("pid").agg(
+        F.sum("cnt").cast("long").alias("k"))
     credit = (
         per_type.join(k, "pid")
         .groupBy("event_type")
         .agg(F.sum(F.expr("(1000000 * cnt) div k")).cast("long")
              .alias("credit_ppm"))
     )
-    tot = credit.agg(F.sum("credit_ppm").cast("long").alias("t"))
     ncv = k.agg(F.count("*").cast("long").alias("n_converted"))
     return (
-        credit.crossJoin(F.broadcast(tot))
+        credit.withColumn(
+            "t", F.sum("credit_ppm").over(Window.partitionBy())
+            .cast("long"),
+        )
         .crossJoin(F.broadcast(ncv))
         .select(
             "event_type", "credit_ppm",
@@ -11517,8 +11573,13 @@ def q_markov_order_test(spark, sf_dir):
         F.lag("event_type", 1).over(w).alias("b"),
         F.lag("event_type", 2).over(w).alias("a"),
     ).where(F.col("a").isNotNull())
+    # r14 (guide §2.4/§5, the psi_drift pattern): n3 is the ≤|types|³
+    # model relation, but SIX consumers (n2l, n2r, n1, na, nc via the
+    # joins below) each re-inlined the events scan + the user-keyed
+    # double-lag window. localCheckpoint the tiny relation so the one
+    # data-sized operation runs once.
     n3 = seq.groupBy("a", "b", "c").agg(
-        F.count("*").cast("long").alias("n"))
+        F.count("*").cast("long").alias("n")).localCheckpoint()
     n2l = n3.groupBy("a", "b").agg(F.sum("n").cast("long").alias("nl"))
     n2r = n3.groupBy("b", "c").agg(F.sum("n").cast("long").alias("nr"))
     n1 = n3.groupBy("b").agg(F.sum("n").cast("long").alias("nb"))
@@ -11620,13 +11681,24 @@ def q_nb_calibration(spark, sf_dir):
             F.regexp_extract_all(F.lower(F.col("text")),
                                  F.lit(r"[a-z]+"), 0)).alias("tok"),
     )
-    dt = toks.groupBy("doc_id", "tok").agg(
+    # r14 featurize-once: same shared-exchange shape as
+    # q_naive_bayes_lang (see the comment there) — one (doc_id, lang,
+    # tok) aggregation feeds dt, dlen, model and vocab via
+    # ReusedExchange; every derived value is an exact identity.
+    dlt = toks.where(
+        F.col("doc_id").isNotNull() & F.col("lang").isNotNull()
+        & F.col("tok").isNotNull()
+    ).groupBy("doc_id", "lang", "tok").agg(
         F.count("*").cast("long").alias("m"))
-    dlen = dt.groupBy("doc_id").agg(F.sum("m").cast("long").alias("len"))
-    model = toks.groupBy("lang", "tok").agg(
-        F.count("*").cast("long").alias("c"))
+    dt = dlt.select("doc_id", "tok", "m")
+    dlen = dlt.groupBy("doc_id").agg(F.sum("m").cast("long").alias("len"))
+    model = dlt.groupBy("lang", "tok").agg(
+        F.sum("m").cast("long").alias("c"))
     lt = model.groupBy("lang").agg(F.sum("c").cast("long").alias("t_l"))
-    vocab = toks.agg(F.countDistinct("tok").cast("long").alias("v"))
+    # m >= 1 is vacuously true — anti-pruning guard, see
+    # q_naive_bayes_lang
+    vocab = dlt.where(F.col("m") >= 1).agg(
+        F.countDistinct("tok").cast("long").alias("v"))
     priors = docs.groupBy("lang").agg(
         F.count("*").cast("long").alias("nd"))
     nn = docs.agg(F.count("*").cast("long").alias("n_docs"))

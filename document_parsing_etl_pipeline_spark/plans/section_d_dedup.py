@@ -529,13 +529,23 @@ def q_incremental_dedup(spark, sf_dir):
             batch, num_hashes=_MH_K, band_size=_MH_BAND,
             sigs=sigs.where(F.col("doc_id") % _INC_MOD == 0),
         ).localCheckpoint()
-        bhs = [r[0] for r in bb.select("bh").distinct().collect()]
-        cb = _minhash_index_scan(spark, sf_dir, bhs).where(
-            F.col("doc_id") % _INC_MOD != 0
-        )
-        return dedup.lsh_flag_against_index(
-            batch.select("doc_id"), bb, cb, caps
-        )
+        # The bucket-hash probe is a DRIVER collect: bounded by
+        # |batch| x n_bands in principle, but a 100 TB-era mega-batch
+        # must not ship an unbounded key list to the driver (r13
+        # verdict item 10). Cap it: collect at most _INC_KEY_CAP + 1
+        # distinct hashes; beyond the cap the key-scoped index read
+        # stops paying anyway (keys touch ~every file), so fall back
+        # to the inline derivation — results identical (mode parity
+        # is test-pinned), only the read path differs.
+        probe = bb.select("bh").distinct().limit(_INC_KEY_CAP + 1).collect()
+        if len(probe) <= _INC_KEY_CAP:
+            bhs = [r[0] for r in probe]
+            cb = _minhash_index_scan(spark, sf_dir, bhs).where(
+                F.col("doc_id") % _INC_MOD != 0
+            )
+            return dedup.lsh_flag_against_index(
+                batch.select("doc_id"), bb, cb, caps
+            )
     return dedup.incremental_lsh_matches(
         batch,
         docs.where(F.col("doc_id") % _INC_MOD != 0),

@@ -3506,10 +3506,15 @@ def q_ess_dsir(spark, sf_dir):
     then exact decimal sums; the max is a broadcast 1-row dim.
     Consumes the same Zipf-bounded DSIR relation as q_dsir_weights;
     O(corpus) one pass."""
+    # r14 (guide §2.4/§5): the DSIR logweight derivation (tokenize +
+    # hashed-bucket probabilities) is the only corpus-sized work, and
+    # it was inlined TWICE — once under the broadcast max, once under
+    # the main sum. localCheckpoint the 1-long-per-doc projection so
+    # the derivation runs once.
     lw = corpus.dsir_logweights(
         load_table(spark, sf_dir, "documents"),
         target_mod=_DSIR_MOD, n_buckets=_DSIR_B,
-    ).select("dsir_micro_nats")
+    ).select("dsir_micro_nats").localCheckpoint()
     m = lw.agg(F.max("dsir_micro_nats").alias("mx"))
     w = lw.crossJoin(F.broadcast(m)).select(
         F.expr("CAST(round(exp((dsir_micro_nats - mx) / 1000000.0e0),"
@@ -3575,9 +3580,14 @@ def q_source_surprisal_drift(spark, sf_dir):
     one sqrt in an identically-composed shared expression; output is
     |sources| rows."""
     docs = load_table(spark, sf_dir, "documents")
+    # r14 (guide §2.4/§5): the unigram-LM doc-value relation (tokenize
+    # + vocab join) was inlined twice — per-source means and the
+    # corpus moments each re-derived it. localCheckpoint the
+    # 2-col-per-doc projection: one tokenize pass.
     docv = corpus.unigram_logprob(docs).select(
         "doc_id",
-        F.expr("bits_micro_total div n_tokens").alias("v"))
+        F.expr("bits_micro_total div n_tokens").alias("v"),
+    ).localCheckpoint()
     pers = (
         docv.join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")
