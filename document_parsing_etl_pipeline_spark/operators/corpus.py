@@ -27,7 +27,16 @@ def term_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
         ).alias("term"),
     )
-    return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # Vacuously-true null guard (doc_id is the corpus key, term comes
+    # from regexp_extract_all — neither is ever null): it pins ONE
+    # filter set on every consumer branch of this aggregation, so the
+    # per-branch isnotnull predicates the optimizer infers from
+    # downstream joins no longer make the branches' exchange subtrees
+    # unequal — identical subtrees share a single reused exchange and
+    # the tokenize runs once per query instead of once per consumer.
+    return toks.where(
+        F.col("doc_id").isNotNull() & F.col("term").isNotNull()
+    ).groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
 
 
 def tfidf_top_terms(
@@ -235,12 +244,18 @@ def dsir_logweights(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
         ).alias("term"),
     )
+    # null guard: vacuously true (doc_id is the corpus key; bucket is
+    # pmod(md5) of a never-null token) — unifies the inferred filters
+    # on the model branch and the scoring-join branch so both reuse
+    # ONE tokenize+bucket-count exchange (see term_frequencies)
     feat = toks.select(
         "doc_id",
         F.pmod(
             F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast("int"),
             F.lit(n_buckets),
         ).alias("bucket"),
+    ).where(
+        F.col("doc_id").isNotNull() & F.col("bucket").isNotNull()
     ).groupBy("doc_id", "bucket").agg(F.count("*").alias("tf"))
     is_target = F.col("doc_id") % target_mod == 0
     # ONE pass builds both bucket models (raw + conditional target
@@ -339,7 +354,12 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # terms per doc, and the inevitable hot keys ("the" is a few
     # percent of all tokens) contribute one row per document instead
     # of one per occurrence — AQE skew-split covers the rest
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    # null guard: vacuously true (see term_frequencies) — unifies the
+    # inferred per-branch filters so vocab/total/the scoring join all
+    # reuse ONE tokenize+aggregation exchange
+    tf = toks.where(
+        F.col("doc_id").isNotNull() & F.col("tok").isNotNull()
+    ).groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     vocab = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
     total = tf.agg(F.sum("tf").alias("n_total"))
     surp = vocab.crossJoin(F.broadcast(total)).select(

@@ -353,6 +353,13 @@ def _minhash_sigs(spark, sf_dir):
     SPARK_GRAFT_ARTIFACTS set. bench.py records the one-time build
     in the standing-artifact leg."""
     key = ("minhash_sigs", spark.sparkContext.applicationId, sf_dir)
+
+    def _refresh(old, appended):
+        # signatures are per-doc independent: an append-only corpus
+        # delta appends exactly its own signature rows (round 14)
+        return ("append", dedup.minhash_signature(
+            appended, num_hashes=_MH_K))
+
     return artifacts.load_or_build(
         spark, sf_dir, "minhash_sigs",
         lambda: dedup.minhash_signature(
@@ -360,6 +367,7 @@ def _minhash_sigs(spark, sf_dir):
             num_hashes=_MH_K),
         _NEARDUP_MEMO, key,
         params=f"minhash.k{_MH_K}",
+        refresher=_refresh,
     )
 
 
@@ -503,18 +511,98 @@ def _verified_candidates(spark, sf_dir):
     memo."""
     key = ("verified_cands", spark.sparkContext.applicationId, sf_dir)
     caps = _lsh_caps(spark, sf_dir, "minhash")
-    return artifacts.load_or_build(
-        spark, sf_dir, "neardup_verified",
-        lambda: dedup.ngram_jaccard_pairs(
+
+    def _build():
+        return dedup.ngram_jaccard_pairs(
             spread_scan(load_table(spark, sf_dir, "documents")),
             num_hashes=_MH_K, band_size=_MH_BAND, max_bucket=caps,
             threshold=None, sigs=_minhash_sigs(spark, sf_dir),
-        ),
+        )
+
+    def _refresh(old, appended):
+        # Append-refresh under the CAP-STABILITY GATE (round 14,
+        # r13 verdict item 9). Caps themselves are already gated by
+        # the params fingerprint (_caps_tag — any cap drift forces
+        # the full rebuild before this runs). What params CANNOT see
+        # is bucket-size drift: growth can push a previously pairable
+        # bucket (2 <= n_old <= cap) OVER its cap, which INVALIDATES
+        # the old bucket's pairs (from-scratch would drop the whole
+        # bucket) — appending can never remove rows, so any such
+        # crossing falls back to the full re-verification, written as
+        # a replace. When no pairable bucket crosses, old ∪ delta is
+        # EXACTLY the from-scratch capped candidate set:
+        #   - bucket n_new <= cap: old pairs are the old×old pairs,
+        #     the delta adds every pair with >=1 appended side;
+        #   - bucket n_new > cap: it had n_old > cap (excluded on
+        #     both sides) or n_old < 2 (no old pairs, delta excluded
+        #     by the n_new cap filter) — the crossing case is gated.
+        # The delta's pair fanout is bounded by cap × touched
+        # buckets; verification tokenizes only the delta's
+        # participants via the pair join.
+        docs = load_table(spark, sf_dir, "documents")
+        sigs = _minhash_sigs(spark, sf_dir)  # itself append-refreshed
+        all_b = dedup.minhash_buckets(
+            docs, num_hashes=_MH_K, band_size=_MH_BAND, sigs=sigs)
+        batch_ids = appended.select("doc_id").distinct()
+        # no broadcast hint: a backfill-sized append must not be
+        # forced through the driver — the planner/AQE picks
+        memb = all_b.join(
+            batch_ids.withColumn("_new", F.lit(1)), "doc_id", "left")
+        sized = memb.groupBy("band", "bh").agg(
+            F.count("*").alias("n_new"),
+            F.sum(F.coalesce("_new", F.lit(0))).alias("n_b"),
+        ).withColumn("n_old", F.col("n_new") - F.col("n_b"))
+        cap = dedup.band_cap_col(caps)
+        crossing = sized.where(
+            (F.col("n_b") > 0)
+            & (F.col("n_old").between(2, cap))
+            & (F.col("n_new") > cap)
+        ).limit(1).count()
+        if crossing:
+            return ("replace", _build())
+        eligible = sized.where(
+            (F.col("n_b") > 0) & (F.col("n_new").between(2, cap))
+        ).select("band", "bh")
+        in_bucket = memb.join(eligible, ["band", "bh"])
+        a = in_bucket.select(
+            "band", "bh", F.col("doc_id").alias("doc_a"),
+            F.col("_new").alias("_na"))
+        b = in_bucket.select(
+            "band", "bh", F.col("doc_id").alias("doc_b"),
+            F.col("_new").alias("_nb"))
+        cands = (
+            a.join(b, ["band", "bh"])
+            .where(
+                (F.col("doc_a") < F.col("doc_b"))
+                & (F.col("_na").isNotNull() | F.col("_nb").isNotNull())
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        toks = docs.select(
+            "doc_id", dedup._norm_tokens(F.col("text")).alias("tokens"))
+        joined = (
+            cands.join(toks.withColumnsRenamed(
+                {"doc_id": "doc_a", "tokens": "ta"}), "doc_a")
+            .join(toks.withColumnsRenamed(
+                {"doc_id": "doc_b", "tokens": "tb"}), "doc_b")
+        )
+        jac = F.round(
+            F.size(F.array_intersect("ta", "tb"))
+            / F.size(F.array_union("ta", "tb")), 4)
+        return ("append", joined.select(
+            "doc_a", "doc_b", jac.alias("jaccard")))
+
+    return artifacts.load_or_build(
+        spark, sf_dir, "neardup_verified",
+        _build,
         _NEARDUP_MEMO, key,
         # _caps_tag in the params: a corpus change that moves the
-        # engaged caps re-fingerprints (and rebuilds) the artifact
+        # engaged caps re-fingerprints the artifact — the refresher
+        # above then only has to gate BUCKET-SIZE drift
         params=f"jaccard.mh{_MH_K}.band{_MH_BAND}"
                f".maxb{_caps_tag(caps)}.tall",
+        refresher=_refresh,
     )
 
 

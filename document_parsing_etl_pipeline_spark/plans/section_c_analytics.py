@@ -3429,6 +3429,13 @@ def q_triangle_count(spark, sf_dir):
         .alias("ws"),
     )
     parts3 = [F.expr(f"ws[i + {j}]") for j in range(3)]
+    # r14 (guide §2.3/§2.4): one term-keyed exchange for the whole
+    # shingle pipeline — hash(term) satisfies the clustering needs of
+    # the distinct, the df rollup, and both term-equi-joins below, so
+    # the explode runs once and its bytes shuffle once (the old plan
+    # re-inlined the explode under disc, shd, ea and eb). Null guard
+    # vacuously true (concat_ws / corpus key) — keeps the shared
+    # exchange canonically equal across consumer branches.
     sh = (
         toks.where(F.size("ws") >= 3)
         .select(
@@ -3436,6 +3443,8 @@ def q_triangle_count(spark, sf_dir):
             F.explode(F.sequence(F.lit(0), F.size("ws") - 3)).alias("i"),
         )
         .select("doc_id", F.concat_ws(" ", *parts3).alias("term"))
+        .where(F.col("doc_id").isNotNull() & F.col("term").isNotNull())
+        .repartition(F.col("term"))
         .distinct()
     )
     disc = (
@@ -5939,11 +5948,24 @@ def q_shingle_novelty(spark, sf_dir):
             )
         ).alias("h"),
     )
-    df = sh.groupBy("h").agg(
-        F.countDistinct("doc_id").cast("long").alias("df"))
-    per_doc = sh.join(df, "h").groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_shingles"),
-        F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    # r14 (guide §2.3/§2.4): ONE shingle-keyed exchange instead of two
+    # tokenize passes + two shuffles. Repartition the exploded stream
+    # by h once; hash(h) satisfies the clustering requirement of the
+    # (h, doc_id) rollup, the df rollup AND the h-equi-join, so
+    # everything downstream is exchange-free until the small per-doc
+    # rollup. Identities: df(h) = #dhd rows per h (distinct docs);
+    # per-doc occurrence counts are sum(k). Null guard vacuously true
+    # (md5 output / corpus key) — pins one filter set on both consumer
+    # branches so their shared exchange canonicalizes equal.
+    shp = sh.where(
+        F.col("h").isNotNull() & F.col("doc_id").isNotNull()
+    ).repartition(F.col("h"))
+    dhd = shp.groupBy("h", "doc_id").agg(
+        F.count("*").cast("long").alias("k"))
+    df = dhd.groupBy("h").agg(F.count("*").cast("long").alias("df"))
+    per_doc = dhd.join(df, "h").groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_shingles"),
+        F.sum(F.when(F.col("df") == 1, F.col("k")).otherwise(0))
         .cast("long").alias("n_unique"),
     )
     return per_doc.select(
@@ -7660,8 +7682,14 @@ def q_kneser_ney_bigram(spark, sf_dir):
     b = toks.select(
         "doc_id", (F.col("pos") - 1).alias("pos"),
         F.col("tok").alias("w2"))
+    # r14: vacuously-true null guard (w1/w2 come from the explode —
+    # never null) pins one filter set on all four consumer branches
+    # (uni, cont, btypes, scored), so their copies of this aggregation
+    # share ONE reused exchange instead of four inlined tokenize +
+    # positional-self-join subtrees (same recipe as term_frequencies).
     bg = (
         a.join(b, ["doc_id", "pos"])
+        .where(F.col("w1").isNotNull() & F.col("w2").isNotNull())
         .groupBy("w1", "w2")
         .agg(F.count("*").cast("long").alias("c"))
     )

@@ -609,12 +609,17 @@ def q_consistent_hash_balance(spark, sf_dir):
             " CAST(r AS STRING))), 1, 8), 16, 10) AS BIGINT)"
         ).alias("pos"),
     )
+    # r14 (guide §2.4/§5): keys is the |users|-row ring-probe relation,
+    # but both ring assignments AND tot re-inlined the events scan +
+    # distinct + md5. localCheckpoint it: one fact pass; the two
+    # ×vnodes window fanouts (the intrinsic work) run on the
+    # materialized keys.
     keys = ev.select("user_id").distinct().select(
         "user_id",
         F.expr(
             "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 8),"
             " 16, 10) AS BIGINT)").alias("kpos"),
-    )
+    ).localCheckpoint()
 
     def ring_assign(vn):
         w = Window.partitionBy("user_id").orderBy(

@@ -103,6 +103,7 @@ def ingest_batch(
     max_bucket: int = 50,
     validate_new_ids: bool = True,
     optimize_cadence: bool = True,
+    shuffle_partitions: int | None = None,
 ) -> bool:
     """Flag one micro-batch against the standing index, write the
     flags, and APPEND the batch's buckets to the index exactly once
@@ -117,7 +118,7 @@ def ingest_batch(
     per-batch FIXED latency, not data volume, is the whole cost."""
     if batch_id <= last_committed_batch(index_root):
         return False
-    with _aqe_disabled(spark):
+    with _aqe_disabled(spark, shuffle_partitions):
         return _ingest_batch_run(
             spark, batch_df, index_root, flags_root, batch_id,
             num_hashes, band_size, max_bucket, validate_new_ids,
@@ -141,20 +142,38 @@ import contextlib as _contextlib
 import threading as _threading
 
 _AQE_KEY = "spark.sql.adaptive.enabled"
+_SHUF_KEY = "spark.sql.shuffle.partitions"
 _AQE_LOCK = _threading.Lock()
-_AQE_STATE: dict = {}  # id(spark) -> [depth, saved_value]
+_AQE_STATE: dict = {}  # id(spark) -> [depth, {key: saved_value}]
+
+# Reduce-side parallelism for the ingest's trigger-bounded jobs
+# (round 14): with AQE off (the measured latency choice above) every
+# exchange in the bucket/flag plans runs the session default (32+)
+# reduce tasks over a few thousand rows — pure scheduling latency at
+# any trigger size, because ingest relations are bounded by the
+# TRIGGER, not the corpus (the standing index side is read pruned and
+# joined bucket-bounded). This is AQE's partition coalescing done
+# statically for plans AQE doesn't see; it scales with the trigger
+# (deployments with huge backfill triggers raise it via the
+# stream_neardup_ingest parameter), not with the core count.
+INGEST_SHUFFLE_PARTITIONS = int(os.environ.get(
+    "SPARK_GRAFT_ND_SHUFFLE_PARTITIONS", "8"))
 
 
 @_contextlib.contextmanager
-def _aqe_disabled(spark: SparkSession):
+def _aqe_disabled(spark: SparkSession,
+                  shuffle_partitions: int | None = None):
     sid = id(spark)
+    n_shuf = shuffle_partitions or INGEST_SHUFFLE_PARTITIONS
     with _AQE_LOCK:
-        st = _AQE_STATE.setdefault(
-            sid, [0, spark.conf.get(_AQE_KEY, "true")]
-        )
+        st = _AQE_STATE.setdefault(sid, [0, {}])
         if st[0] == 0:
-            st[1] = spark.conf.get(_AQE_KEY, "true")
+            st[1] = {
+                _AQE_KEY: spark.conf.get(_AQE_KEY, "true"),
+                _SHUF_KEY: spark.conf.get(_SHUF_KEY, "200"),
+            }
             spark.conf.set(_AQE_KEY, "false")
+            spark.conf.set(_SHUF_KEY, str(n_shuf))
         st[0] += 1
     try:
         yield
@@ -163,7 +182,8 @@ def _aqe_disabled(spark: SparkSession):
             st = _AQE_STATE[sid]
             st[0] -= 1
             if st[0] == 0:
-                spark.conf.set(_AQE_KEY, st[1])
+                for k, v in st[1].items():
+                    spark.conf.set(k, v)
                 del _AQE_STATE[sid]
 
 
@@ -375,7 +395,10 @@ def _ingest_batch_run(
         # crash before publish leaves the watermark at the prior
         # batch and the replay rewrites both outputs (the orphaned
         # stage is discarded on re-entry).
-        flags.write.mode("overwrite").parquet(
+        # one output file: the flag relation is trigger-bounded (one
+        # row per batch doc), so a multi-task write is pure commit/
+        # listing overhead per batch (guide §6 small files)
+        flags.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(flags_root, f"batch_id={batch_id}")
         )
     except BaseException:
@@ -568,6 +591,7 @@ def stream_neardup_ingest(
     max_bucket: int = 50,
     validate_new_ids: bool = True,
     optimize_cadence: bool = True,
+    shuffle_partitions: int | None = None,
 ):
     """Start the foreachBatch near-dup ingest over a document stream
     (needs doc_id + text columns). The index table must exist
@@ -588,6 +612,7 @@ def stream_neardup_ingest(
             num_hashes=num_hashes, band_size=band_size,
             max_bucket=max_bucket, validate_new_ids=validate_new_ids,
             optimize_cadence=optimize_cadence,
+            shuffle_partitions=shuffle_partitions,
         )
 
     writer = (

@@ -29,7 +29,7 @@ from document_parsing_etl_pipeline_spark.session import get_spark
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "REFRESH_BENCH_r13.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "REFRESH_BENCH_r14.json"
     docs_src = sys.argv[2] if len(sys.argv) > 2 else \
         "/root/testdata/sf0.1/documents.parquet"
     spark = get_spark()
@@ -55,6 +55,14 @@ def main() -> None:
         n1 = Q._standing_setsim_components(spark, src).count()
         Q._standing_setsim_index(spark, src)  # standing index too
         build_sec = round(time.time() - t0, 3)
+        # round 14: the capped-LSH verified-candidate family too
+        from document_parsing_etl_pipeline_spark.plans import (
+            _prelude as P,
+        )
+        t0 = time.time()
+        v1 = P._verified_candidates(spark, src).count()
+        P._jaccard_pairs(spark, src).count()
+        vbuild_sec = round(time.time() - t0, 3)
 
         base.where(f"doc_id >= {cut}").repartition(2).write.mode(
             "append").parquet(docs_dir)
@@ -67,6 +75,15 @@ def main() -> None:
         modes = {e["name"]: e["mode"] for e in artifacts.REFRESH_EVENTS}
         assert modes.get("setsim_pairs") == "refresh", modes
         assert modes.get("setsim_components") == "refresh", modes
+        t0 = time.time()
+        v2 = P._verified_candidates(spark, src).count()
+        P._jaccard_pairs(spark, src).count()
+        vrefresh_sec = round(time.time() - t0, 3)
+        modes = {e["name"]: e["mode"] for e in artifacts.REFRESH_EVENTS}
+        # "refresh" when the cap-stability gate passes at this split;
+        # recorded (not asserted) — a cap/bucket drift is the honest
+        # rebuild fallback
+        vmode = modes.get("neardup_verified")
 
         # from-scratch over the grown corpus, fresh store
         store2 = os.path.join(work, "store2")
@@ -78,6 +95,11 @@ def main() -> None:
         Q._standing_setsim_index(spark, src)  # index rebuilt too
         rebuild_sec = round(time.time() - t0, 3)
         assert n2 == n3, (n2, n3)
+        t0 = time.time()
+        v3 = P._verified_candidates(spark, src).count()
+        P._jaccard_pairs(spark, src).count()
+        vrebuild_sec = round(time.time() - t0, 3)
+        assert v2 == v3, (v2, v3)
 
         out = {
             "metric": "artifact_refresh_vs_rebuild",
@@ -90,6 +112,15 @@ def main() -> None:
             "speedup": round(rebuild_sec / refresh_sec, 2)
             if refresh_sec else None,
             "component_rows": {"standing": n1, "grown": n2},
+            "verified_candidates": {
+                "build_sec": vbuild_sec,
+                "refresh_sec": vrefresh_sec,
+                "rebuild_sec": vrebuild_sec,
+                "refresh_mode": vmode,
+                "speedup": round(vrebuild_sec / vrefresh_sec, 2)
+                if vrefresh_sec else None,
+                "rows": {"standing": v1, "grown": v2},
+            },
         }
         print(json.dumps(out))
         with open(out_path, "w") as f:

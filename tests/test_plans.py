@@ -386,8 +386,15 @@ def test_session7e_new_query_plan_shapes(spark):
     onto the cell relation (never shuffle the types^3 grid), the lag
     window is user-partitioned, and the nprobe curve's candidate
     pairing has no cartesian product."""
+    # r14: the ≤|types|³ triple-count relation is localCheckpointed
+    # (ONE fact pass instead of six inlined scan+window subtrees), so
+    # the final plan reads it as ExistingRDD; the model rollups still
+    # broadcast onto it and nothing goes cartesian. The user-
+    # partitioned lag window now runs once inside the checkpointed
+    # build — its values stay pinned by the DuckDB oracle gate.
     plan = _executed(QUERIES["q_markov_order_test"](spark, SF_DIR))
-    assert "windowspecdefinition(user_id" in plan
+    assert "Scan ExistingRDD" in plan
+    assert "windowspecdefinition(user_id" not in plan  # not re-run
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     plan = _executed(QUERIES["q_ivf_nprobe_curve"](spark, SF_DIR))
