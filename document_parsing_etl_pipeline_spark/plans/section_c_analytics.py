@@ -11120,30 +11120,24 @@ def q_linear_attribution(spark, sf_dir):
             & (F.col("ets") >= F.col("pts") - _ATTR_WINDOW_US))
         .select("pid", "event_type")
     )
-    # r14 (guide §2.4/§5): the purchase×touch interval join is the
-    # expensive subtree, and it was re-inlined by k, per_type, and
-    # ncv (the r13 plan audit counted 10 scans). localCheckpoint the
-    # post-agg per_type relation (strictly smaller than touches) and
-    # DERIVE k and ncv from it: sum(cnt) per pid == count of touches
-    # per pid, and per_type's pid set == touches' pid set, so both
-    # are exact identities. The grand total becomes a window over
-    # credit's ≤|types| rows instead of a second credit subtree.
+    # r14: a checkpoint-the-per_type restructure was measured and
+    # REVERTED — ABAB 1.03× at sf0.1 (wash), 1.23× at the 10× leg and
+    # 1.29× at 8 cores: materializing the interval-join's aggregated
+    # output costs more than the duplicated-but-concurrent subtrees
+    # it saves (the ivf_recall lesson). The original shape stays.
+    k = touches.groupBy("pid").agg(F.count("*").cast("long").alias("k"))
     per_type = touches.groupBy("pid", "event_type").agg(
-        F.count("*").cast("long").alias("cnt")).localCheckpoint()
-    k = per_type.groupBy("pid").agg(
-        F.sum("cnt").cast("long").alias("k"))
+        F.count("*").cast("long").alias("cnt"))
     credit = (
         per_type.join(k, "pid")
         .groupBy("event_type")
         .agg(F.sum(F.expr("(1000000 * cnt) div k")).cast("long")
              .alias("credit_ppm"))
     )
+    tot = credit.agg(F.sum("credit_ppm").cast("long").alias("t"))
     ncv = k.agg(F.count("*").cast("long").alias("n_converted"))
     return (
-        credit.withColumn(
-            "t", F.sum("credit_ppm").over(Window.partitionBy())
-            .cast("long"),
-        )
+        credit.crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(ncv))
         .select(
             "event_type", "credit_ppm",
